@@ -17,7 +17,11 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (Aggregations.defs, Aggregations.oracles))
+      (Aggregations.defs, Aggregations.oracles),
+      (Projections.defs, Projections.oracles),
+      (Joins.defs, Joins.oracles),
+      (Windows.defs, Windows.oracles),
+      (SortsSetOps.defs, SortsSetOps.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

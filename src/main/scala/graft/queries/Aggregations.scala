@@ -1,21 +1,28 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Det, Tables}
 
 /** SURVEY.md §2.4 aggregation operators, one named query each.
   * Every query has a DuckDB oracle (see `oracles`); all money math
   * uses [[graft.core.Det]] exact-decimal arithmetic so hashes match.
+  *
+  * Scale notes: all groupBys here aggregate with map-side partial
+  * aggregation (HashAggregate → shuffle → HashAggregate) — the shuffle
+  * carries pre-aggregated groups, not rows. Group-key cardinality is
+  * bounded (nation/segment/month), so output never explodes. The one
+  * exception, per-customer grouping (a17), shuffles on a high-card key
+  * — at 100 TB that key is the natural partitioning of the fact table.
   */
 object Aggregations {
   import Det._
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** A1 flagship: pricing summary (group sum/avg/count à la the
-    * per-seller KPI aggregations, `EDA - Faturamento.py:101`,
-    * `SLA de Produção - Completo.sql:87-104`). */
+  /** A1 flagship: pricing summary (group sum/avg/count,
+    * `EDA - Faturamento.py:101`, `SLA de Produção - Completo.sql:87-104`). */
   val q1Agg: Q = (s, d) => {
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -41,9 +48,309 @@ object Aggregations {
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus"""
 
+  /** A2: COUNT(DISTINCT) — unique clients per nation
+    * (`EDA - Faturamento.py:101`, `View_SMT_ResumoPerformance.sql:8`).
+    * Exact here (oracle parity); `approx_count_distinct` is the 100 TB
+    * variant and is exercised in the profiling module. */
+  val a2CountDistinct: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(countDistinct(col("c_custkey")).as("clientes_unicos"),
+        count(lit(1)).as("pedidos"))
+      .orderBy(col("c_nationkey"))
+
+  /** A3: conditional aggregation / pivot-by-CASE
+    * (`View_SMT_ResumoPerformance.sql:5-12`, `Atualizar_Base_de_Ativos.sql:19-22`). */
+  val a3ConditionalAgg: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("ano"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("fechados"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("abertos"),
+        sum(when(col("o_orderpriority") === "1-URGENT", dec2(col("o_totalprice")))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("valor_urgente"))
+      .orderBy(col("ano"))
+
+  /** A4: manual year-pivot (`Cenario_YearToYear.sql:35-38`) via Spark's
+    * native pivot with an explicit value list (stable schema, single
+    * shuffle). */
+  val a4YearPivot: Q = (s, d) => {
+    val years = 1995 to 2001
+    val p = Tables.orders(s, d)
+      .groupBy(month(col("o_orderdate")).as("mes"))
+      .pivot(year(col("o_orderdate")), years.map(Integer.valueOf))
+      .agg(sum(dec2(col("o_totalprice"))))
+    p.select(col("mes") +: years.map(y => col(s"$y").cast("double").as(s"$y")): _*)
+      .orderBy(col("mes"))
+  }
+
+  /** A5: pivot_table matrix (`EDA - Faturamento.py:110`) — segment ×
+    * status order counts. */
+  val a5PivotTable: Q = (s, d) => {
+    val statuses = Seq("F", "O", "P")
+    val p = Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot(col("o_orderstatus"), statuses)
+      .agg(count(lit(1)))
+    p.orderBy(col("c_mktsegment"))
+  }
+
+  /** A6: HAVING post-filter (`SP_SMT_Reincidencia_Reparos.sql:42`). */
+  val a6Having: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("pedidos"), dsum(col("o_totalprice")).as("total"))
+      .filter(col("pedidos") > 15)
+      .orderBy(col("o_custkey"))
+
+  /** A7: GROUP_CONCAT(DISTINCT … SEPARATOR ' -> ') ordered
+    * (`SP_SMT_Reincidencia_Reparos.sql:16`). */
+  val a7GroupConcat: Q = (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), " -> ")
+        .as("segmentos"))
+      .orderBy(col("c_nationkey"))
+
+  /** A8: ROLLUP + GROUPING() with total-last ordering
+    * (`SMT_Snippet_RMA.sql:19-35`, `CALL Cenario_Faturamento.sql:99-103`). */
+  val a8Rollup: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("ano", year(col("o_orderdate")))
+      .rollup(col("o_orderstatus"), col("ano"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("ano")).cast("int").as("g_ano"),
+        dsum(col("o_totalprice")).as("total"),
+        count(lit(1)).as("pedidos"))
+      .select(col("g_status"), col("g_ano"), col("o_orderstatus"), col("ano"),
+        col("total"), col("pedidos"))
+      .orderBy(col("g_status"), col("g_ano"), col("o_orderstatus"), col("ano"))
+
+  /** A9: manual grand-total row via UNION ALL, total sorted last
+    * (`vw_recorrencia_base.sql:21-45`). */
+  val a9TotalRow: Q = (s, d) => {
+    val base = Tables.orders(s, d)
+    val detail = base.groupBy(col("o_orderstatus").as("status"))
+      .agg(dsum(col("o_totalprice")).as("total"))
+      .withColumn("linha_total", lit(0))
+    val total = base.agg(dsum(col("o_totalprice")).as("total"))
+      .select(lit("--- TOTAL ---").as("status"), col("total"), lit(1).as("linha_total"))
+    detail.unionByName(total)
+      .select(col("status"), col("total"), col("linha_total"))
+      .orderBy(col("linha_total"), col("status"))
+  }
+
+  /** A10: % of total with scalar-subquery denominator
+    * (`SMT_Top10_Acoes.sql:10-34`) — cross join of a 1-row aggregate
+    * (broadcast; no second scan shuffle). */
+  val a10ShareScalar: Q = (s, d) => {
+    val base = Tables.orders(s, d)
+    val total = base.agg(dsum(col("o_totalprice")).as("total_geral"))
+    base.groupBy(col("o_orderpriority"))
+      .agg(dsum(col("o_totalprice")).as("total"))
+      .crossJoin(broadcast(total))
+      .select(col("o_orderpriority"), col("total"),
+        (col("total") / col("total_geral")).as("participacao"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** A11: % of total with windowed denominator
+    * (`View_SMT_AçõesDefinidas.sql:11`). */
+  val a11ShareWindow: Q = (s, d) => {
+    val w = Window.partitionBy(col("ano"))
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("ano"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("pedidos"))
+      .withColumn("pedidos_ano", sum(col("pedidos")).over(w))
+      .withColumn("participacao",
+        col("pedidos").cast("double") / col("pedidos_ano"))
+      .orderBy(col("ano"), col("o_orderstatus"))
+  }
+
+  /** A12: ratio-of-aggregates KPI (ticket médio, NULLIF-guarded,
+    * `PROD_Produtividade_FPY.sql:24-30`, `EDA - Faturamento.py:102`). */
+  val a12RatioKpi: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(dsum(col("o_totalprice")).as("faturamento"),
+        count(col("o_orderkey")).as("pedidos"),
+        countDistinct(col("c_custkey")).as("clientes"))
+      .withColumn("ticket_medio",
+        when(col("pedidos") === 0, lit(null))
+          .otherwise(col("faturamento") / col("pedidos")))
+      .orderBy(col("c_mktsegment"))
+
+  /** A13: value_counts frequency table (`ETL - CRM.py:294-302`). */
+  val a13ValueCounts: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("o_orderpriority"))
+
+  /** A14: per-column null-count profile (`ETL - CRM.py:312-315`) —
+    * one scan, one row out. */
+  val a14NullProfile: Q = (s, d) => {
+    val df = Tables.events(s, d)
+    df.select(df.columns.map(c =>
+      sum(col(c).isNull.cast("long")).as(s"nulls_$c")): _*)
+  }
+
+  /** A15: monthly re-aggregation / resample (`Modelo de Previsão de
+    * Vendas.py:58-61`). */
+  val a15Resample: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mes"))
+      .agg(dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("mes"))
+
+  /** A16: distinct / dedup for dims (`ETL - CRM.py:351-364`). */
+  val a16Distinct: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  /** A17: aggregate-of-aggregate — team average over per-client totals
+    * (`Recorrencia_TKM.sql:44-53`). */
+  val a17AggOfAgg: Q = (s, d) => {
+    val perClient = Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey"), col("c_custkey"))
+      .agg(sum(dec2(col("o_totalprice"))).as("total_cliente"))
+    perClient.groupBy(col("c_nationkey"))
+      .agg((sum(col("total_cliente")).cast("double") / count(lit(1)))
+        .as("media_por_cliente"),
+        count(lit(1)).as("clientes"))
+      .orderBy(col("c_nationkey"))
+  }
+
   val defs: Map[String, Q] = Map(
-    "q1_agg" -> q1Agg)
+    "q1_agg" -> q1Agg,
+    "a2_count_distinct" -> a2CountDistinct,
+    "a3_conditional_agg" -> a3ConditionalAgg,
+    "a4_year_pivot" -> a4YearPivot,
+    "a5_pivot_table" -> a5PivotTable,
+    "a6_having" -> a6Having,
+    "a7_group_concat" -> a7GroupConcat,
+    "a8_rollup" -> a8Rollup,
+    "a9_total_row" -> a9TotalRow,
+    "a10_share_scalar" -> a10ShareScalar,
+    "a11_share_window" -> a11ShareWindow,
+    "a12_ratio_kpi" -> a12RatioKpi,
+    "a13_value_counts" -> a13ValueCounts,
+    "a14_null_profile" -> a14NullProfile,
+    "a15_resample" -> a15Resample,
+    "a16_distinct" -> a16Distinct,
+    "a17_agg_of_agg" -> a17AggOfAgg)
 
   val oracles: Map[String, String] = Map(
-    "q1_agg" -> q1AggSql)
+    "q1_agg" -> q1AggSql,
+    "a2_count_distinct" -> """
+      SELECT c_nationkey, COUNT(DISTINCT c_custkey) AS clientes_unicos,
+        COUNT(*) AS pedidos
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "a3_conditional_agg" -> """
+      SELECT YEAR(o_orderdate) AS ano,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS fechados,
+        CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS abertos,
+        CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+          THEN CAST(o_totalprice AS DECIMAL(18,2))
+          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS valor_urgente
+      FROM orders GROUP BY 1 ORDER BY ano""",
+    "a4_year_pivot" -> (
+      "SELECT MONTH(o_orderdate) AS mes, " +
+      (1995 to 2001).map(y =>
+        s"""CAST(SUM(CASE WHEN YEAR(o_orderdate) = $y
+            THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "$y"""")
+        .mkString(", ") +
+      " FROM orders GROUP BY 1 ORDER BY mes"),
+    "a5_pivot_table" -> """
+      SELECT c_mktsegment,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS "F",
+        CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS "O",
+        CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "a6_having" -> s"""
+      SELECT o_custkey, COUNT(*) AS pedidos,
+        ${sqlDsum("o_totalprice")} AS total
+      FROM orders GROUP BY o_custkey
+      HAVING COUNT(*) > 15 ORDER BY o_custkey""",
+    "a7_group_concat" -> """
+      SELECT c_nationkey,
+        COALESCE(string_agg(DISTINCT c_mktsegment, ' -> ' ORDER BY c_mktsegment), '')
+          AS segmentos
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "a8_rollup" -> s"""
+      SELECT CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        CAST(GROUPING(ano) AS INT) AS g_ano,
+        o_orderstatus, ano, ${sqlDsum("o_totalprice")} AS total,
+        COUNT(*) AS pedidos
+      FROM (SELECT o_orderstatus, YEAR(o_orderdate) AS ano, o_totalprice FROM orders)
+      GROUP BY ROLLUP (o_orderstatus, ano)
+      ORDER BY g_status, g_ano, o_orderstatus, ano""",
+    "a9_total_row" -> s"""
+      SELECT o_orderstatus AS status, ${sqlDsum("o_totalprice")} AS total,
+        0 AS linha_total
+      FROM orders GROUP BY o_orderstatus
+      UNION ALL
+      SELECT '--- TOTAL ---', ${sqlDsum("o_totalprice")}, 1 FROM orders
+      ORDER BY linha_total, status""",
+    "a10_share_scalar" -> s"""
+      WITH total_cte AS (
+        SELECT ${sqlDsum("o_totalprice")} AS total_geral FROM orders)
+      SELECT o_orderpriority, ${sqlDsum("o_totalprice")} AS total,
+        ${sqlDsum("o_totalprice")} / (SELECT total_geral FROM total_cte)
+          AS participacao
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "a11_share_window" -> """
+      SELECT ano, o_orderstatus, pedidos,
+        SUM(pedidos) OVER (PARTITION BY ano) AS pedidos_ano,
+        CAST(pedidos AS DOUBLE) / SUM(pedidos) OVER (PARTITION BY ano)
+          AS participacao
+      FROM (SELECT YEAR(o_orderdate) AS ano, o_orderstatus, COUNT(*) AS pedidos
+            FROM orders GROUP BY 1, 2)
+      ORDER BY ano, o_orderstatus""",
+    "a12_ratio_kpi" -> s"""
+      SELECT c_mktsegment, ${sqlDsum("o_totalprice")} AS faturamento,
+        COUNT(o_orderkey) AS pedidos,
+        COUNT(DISTINCT c_custkey) AS clientes,
+        CASE WHEN COUNT(o_orderkey) = 0 THEN NULL
+             ELSE ${sqlDsum("o_totalprice")} / COUNT(o_orderkey) END
+          AS ticket_medio
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "a13_value_counts" -> """
+      SELECT o_orderpriority, COUNT(*) AS n FROM orders
+      GROUP BY o_orderpriority ORDER BY n DESC, o_orderpriority""",
+    "a14_null_profile" -> """
+      SELECT
+        CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_id,
+        CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_ts,
+        CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_user_id,
+        CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_type,
+        CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_value,
+        CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_props
+      FROM events""",
+    "a15_resample" -> s"""
+      SELECT date_trunc('month', o_orderdate) AS mes,
+        ${sqlDsum("o_totalprice")} AS total
+      FROM orders GROUP BY 1 ORDER BY mes""",
+    "a16_distinct" -> """
+      SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+      ORDER BY o_orderstatus, o_orderpriority""",
+    "a17_agg_of_agg" -> """
+      SELECT c_nationkey,
+        CAST(SUM(total_cliente) AS DOUBLE) / COUNT(*) AS media_por_cliente,
+        COUNT(*) AS clientes
+      FROM (SELECT c_nationkey, c_custkey,
+              SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_cliente
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_nationkey, c_custkey)
+      GROUP BY c_nationkey ORDER BY c_nationkey""")
 }
