@@ -21,7 +21,9 @@ object SparkEntry {
       (Projections.defs, Projections.oracles),
       (Joins.defs, Joins.oracles),
       (Windows.defs, Windows.oracles),
-      (SortsSetOps.defs, SortsSetOps.oracles))
+      (SortsSetOps.defs, SortsSetOps.oracles),
+      (Scalars.defs, Scalars.oracles),
+      (Json.defs, Json.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
