@@ -23,7 +23,8 @@ object SparkEntry {
       (Windows.defs, Windows.oracles),
       (SortsSetOps.defs, SortsSetOps.oracles),
       (Scalars.defs, Scalars.oracles),
-      (Json.defs, Json.oracles))
+      (Json.defs, Json.oracles),
+      (TrainingData.defs, TrainingData.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

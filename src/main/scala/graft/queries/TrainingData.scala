@@ -1,0 +1,403 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.text.TextFunctions._
+
+/** Large-scale training-data pipeline operators (beyond-reference
+  * extensions, BASELINE.json north star): deduplication, text
+  * analysis, similarity search over the `documents` / `embeddings`
+  * tables.
+  *
+  * Scale design:
+  * - exact dedup = hash-groupBy on a fingerprint (one shuffle of
+  *   (fp, id), never the text bodies);
+  * - near-dup = MinHash-LSH: shingle → k minhashes → bands → bucket
+  *   join, so candidate generation is linear-ish, with exact Jaccard
+  *   verification only inside buckets;
+  * - ANN = brute-force cosine as correctness baseline, LSH-bucketed
+  *   variant as the 100 TB path (both avoid materializing the full
+  *   n² matrix: the query side is small/broadcast).
+  */
+object TrainingData {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopwords = Seq("the", "a", "of", "and")
+  private val markerSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "pt" -> Seq("de", "o", "da", "em"),
+    "de" -> Seq("der", "die", "das", "und"))
+
+  // ---------------------------------------------------------------- text
+
+  /** X9: token counting — whitespace + BPE-ish regex. */
+  val x9TokenCount: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        tokenCount(col("text")).as("n_tok"),
+        bpeishCount(col("text")).as("n_bpeish"))
+      .orderBy(col("doc_id"))
+
+  /** X8: quality scoring — length / punctuation / stopword signals. */
+  val x8QualityScore: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        tokenCount(col("text")).as("n_tok"),
+        round(punctRatio(col("text")), 4).as("punct_ratio"),
+        round(stopwordRatio(col("text"), stopwords), 4).as("stop_ratio"),
+        qualityScore(col("text"), stopwords).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** X7: marker-word language ID heuristic. */
+  val x7LangId: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), langId(col("text"), markerSets).as("lang_detectada"))
+      .orderBy(col("doc_id"))
+
+  /** X10: document fingerprinting (md5 of normalized text + short key). */
+  val x10Fingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        fingerprintShort(col("text")).as("fp_short"))
+      .orderBy(col("doc_id"))
+
+  // --------------------------------------------------------------- dedup
+
+  /** Documents plus synthesized duplicates (exact copies, id+1M) and
+    * near-duplicates (one token appended, id+2M) — the corpus the
+    * dedup operators act on, since the generated table has no dupes. */
+  private def corpusWithDupes(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val exact = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val near = docs.select((col("doc_id") + 2000000L).as("doc_id"),
+      concat(col("text"), lit(" extra")).as("text"))
+    docs.unionByName(exact).unionByName(near)
+  }
+
+  private val corpusSql =
+    """(SELECT doc_id, text FROM documents
+       UNION ALL SELECT doc_id + 1000000, text FROM documents
+       UNION ALL SELECT doc_id + 2000000, text || ' extra' FROM documents)"""
+
+  /** X1: exact dedup — hash-groupBy on fingerprint, keep first id.
+    * At scale this shuffles only (fp, id) pairs. */
+  val x1DedupExact: Q = (s, d) =>
+    corpusWithDupes(s, d)
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id_mantido"), count(lit(1)).as("n_copias"))
+      .orderBy(col("doc_id_mantido"))
+
+  /** X4: exact n-gram Jaccard near-dup pairs (3-word shingles,
+    * J ≥ 0.5) — the verification primitive LSH candidates are checked
+    * against. Self-join on shingle, count intersections, join sizes. */
+  val x4NgramJaccard: Q = (s, d) => {
+    val base = corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200)
+    val sh = base.select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"), Seq("sh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** X2: MinHash + LSH near-dup detection (shingle → k=16 minhashes →
+    * 4 bands × 4 rows → bucket join → exact-Jaccard verify ≥ 0.5).
+    * Candidate generation never compares all pairs — at 100 TB the
+    * band join only collides plausibly-similar docs. Not SQL-
+    * expressible → rows-only driver check; ScalaTest asserts recall
+    * vs x4's exact pairs. */
+  val x2DedupMinhash: Q = (s, d) => {
+    val numHashes = 16
+    val bandRows = 4
+    val base = corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200)
+    val sh = base.select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+    // k seeded murmur hashes per shingle; min per doc = signature
+    val minhashes = (0 until numHashes).map(j =>
+      min(hash(col("sh"), lit(j))).as(s"h$j"))
+    val sig = sh.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
+    // bands: concat band rows into one bucket key
+    val bandCols = (0 until numHashes / bandRows).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until bandRows).map(r => col(s"h${b * bandRows + r}")): _*)
+          .as("key"))
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val candidates = buckets.as("a").join(buckets.as("b"), Seq("band", "key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // exact-Jaccard verification only on candidates
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(sh.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .filter(col("sh") === col("sh_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** 16-bit hash of a token from its md5 prefix — portable across
+    * engines (md5 is identical; hex parsed positionally). */
+  private def md5Hash16(c: Column): Column = {
+    val hex = substring(md5(c), 1, 4)
+    (0 until 4).map { i =>
+      (instr(lit("0123456789abcdef"), substring(hex, i + 1, 1)) - 1) *
+        lit(1 << (4 * (3 - i)))
+    }.reduce(_ + _)
+  }
+
+  /** X3: SimHash signatures (16-bit): per-bit ±1 votes over distinct
+    * tokens, sign → bit. Same computation expressed in the oracle SQL. */
+  val x3Simhash: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(distinctTokens(col("text"))).as("tok"))
+      .withColumn("h", md5Hash16(col("tok")))
+    val votes = (0 until 16).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v$i")
+    }
+    toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(i =>
+          when(col(s"v$i") > 0, lit(1 << i)).otherwise(lit(0)))
+          .reduce(_ + _).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------- similarity
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** X5: brute-force cosine top-k (k=10) for query vectors vec_id<5 —
+    * the correctness baseline for ANN. Query side is tiny → broadcast;
+    * the corpus is scanned once, scores rounded to 4dp for stable
+    * cross-engine ranking. */
+  val x5AnnCosine: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      .crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("score", round(
+        dot(col("qe"), col("ne")) /
+          (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ne"), col("ne")))), 4))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("nid"), col("score"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** X6: LSH-bucketed ANN (the scale path): L=4 hash tables of 6
+    * random-hyperplane signs each (deterministic md5-seeded ±1 plane
+    * components). A vector lands in one bucket per table; candidates =
+    * union over tables of same-bucket vectors; exact cosine only on
+    * candidates. Multi-table trades a constant factor of work for
+    * recall — the standard LSH knob. Rows-only driver check; ScalaTest
+    * asserts recall vs x5's exact top-k. */
+  val x6AnnLsh: Q = (s, d) => {
+    // The synthetic embeddings are near-isotropic (pairwise cosine ≈ 0,
+    // no label clustering), the hardest case for LSH: recall here is
+    // data-limited, not a bug. 8 tables × 4 planes ≈ 0.57 expected
+    // recall at ~2× candidate reduction; real clustered embeddings get
+    // far better trade-offs at the same settings.
+    val tables = 8
+    val planes = 4
+    val dims = 64
+    val emb = Tables.embeddings(s, d)
+    // Deterministic ±1 plane components, computed at PLAN time (md5
+    // parity of "table-plane-dim") and embedded as literal arrays — the
+    // per-row work is then one zip_with+aggregate per plane instead of
+    // a 64-term unrolled expression (keeps codegen small and fast).
+    def planeSigns(t: Int, p: Int): Seq[Double] = (0 until dims).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$t-$p-$i".getBytes("UTF-8"))
+      val v = ((h(0) & 0xff) << 8) | (h(1) & 0xff)
+      if (v % 2 == 0) 1.0 else -1.0
+    }
+    def sketch(e: Column, t: Int): Column = {
+      val bits = (0 until planes).map { p =>
+        val signs = array(planeSigns(t, p).map(lit): _*)
+        val proj = aggregate(
+          zip_with(e, signs, (x, sg) => x.cast("double") * sg),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj > 0, lit(1 << p)).otherwise(lit(0))
+      }
+      bits.reduce(_ + _)
+    }
+    val sk = emb.select(col("vec_id") +: col("embedding") +:
+      (0 until tables).map(t => sketch(col("embedding"), t).as(s"b$t")): _*)
+    val buckets = sk.select(col("vec_id"), col("embedding"),
+      explode(array((0 until tables).map(t =>
+        concat_ws(":", lit(t), col(s"b$t"))): _*)).as("bucket"))
+    val queries = buckets.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+    val cands = buckets
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"), col("bucket"))
+      .join(broadcast(queries), Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("qe"), col("nid"), col("ne")).distinct()
+      .withColumn("score", round(
+        dot(col("qe"), col("ne")) /
+          (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ne"), col("ne")))), 4))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    cands.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("nid"), col("score"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "x1_dedup_exact" -> x1DedupExact,
+    "x2_dedup_minhash" -> x2DedupMinhash,
+    "x3_simhash" -> x3Simhash,
+    "x4_ngram_jaccard" -> x4NgramJaccard,
+    "x5_ann_cosine" -> x5AnnCosine,
+    "x6_ann_lsh" -> x6AnnLsh,
+    "x7_lang_id" -> x7LangId,
+    "x8_quality_score" -> x8QualityScore,
+    "x9_token_count" -> x9TokenCount,
+    "x10_fingerprint" -> x10Fingerprint)
+
+  private val hex16 = (expr: String) =>
+    (0 until 4).map { i =>
+      s"(strpos('0123456789abcdef', substring($expr, ${i + 1}, 1)) - 1) * ${1 << (4 * (3 - i))}"
+    }.mkString("(", " + ", ")")
+
+  private val sqlShingles3 =
+    """list_distinct(list_transform(
+         range(1, greatest(len(toks) - 2, 0) + 1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"""
+
+  val oracles: Map[String, String] = Map(
+    "x9_token_count" -> """
+      SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tok,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
+          AS n_bpeish
+      FROM documents ORDER BY doc_id""",
+    "x8_quality_score" -> """
+      SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
+        ROUND(punct_ratio, 4) AS punct_ratio,
+        ROUND(stop_ratio, 4) AS stop_ratio,
+        ROUND(LEAST(n_tok / 50.0, 1.0) * 0.4
+          + (1.0 - LEAST(punct_ratio * 5.0, 1.0)) * 0.3
+          + LEAST(stop_ratio * 10.0, 1.0) * 0.3, 4) AS quality
+      FROM (
+        SELECT doc_id,
+          len(toks) AS n_tok,
+          CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))
+            AS DOUBLE) / GREATEST(length(text), 1) AS punct_ratio,
+          CAST(len(list_filter(toks, t -> t IN ('the','a','of','and'))) AS DOUBLE)
+            / GREATEST(len(toks), 1) AS stop_ratio
+        FROM (SELECT doc_id, text,
+                regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents))
+      ORDER BY doc_id""",
+    "x7_lang_id" -> """
+      SELECT doc_id,
+        CASE WHEN s_en = best AND s_en > 0 THEN 'en'
+             WHEN s_pt = best AND s_pt > 0 THEN 'pt'
+             WHEN s_de = best AND s_de > 0 THEN 'de'
+             ELSE 'und' END AS lang_detectada
+      FROM (
+        SELECT doc_id, s_en, s_pt, s_de, GREATEST(s_en, s_pt, s_de) AS best
+        FROM (
+          SELECT doc_id,
+            CAST(len(list_filter(toks, t -> t IN ('the','a','and','of'))) AS DOUBLE)
+              / GREATEST(len(toks), 1) AS s_en,
+            CAST(len(list_filter(toks, t -> t IN ('de','o','da','em'))) AS DOUBLE)
+              / GREATEST(len(toks), 1) AS s_pt,
+            CAST(len(list_filter(toks, t -> t IN ('der','die','das','und'))) AS DOUBLE)
+              / GREATEST(len(toks), 1) AS s_de
+          FROM (SELECT doc_id,
+                  regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                FROM documents)))
+      ORDER BY doc_id""",
+    "x10_fingerprint" -> """
+      SELECT doc_id, md5(lower(trim(text))) AS fp,
+        substring(md5(lower(trim(text))), 1, 16) AS fp_short
+      FROM documents ORDER BY doc_id""",
+    "x1_dedup_exact" -> s"""
+      SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS doc_id_mantido,
+        COUNT(*) AS n_copias
+      FROM $corpusSql
+      GROUP BY 1 ORDER BY doc_id_mantido""",
+    "x4_ngram_jaccard" -> s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM $corpusSql WHERE doc_id % 1000000 < 200),
+      sh AS (
+        SELECT doc_id, unnest($sqlShingles3) AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM corpus)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+        ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+      FROM inter
+      JOIN (SELECT doc_id AS id_a, n AS na FROM sizes) USING (id_a)
+      JOIN (SELECT doc_id AS id_b, n AS nb FROM sizes) USING (id_b)
+      WHERE ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5
+      ORDER BY id_a, id_b""",
+    "x3_simhash" -> {
+      val votes = (0 until 16).map(i =>
+        s"SUM(CASE WHEN (h // ${1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS v$i")
+        .mkString(", ")
+      val assemble = (0 until 16).map(i =>
+        s"CASE WHEN v$i > 0 THEN ${1 << i} ELSE 0 END").mkString(" + ")
+      s"""
+      SELECT doc_id, CAST($assemble AS INT) AS simhash
+      FROM (
+        SELECT doc_id, $votes
+        FROM (SELECT doc_id, ${hex16("substring(md5(tok), 1, 4)")} AS h
+              FROM (SELECT doc_id,
+                      unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                        AS tok
+                    FROM documents))
+        GROUP BY doc_id)
+      ORDER BY doc_id"""
+    },
+    "x5_ann_cosine" -> """
+      WITH scored AS (
+        SELECT q.vec_id AS qid, n.vec_id AS nid,
+          ROUND(
+            list_sum(list_transform(list_zip(q.embedding, n.embedding),
+              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(n.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+            4) AS score
+        FROM embeddings q, embeddings n
+        WHERE q.vec_id < 5 AND n.vec_id <> q.vec_id),
+      ranked AS (
+        SELECT qid, nid, score,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rk
+        FROM scored)
+      SELECT qid, nid, score, CAST(rk AS INT) AS rk FROM ranked
+      WHERE rk <= 10 ORDER BY qid, rk""")
+}
