@@ -24,7 +24,8 @@ object SparkEntry {
       (SortsSetOps.defs, SortsSetOps.oracles),
       (Scalars.defs, Scalars.oracles),
       (Json.defs, Json.oracles),
-      (TrainingData.defs, TrainingData.oracles))
+      (TrainingData.defs, TrainingData.oracles),
+      (MlEtl.defs, MlEtl.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

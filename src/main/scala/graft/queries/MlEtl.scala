@@ -1,0 +1,339 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{ColumnSpec, Det, SchemaMapping, Tables}
+import graft.etl.StagingPipeline
+import graft.functions.BrFunctions._
+import graft.multimodal.Multimodal
+
+/** SURVEY.md §2.11 ML/statistical operators, §1.3 profiling /
+  * star-schema induction, §3.1 staging ETL, and the multimodal
+  * metadata path — each as an oracle-checked query.
+  */
+object MlEtl {
+  import Det._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** M1: forecast substitute (SURVEY §7.4 risk 6 — no JVM Prophet):
+    * seasonal-naive with trailing-year growth. forecast(m) =
+    * value(m-12) × (sum last 12 / sum prior 12), over the monthly
+    * revenue series. Documented deviation from the reference's
+    * Prophet. */
+  val m1Forecast: Q = (s, d) => {
+    val monthly = Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("ano"), month(col("o_orderdate")).as("mes"))
+      .agg(sum(dec2(col("o_totalprice"))).as("total_dec"))
+    val ord = Window.orderBy(col("ano"), col("mes"))
+    val last12 = ord.rowsBetween(-11, 0)
+    val prior12 = ord.rowsBetween(-23, -12)
+    monthly
+      .withColumn("total", col("total_dec").cast("double"))
+      .withColumn("lag12", lag(col("total_dec"), 12).over(ord).cast("double"))
+      .withColumn("soma_12m", sum(col("total_dec")).over(last12).cast("double"))
+      .withColumn("soma_12m_anterior", sum(col("total_dec")).over(prior12).cast("double"))
+      .withColumn("previsao",
+        when(col("lag12").isNull || col("soma_12m_anterior").isNull ||
+          col("soma_12m_anterior") === 0, lit(null))
+          .otherwise(round(col("lag12") * (col("soma_12m") / col("soma_12m_anterior")), 2)))
+      .select(col("ano"), col("mes"), col("total"), col("previsao"))
+      .orderBy(col("ano"), col("mes"))
+  }
+
+  /** M2: per-group trend regression (per-seller RandomForest analog,
+    * `ETL - Análise Preditiva…Machine Learning.py:89-154`, expressed
+    * as per-group OLS over the time index — `regr_slope`/`regr_
+    * intercept` are codegen'd declarative aggregates, one shuffle for
+    * ALL groups at once, vs the reference's model-per-group loop). */
+  val m2GroupRegression: Q = (s, d) => {
+    val monthly = Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey"),
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1).as("t"))
+      .agg(sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+    monthly.groupBy(col("c_nationkey"))
+      .agg(
+        round(regr_slope(col("total"), col("t")), 4).as("tendencia"),
+        round(regr_intercept(col("total"), col("t")), 4).as("intercepto"),
+        count(lit(1)).as("n_meses"))
+      .withColumn("previsao_proximo_mes",
+        round(col("intercepto") + col("tendencia") * 84, 4))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** M4: rule-based priority scoring + bands + farol
+    * (`ETL - CRM.py:169-247`) — the reference's row-wise Python loop as
+    * ONE vectorized when-chain (SURVEY §2.11 note). Clock injected. */
+  val m4PriorityScore: Q = (s, d) => {
+    val lastOrder = Tables.orders(s, d)
+      .groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("ultimo_pedido"),
+        count(lit(1)).as("n_pedidos"))
+    Tables.customer(s, d)
+      .join(lastOrder, col("c_custkey") === col("o_custkey"), "left")
+      .withColumn("dias_sem_comprar",
+        datediff(lit("2002-01-01").cast("date"), to_date(col("ultimo_pedido"))))
+      .withColumn("score",
+        when(col("dias_sem_comprar").isNull, 0)
+          .when(col("dias_sem_comprar") <= 180, 40)
+          .when(col("dias_sem_comprar") <= 365, 25)
+          .otherwise(10)
+        + when(col("c_acctbal") > 5000, 30)
+          .when(col("c_acctbal") > 0, 20)
+          .otherwise(5)
+        + when(col("n_pedidos") >= 20, 30)
+          .when(col("n_pedidos") >= 10, 20)
+          .when(col("n_pedidos").isNotNull, 10)
+          .otherwise(0))
+      .withColumn("prioridade",
+        when(col("score") >= 80, "ALTA")
+          .when(col("score") >= 50, "MÉDIA")
+          .otherwise("BAIXA"))
+      .withColumn("farol",
+        when(col("prioridade") === "ALTA", "🟢 Verde")
+          .when(col("prioridade") === "MÉDIA", "🟡 Amarelo")
+          .otherwise("🔴 Vermelho"))
+      .select(col("c_custkey"), col("dias_sem_comprar"), col("score"),
+        col("prioridade"), col("farol"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** M5: tiered commission calc (`PainelSDR_Gerencial.sql:17-24`). */
+  val m5Commission: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_pedidos"))
+      .withColumn("taxa",
+        when(col("n_pedidos") <= 10, 5.0)
+          .when(col("n_pedidos") <= 20, 7.0)
+          .otherwise(9.0))
+      .withColumn("comissao", col("n_pedidos") * col("taxa"))
+      .orderBy(col("o_custkey"))
+
+  /** PR1: column profiling — one aggregate pass over orders
+    * (`Algoritmo de Estruturação de Dados.py:86-101`). */
+  val pr1Profile: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    o.agg(
+      count(lit(1)).as("linhas"),
+      countDistinct(col("o_orderkey")).as("d_orderkey"),
+      countDistinct(col("o_custkey")).as("d_custkey"),
+      countDistinct(col("o_orderstatus")).as("d_status"),
+      sum(col("o_totalprice").isNull.cast("long")).as("n_totalprice"),
+      sum(col("o_orderdate").isNull.cast("long")).as("n_orderdate"))
+  }
+
+  /** PR2: star-schema induction classification per column
+    * (`Algoritmo…Dados.py:129-255`): unique-ratio keys, numeric
+    * measures, low-card dims — stats via one stack()ed pass. */
+  val pr2StarInduction: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val n = count(lit(1))
+    val stats = o.agg(
+      n.as("n"),
+      countDistinct(col("o_orderkey")).as("d_o_orderkey"),
+      countDistinct(col("o_custkey")).as("d_o_custkey"),
+      countDistinct(col("o_orderstatus")).as("d_o_orderstatus"),
+      countDistinct(col("o_totalprice")).as("d_o_totalprice"),
+      countDistinct(col("o_orderpriority")).as("d_o_orderpriority"))
+    val cols = Seq(
+      ("o_orderkey", "numeric", true), ("o_custkey", "numeric", true),
+      ("o_orderstatus", "string", false), ("o_totalprice", "numeric", false),
+      ("o_orderpriority", "string", false))
+    val stacked = cols.map { case (c, t, looksId) =>
+      stats.select(lit(c).as("coluna"),
+        col(s"d_$c").as("distintos"), col("n").as("linhas"),
+        lit(t).as("tipo"), lit(looksId).as("parece_id"))
+    }.reduce(_.unionByName(_))
+    stacked.withColumn("classe",
+      when(col("parece_id") && col("distintos").cast("double") / col("linhas") > 0.95,
+        "key_candidate")
+        .when(col("parece_id"), "foreign_key")
+        .when(col("tipo") === "numeric" &&
+          col("distintos").cast("double") / col("linhas") > 0.2, "measure")
+        .when(col("distintos") <= greatest(lit(50), col("linhas") / 100),
+          "dim_attribute")
+        .otherwise("text"))
+      .select(col("coluna"), col("distintos"), col("linhas"), col("classe"))
+      .orderBy(col("coluna"))
+  }
+
+  /** ETL1: the full staging pipeline (SURVEY §3.1) end-to-end over
+    * orders: mapping-select+rename, money cast, date coercion, status
+    * normalization, null-key filter, injected load stamp. */
+  val etl1Staging: Q = (s, d) => {
+    val pipeline = StagingPipeline(
+      mapping = SchemaMapping.of(
+        ColumnSpec("o_orderkey", "pedido_id", LongType),
+        ColumnSpec("o_custkey", "cliente_id", LongType),
+        ColumnSpec("o_totalprice", "valor_total", DoubleType,
+          c => c.cast(DecimalType(15, 2)).cast(DoubleType)),
+        ColumnSpec("o_orderdate", "data_pedido", DateType),
+        ColumnSpec("o_orderstatus", "status", StringType, normalizeText),
+        ColumnSpec("o_orderpriority", "prioridade", StringType, normalizeText)),
+      requiredKeys = Seq("pedido_id", "cliente_id", "data_pedido"),
+      controlTotalCols = Seq("valor_total"),
+      loadTimestamp = lit("2002-01-01 00:00:00").cast("timestamp"))
+    pipeline.stage(Tables.orders(s, d)).orderBy(col("pedido_id"))
+  }
+
+  /** ETL2: pipeline audit — row count, control total, null profile of
+    * the staged output in one aggregate (SURVEY §5 audits). */
+  val etl2Audit: Q = (s, d) =>
+    etl1Staging(s, d).agg(
+      count(lit(1)).as("linhas"),
+      sum(dec2(col("valor_total"))).cast("double").as("total_controle"),
+      sum(col("cliente_id").isNull.cast("long")).as("nulos_cliente"),
+      sum(col("data_pedido").isNull.cast("long")).as("nulos_data"))
+
+  /** X11: multimodal metadata at scan stage — binary payload column,
+    * byte length + checksum + shard key as codegen'd expressions
+    * (decode itself is the stubbed mapPartitions path, see
+    * [[graft.multimodal.Multimodal]]). */
+  val x11MultimodalMeta: Q = (s, d) =>
+    Multimodal.scanMetadata(
+      Multimodal.withBinaryPayload(Tables.documents(s, d)))
+      .orderBy(col("doc_id"))
+
+  val defs: Map[String, Q] = Map(
+    "m1_forecast" -> m1Forecast,
+    "m2_group_regression" -> m2GroupRegression,
+    "m4_priority_score" -> m4PriorityScore,
+    "m5_commission" -> m5Commission,
+    "pr1_profile" -> pr1Profile,
+    "pr2_star_induction" -> pr2StarInduction,
+    "etl1_staging" -> etl1Staging,
+    "etl2_audit" -> etl2Audit,
+    "x11_multimodal_meta" -> x11MultimodalMeta)
+
+  private val monthlySql =
+    s"""(SELECT YEAR(o_orderdate) AS ano, MONTH(o_orderdate) AS mes,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec
+        FROM orders GROUP BY 1, 2)"""
+
+  val oracles: Map[String, String] = Map(
+    "m1_forecast" -> s"""
+      SELECT ano, mes, CAST(total_dec AS DOUBLE) AS total,
+        CASE WHEN lag12 IS NULL OR soma_ant IS NULL OR soma_ant = 0 THEN NULL
+             ELSE ROUND(lag12 * (soma_12m / soma_ant), 2) END AS previsao
+      FROM (
+        SELECT ano, mes, total_dec,
+          CAST(LAG(total_dec, 12) OVER ord AS DOUBLE) AS lag12,
+          CAST(SUM(total_dec) OVER (ORDER BY ano, mes
+            ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS DOUBLE) AS soma_12m,
+          CAST(SUM(total_dec) OVER (ORDER BY ano, mes
+            ROWS BETWEEN 23 PRECEDING AND 12 PRECEDING) AS DOUBLE) AS soma_ant
+        FROM $monthlySql
+        WINDOW ord AS (ORDER BY ano, mes))
+      ORDER BY ano, mes""",
+    "m2_group_regression" -> """
+      SELECT c_nationkey,
+        ROUND(regr_slope(total, t), 4) AS tendencia,
+        ROUND(regr_intercept(total, t), 4) AS intercepto,
+        COUNT(*) AS n_meses,
+        ROUND(ROUND(regr_intercept(total, t), 4)
+          + ROUND(regr_slope(total, t), 4) * 84, 4) AS previsao_proximo_mes
+      FROM (SELECT c_nationkey,
+              (YEAR(o_orderdate) - 1995) * 12 + MONTH(o_orderdate) - 1 AS t,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            GROUP BY 1, 2)
+      GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "m4_priority_score" -> """
+      SELECT c_custkey, dias_sem_comprar, score,
+        CASE WHEN score >= 80 THEN 'ALTA' WHEN score >= 50 THEN 'MÉDIA'
+          ELSE 'BAIXA' END AS prioridade,
+        CASE WHEN score >= 80 THEN '🟢 Verde' WHEN score >= 50 THEN '🟡 Amarelo'
+          ELSE '🔴 Vermelho' END AS farol
+      FROM (
+        SELECT c_custkey, dias_sem_comprar, n_pedidos,
+          (CASE WHEN dias_sem_comprar IS NULL THEN 0
+                WHEN dias_sem_comprar <= 180 THEN 40
+                WHEN dias_sem_comprar <= 365 THEN 25 ELSE 10 END
+           + CASE WHEN c_acctbal > 5000 THEN 30 WHEN c_acctbal > 0 THEN 20
+               ELSE 5 END
+           + CASE WHEN n_pedidos >= 20 THEN 30 WHEN n_pedidos >= 10 THEN 20
+               WHEN n_pedidos IS NOT NULL THEN 10 ELSE 0 END) AS score
+        FROM (
+          SELECT c_custkey, c_acctbal, n_pedidos,
+            date_diff('day', CAST(ultimo_pedido AS DATE), DATE '2002-01-01')
+              AS dias_sem_comprar
+          FROM customer
+          LEFT JOIN (SELECT o_custkey, MAX(o_orderdate) AS ultimo_pedido,
+                       COUNT(*) AS n_pedidos
+                     FROM orders GROUP BY o_custkey) o
+            ON c_custkey = o_custkey))
+      ORDER BY c_custkey""",
+    "m5_commission" -> """
+      SELECT o_custkey, COUNT(*) AS n_pedidos,
+        CASE WHEN COUNT(*) <= 10 THEN 5.0 WHEN COUNT(*) <= 20 THEN 7.0
+          ELSE 9.0 END AS taxa,
+        COUNT(*) * CASE WHEN COUNT(*) <= 10 THEN 5.0 WHEN COUNT(*) <= 20 THEN 7.0
+          ELSE 9.0 END AS comissao
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "pr1_profile" -> """
+      SELECT COUNT(*) AS linhas,
+        COUNT(DISTINCT o_orderkey) AS d_orderkey,
+        COUNT(DISTINCT o_custkey) AS d_custkey,
+        COUNT(DISTINCT o_orderstatus) AS d_status,
+        CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_totalprice,
+        CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_orderdate
+      FROM orders""",
+    "pr2_star_induction" -> """
+      WITH stats AS (
+        SELECT COUNT(*) AS n,
+          COUNT(DISTINCT o_orderkey) AS d_o_orderkey,
+          COUNT(DISTINCT o_custkey) AS d_o_custkey,
+          COUNT(DISTINCT o_orderstatus) AS d_o_orderstatus,
+          COUNT(DISTINCT o_totalprice) AS d_o_totalprice,
+          COUNT(DISTINCT o_orderpriority) AS d_o_orderpriority
+        FROM orders),
+      stacked AS (
+        SELECT 'o_orderkey' AS coluna, d_o_orderkey AS distintos, n AS linhas,
+          'numeric' AS tipo, TRUE AS parece_id FROM stats
+        UNION ALL SELECT 'o_custkey', d_o_custkey, n, 'numeric', TRUE FROM stats
+        UNION ALL SELECT 'o_orderstatus', d_o_orderstatus, n, 'string', FALSE FROM stats
+        UNION ALL SELECT 'o_totalprice', d_o_totalprice, n, 'numeric', FALSE FROM stats
+        UNION ALL SELECT 'o_orderpriority', d_o_orderpriority, n, 'string', FALSE FROM stats)
+      SELECT coluna, distintos, linhas,
+        CASE WHEN parece_id AND CAST(distintos AS DOUBLE) / linhas > 0.95
+               THEN 'key_candidate'
+             WHEN parece_id THEN 'foreign_key'
+             WHEN tipo = 'numeric' AND CAST(distintos AS DOUBLE) / linhas > 0.2
+               THEN 'measure'
+             WHEN distintos <= GREATEST(50, linhas // 100) THEN 'dim_attribute'
+             ELSE 'text' END AS classe
+      FROM stacked ORDER BY coluna""",
+    "etl1_staging" -> """
+      SELECT o_orderkey AS pedido_id, o_custkey AS cliente_id,
+        CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS DOUBLE) AS valor_total,
+        CAST(o_orderdate AS DATE) AS data_pedido,
+        UPPER(TRIM(o_orderstatus)) AS status,
+        UPPER(TRIM(o_orderpriority)) AS prioridade,
+        TIMESTAMP '2002-01-01 00:00:00' AS data_carga_dw
+      FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+        AND o_orderdate IS NOT NULL
+      ORDER BY pedido_id""",
+    "etl2_audit" -> """
+      SELECT COUNT(*) AS linhas,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS DECIMAL(18,2)))
+          AS DOUBLE) AS total_controle,
+        CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS nulos_cliente,
+        CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS nulos_data
+      FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+        AND o_orderdate IS NOT NULL""",
+    "x11_multimodal_meta" -> """
+      SELECT doc_id,
+        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        sha256(text) AS checksum,
+        substring(sha256(text), 1, 2) AS shard_key
+      FROM documents ORDER BY doc_id""")
+}

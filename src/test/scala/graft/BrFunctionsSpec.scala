@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.BrFunctions._
+
+/** Unit tests for the Column-expression cleaning library; edge cases
+  * harvested from the reference parsers' branches (SURVEY §5.2). */
+class BrFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def evalStr(c: org.apache.spark.sql.Column, input: String): Option[String] =
+    Seq(input).toDF("v").select(c.cast("string")).collect()(0).toSeq.headOption
+      .flatMap(Option(_)).map(_.toString)
+
+  test("parseBrlMoney handles R$ grouping and decimal comma") {
+    assert(evalStr(parseBrlMoney($"v"), "R$ 1.234,56").contains("1234.56"))
+    assert(evalStr(parseBrlMoney($"v"), "  12,30").contains("12.30"))
+    assert(evalStr(parseBrlMoney($"v"), "").isEmpty)
+    assert(evalStr(parseBrlMoney($"v"), "R$ ").isEmpty)
+  }
+
+  test("parseMoneyLenient disambiguates mixed separators (Primeiro Pedido branches)") {
+    assert(evalStr(parseMoneyLenient($"v"), "1.234,56").contains("1234.56"))
+    assert(evalStr(parseMoneyLenient($"v"), "1,234.56").contains("1234.56"))
+    assert(evalStr(parseMoneyLenient($"v"), "1234.56").contains("1234.56"))
+    assert(evalStr(parseMoneyLenient($"v"), "1234,56").contains("1234.56"))
+  }
+
+  test("formatBrl renders grouping and keeps 2 decimals") {
+    assert(evalStr(formatBrl(lit(1234567.5)), "x").contains("R$ 1.234.567,50"))
+    assert(evalStr(formatBrl(lit(0.05)), "x").contains("R$ 0,05"))
+  }
+
+  test("brl roundtrip: parse(format(x)) == x") {
+    val vals = Seq(0.01, 1.0, 999.99, 1000.0, 1234567.89)
+    vals.foreach { v =>
+      assert(evalStr(parseBrlMoney(formatBrl(lit(v))).cast("double"), "x")
+        .contains(v.toString))
+    }
+  }
+
+  test("cleanDigits keeps digits; empty becomes null; leading zeros survive as string") {
+    assert(evalStr(cleanDigitsLong($"v"), "PED-00123/X").contains("123"))
+    assert(evalStr(cleanDigitsLong($"v"), "abc").isEmpty)
+    assert(evalStr(cleanDigitsStr($"v"), "(011) 9-8765").contains("01198765"))
+  }
+
+  test("CNPJ check digits (cnpj_core.py:18-39 semantics)") {
+    // 11.444.777/0001-61 is the canonical valid example
+    assert(evalStr(isValidCnpj($"v"), "11.444.777/0001-61").contains("true"))
+    assert(evalStr(isValidCnpj($"v"), "11.444.777/0001-62").contains("false"))
+    assert(evalStr(isValidCnpj($"v"), "11111111111111").contains("false")) // repeated
+    assert(evalStr(isValidCnpj($"v"), "123").contains("false"))
+    assert(evalStr(formatCnpj(lit("11444777000161")), "x")
+      .contains("11.444.777/0001-61"))
+  }
+
+  test("month names pt-BR roundtrip, locale-independent") {
+    (1 to 12).foreach { m =>
+      val name = evalStr(monthNamePt(lit(m)), "x").get
+      assert(evalStr(monthNumberPt(lit(name)), "x").contains(m.toString))
+    }
+    assert(evalStr(monthNamePt(lit(3)), "x").contains("MARÇO"))
+    assert(evalStr(monthNumberPt(lit(" fevereiro ")), "x").contains("2"))
+    assert(evalStr(monthNumberPt(lit("SMARCH")), "x").isEmpty)
+  }
+
+  test("simNaoToInt accepts the reference's value zoo") {
+    Seq("Sim" -> "1", " não " -> "0", "NAO" -> "0", "TRUE" -> "1",
+      "0" -> "0", "1" -> "1", "Y" -> "1").foreach { case (in, out) =>
+      assert(evalStr(simNaoToInt(lit(in)), "x").contains(out), s"input $in")
+    }
+    assert(evalStr(simNaoToInt(lit("")), "x").isEmpty)
+  }
+
+  test("leadTimeHms pads and carries hours past 24") {
+    assert(evalStr(leadTimeHms(lit(3661L)), "x").contains("01:01:01"))
+    assert(evalStr(leadTimeHms(lit(90061L)), "x").contains("25:01:01"))
+    assert(evalStr(leadTimeHms(lit(0L)), "x").contains("00:00:00"))
+  }
+
+  test("safeDiv yields null on zero/null denominator") {
+    assert(evalStr(safeDiv(lit(10.0), lit(0.0)), "x").isEmpty)
+    assert(evalStr(safeDiv(lit(10.0), lit(4.0)), "x").contains("2.5"))
+  }
+
+  test("percentParse strips % and casts") {
+    assert(evalStr(percentParse(lit("12.34%")).cast("double"), "x").contains("12.34"))
+    assert(evalStr(percentParse(lit("")), "x").isEmpty)
+  }
+
+  test("weekOfMonthLabel and quarterLabel") {
+    assert(evalStr(weekOfMonthLabel(to_date(lit("2024-01-01"))), "x")
+      .contains("Semana 1"))
+    assert(evalStr(quarterLabel(to_date(lit("2024-05-15"))), "x")
+      .contains("2 Trimestre 2024"))
+  }
+
+  test("classifyContains first-match-wins ladder") {
+    val rules = Seq("ATIVO" -> "ATIVO", "PASSIVO" -> "PASSIVO")
+    assert(evalStr(classifyContains(lit("conta do ativo circulante"), rules, "OUTRO"), "x")
+      .contains("ATIVO"))
+    assert(evalStr(classifyContains(lit("sem categoria"), rules, "OUTRO"), "x")
+      .contains("OUTRO"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{ColumnSpec, SchemaMapping, Tables}
+import graft.etl.StagingPipeline
+import graft.functions.BrFunctions._
+import graft.multimodal.Multimodal
+import graft.profiling.Profiler
+import graft.queries.TrainingData
+
+/** Engine-level behavior: schema mapping, staging audits, profiling
+  * classification, dedup/ANN recall, multimodal plumbing. */
+class EngineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("SchemaMapping selects, renames, casts, and reports missing columns") {
+    val mapping = SchemaMapping.of(
+      ColumnSpec("o_orderkey", "id", LongType),
+      ColumnSpec("o_orderstatus", "status", StringType, normalizeText),
+      ColumnSpec("ghost_column", "fantasma", StringType))
+    val df = Tables.orders(spark, sf)
+    assert(mapping.missingIn(df) == Seq("ghost_column"))
+    val out = mapping(df)
+    assert(out.columns.toSeq == Seq("id", "status"))
+    assert(out.schema("id").dataType == LongType)
+  }
+
+  test("StagingPipeline audit: rows kept, control total, null profile") {
+    val pipeline = StagingPipeline(
+      mapping = SchemaMapping.of(
+        ColumnSpec("o_orderkey", "pedido_id", LongType),
+        ColumnSpec("o_totalprice", "valor", DecimalType(15, 2))),
+      requiredKeys = Seq("pedido_id"),
+      controlTotalCols = Seq("valor"),
+      loadTimestamp = lit("2002-01-01 00:00:00").cast("timestamp"))
+    val raw = Tables.orders(spark, sf)
+    val audit = pipeline.audit(raw)
+    assert(audit.rowsIn == raw.count())
+    assert(audit.rowsKept == audit.rowsIn) // no null keys in fixture
+    assert(audit.controlTotals("valor").signum > 0)
+    assert(audit.nullCounts.values.forall(_ == 0))
+    val staged = pipeline.stage(raw)
+    assert(staged.columns.contains("data_carga_dw"))
+  }
+
+  test("Profiler classifies keys, measures and dim attributes") {
+    val orders = Tables.orders(spark, sf)
+    val profs = Profiler.profile(orders)
+    val byName = profs.map(p => p.name -> p).toMap
+    assert(byName("o_orderkey").uniqueRatio == 1.0)
+    assert(Profiler.classify(orders, byName("o_orderkey")) == "key_candidate")
+    assert(Profiler.classify(orders, byName("o_orderstatus")) == "dim_attribute")
+    assert(Profiler.classify(orders, byName("o_totalprice")) == "measure")
+    val (facts, dims) = Profiler.induceStar(orders)
+    assert(dims.contains("o_orderstatus") && facts.contains("o_totalprice"))
+  }
+
+  test("Profiler.extractDim produces dedup'd dim + fact with surrogate key") {
+    val orders = Tables.orders(spark, sf)
+    val (dim, fact) = Profiler.extractDim(orders,
+      Seq("o_orderstatus", "o_orderpriority"), "sk_status")
+    assert(dim.count() == orders.select("o_orderstatus", "o_orderpriority").distinct().count())
+    assert(fact.count() == orders.count())
+    assert(fact.columns.contains("sk_status") && !fact.columns.contains("o_orderstatus"))
+  }
+
+  test("MinHash LSH recall vs exact n-gram Jaccard pairs >= 0.95") {
+    val exact = TrainingData.x4NgramJaccard(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TrainingData.x2DedupMinhash(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.95, s"minhash recall $recall")
+  }
+
+  test("ANN LSH recall vs brute-force cosine top-10 >= 0.4 (isotropic data)") {
+    val exact = TrainingData.x5AnnCosine(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TrainingData.x6AnnLsh(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.4, s"ann lsh recall $recall")
+  }
+
+  test("Multimodal: scan metadata matches mapPartitions feature extraction") {
+    val docs = Multimodal.withBinaryPayload(Tables.documents(spark, sf))
+    val scan = Multimodal.scanMetadata(docs)
+    val feats = Multimodal.extractFeatures(spark, docs)
+    val joined = scan.as("a").join(feats.toDF.as("b"), Seq("doc_id"))
+    val n = joined.count()
+    assert(n == docs.count())
+    assert(joined.filter(col("a.byte_len") =!= col("b.byte_len")).count() == 0)
+    assert(joined.filter(col("a.checksum") =!= col("b.checksum")).count() == 0)
+    val dims = feats.filter(f => f.width < 160 || f.width > 640 ||
+      f.height < 120 || f.height > 480).count()
+    assert(dims == 0)
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}

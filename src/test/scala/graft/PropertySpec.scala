@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.functions.BrFunctions._
+
+/** Property tests (SURVEY §5.3): parse∘format identity and
+  * rollup-total invariants over ScalaCheck-generated batches. Each
+  * property evaluates its whole batch in ONE Spark job (not a job per
+  * sample). */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("property: parseBrlMoney(formatBrl(x)) == x for 2-decimal values") {
+    val cents = Gen.choose(0L, 999999999L)
+    val sample = Gen.listOfN(300, cents).sample.get.distinct
+    val df = sample.toDF("cents")
+      .withColumn("x", col("cents").cast("decimal(18,2)") / 100)
+      .withColumn("back", parseBrlMoney(formatBrl(col("x"))))
+    assert(df.filter(col("back") =!= col("x")).count() == 0)
+  }
+
+  test("property: month name/number roundtrip for all months") {
+    val df = (1 to 12).toDF("m")
+      .withColumn("name", monthNamePt(col("m")))
+      .withColumn("back", monthNumberPt(col("name")))
+    assert(df.filter(col("back") =!= col("m")).count() == 0)
+  }
+
+  test("property: rollup grand total equals sum of detail rows") {
+    val rolled = graft.core.Tables.orders(spark, TestSpark.sf)
+      .rollup(col("o_orderstatus"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("total"),
+        grouping(col("o_orderstatus")).as("g"))
+    val rows = rolled.collect()
+    val grand = rows.filter(_.getAs[Byte]("g") == 1).map(_.getDecimal(1)).head
+    val detail = rows.filter(_.getAs[Byte]("g") == 0).map(_.getDecimal(1))
+      .reduce(_ add _)
+    assert(grand.compareTo(detail) == 0)
+  }
+
+  test("property: leadTimeHms roundtrip parses back to seconds") {
+    val secs = Gen.choose(0L, 500000L)
+    val sample = Gen.listOfN(200, secs).sample.get.distinct
+    val df = sample.toDF("s")
+      .withColumn("hms", leadTimeHms(col("s")))
+      .withColumn("back",
+        split(col("hms"), ":").getItem(0).cast("long") * 3600 +
+        split(col("hms"), ":").getItem(1).cast("long") * 60 +
+        split(col("hms"), ":").getItem(2).cast("long"))
+    assert(df.filter(col("back") =!= col("s")).count() == 0)
+  }
+}

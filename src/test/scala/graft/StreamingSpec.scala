@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.streaming.EventStream
+
+/** Structured Streaming smoke: the file source over the static events
+  * parquet drives the same plan a Kafka source would. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("windowed streaming aggregation matches the batch equivalent") {
+    // stream side: copy events (µs ts) to a stream-readable dir
+    val tmp = java.nio.file.Files.createTempDirectory("events_stream").toString
+    Tables.events(spark, sf).write.mode("overwrite").parquet(tmp)
+    val stream = EventStream.readEventStream(spark, tmp)
+    assert(stream.isStreaming)
+    val result = EventStream.runToMemory(spark,
+      EventStream.windowedCounts(stream), "windowed_counts", OutputMode.Complete)
+
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(result.count() == batch.count())
+    val streamTotal = result.agg(sum("n")).collect()(0).getLong(0)
+    assert(streamTotal == Tables.events(spark, sf).count())
+  }
+
+  test("stateful sessionization accumulates per-user counts") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("events_sess").toString
+    Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(tmp)
+      .as[EventStream.Event]
+    val sessions = EventStream.sessionize(spark, stream)
+    val out = EventStream.runToMemory(spark, sessions.toDF, "sessions", OutputMode.Update)
+    // one open session per user, counting every event of that user
+    val perUser = Tables.events(spark, sf).groupBy("user_id").count()
+    val joined = out.as("s").join(perUser.as("b"), Seq("user_id"))
+    assert(joined.filter(col("s.n_events") =!= col("b.count")).count() == 0)
+    assert(out.filter(col("closed_by_timeout")).count() == 0)
+  }
+}
