@@ -25,7 +25,8 @@ object SparkEntry {
       (Scalars.defs, Scalars.oracles),
       (Json.defs, Json.oracles),
       (TrainingData.defs, TrainingData.oracles),
-      (MlEtl.defs, MlEtl.oracles))
+      (MlEtl.defs, MlEtl.oracles),
+      (Sources.defs, Sources.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -72,6 +72,15 @@ object Scalars {
         normalizeText(concat(lit("  "), col("c_name"), lit("   "))).as("nome_norm"))
       .orderBy(col("c_custkey"))
 
+  /** F7: null-propagating composite CITY|UF key (`ETL - CRM.py:55-60`). */
+  val f7CompositeKey: Q = (s, d) =>
+    Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"), "left")
+      .select(col("n_nationkey"),
+        cityUfKey(col("n_name"), col("r_name")).as("chave"),
+        cityUfKey(col("n_name"), lit(null)).as("chave_nula"))
+      .orderBy(col("n_nationkey"))
+
   /** F8: split "city - UF" + ambiguity disambiguation
     * (`API Extrator Renda Per Capita - IBGE.py:168-193`): suffix the
     * region only when the nation-name is ambiguous across regions. */
@@ -320,6 +329,7 @@ object Scalars {
     "f4_cnpj_validate" -> f4CnpjValidate,
     "f5_cnpj_format" -> f5CnpjFormat,
     "f6_normalize" -> f6Normalize,
+    "f7_composite_key" -> f7CompositeKey,
     "f8_split_disambiguate" -> f8SplitDisambiguate,
     "f9_mojibake_repair" -> f9MojibakeRepair,
     "f10_substring_classify" -> f10SubstringClassify,
@@ -401,6 +411,14 @@ object Scalars {
     "f6_normalize" -> """
       SELECT c_custkey, UPPER(TRIM('  ' || c_name || '   ')) AS nome_norm
       FROM customer ORDER BY c_custkey""",
+    "f7_composite_key" -> """
+      SELECT n_nationkey,
+        CASE WHEN n_name IS NULL OR r_name IS NULL THEN NULL
+             ELSE UPPER(TRIM(n_name)) || '|' || UPPER(TRIM(r_name)) END AS chave,
+        CAST(NULL AS VARCHAR) AS chave_nula
+      FROM nation
+      LEFT JOIN region ON n_regionkey = r_regionkey
+      ORDER BY n_nationkey""",
     "f8_split_disambiguate" -> """
       WITH parts AS (
         SELECT TRIM(str_split(n_name || ' - ' || r_name, ' - ')[1]) AS cidade,
