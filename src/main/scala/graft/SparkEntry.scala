@@ -26,7 +26,8 @@ object SparkEntry {
       (Json.defs, Json.oracles),
       (TrainingData.defs, TrainingData.oracles),
       (MlEtl.defs, MlEtl.oracles),
-      (Sources.defs, Sources.oracles))
+      (Sources.defs, Sources.oracles),
+      (Reports.defs, Reports.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

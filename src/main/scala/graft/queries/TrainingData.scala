@@ -190,6 +190,10 @@ object TrainingData {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  // Note: an unrolled element_at multiply-add chain was measured 4×
+  // SLOWER than the zip_with/aggregate fold (per-element array access
+  // overhead + oversized codegen method) — HOF dot is the fast form.
+
   /** X5: brute-force cosine top-k (k=10) for query vectors vec_id<5 —
     * the correctness baseline for ANN. Query side is tiny → broadcast;
     * the corpus is scanned once, scores rounded to 4dp for stable
@@ -270,7 +274,69 @@ object TrainingData {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** X12: embedding-cosine near-duplicate pairs (threshold 0.4) —
+    * brute-force over the corpus; at 100 TB the same predicate runs
+    * after an LSH/IVF candidate pass (x6/x13 topology). Oracle-checked
+    * pairwise cosines. */
+  val x12DedupCosine: Q = (s, d) => {
+    // norms precomputed once per side (500 rows) — the n² pair stage
+    // then evaluates a single higher-order dot per pair instead of 3
+    val a = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("na"))
+    val b = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(
+        dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
+      .filter(col("cos") >= 0.4)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** X13: IVF ANN (the other scale path): coarse quantizer = 16
+    * deterministic centroids (first 16 vectors), every vector assigned
+    * to its nearest cell; queries probe the nprobe=4 nearest cells and
+    * run exact cosine only there. Inverted-file topology: the corpus
+    * scan partitions by cell at write time at scale. Rows-only check;
+    * ScalaTest asserts recall vs x5. */
+  val x13AnnIvf: Q = (s, d) => {
+    val nprobe = 4
+    val emb = Tables.embeddings(s, d)
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    def cos(a: Column, b: Column): Column =
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    // assign: nearest centroid per vector
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .withColumn("sim", cos(col("embedding"), col("ce")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+    // queries probe nprobe nearest cells
+    val wq = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
+    val probes = emb.filter(col("vec_id") < 5)
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", cos(col("embedding"), col("ce")))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid").as("cell"))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    assigned.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("score", round(cos(col("qe"), col("ne")), 4))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("nid"), col("score"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x12_dedup_cosine" -> x12DedupCosine,
+    "x13_ann_ivf" -> x13AnnIvf,
     "x1_dedup_exact" -> x1DedupExact,
     "x2_dedup_minhash" -> x2DedupMinhash,
     "x3_simhash" -> x3Simhash,
@@ -293,6 +359,23 @@ object TrainingData {
          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"""
 
   val oracles: Map[String, String] = Map(
+    "x12_dedup_cosine" -> """
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        ROUND(
+          list_sum(list_transform(list_zip(a.embedding, b.embedding),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+          4) AS cos
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+        AND ROUND(
+          list_sum(list_transform(list_zip(a.embedding, b.embedding),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+          4) >= 0.4
+      ORDER BY id_a, id_b""",
     "x9_token_count" -> """
       SELECT doc_id,
         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tok,

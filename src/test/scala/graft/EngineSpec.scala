@@ -86,6 +86,15 @@ class EngineSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"ann lsh recall $recall")
   }
 
+  test("IVF ANN recall vs brute-force cosine top-10 >= 0.4 (isotropic data)") {
+    val exact = TrainingData.x5AnnCosine(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = TrainingData.x13AnnIvf(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"ivf recall $recall")
+  }
+
   test("Multimodal: scan metadata matches mapPartitions feature extraction") {
     val docs = Multimodal.withBinaryPayload(Tables.documents(spark, sf))
     val scan = Multimodal.scanMetadata(docs)
