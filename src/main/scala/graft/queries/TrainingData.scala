@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.functions.VectorExpressions.cosineSim
 import graft.text.TextFunctions._
 
 /** Large-scale training-data pipeline operators (beyond-reference
@@ -205,9 +206,7 @@ object TrainingData {
     val scored = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
       .crossJoin(broadcast(queries))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("score", round(
-        dot(col("qe"), col("ne")) /
-          (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ne"), col("ne")))), 4))
+      .withColumn("score", round(cosineSim(col("qe"), col("ne")), 4))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
@@ -264,9 +263,7 @@ object TrainingData {
       .join(broadcast(queries), Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("qe"), col("nid"), col("ne")).distinct()
-      .withColumn("score", round(
-        dot(col("qe"), col("ne")) /
-          (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ne"), col("ne")))), 4))
+      .withColumn("score", round(cosineSim(col("qe"), col("ne")), 4))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
     cands.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
@@ -282,14 +279,11 @@ object TrainingData {
     // norms precomputed once per side (500 rows) — the n² pair stage
     // then evaluates a single higher-order dot per pair instead of 3
     val a = Tables.embeddings(s, d)
-      .select(col("vec_id").as("id_a"), col("embedding").as("ea"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("na"))
+      .select(col("vec_id").as("id_a"), col("embedding").as("ea"))
     val b = Tables.embeddings(s, d)
-      .select(col("vec_id").as("id_b"), col("embedding").as("eb"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("nb"))
+      .select(col("vec_id").as("id_b"), col("embedding").as("eb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(
-        dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
+      .withColumn("cos", round(cosineSim(col("ea"), col("eb")), 4))
       .filter(col("cos") >= 0.4)
       .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy(col("id_a"), col("id_b"))
@@ -306,8 +300,7 @@ object TrainingData {
     val emb = Tables.embeddings(s, d)
     val centroids = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    def cos(a: Column, b: Column): Column =
-      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    def cos(a: Column, b: Column): Column = cosineSim(a, b)
     // assign: nearest centroid per vector
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
     val assigned = emb.crossJoin(broadcast(centroids))
