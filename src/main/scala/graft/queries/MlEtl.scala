@@ -54,13 +54,30 @@ object MlEtl {
       .groupBy(col("c_nationkey"),
         ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1).as("t"))
       .agg(sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+    // OLS from exact-decimal moments: builtin regr_slope/intercept use
+    // engine-specific streaming accumulation (Spark vs DuckDB differ in
+    // the last ulp), so slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is
+    // computed from order-independent exact sums, then divided in
+    // double — deterministic on both engines. (In production the
+    // builtin regr_* aggregates are the one-liner equivalent.)
     monthly.groupBy(col("c_nationkey"))
       .agg(
-        round(regr_slope(col("total"), col("t")), 4).as("tendencia"),
-        round(regr_intercept(col("total"), col("t")), 4).as("intercepto"),
-        count(lit(1)).as("n_meses"))
+        count(lit(1)).as("n"),
+        sum(col("t")).as("sx"),
+        sum(col("t") * col("t")).as("sxx"),
+        sum(dec2(col("total"))).as("sy"),
+        sum(dec2(col("total")) * col("t")).as("sxy"))
+      .withColumn("num",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+      .withColumn("den",
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("tendencia", round(col("num") / col("den"), 4))
+      .withColumn("intercepto", round(
+        (col("sy").cast("double") - (col("num") / col("den")) * col("sx")) / col("n"), 4))
       .withColumn("previsao_proximo_mes",
         round(col("intercepto") + col("tendencia") * 84, 4))
+      .select(col("c_nationkey"), col("tendencia"), col("intercepto"),
+        col("n").as("n_meses"), col("previsao_proximo_mes"))
       .orderBy(col("c_nationkey"))
   }
 
@@ -230,17 +247,26 @@ object MlEtl {
       ORDER BY ano, mes""",
     "m2_group_regression" -> """
       SELECT c_nationkey,
-        ROUND(regr_slope(total, t), 4) AS tendencia,
-        ROUND(regr_intercept(total, t), 4) AS intercepto,
-        COUNT(*) AS n_meses,
-        ROUND(ROUND(regr_intercept(total, t), 4)
-          + ROUND(regr_slope(total, t), 4) * 84, 4) AS previsao_proximo_mes
-      FROM (SELECT c_nationkey,
-              (YEAR(o_orderdate) - 1995) * 12 + MONTH(o_orderdate) - 1 AS t,
-              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-            FROM customer JOIN orders ON c_custkey = o_custkey
-            GROUP BY 1, 2)
-      GROUP BY c_nationkey ORDER BY c_nationkey""",
+        ROUND(num / den, 4) AS tendencia,
+        ROUND((CAST(sy AS DOUBLE) - (num / den) * sx) / n, 4) AS intercepto,
+        n AS n_meses,
+        ROUND(ROUND((CAST(sy AS DOUBLE) - (num / den) * sx) / n, 4)
+          + ROUND(num / den, 4) * 84, 4) AS previsao_proximo_mes
+      FROM (
+        SELECT c_nationkey, n, sx, sxx, sy, sxy,
+          CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+          CAST(n * sxx - sx * sx AS DOUBLE) AS den
+        FROM (
+          SELECT c_nationkey, COUNT(*) AS n, SUM(t) AS sx, SUM(t*t) AS sxx,
+            SUM(CAST(total AS DECIMAL(18,2))) AS sy,
+            SUM(CAST(total AS DECIMAL(18,2)) * t) AS sxy
+          FROM (SELECT c_nationkey,
+                  (YEAR(o_orderdate) - 1995) * 12 + MONTH(o_orderdate) - 1 AS t,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+                FROM customer JOIN orders ON c_custkey = o_custkey
+                GROUP BY 1, 2)
+          GROUP BY c_nationkey))
+      ORDER BY c_nationkey""",
     "m4_priority_score" -> """
       SELECT c_custkey, dias_sem_comprar, score,
         CASE WHEN score >= 80 THEN 'ALTA' WHEN score >= 50 THEN 'MÉDIA'
