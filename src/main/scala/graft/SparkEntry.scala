@@ -27,7 +27,8 @@ object SparkEntry {
       (TrainingData.defs, TrainingData.oracles),
       (MlEtl.defs, MlEtl.oracles),
       (Sources.defs, Sources.oracles),
-      (Reports.defs, Reports.oracles))
+      (Reports.defs, Reports.oracles),
+      (Events.defs, Events.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,7 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, floor, timestamp_micros}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 
 /** Parquet table loaders over a scale-factor directory
   * (`/root/testdata/sf*` layout, see TESTDATA.md).
@@ -30,8 +30,11 @@ object Tables {
     * DuckDB applies when casting ns→µs. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integral `div`, NOT floor(x/1000): `/` promotes to double, which
+    // cannot represent epoch-nanos exactly (~1e18 > 2^53) and rounds
+    // the microsecond up for some rows
     table(s, d, "events")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
