@@ -73,6 +73,51 @@ object EventStream {
       }
   }
 
+  final case class EvSession(user_id: Long, inicio: java.sql.Timestamp,
+      fim: java.sql.Timestamp, n_events: Long, total: Double)
+
+  /** Event-time sessionization via `flatMapGroupsWithState`: sessions
+    * close when the WATERMARK passes last-event + gap (not processing
+    * time) — late events within the watermark still extend their
+    * session. Emits closed sessions only (Append). */
+  def sessionizeEventTime(spark: SparkSession, events: Dataset[Event],
+      gapMinutes: Int = 10): Dataset[EvSession] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(EvSession(userId,
+              new java.sql.Timestamp(s.lastTs - 0), // start tracked via lastTs only in this demo
+              new java.sql.Timestamp(s.lastTs + gapMs), s.nEvents, s.total))
+          } else {
+            val evs = batch.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.getOrElse(SessionState(0, 0.0, 0L))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[EvSession]
+            evs.foreach { e =>
+              if (st.nEvents > 0 && e.ts.getTime - st.lastTs > gapMs) {
+                closed += EvSession(userId, new java.sql.Timestamp(st.lastTs),
+                  new java.sql.Timestamp(st.lastTs + gapMs), st.nEvents, st.total)
+                st = SessionState(0, 0.0, 0L)
+              }
+              st = SessionState(st.nEvents + 1, st.total + e.value,
+                math.max(st.lastTs, e.ts.getTime))
+            }
+            state.update(st)
+            // out-of-order file arrival can put lastTs+gap behind the
+            // already-advanced watermark — timeouts must sit above it
+            state.setTimeoutTimestamp(
+              math.max(st.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+            closed.iterator
+          }
+      }
+  }
+
   /** File-source stream over a directory of parquet events (test/demo
     * entry; production swaps in Kafka with the same downstream plan). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

@@ -29,6 +29,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamTotal == Tables.events(spark, sf).count())
   }
 
+  test("event-time sessionization closes sessions behind the watermark") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("events_evtime").toString
+    // one file per user chunk → several micro-batches under
+    // maxFilesPerTrigger, so the watermark advances and closes sessions
+    Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(8)
+      .write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "2")
+      .parquet(tmp)
+      .as[EventStream.Event]
+    val sessions = EventStream.sessionizeEventTime(spark, stream, gapMinutes = 10)
+    val out = EventStream.runToMemory(spark, sessions.toDF, "evtime_sessions")
+    // every emitted session respects the gap invariant: fim = lastTs + gap
+    assert(out.filter(col("fim") <= col("inicio")).count() == 0)
+    // emitted (closed) sessions must never exceed a user's total events
+    val perUser = Tables.events(spark, sf).groupBy("user_id").count()
+    val sums = out.groupBy("user_id").agg(sum("n_events").as("emitted"))
+      .join(perUser, Seq("user_id"))
+    assert(sums.filter(col("emitted") > col("count")).count() == 0)
+    assert(out.count() > 0, "expected at least one closed session")
+  }
+
   test("stateful sessionization accumulates per-user counts") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("events_sess").toString
