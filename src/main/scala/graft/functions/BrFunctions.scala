@@ -16,15 +16,15 @@ import org.apache.spark.sql.types.DecimalType
 object BrFunctions {
 
   /** BR currency parse: `"R$ 1.234,56"` → decimal(15,2).
-    * Strips currency sign + spaces, drops thousands `.`, converts
-    * decimal `,` to `.`. Empty / non-numeric → null.
+    * Strips currency sign + spaces; the thousands-dot removal and
+    * comma→dot swap apply ONLY when a comma is present — matching the
+    * reference branch exactly (`if ',' in s:` …), which keeps plain
+    * `"1234.56"` parsing as dot-decimal. Empty / non-numeric → null.
     * Ref: `ETL - Faturamento B2B.py:86-110`, `ETL - Cadastro SR.py:5-15`. */
   def parseBrlMoney(c: Column): Column = {
-    val cleaned = regexp_replace(
-      regexp_replace(
-        regexp_replace(trim(c), "[R$\\s]", ""),
-        "\\.", ""),
-      ",", ".")
+    val s = regexp_replace(trim(c), "[R$\\s]", "")
+    val brStyle = regexp_replace(regexp_replace(s, "\\.", ""), ",", ".")
+    val cleaned = when(s.contains(","), brStyle).otherwise(s)
     nullif(cleaned, lit("")).cast(DecimalType(15, 2))
   }
 

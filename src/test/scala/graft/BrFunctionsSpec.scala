@@ -19,6 +19,9 @@ class BrFunctionsSpec extends AnyFunSuite {
     assert(evalStr(parseBrlMoney($"v"), "  12,30").contains("12.30"))
     assert(evalStr(parseBrlMoney($"v"), "").isEmpty)
     assert(evalStr(parseBrlMoney($"v"), "R$ ").isEmpty)
+    // no comma → dot IS the decimal point (reference's `if ',' in s` branch)
+    assert(evalStr(parseBrlMoney($"v"), "1234.56").contains("1234.56"))
+    assert(evalStr(parseBrlMoney($"v"), "R$ 99").contains("99.00"))
   }
 
   test("parseMoneyLenient disambiguates mixed separators (Primeiro Pedido branches)") {
