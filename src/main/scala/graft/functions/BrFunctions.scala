@@ -28,18 +28,24 @@ object BrFunctions {
     nullif(cleaned, lit("")).cast(DecimalType(15, 2))
   }
 
-  /** Mixed-separator money parse: handles both `1.234,56` (BR) and
-    * `1,234.56` (US) by treating the LAST separator as the decimal
-    * point. Ref: `ETL - Primeiro Pedido.py:51-76`. */
+  /** Mixed-separator money parse, branch-exact with the reference
+    * (`ETL - Primeiro Pedido.py:51-76`): both separators present and
+    * comma LAST → BR style (strip dots, comma→dot); both present and
+    * dot last (US style) → the reference leaves the string untouched
+    * and `float()` fails → null; comma only → decimal comma; else
+    * parse as-is (dot-decimal). */
   def parseMoneyLenient(c: Column): Column = {
     val s = regexp_replace(trim(c), "[R$\\s]", "")
-    // keep digits and separators, then normalize: if last ',' after last '.'
-    // → BR style, else US style.
     val brStyle = regexp_replace(regexp_replace(s, "\\.", ""), ",", ".")
-    val usStyle = regexp_replace(s, ",", "")
-    val lastComma = length(s) - coalesce(nullif(instr(reverse(s), ","), lit(0)), length(s) + lit(1))
-    val lastDot = length(s) - coalesce(nullif(instr(reverse(s), "."), lit(0)), length(s) + lit(1))
-    val normalized = when(lastComma > lastDot, brStyle).otherwise(usStyle)
+    val hasComma = s.contains(",")
+    val hasDot = s.contains(".")
+    val lastCommaPos = length(s) - instr(reverse(s), ",")
+    val lastDotPos = length(s) - instr(reverse(s), ".")
+    val normalized =
+      when(hasComma && hasDot && lastCommaPos < lastDotPos, lit(null))
+        .when(hasComma && hasDot, brStyle)
+        .when(hasComma, regexp_replace(s, ",", "."))
+        .otherwise(s)
     nullif(normalized, lit("")).cast(DecimalType(15, 2))
   }
 
@@ -83,12 +89,17 @@ object BrFunctions {
     * Ref: `PROD_Produtividade_FPY.sql:43`. */
   def monthOrderPt(name: Column): Column = monthNumberPt(name)
 
-  /** "Semana N" week-of-month label (1 + weeks elapsed since the
-    * month's first day, Monday-aligned).
-    * Ref: `Algoritmo de Estruturação de Dados.py:288-306`. */
-  def weekOfMonthLabel(d: Column): Column =
-    concat(lit("Semana "),
-      (floor((dayofmonth(d) + dayofweek(trunc(d, "MM")) - lit(2)) / 7) + lit(1)).cast("int"))
+  /** "Semana N" week-of-month label, formula-exact with the reference
+    * (`Algoritmo de Estruturação de Dados.py:288-306`): days before the
+    * month's first MONDAY are "Semana 0"; from the first Monday on,
+    * weeks number 1, 2, … (`weekday` is Mon=0 like Python's). */
+  def weekOfMonthLabel(d: Column): Column = {
+    val firstDowMon0 = weekday(trunc(d, "MM"))
+    val firstMondayDom = pmod(lit(7) - firstDowMon0, lit(7)) + 1
+    val sem = when(dayofmonth(d) < firstMondayDom, lit(0))
+      .otherwise(floor((dayofmonth(d) - firstMondayDom) / 7).cast("int") + 1)
+    concat(lit("Semana "), sem.cast("int"))
+  }
 
   /** `N Trimestre YYYY` quarter label.
     * Ref: `Algoritmo de Estruturação de Dados.py:399-400`. */
@@ -121,15 +132,18 @@ object BrFunctions {
       (s / 3600).cast("long"), ((s % 3600) / 60).cast("long"), (s % 60).cast("long"))
   }
 
-  /** Sim/Não/TRUE/1/'' → 0/1 int with numeric passthrough.
-    * Ref: `ETL - Painel de Oportunidades.py:174-209`,
-    * `ETL - Primeiro Pedido.py:78-92`. */
+  /** Sim/Não → 0/1 int, branch-exact with the reference
+    * (`ETL - Painel de Oportunidades.py:174-209`): upper-case WITHOUT
+    * trim (the reference uses `.str.upper()` only); SIM/TRUE/1 → 1;
+    * NÃO/FALSE/0/'' → 0 (empty counts as Não); anything else coerces
+    * to numeric, truncated to int, defaulting to 0 — nulls included
+    * (`fillna(0)`). */
   def simNaoToInt(c: Column): Column = {
-    val t = normalizeText(c.cast("string"))
-    when(c.isNull || t === "", lit(null))
-      .when(t.isin("SIM", "S", "TRUE", "VERDADEIRO", "1", "YES", "Y"), lit(1))
-      .when(t.isin("NÃO", "NAO", "N", "FALSE", "FALSO", "0", "NO"), lit(0))
-      .otherwise(t.cast("int"))
+    val t = upper(c.cast("string"))
+    when(c.isNull, lit(0))
+      .when(t.isin("SIM", "TRUE", "1"), lit(1))
+      .when(t.isin("NÃO", "FALSE", "0", ""), lit(0))
+      .otherwise(coalesce(t.try_cast("double"), lit(0.0)).cast("int"))
   }
 
   /** Substring classification ladder (`LIKE '%ATIVO%'` CASE).

@@ -107,7 +107,9 @@ object Scalars {
     * reference repairs. Derived (not literal) to keep the source free
     * of fragile mojibake bytes. */
   private[queries] val mojibakePairs: Seq[(String, String)] =
-    "\u00c9\u00c7\u00c3\u00d5\u00d3\u00da\u00ca".map { ch =>
+    ("\u00c9\u00c7\u00c3\u00d5\u00d3\u00da\u00ca" +        // É Ç Ã Õ Ó Ú Ê
+     "\u00e7\u00e1\u00e9\u00ed\u00f3\u00fa\u00ea\u00f4" + // ç á é í ó ú ê ô
+     "\u00c1\u00cd").map { ch =>                            // Á Í
       new String(ch.toString.getBytes("UTF-8"), "windows-1252") -> ch.toString
     }
 
@@ -293,17 +295,20 @@ object Scalars {
         round(dec2(col("l_extendedprice")), 0).cast("double").as("preco_r0"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
-  /** F28: median-based scale auto-correction
-    * (`Modelo de Previsão de Vendas.py:42-51`): per-segment median
-    * decides ÷1000/passthrough. Exact median (not approx) for oracle
-    * parity; `percentile_approx` is the 100 TB path. */
+  /** F28: median-based scale auto-correction, threshold-exact with the
+    * reference (`Modelo de Previsão de Vendas.py:42-51`): median over
+    * POSITIVE values; > 10M → ÷1000, < 1000 (and > 0) → ×1000, else
+    * unchanged. Exact median for oracle parity; `percentile_approx` is
+    * the 100 TB path. */
   val f28ScaleCorrect: Q = (s, d) => {
     val med = Tables.orders(s, d)
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .filter(col("o_totalprice") > 0)
       .groupBy(col("c_mktsegment"))
       .agg(median(col("o_totalprice")).cast("double").as("mediana"))
     med.select(col("c_mktsegment"), col("mediana"),
-      when(col("mediana") > 100000, col("mediana") / 1000)
+      when(col("mediana") > 10000000, col("mediana") / 1000)
+        .when(col("mediana") < 1000 && col("mediana") > 0, col("mediana") * 1000)
         .otherwise(col("mediana")).as("mediana_corrigida"))
       .orderBy(col("c_mktsegment"))
   }
@@ -452,10 +457,11 @@ object Scalars {
       FROM orders ORDER BY o_orderkey""",
     "f12_simnao" -> """
       SELECT o_orderkey, flag_bruto,
-        CASE WHEN flag_bruto IS NULL OR UPPER(TRIM(flag_bruto)) = '' THEN NULL
-             WHEN UPPER(TRIM(flag_bruto)) IN ('SIM','S','TRUE','VERDADEIRO','1','YES','Y') THEN 1
-             WHEN UPPER(TRIM(flag_bruto)) IN ('NÃO','NAO','N','FALSE','FALSO','0','NO') THEN 0
-             ELSE TRY_CAST(UPPER(TRIM(flag_bruto)) AS INT) END AS flag
+        CASE WHEN flag_bruto IS NULL THEN 0
+             WHEN UPPER(flag_bruto) IN ('SIM','TRUE','1') THEN 1
+             WHEN UPPER(flag_bruto) IN ('NÃO','FALSE','0','') THEN 0
+             ELSE CAST(TRUNC(COALESCE(TRY_CAST(UPPER(flag_bruto) AS DOUBLE), 0))
+               AS INT) END AS flag
       FROM (SELECT o_orderkey,
               CASE o_orderstatus WHEN 'F' THEN 'Sim' WHEN 'O' THEN ' não '
                 ELSE '1' END AS flag_bruto
@@ -491,10 +497,14 @@ object Scalars {
       FROM orders ORDER BY o_orderkey""",
     "f18_week_of_month" -> """
       SELECT o_orderkey,
-        'Semana ' || CAST(CAST(FLOOR((DAY(o_orderdate)
-          + (DAYOFWEEK(date_trunc('month', o_orderdate)) + 1) - 2) / 7) AS INT) + 1
-          AS VARCHAR) AS semana_mes
-      FROM orders ORDER BY o_orderkey""",
+        'Semana ' || CAST(CASE WHEN DAY(o_orderdate) < fm THEN 0
+          ELSE 1 + CAST(FLOOR((DAY(o_orderdate) - fm) / 7) AS INT) END AS VARCHAR)
+          AS semana_mes
+      FROM (SELECT o_orderkey, o_orderdate,
+              (7 - (DAYOFWEEK(date_trunc('month', o_orderdate)) + 6) % 7) % 7 + 1
+                AS fm
+            FROM orders)
+      ORDER BY o_orderkey""",
     "f19_quarter_label" -> """
       SELECT o_orderkey,
         CAST(QUARTER(o_orderdate) AS VARCHAR) || ' Trimestre ' ||
@@ -554,11 +564,13 @@ object Scalars {
       FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "f28_scale_correct" -> """
       SELECT c_mktsegment, mediana,
-        CASE WHEN mediana > 100000 THEN mediana / 1000 ELSE mediana END
-          AS mediana_corrigida
+        CASE WHEN mediana > 10000000 THEN mediana / 1000
+             WHEN mediana < 1000 AND mediana > 0 THEN mediana * 1000
+             ELSE mediana END AS mediana_corrigida
       FROM (SELECT c_mktsegment,
               CAST(MEDIAN(o_totalprice) AS DOUBLE) AS mediana
             FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE o_totalprice > 0
             GROUP BY c_mktsegment)
       ORDER BY c_mktsegment""",
     "f29_coalesce_defaults" -> s"""

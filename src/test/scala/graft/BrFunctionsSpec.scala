@@ -24,11 +24,14 @@ class BrFunctionsSpec extends AnyFunSuite {
     assert(evalStr(parseBrlMoney($"v"), "R$ 99").contains("99.00"))
   }
 
-  test("parseMoneyLenient disambiguates mixed separators (Primeiro Pedido branches)") {
+  test("parseMoneyLenient is branch-exact with Primeiro Pedido") {
     assert(evalStr(parseMoneyLenient($"v"), "1.234,56").contains("1234.56"))
-    assert(evalStr(parseMoneyLenient($"v"), "1,234.56").contains("1234.56"))
+    // US-style mixed: reference's float() fails → None
+    assert(evalStr(parseMoneyLenient($"v"), "1,234.56").isEmpty)
     assert(evalStr(parseMoneyLenient($"v"), "1234.56").contains("1234.56"))
     assert(evalStr(parseMoneyLenient($"v"), "1234,56").contains("1234.56"))
+    // thousands-only comma quirk: reference yields 1.234
+    assert(evalStr(parseMoneyLenient($"v"), "1,234").contains("1.23"))
   }
 
   test("formatBrl renders grouping and keeps 2 decimals") {
@@ -70,12 +73,17 @@ class BrFunctionsSpec extends AnyFunSuite {
     assert(evalStr(monthNumberPt(lit("SMARCH")), "x").isEmpty)
   }
 
-  test("simNaoToInt accepts the reference's value zoo") {
-    Seq("Sim" -> "1", " não " -> "0", "NAO" -> "0", "TRUE" -> "1",
-      "0" -> "0", "1" -> "1", "Y" -> "1").foreach { case (in, out) =>
+  test("simNaoToInt is branch-exact with Painel de Oportunidades") {
+    Seq("Sim" -> "1", "TRUE" -> "1", "1" -> "1",
+      "Não" -> "0", "FALSE" -> "0", "0" -> "0", "" -> "0",
+      // not in either list and not numeric → 0 (to_numeric coerce + fillna(0))
+      " não " -> "0", "Y" -> "0",
+      // numeric passthrough, truncated like astype(int)
+      "3" -> "3", "3.9" -> "3").foreach { case (in, out) =>
       assert(evalStr(simNaoToInt(lit(in)), "x").contains(out), s"input $in")
     }
-    assert(evalStr(simNaoToInt(lit("")), "x").isEmpty)
+    // reference: NaN → 'NAN' string → to_numeric fails → fillna(0)
+    assert(evalStr(simNaoToInt(lit(null).cast("string")), "x").contains("0"))
   }
 
   test("leadTimeHms pads and carries hours past 24") {
@@ -94,8 +102,18 @@ class BrFunctionsSpec extends AnyFunSuite {
     assert(evalStr(percentParse(lit("")), "x").isEmpty)
   }
 
-  test("weekOfMonthLabel and quarterLabel") {
+  test("weekOfMonthLabel matches the first-Monday formula") {
+    // 2024-01-01 is a Monday → first Monday = day 1
     assert(evalStr(weekOfMonthLabel(to_date(lit("2024-01-01"))), "x")
+      .contains("Semana 1"))
+    assert(evalStr(weekOfMonthLabel(to_date(lit("2024-01-07"))), "x")
+      .contains("Semana 1")) // still within the first Monday week
+    assert(evalStr(weekOfMonthLabel(to_date(lit("2024-01-08"))), "x")
+      .contains("Semana 2"))
+    // 2024-06-01 is a Saturday → days before first Monday (Jun 3) = Semana 0
+    assert(evalStr(weekOfMonthLabel(to_date(lit("2024-06-01"))), "x")
+      .contains("Semana 0"))
+    assert(evalStr(weekOfMonthLabel(to_date(lit("2024-06-03"))), "x")
       .contains("Semana 1"))
     assert(evalStr(quarterLabel(to_date(lit("2024-05-15"))), "x")
       .contains("2 Trimestre 2024"))
