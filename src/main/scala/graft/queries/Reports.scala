@@ -17,107 +17,179 @@ object Reports {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** R1: seller performance rollup — port of `CALL Cenario_Faturamento`
-    * (`Códigos Úteis SQL/CALL Cenario_Faturamento.sql:31-103`):
-    * per-segment revenue/clients/orders vs meta, gap + atingimento %,
-    * BRL display twin, grand-total row with summed meta, total last
-    * (A9+A12+F14+F26+O4+J5 in one report). */
+  /** R1: seller performance rollup — shape-exact port of
+    * `CALL Cenario_Faturamento` (`Códigos Úteis SQL/CALL
+    * Cenario_Faturamento.sql:31-103`): inner per-seller aggregation
+    * (faturado, itens, distinct partners, GAP clamped at 0 BEFORE the
+    * total sum), then ROLLUP over seller only — the grand-total row
+    * gets meta × n_vendedores, summed clamped GAPs, VLM = faturado /
+    * distinct partners (NULLIF-guarded), atingimento % against the
+    * grouping-dependent meta, BATEU/FORA status, BRL display strings
+    * beside the numeric ordering twin, total-row-last ordering. The
+    * c_mktsegment plays `vendedor`; the meta is the procedure's
+    * constant per-seller target. */
   val r1CenarioFaturamento: Q = (s, d) => {
-    import s.implicits._
-    val metas = Seq(
-      ("AUTOMOBILE", 900000000.0), ("BUILDING", 900000000.0),
-      ("FURNITURE", 850000000.0), ("HOUSEHOLD", 880000000.0),
-      ("MACHINERY", 920000000.0)).toDF("segmento", "meta")
-    val detail = Tables.customer(s, d)
+    val metaIndividual = 700000000.0
+    val inner = Tables.customer(s, d)
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
-      .groupBy(col("c_mktsegment").as("segmento"))
-      .agg(dsum(col("o_totalprice")).as("faturamento"),
-        countDistinct(col("c_custkey")).as("clientes"),
-        count(lit(1)).as("pedidos"))
-      .join(broadcast(metas), Seq("segmento"), "left")
-      .withColumn("linha_total", lit(0))
-    val total = detail.agg(
-      sum(dec2(col("faturamento"))).cast("double").as("faturamento"),
-      sum(col("clientes")).as("clientes"),
-      sum(col("pedidos")).as("pedidos"),
-      sum(dec2(col("meta"))).cast("double").as("meta"))
-      .select(lit("--- TOTAL ---").as("segmento"), col("faturamento"),
-        col("clientes"), col("pedidos"), col("meta"), lit(1).as("linha_total"))
-    detail.unionByName(total)
-      .withColumn("gap", round(dec2(col("faturamento")) - dec2(col("meta")), 2).cast("double"))
-      .withColumn("atingimento_pct",
-        when(col("meta").isNull || col("meta") === 0, lit(null))
-          .otherwise(round(col("faturamento") / col("meta") * 100, 2)))
-      .withColumn("faturamento_fmt", formatBrl(col("faturamento")))
-      .select(col("segmento"), col("faturamento"), col("faturamento_fmt"),
-        col("clientes"), col("pedidos"), col("meta"), col("gap"),
-        col("atingimento_pct"), col("linha_total"))
-      .orderBy(col("linha_total"), col("segmento"))
+      .groupBy(col("c_mktsegment").as("vendedor"))
+      .agg(
+        sum(dec2(col("o_totalprice"))).as("faturado_dec"),
+        count(lit(1)).as("itens"),
+        countDistinct(col("c_custkey")).as("conversao"))
+      .withColumn("gap_para_soma",
+        greatest(lit(metaIndividual).cast("decimal(18,2)") - col("faturado_dec"),
+          lit(0).cast("decimal(18,2)")))
+    val rolled = inner.rollup(col("vendedor"))
+      .agg(
+        grouping(col("vendedor")).cast("int").as("g"),
+        sum(col("faturado_dec")).as("fat_dec"),
+        sum(col("itens")).as("itens"),
+        sum(col("conversao")).as("conversao"),
+        sum(col("gap_para_soma")).as("gap_dec"),
+        count(lit(1)).as("n_vendedores"))
+    rolled
+      .withColumn("faturado", col("fat_dec").cast("double"))
+      .withColumn("meta_apropriada",
+        when(col("g") === 1, lit(metaIndividual) * col("n_vendedores"))
+          .otherwise(lit(metaIndividual)))
+      .withColumn("atingimento",
+        when(col("meta_apropriada") === 0, lit(null))
+          .otherwise(col("faturado") / col("meta_apropriada") * 100))
+      .select(
+        coalesce(col("vendedor"), lit("Total Geral")).as("vendedor"),
+        formatBrl(col("meta_apropriada")).as("meta_vendedor"),
+        formatBrl(col("faturado")).as("faturado_fmt"),
+        col("faturado"),
+        formatBrl(col("gap_dec").cast("double")).as("gap_fmt"),
+        col("itens"), col("conversao"),
+        formatBrl(
+          when(col("conversao") === 0, lit(null))
+            .otherwise(col("faturado") / col("conversao"))).as("vlm"),
+        format_string("%.2f%%", col("atingimento")).as("atingimento_str"),
+        when(col("atingimento") > 100, "BATEU META")
+          .otherwise("FORA DA META").as("status_meta"),
+        col("g"))
+      .orderBy(col("g").asc, col("faturado").desc)
   }
 
-  /** R2: recurrence base — port of `vw_recorrencia_base`
+  /** R2: recurrence base — shape-exact port of `vw_recorrencia_base`
     * (`ScriptsSQL - Constance/vw_recorrencia_base.sql:1-45`):
-    * days-without-purchase bands (vs injected clock), client counts,
-    * % of base, UNION ALL total row sorted last (P12+A9+A10+O4). */
+    * per-seller conditional counts of recurrence groups 0/1/2/>=3
+    * (A3), NOT-IN exclusion (P7), Recorrentes/Total_Base, Recorrencia
+    * as a percent STRING beside the numeric ordering twin (F14 duality,
+    * §7.4 risk 2), UNION ALL team-total row, ordered total-last then
+    * pct desc. Here `vendedor` = c_mktsegment and the recurrence group
+    * is the customer's 1997 order count (1 → '0', 2 → '1', 3 → '2',
+    * ≥4 → '>=3'), with the active-base filter = bought in 1997. */
   val r2RecorrenciaBase: Q = (s, d) => {
-    val lastOrder = Tables.orders(s, d)
-      .groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("ultimo"))
-    val banded = Tables.customer(s, d)
-      .join(lastOrder, col("c_custkey") === col("o_custkey"), "left")
-      .withColumn("dias", datediff(lit("2002-01-01").cast("date"), to_date(col("ultimo"))))
-      .withColumn("faixa",
-        when(col("dias").isNull, "NUNCA COMPROU")
-          .when(col("dias") <= 180, "ATIVO (0-180)")
-          .when(col("dias") <= 365, "MORNO (181-365)")
-          .otherwise("INATIVO (>365)"))
-    val base = banded.groupBy(col("faixa")).agg(count(lit(1)).as("clientes"))
-      .withColumn("linha_total", lit(0))
-    val total = banded.agg(count(lit(1)).as("clientes"))
-      .select(lit("--- TOTAL ---").as("faixa"), col("clientes"), lit(1).as("linha_total"))
-    // grand total as broadcast scalar (no driver-side action)
-    val grand = banded.agg(count(lit(1)).as("base_total"))
-    base.unionByName(total)
-      .crossJoin(broadcast(grand))
-      .withColumn("pct",
-        round(col("clientes").cast("double") / col("base_total") * 100, 2))
-      .select(col("faixa"), col("clientes"), col("linha_total"), col("pct"))
-      .orderBy(col("linha_total"), col("faixa"))
+    val perCustomer = Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(year(col("o_orderdate")) === 1997),
+        col("c_custkey") === col("o_custkey"))
+      .filter(!col("c_mktsegment").isin("<SEM VENDEDOR>"))
+      .groupBy(col("c_mktsegment").as("vendedor"), col("c_custkey"))
+      .agg(count(lit(1)).as("n_pedidos"))
+      .withColumn("grupo_recorrencia",
+        when(col("n_pedidos") === 1, "0")
+          .when(col("n_pedidos") === 2, "1")
+          .when(col("n_pedidos") === 3, "2")
+          .otherwise(">=3"))
+    val cte = perCustomer.groupBy(col("vendedor"))
+      .agg(
+        sum(when(col("grupo_recorrencia") === "0", 1).otherwise(0)).as("c_0"),
+        sum(when(col("grupo_recorrencia") === "1", 1).otherwise(0)).as("c_1"),
+        sum(when(col("grupo_recorrencia") === "2", 1).otherwise(0)).as("c_2"),
+        sum(when(col("grupo_recorrencia") === ">=3", 1).otherwise(0)).as("c_3_mais"))
+    val detail = cte.select(
+      col("vendedor"),
+      (col("c_0") + col("c_1") + col("c_2") + col("c_3_mais")).as("Total_Base"),
+      (col("c_1") + col("c_2") + col("c_3_mais")).as("Recorrentes"),
+      lit(0).as("linha_total"))
+    val total = cte.agg(
+      sum(col("c_0") + col("c_1") + col("c_2") + col("c_3_mais")).as("Total_Base"),
+      sum(col("c_1") + col("c_2") + col("c_3_mais")).as("Recorrentes"))
+      .select(lit("--- TOTAL DA EQUIPE ---").as("vendedor"),
+        col("Total_Base"), col("Recorrentes"), lit(1).as("linha_total"))
+    detail.unionByName(total)
+      .withColumn("perc_ordenacao",
+        col("Recorrentes").cast("double") /
+          when(col("Total_Base") === 0, lit(null)).otherwise(col("Total_Base")))
+      .withColumn("Recorrencia",
+        concat(round(col("perc_ordenacao") * 100, 2).cast("string"), lit("%")))
+      .select(col("vendedor"), col("Recorrentes"), col("Total_Base"),
+        col("Recorrencia"), col("perc_ordenacao"), col("linha_total"))
+      .orderBy(col("linha_total").asc, col("perc_ordenacao").desc)
   }
 
-  /** R3: multi-level view composition through Spark SQL text — the
-    * alertas view consuming the base view (`vw_recorrencia_alertas.sql`
-    * over `vw_recorrencia_base`, SURVEY §3.2): registered temp views +
-    * `spark.sql`, exactly the reference's CREATE VIEW chain. */
+  /** R3: multi-level view composition through Spark SQL text — exact
+    * port of `vw_recorrencia_alertas.sql` consuming the base view
+    * (SURVEY §3.2): registered temp view + `spark.sql`, parsing the
+    * percent STRING back (F13) for the CRÍTICO/ATENÇÃO/NORMAL ladder. */
   val r3RecorrenciaAlertas: Q = (s, d) => {
     r2RecorrenciaBase(s, d).createOrReplaceTempView("vw_recorrencia_base")
     s.sql("""
-      SELECT faixa, clientes, pct,
-        CASE WHEN faixa = 'INATIVO (>365)' AND pct > 20 THEN 'CRITICO'
-             WHEN faixa IN ('MORNO (181-365)', 'INATIVO (>365)') THEN 'ALERTA'
-             ELSE 'OK' END AS alerta
+      SELECT vendedor, Recorrentes, Total_Base, Recorrencia,
+        CASE
+          WHEN CAST(REPLACE(Recorrencia, '%', '') AS DECIMAL(10,2)) < 40.00
+            THEN 'CRÍTICO'
+          WHEN CAST(REPLACE(Recorrencia, '%', '') AS DECIMAL(10,2)) <= 47.00
+            THEN 'ATENÇÃO'
+          ELSE 'NORMAL'
+        END AS Status_Fidelizacao
       FROM vw_recorrencia_base
-      WHERE linha_total = 0
-      ORDER BY faixa""")
+      ORDER BY linha_total, perc_ordenacao DESC""")
   }
 
-  /** R4: delinquency base with display/numeric duality — port of
-    * `vw_Inadimplencia_Base.sql:30-54`: per-priority open amounts,
-    * BRL display string + hidden numeric twin for ordering (F14,
-    * SURVEY §7.4 risk 2), total row last by flag. */
+  /** R4: delinquency base — shape-exact port of
+    * `vw_Inadimplencia_Base.sql`: two CTEs (active base count ·
+    * range-conditional delinquency sums) left-joined per seller,
+    * IFNULL defaults, BRL + percent display strings beside the numeric
+    * ordering twin, UNION ALL team-total row, ordered total-last then
+    * pct desc. Analog: vendedor = c_mktsegment; "delinquent 1-31 days"
+    * = open order aged 100-500 days vs the injected clock; limite =
+    * total order value. */
   val r4InadimplenciaBase: Q = (s, d) => {
-    val open = Tables.orders(s, d).filter(col("o_orderstatus") =!= "F")
-    val detail = open.groupBy(col("o_orderpriority").as("prioridade"))
-      .agg(dsum(col("o_totalprice")).as("valor_num"), count(lit(1)).as("titulos"))
-      .withColumn("linha_total", lit(0))
-    val total = open.agg(dsum(col("o_totalprice")).as("valor_num"),
-      count(lit(1)).as("titulos"))
-      .select(lit("--- TOTAL ---").as("prioridade"), col("valor_num"),
-        col("titulos"), lit(1).as("linha_total"))
+    val orders = Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(!col("c_mktsegment").isin("<SEM VENDEDOR>"))
+      .withColumn("vendedor", col("c_mktsegment"))
+      .withColumn("atraso",
+        datediff(lit("2002-01-01").cast("date"), to_date(col("o_orderdate"))))
+    val inadCond = col("o_orderstatus") === "O" &&
+      col("atraso").between(100, 500)
+    val cteAtivos = orders.filter(year(col("o_orderdate")) === 1997)
+      .groupBy(col("vendedor").as("v_a"))
+      .agg(countDistinct(col("c_custkey")).as("ativos_num"))
+    val cteInad = orders.groupBy(col("vendedor"))
+      .agg(
+        sum(when(inadCond, dec2(col("o_totalprice")))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("valor_dec"),
+        sum(when(inadCond, 1).otherwise(0)).as("qtd_num"),
+        sum(dec2(col("o_totalprice"))).as("limite_dec"))
+    val joined = cteInad
+      .join(cteAtivos, col("vendedor") === col("v_a"), "left")
+      .select(col("vendedor"),
+        coalesce(col("ativos_num"), lit(0L)).as("Ativos"),
+        col("qtd_num").as("QTD"), col("valor_dec"), col("limite_dec"))
+    val detail = joined.withColumn("linha_total", lit(0))
+    val total = joined.agg(
+      sum(col("Ativos")).as("Ativos"), sum(col("QTD")).as("QTD"),
+      sum(col("valor_dec")).as("valor_dec"),
+      sum(col("limite_dec")).as("limite_dec"))
+      .select(lit("--- TOTAL DA EQUIPE ---").as("vendedor"), col("Ativos"),
+        col("QTD"), col("valor_dec"), col("limite_dec"), lit(1).as("linha_total"))
     detail.unionByName(total)
-      .withColumn("valor_fmt", formatBrl(col("valor_num")))
-      .select(col("prioridade"), col("valor_fmt"), col("valor_num"),
-        col("titulos"), col("linha_total"))
-      .orderBy(col("linha_total"), col("valor_num").desc)
+      .withColumn("perc_ordenacao",
+        col("QTD").cast("double") /
+          when(col("Ativos") === 0, lit(null)).otherwise(col("Ativos")))
+      .select(col("vendedor"), col("Ativos"), col("QTD"),
+        formatBrl(col("valor_dec").cast("double")).as("Valor"),
+        concat(round(col("perc_ordenacao") * 100, 2).cast("string"), lit("%"))
+          .as("Inadimplencia"),
+        formatBrl(col("limite_dec").cast("double")).as("Limite_Credito"),
+        col("perc_ordenacao"), col("linha_total"))
+      .orderBy(col("linha_total").asc, col("perc_ordenacao").desc)
   }
 
   val defs: Map[String, Q] = Map(
@@ -131,86 +203,133 @@ object Reports {
        || ',' || lpad(CAST(CAST((CAST($expr AS DECIMAL(18,2)) - FLOOR(CAST($expr AS DECIMAL(18,2)))) * 100 AS BIGINT) AS VARCHAR), 2, '0')"""
 
   private val r2BaseSql = s"""
-      WITH banded AS (
-        SELECT c_custkey,
-          CASE WHEN dias IS NULL THEN 'NUNCA COMPROU'
-               WHEN dias <= 180 THEN 'ATIVO (0-180)'
-               WHEN dias <= 365 THEN 'MORNO (181-365)'
-               ELSE 'INATIVO (>365)' END AS faixa
-        FROM (SELECT c_custkey,
-                date_diff('day', CAST(ultimo AS DATE), DATE '2002-01-01') AS dias
-              FROM customer
-              LEFT JOIN (SELECT o_custkey, MAX(o_orderdate) AS ultimo
-                         FROM orders GROUP BY o_custkey) o
-                ON c_custkey = o_custkey)),
-      base AS (
-        SELECT faixa, COUNT(*) AS clientes, 0 AS linha_total
-        FROM banded GROUP BY faixa
+      WITH per_customer AS (
+        SELECT c_mktsegment AS vendedor, c_custkey, COUNT(*) AS n
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        WHERE YEAR(o_orderdate) = 1997
+          AND c_mktsegment NOT IN ('<SEM VENDEDOR>')
+        GROUP BY 1, 2),
+      grouped AS (
+        SELECT vendedor,
+          CASE WHEN n = 1 THEN '0' WHEN n = 2 THEN '1'
+               WHEN n = 3 THEN '2' ELSE '>=3' END AS g
+        FROM per_customer),
+      cte AS (
+        SELECT vendedor,
+          CAST(SUM(CASE WHEN g = '0' THEN 1 ELSE 0 END) AS BIGINT) AS c_0,
+          CAST(SUM(CASE WHEN g = '1' THEN 1 ELSE 0 END) AS BIGINT) AS c_1,
+          CAST(SUM(CASE WHEN g = '2' THEN 1 ELSE 0 END) AS BIGINT) AS c_2,
+          CAST(SUM(CASE WHEN g = '>=3' THEN 1 ELSE 0 END) AS BIGINT) AS c_3_mais
+        FROM grouped GROUP BY vendedor),
+      unioned AS (
+        SELECT vendedor,
+          c_0 + c_1 + c_2 + c_3_mais AS Total_Base,
+          c_1 + c_2 + c_3_mais AS Recorrentes,
+          0 AS linha_total
+        FROM cte
         UNION ALL
-        SELECT '--- TOTAL ---', COUNT(*), 1 FROM banded)
-      SELECT faixa, clientes, linha_total,
-        ROUND(CAST(clientes AS DOUBLE)
-          / (SELECT CAST(COUNT(*) AS DOUBLE) FROM banded) * 100, 2) AS pct
-      FROM base"""
+        SELECT '--- TOTAL DA EQUIPE ---',
+          CAST(SUM(c_0 + c_1 + c_2 + c_3_mais) AS BIGINT),
+          CAST(SUM(c_1 + c_2 + c_3_mais) AS BIGINT), 1
+        FROM cte)
+      SELECT vendedor, Recorrentes, Total_Base,
+        CAST(ROUND(perc * 100, 2) AS VARCHAR) || '%' AS Recorrencia,
+        perc AS perc_ordenacao, linha_total
+      FROM (SELECT *, CAST(Recorrentes AS DOUBLE) / NULLIF(Total_Base, 0) AS perc
+            FROM unioned)"""
 
   val oracles: Map[String, String] = Map(
     "r1_cenario_faturamento" -> s"""
-      WITH metas AS (SELECT * FROM (VALUES
-        ('AUTOMOBILE', 900000000.0), ('BUILDING', 900000000.0),
-        ('FURNITURE', 850000000.0), ('HOUSEHOLD', 880000000.0),
-        ('MACHINERY', 920000000.0)) AS m(segmento, meta)),
-      detail AS (
-        SELECT c_mktsegment AS segmento,
-          ${sqlDsum("o_totalprice")} AS faturamento,
-          COUNT(DISTINCT c_custkey) AS clientes,
-          COUNT(*) AS pedidos
+      WITH inner_agg AS (
+        SELECT c_mktsegment AS vendedor,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS faturado_dec,
+          COUNT(*) AS itens,
+          COUNT(DISTINCT c_custkey) AS conversao,
+          GREATEST(CAST(700000000.0 AS DECIMAL(18,2))
+            - SUM(CAST(o_totalprice AS DECIMAL(18,2))),
+            CAST(0 AS DECIMAL(18,2))) AS gap_para_soma
         FROM customer JOIN orders ON c_custkey = o_custkey
         GROUP BY c_mktsegment),
-      joined AS (
-        SELECT d.segmento, d.faturamento, d.clientes, d.pedidos, m.meta,
-          0 AS linha_total
-        FROM detail d LEFT JOIN metas m ON d.segmento = m.segmento),
-      com_total AS (
-        SELECT * FROM joined
-        UNION ALL
-        SELECT '--- TOTAL ---',
-          CAST(SUM(CAST(faturamento AS DECIMAL(18,2))) AS DOUBLE),
-          SUM(clientes), SUM(pedidos),
-          CAST(SUM(CAST(meta AS DECIMAL(18,2))) AS DOUBLE), 1
-        FROM joined)
-      SELECT segmento, faturamento,
-        ${brlFmtSql("faturamento")} AS faturamento_fmt,
-        clientes, pedidos, meta,
-        CAST(ROUND(CAST(faturamento AS DECIMAL(18,2))
-          - CAST(meta AS DECIMAL(18,2)), 2) AS DOUBLE) AS gap,
-        CASE WHEN meta IS NULL OR meta = 0 THEN NULL
-             ELSE ROUND(faturamento / meta * 100, 2) END AS atingimento_pct,
-        linha_total
-      FROM com_total
-      ORDER BY linha_total, segmento""",
+      rolled AS (
+        SELECT CAST(GROUPING(vendedor) AS INT) AS g, vendedor,
+          SUM(faturado_dec) AS fat_dec, SUM(itens) AS itens,
+          SUM(conversao) AS conversao, SUM(gap_para_soma) AS gap_dec,
+          COUNT(*) AS n_vendedores
+        FROM inner_agg
+        GROUP BY ROLLUP (vendedor)),
+      enriched AS (
+        SELECT g, vendedor, itens, conversao, gap_dec,
+          CAST(fat_dec AS DOUBLE) AS faturado,
+          CASE WHEN g = 1 THEN 700000000.0 * n_vendedores
+               ELSE 700000000.0 END AS meta_apropriada
+        FROM rolled)
+      SELECT COALESCE(vendedor, 'Total Geral') AS vendedor,
+        ${brlFmtSql("meta_apropriada")} AS meta_vendedor,
+        ${brlFmtSql("faturado")} AS faturado_fmt,
+        faturado,
+        ${brlFmtSql("CAST(gap_dec AS DOUBLE)")} AS gap_fmt,
+        itens, conversao,
+        CASE WHEN conversao = 0 THEN NULL
+          ELSE ${brlFmtSql("faturado / conversao")} END AS vlm,
+        printf('%.2f%%', faturado / meta_apropriada * 100) AS atingimento_str,
+        CASE WHEN faturado / meta_apropriada * 100 > 100 THEN 'BATEU META'
+          ELSE 'FORA DA META' END AS status_meta,
+        g
+      FROM enriched
+      ORDER BY g ASC, faturado DESC""",
     "r2_recorrencia_base" -> s"""
-      SELECT faixa, clientes, linha_total, pct FROM ($r2BaseSql)
-      ORDER BY linha_total, faixa""",
-    "r3_recorrencia_alertas" -> s"""
-      SELECT faixa, clientes, pct,
-        CASE WHEN faixa = 'INATIVO (>365)' AND pct > 20 THEN 'CRITICO'
-             WHEN faixa IN ('MORNO (181-365)', 'INATIVO (>365)') THEN 'ALERTA'
-             ELSE 'OK' END AS alerta
+      SELECT vendedor, Recorrentes, Total_Base, Recorrencia,
+        perc_ordenacao, linha_total
       FROM ($r2BaseSql)
-      WHERE linha_total = 0
-      ORDER BY faixa""",
+      ORDER BY linha_total ASC, perc_ordenacao DESC""",
+    "r3_recorrencia_alertas" -> s"""
+      SELECT vendedor, Recorrentes, Total_Base, Recorrencia,
+        CASE
+          WHEN CAST(REPLACE(Recorrencia, '%', '') AS DECIMAL(10,2)) < 40.00
+            THEN 'CRÍTICO'
+          WHEN CAST(REPLACE(Recorrencia, '%', '') AS DECIMAL(10,2)) <= 47.00
+            THEN 'ATENÇÃO'
+          ELSE 'NORMAL'
+        END AS Status_Fidelizacao
+      FROM ($r2BaseSql)
+      ORDER BY linha_total, perc_ordenacao DESC""",
     "r4_inadimplencia_base" -> s"""
-      WITH abertos AS (SELECT * FROM orders WHERE o_orderstatus <> 'F'),
-      detail AS (
-        SELECT o_orderpriority AS prioridade,
-          ${sqlDsum("o_totalprice")} AS valor_num,
-          COUNT(*) AS titulos, 0 AS linha_total
-        FROM abertos GROUP BY o_orderpriority
+      WITH base AS (
+        SELECT c_mktsegment AS vendedor, c_custkey, o_orderstatus,
+          o_totalprice, o_orderdate,
+          date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+            AS atraso
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        WHERE c_mktsegment NOT IN ('<SEM VENDEDOR>')),
+      cte_ativos AS (
+        SELECT vendedor, COUNT(DISTINCT c_custkey) AS ativos_num
+        FROM base WHERE YEAR(o_orderdate) = 1997 GROUP BY vendedor),
+      cte_inad AS (
+        SELECT vendedor,
+          SUM(CASE WHEN o_orderstatus = 'O' AND atraso BETWEEN 100 AND 500
+            THEN CAST(o_totalprice AS DECIMAL(18,2))
+            ELSE CAST(0 AS DECIMAL(18,2)) END) AS valor_dec,
+          CAST(SUM(CASE WHEN o_orderstatus = 'O' AND atraso BETWEEN 100 AND 500
+            THEN 1 ELSE 0 END) AS BIGINT) AS qtd_num,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS limite_dec
+        FROM base GROUP BY vendedor),
+      joined AS (
+        SELECT i.vendedor, COALESCE(a.ativos_num, 0) AS Ativos,
+          i.qtd_num AS QTD, i.valor_dec, i.limite_dec
+        FROM cte_inad i LEFT JOIN cte_ativos a ON i.vendedor = a.vendedor),
+      unioned AS (
+        SELECT vendedor, Ativos, QTD, valor_dec, limite_dec, 0 AS linha_total
+        FROM joined
         UNION ALL
-        SELECT '--- TOTAL ---', ${sqlDsum("o_totalprice")}, COUNT(*), 1
-        FROM abertos)
-      SELECT prioridade, ${brlFmtSql("valor_num")} AS valor_fmt,
-        valor_num, titulos, linha_total
-      FROM detail
-      ORDER BY linha_total, valor_num DESC""")
+        SELECT '--- TOTAL DA EQUIPE ---', CAST(SUM(Ativos) AS BIGINT),
+          CAST(SUM(QTD) AS BIGINT), SUM(valor_dec), SUM(limite_dec), 1
+        FROM joined)
+      SELECT vendedor, Ativos, QTD,
+        ${brlFmtSql("CAST(valor_dec AS DOUBLE)")} AS Valor,
+        CAST(ROUND(perc * 100, 2) AS VARCHAR) || '%' AS Inadimplencia,
+        ${brlFmtSql("CAST(limite_dec AS DOUBLE)")} AS Limite_Credito,
+        perc AS perc_ordenacao, linha_total
+      FROM (SELECT *, CAST(QTD AS DOUBLE) / NULLIF(Ativos, 0) AS perc
+            FROM unioned)
+      ORDER BY linha_total ASC, perc_ordenacao DESC""")
 }
