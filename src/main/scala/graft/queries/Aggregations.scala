@@ -228,7 +228,51 @@ object Aggregations {
       .orderBy(col("c_nationkey"))
   }
 
+  /** A18 (beyond-reference, SURVEY §2.4 note): CUBE over two dims with
+    * grouping flags — all 4 grouping combinations in one shuffle. */
+  val a18Cube: Q = (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("g_status"), col("g_prio"), col("o_orderstatus"),
+        col("o_orderpriority"))
+
+  /** A19 (beyond-reference): explicit GROUPING SETS — only the two
+    * single-dim rollups, no cross product (SQL text over a temp view,
+    * the reference's view idiom). */
+  val a19GroupingSets: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql(s"""
+      SELECT CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""")
+  }
+
+  /** A20 (beyond-reference): exact percentiles (interpolated) —
+    * `percentile_approx` is the 100 TB variant (t-digest/HLL-style
+    * sketches don't hash-match across engines, so the oracle pins the
+    * exact form). */
+  val a20Percentiles: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        percentile(col("o_totalprice"), lit(0.25)).as("p25"),
+        percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+        percentile(col("o_totalprice"), lit(0.75)).as("p75"))
+      .orderBy(col("o_orderstatus"))
+
   val defs: Map[String, Q] = Map(
+    "a18_cube" -> a18Cube,
+    "a19_grouping_sets" -> a19GroupingSets,
+    "a20_percentiles" -> a20Percentiles,
     "q1_agg" -> q1Agg,
     "a2_count_distinct" -> a2CountDistinct,
     "a3_conditional_agg" -> a3ConditionalAgg,
@@ -248,6 +292,28 @@ object Aggregations {
     "a17_agg_of_agg" -> a17AggOfAgg)
 
   val oracles: Map[String, String] = Map(
+    "a18_cube" -> s"""
+      SELECT CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        ${sqlDsum("o_totalprice")} AS total
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""",
+    "a19_grouping_sets" -> s"""
+      SELECT CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        ${sqlDsum("o_totalprice")} AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""",
+    "a20_percentiles" -> """
+      SELECT o_orderstatus,
+        quantile_cont(o_totalprice, 0.25) AS p25,
+        quantile_cont(o_totalprice, 0.5) AS p50,
+        quantile_cont(o_totalprice, 0.75) AS p75
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q1_agg" -> q1AggSql,
     "a2_count_distinct" -> """
       SELECT c_nationkey, COUNT(DISTINCT c_custkey) AS clientes_unicos,
