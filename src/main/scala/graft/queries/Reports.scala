@@ -56,6 +56,12 @@ object Reports {
       .withColumn("atingimento",
         when(col("meta_apropriada") === 0, lit(null))
           .otherwise(col("faturado") / col("meta_apropriada") * 100))
+      // VLM as exact integer-cents mean (see r5 note on double→decimal
+      // formatting divergence at half-cent boundaries)
+      .withColumn("vlm_valor", expr(
+        """CASE WHEN conversao = 0 THEN NULL
+           ELSE ((CAST(fat_dec * 100 AS BIGINT) * 2 + conversao)
+                 div (2 * conversao)) / 100.0 END"""))
       .select(
         coalesce(col("vendedor"), lit("Total Geral")).as("vendedor"),
         formatBrl(col("meta_apropriada")).as("meta_vendedor"),
@@ -63,9 +69,7 @@ object Reports {
         col("faturado"),
         formatBrl(col("gap_dec").cast("double")).as("gap_fmt"),
         col("itens"), col("conversao"),
-        formatBrl(
-          when(col("conversao") === 0, lit(null))
-            .otherwise(col("faturado") / col("conversao"))).as("vlm"),
+        formatBrl(col("vlm_valor")).as("vlm"),
         format_string("%.2f%%", col("atingimento")).as("atingimento_str"),
         when(col("atingimento") > 100, "BATEU META")
           .otherwise("FORA DA META").as("status_meta"),
@@ -192,7 +196,83 @@ object Reports {
       .orderBy(col("linha_total").asc, col("perc_ordenacao").desc)
   }
 
+  /** R5: SDR management panel — shape-exact port of
+    * `PainelSDR_Gerencial.sql` (J8: three grouped subqueries merged by
+    * LEFT JOINs on COALESCE keys; F15 pt-BR month-name parameter; P7
+    * NOT-IN exclusion; M5 tiered prize ladder ×80/110/130/140 + fixed
+    * salary; BRL and percent display strings; NULLIF-guarded
+    * conversion). Analog: SDR = c_mktsegment, cadastros = distinct
+    * buyers in the month, primeiro-pedido = customers whose FIRST-EVER
+    * order lands in the month. */
+  def r5PainelSdr(mesPt: String, ano: Int): Q = (s, d) => {
+    import s.implicits._
+    val mesN = monthsPt.indexOf(mesPt.toUpperCase(java.util.Locale.ROOT)) + 1
+    val excluded = Seq("<SEM SDR>")
+    val co = Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(!col("c_mktsegment").isin(excluded.map(x => x: Any): _*))
+    // scc: distinct clients registered (= buying) in the period
+    val scc = co
+      .filter(year(col("o_orderdate")) === ano && month(col("o_orderdate")) === mesN)
+      .groupBy(col("c_mktsegment").as("sdr_c"))
+      .agg(countDistinct(col("c_custkey")).as("qtd_cadastros"))
+    // spp: first-ever orders landing in the period (row_number with a
+    // full tiebreak so both engines pick the identical first order)
+    val wFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment"), col("c_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val firstOrder = co
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(wFirst))
+      .filter(col("rn") === 1)
+      .select(col("c_mktsegment").as("sdr"),
+        col("o_orderdate").as("primeira_data"),
+        col("o_orderkey").as("primeiro_pedido"),
+        dec2(col("o_totalprice")).as("valor_primeiro"))
+    // mean as exact integer cents with half-up integer division: a
+    // double mean near a half-cent boundary formats differently across
+    // engines (Spark casts double→decimal via the shortest string
+    // repr; DuckDB uses the exact binary value)
+    val spp = firstOrder
+      .filter(year(col("primeira_data")) === ano && month(col("primeira_data")) === mesN)
+      .groupBy(col("sdr").as("sdr_p"))
+      .agg(count(lit(1)).as("prim_pedido_num"),
+        (sum(col("valor_primeiro")) * 100).cast("long").as("cents_sum"),
+        countDistinct(col("primeiro_pedido")).as("n_ped"))
+      .withColumn("valor_medio",
+        expr("((cents_sum * 2 + n_ped) div (2 * n_ped)) / 100.0"))
+    // msdr: meta dim (inline literal)
+    val msdr = Seq(("AUTOMOBILE", 25), ("BUILDING", 25), ("FURNITURE", 20),
+      ("HOUSEHOLD", 22), ("MACHINERY", 25)).toDF("sdr_m", "meta_nv_loja")
+    val merged = scc
+      .join(spp, col("sdr_c") === col("sdr_p"), "left")
+      .join(broadcast(msdr), coalesce(col("sdr_c"), col("sdr_p")) === col("sdr_m"), "left")
+      .select(
+        lit(ano).as("Ano"), lit(mesPt).as("Mes"),
+        coalesce(col("sdr_c"), col("sdr_p"), col("sdr_m")).as("NomeSDR"),
+        coalesce(col("meta_nv_loja"), lit(0)).cast("string").as("MetaPedidos"),
+        coalesce(col("qtd_cadastros"), lit(0L)).as("QtdCadastros"),
+        coalesce(col("prim_pedido_num"), lit(0L)).as("PriPedido"),
+        formatBrl(coalesce(col("valor_medio"), lit(0.0))).as("VLMReal"),
+        format_string("%.2f%%",
+          coalesce(col("prim_pedido_num").cast("double") /
+            when(col("qtd_cadastros") === 0, lit(null))
+              .otherwise(col("qtd_cadastros")) * 100, lit(0.0)))
+          .as("pct_conversao"))
+    val n = col("PriPedido")
+    val premio = when(n.between(0, 2), lit(0.0))
+      .when(n.between(3, 7), n * 80.0)
+      .when(n.between(8, 11), n * 110.0)
+      .when(n.between(12, 14), n * 130.0)
+      .when(n >= 15, n * 140.0)
+      .otherwise(lit(0.0))
+    merged
+      .withColumn("Premio", formatBrl(premio))
+      .withColumn("PremioMaisSalario", formatBrl(premio + 2290.0))
+      .orderBy(col("NomeSDR"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "r5_painel_sdr" -> r5PainelSdr("maio", 1997),
     "r1_cenario_faturamento" -> r1CenarioFaturamento,
     "r2_recorrencia_base" -> r2RecorrenciaBase,
     "r3_recorrencia_alertas" -> r3RecorrenciaAlertas,
@@ -239,6 +319,61 @@ object Reports {
             FROM unioned)"""
 
   val oracles: Map[String, String] = Map(
+    "r5_painel_sdr" -> s"""
+      WITH co AS (
+        SELECT c_mktsegment AS sdr, c_custkey, o_orderkey, o_orderdate,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS valor
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        WHERE c_mktsegment NOT IN ('<SEM SDR>')),
+      scc AS (
+        SELECT sdr AS sdr_c, COUNT(DISTINCT c_custkey) AS qtd_cadastros
+        FROM co WHERE YEAR(o_orderdate) = 1997 AND MONTH(o_orderdate) = 5
+        GROUP BY sdr),
+      first_order AS (
+        SELECT sdr, o_orderdate AS primeira_data, o_orderkey AS primeiro_pedido,
+          valor AS valor_primeiro
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY sdr, c_custkey
+                ORDER BY o_orderdate, o_orderkey) AS rn FROM co)
+        WHERE rn = 1),
+      spp AS (
+        SELECT sdr AS sdr_p, COUNT(*) AS prim_pedido_num,
+          ((CAST(SUM(valor_primeiro) * 100 AS BIGINT) * 2
+            + COUNT(DISTINCT primeiro_pedido))
+            // (2 * COUNT(DISTINCT primeiro_pedido))) / 100.0 AS valor_medio
+        FROM first_order
+        WHERE YEAR(primeira_data) = 1997 AND MONTH(primeira_data) = 5
+        GROUP BY sdr),
+      msdr AS (SELECT * FROM (VALUES ('AUTOMOBILE', 25), ('BUILDING', 25),
+        ('FURNITURE', 20), ('HOUSEHOLD', 22), ('MACHINERY', 25))
+        AS m(sdr_m, meta_nv_loja)),
+      merged AS (
+        SELECT 1997 AS Ano, 'maio' AS Mes,
+          COALESCE(sdr_c, sdr_p, sdr_m) AS NomeSDR,
+          CAST(COALESCE(meta_nv_loja, 0) AS VARCHAR) AS MetaPedidos,
+          CAST(COALESCE(qtd_cadastros, 0) AS BIGINT) AS QtdCadastros,
+          CAST(COALESCE(prim_pedido_num, 0) AS BIGINT) AS PriPedido,
+          COALESCE(valor_medio, 0.0) AS valor_medio,
+          COALESCE(CAST(prim_pedido_num AS DOUBLE)
+            / NULLIF(qtd_cadastros, 0) * 100, 0.0) AS conv
+        FROM scc
+        LEFT JOIN spp ON sdr_c = sdr_p
+        LEFT JOIN msdr ON COALESCE(sdr_c, sdr_p) = sdr_m),
+      premiado AS (
+        SELECT *, CASE
+            WHEN PriPedido BETWEEN 0 AND 2 THEN 0.0
+            WHEN PriPedido BETWEEN 3 AND 7 THEN PriPedido * 80.0
+            WHEN PriPedido BETWEEN 8 AND 11 THEN PriPedido * 110.0
+            WHEN PriPedido BETWEEN 12 AND 14 THEN PriPedido * 130.0
+            WHEN PriPedido >= 15 THEN PriPedido * 140.0
+            ELSE 0.0 END AS premio
+        FROM merged)
+      SELECT Ano, Mes, NomeSDR, MetaPedidos, QtdCadastros, PriPedido,
+        ${brlFmtSql("valor_medio")} AS VLMReal,
+        printf('%.2f%%', conv) AS pct_conversao,
+        ${brlFmtSql("premio")} AS Premio,
+        ${brlFmtSql("premio + 2290.0")} AS PremioMaisSalario
+      FROM premiado
+      ORDER BY NomeSDR""",
     "r1_cenario_faturamento" -> s"""
       WITH inner_agg AS (
         SELECT c_mktsegment AS vendedor,
@@ -261,7 +396,10 @@ object Reports {
         SELECT g, vendedor, itens, conversao, gap_dec,
           CAST(fat_dec AS DOUBLE) AS faturado,
           CASE WHEN g = 1 THEN 700000000.0 * n_vendedores
-               ELSE 700000000.0 END AS meta_apropriada
+               ELSE 700000000.0 END AS meta_apropriada,
+          CASE WHEN conversao = 0 THEN NULL
+            ELSE ((CAST(fat_dec * 100 AS BIGINT) * 2 + conversao)
+                  // (2 * conversao)) / 100.0 END AS vlm_valor
         FROM rolled)
       SELECT COALESCE(vendedor, 'Total Geral') AS vendedor,
         ${brlFmtSql("meta_apropriada")} AS meta_vendedor,
@@ -270,7 +408,7 @@ object Reports {
         ${brlFmtSql("CAST(gap_dec AS DOUBLE)")} AS gap_fmt,
         itens, conversao,
         CASE WHEN conversao = 0 THEN NULL
-          ELSE ${brlFmtSql("faturado / conversao")} END AS vlm,
+          ELSE ${brlFmtSql("vlm_valor")} END AS vlm,
         printf('%.2f%%', faturado / meta_apropriada * 100) AS atingimento_str,
         CASE WHEN faturado / meta_apropriada * 100 > 100 THEN 'BATEU META'
           ELSE 'FORA DA META' END AS status_meta,
