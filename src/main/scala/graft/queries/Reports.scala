@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Det, Tables}
 import graft.functions.BrFunctions._
@@ -271,8 +271,47 @@ object Reports {
       .orderBy(col("NomeSDR"))
   }
 
+  /** R6: production SLA report — condensed port of `SQLServer -
+    * Scripts/SLA de Produção - Completo.sql` keeping its distinctive
+    * composition: dims joined inner ("trava antinulo"), per-order MAX
+    * expedition PRE-AGGREGATED before the join (the reference's
+    * shrink-build-side CTE, SURVEY §4), SLA deadline = start + 2 days
+    * (F22), lead time decomposed to padded HH:MM:SS (F21) plus day
+    * count, NO PRAZO/ATRASADO flag, and the legacy+serial UNION ALL
+    * consolidation with aligned columns (U1). */
+  val r6SlaProducao: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val orders = Tables.orders(s, d)
+    // EXPEDICAO_MAX analog: pre-aggregate before joining (build side
+    // shrinks from |lineitem| to |orders|)
+    val expedicaoMax = li.groupBy(col("l_orderkey").as("ok_exp"))
+      .agg(max(col("l_shipdate")).as("ultima_expedicao"))
+    def branch(statusFilter: Column, origem: String): DataFrame =
+      li.join(orders.filter(statusFilter), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .join(expedicaoMax, col("l_orderkey") === col("ok_exp"), "left")
+        .withColumn("prazo_sla", date_add(to_date(col("o_orderdate")), 2))
+        .withColumn("segundos",
+          unix_timestamp(col("l_shipdate")) - unix_timestamp(col("o_orderdate")))
+        .select(
+          col("l_orderkey").as("ordem"), col("l_linenumber").as("item"),
+          col("p_brand").as("marca"),
+          col("prazo_sla"),
+          leadTimeHms(col("segundos")).as("lt_hms"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .as("lt_dias"),
+          when(to_date(col("l_shipdate")) <= col("prazo_sla"), "NO PRAZO")
+            .otherwise("ATRASADO").as("status_sla"),
+          to_date(col("ultima_expedicao")).as("ultima_expedicao"),
+          lit(origem).as("origem"))
+    branch(col("o_orderstatus") === "F", "LEGADO")
+      .unionByName(branch(col("o_orderstatus") =!= "F", "SERIAL"))
+      .orderBy(col("ordem"), col("item"))
+  }
+
   val defs: Map[String, Q] = Map(
     "r5_painel_sdr" -> r5PainelSdr("maio", 1997),
+    "r6_sla_producao" -> r6SlaProducao,
     "r1_cenario_faturamento" -> r1CenarioFaturamento,
     "r2_recorrencia_base" -> r2RecorrenciaBase,
     "r3_recorrencia_alertas" -> r3RecorrenciaAlertas,
@@ -319,6 +358,33 @@ object Reports {
             FROM unioned)"""
 
   val oracles: Map[String, String] = Map(
+    "r6_sla_producao" -> """
+      WITH expedicao_max AS (
+        SELECT l_orderkey AS ok_exp, MAX(l_shipdate) AS ultima_expedicao
+        FROM lineitem GROUP BY l_orderkey),
+      base AS (
+        SELECT l_orderkey AS ordem, l_linenumber AS item, p_brand AS marca,
+          CAST(o_orderdate AS DATE) + 2 AS prazo_sla,
+          CAST(date_diff('second', o_orderdate, l_shipdate) AS BIGINT) AS segundos,
+          date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+            AS lt_dias,
+          CAST(l_shipdate AS DATE) AS ship_date,
+          CAST(ultima_expedicao AS DATE) AS ultima_expedicao,
+          o_orderstatus
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        LEFT JOIN expedicao_max ON l_orderkey = ok_exp)
+      SELECT ordem, item, marca, prazo_sla,
+        printf('%02d:%02d:%02d', segundos // 3600, (segundos % 3600) // 60,
+          segundos % 60) AS lt_hms,
+        CAST(lt_dias AS INT) AS lt_dias,
+        CASE WHEN ship_date <= prazo_sla THEN 'NO PRAZO' ELSE 'ATRASADO' END
+          AS status_sla,
+        ultima_expedicao,
+        CASE WHEN o_orderstatus = 'F' THEN 'LEGADO' ELSE 'SERIAL' END AS origem
+      FROM base
+      ORDER BY ordem, item""",
     "r5_painel_sdr" -> s"""
       WITH co AS (
         SELECT c_mktsegment AS sdr, c_custkey, o_orderkey, o_orderdate,
