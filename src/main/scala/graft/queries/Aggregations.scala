@@ -376,7 +376,7 @@ object Aggregations {
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "a11_share_window" -> """
       SELECT ano, o_orderstatus, pedidos,
-        SUM(pedidos) OVER (PARTITION BY ano) AS pedidos_ano,
+        CAST(SUM(pedidos) OVER (PARTITION BY ano) AS BIGINT) AS pedidos_ano,
         CAST(pedidos AS DOUBLE) / SUM(pedidos) OVER (PARTITION BY ano)
           AS participacao
       FROM (SELECT YEAR(o_orderdate) AS ano, o_orderstatus, COUNT(*) AS pedidos

@@ -453,8 +453,10 @@ object Reports {
         GROUP BY c_mktsegment),
       rolled AS (
         SELECT CAST(GROUPING(vendedor) AS INT) AS g, vendedor,
-          SUM(faturado_dec) AS fat_dec, SUM(itens) AS itens,
-          SUM(conversao) AS conversao, SUM(gap_para_soma) AS gap_dec,
+          SUM(faturado_dec) AS fat_dec,
+          CAST(SUM(itens) AS BIGINT) AS itens,
+          CAST(SUM(conversao) AS BIGINT) AS conversao,
+          SUM(gap_para_soma) AS gap_dec,
           COUNT(*) AS n_vendedores
         FROM inner_agg
         GROUP BY ROLLUP (vendedor)),

@@ -309,8 +309,9 @@ object Windows {
       FROM $monthlySql ORDER BY ano, mes""",
     "w11_running_business_days" -> """
       SELECT dia, ano, util,
-        SUM(util) OVER (PARTITION BY ano ORDER BY dia
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dias_uteis_acum
+        CAST(SUM(util) OVER (PARTITION BY ano ORDER BY dia
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS dias_uteis_acum
       FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS dia,
               YEAR(o_orderdate) AS ano,
               CAST(ISODOW(o_orderdate) <= 5 AS INT) AS util

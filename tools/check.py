@@ -71,6 +71,17 @@ def main():
         if len(got) != len(exp):
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
             n_fail += 1; continue
+        # dtype-KIND mismatch (int64 vs float64/object) survives cells_equal
+        # (1 == 1.0) but fails the driver's hash compare — e.g. DuckDB SUM
+        # over integers returns HUGEINT → pandas float64, while Spark emits
+        # BIGINT. Flag it hard so the oracle gets an explicit CAST.
+        kind_bad = [(c, str(got[c].dtype), str(exp[c].dtype))
+                    for c in got.columns
+                    if got[c].dtype.kind != exp[c].dtype.kind]
+        if kind_bad:
+            c, gk, ek = kind_bad[0]
+            print(f"FAIL {name}: dtype kind col={c} spark={gk} oracle={ek}")
+            n_fail += 1; continue
         bad = None
         for c in got.columns:
             gv, ev = got[c].tolist(), exp[c].tolist()
