@@ -28,6 +28,7 @@ object SparkEntry {
       (MlEtl.defs, MlEtl.oracles),
       (Sources.defs, Sources.oracles),
       (Reports.defs, Reports.oracles),
+      (ReportsSmt.defs, ReportsSmt.oracles),
       (Events.defs, Events.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
