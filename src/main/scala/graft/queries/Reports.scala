@@ -309,13 +309,76 @@ object Reports {
       .orderBy(col("ordem"), col("item"))
   }
 
-  val defs: Map[String, Q] = Map(
+  // lazy: r16 is declared below this map (object-init order)
+  lazy val defs: Map[String, Q] = Map(
     "r5_painel_sdr" -> r5PainelSdr("maio", 1997),
     "r6_sla_producao" -> r6SlaProducao,
     "r1_cenario_faturamento" -> r1CenarioFaturamento,
     "r2_recorrencia_base" -> r2RecorrenciaBase,
     "r3_recorrencia_alertas" -> r3RecorrenciaAlertas,
-    "r4_inadimplencia_base" -> r4InadimplenciaBase)
+    "r4_inadimplencia_base" -> r4InadimplenciaBase,
+    "r16_cenario_yty" -> r16CenarioYty)
+
+  /** R16: `Cenario_YearToYear()` shape-exact
+    * (`scripts_sql/Cenario_YearToYear.sql`): four-year revenue pivot
+    * by conditional sums (A4), de_DE money/percent display strings
+    * (CONCAT('R$ ', FORMAT(x, 2, 'de_DE')) — the BRL format), 'N/A'
+    * zero-denominator growth guards, inline business-days dimension
+    * (U4/S15) left-joined for the last year's revenue-per-business-day
+    * ('ROB D.U'), scalar-subquery total days on the UNION'd
+    * 'TOTAL GERAL/MÉDIA' row (Mes_Num 13), ordered Mes_Num.
+    * Years 2023..2026 play as 1997..2000; growth percents and ROB are
+    * computed from exact integer cents (half-up away from zero) for
+    * engine-stable formatting (see r5 note). Aliases: `2023`→`1997` …,
+    * 'Cresc% 24/23'→cresc_98_97 …, 'ROB D.U 26'→rob_du_2000. */
+  val r16CenarioYty: Q = (s, d) => {
+    import s.implicits._
+    val years = Seq(1997, 1998, 1999, 2000)
+    val duRows = Seq((1, 22), (2, 20), (3, 21), (4, 21), (5, 21), (6, 21),
+      (7, 23), (8, 21), (9, 21), (10, 22), (11, 20), (12, 22))
+    val mesesCap = monthsPt.map(m => m.head + m.tail.toLowerCase)
+    def crescStr(a: String, b: String): Column = {
+      val cp = s"((ABS($a - $b) * 20000 + $b) div (2 * $b))"
+      when(col(b) === 0, lit("N/A")).otherwise(concat(
+        when(col(a) < col(b), "-").otherwise(""),
+        translate(format_number(expr(s"$cp div 100").cast("long"), 0), ",", "."),
+        lit(","), lpad(expr(s"$cp % 100").cast("string"), 2, "0"), lit("%")))
+    }
+    def display(df: DataFrame): DataFrame = {
+      val withCents = years.foldLeft(df)((acc, y) =>
+        acc.withColumn(s"c$y", (col(s"f$y") * 100).cast("long")))
+      withCents.select(
+        col("mes"), col("mes_num"),
+        formatBrl(col("f1997")).as("1997"),
+        formatBrl(col("f1998")).as("1998"),
+        formatBrl(col("f1999")).as("1999"),
+        formatBrl(col("f2000")).as("2000"),
+        crescStr("c1998", "c1997").as("cresc_98_97"),
+        crescStr("c1999", "c1998").as("cresc_99_98"),
+        crescStr("c2000", "c1999").as("cresc_00_99"),
+        formatBrl(coalesce(
+          expr("((c2000 * 2 + du) div (2 * du)) / 100.0"), lit(0.0)))
+          .as("rob_du_2000"))
+    }
+    val fAggs = years.map(y =>
+      sum(when(year(col("o_orderdate")) === y, dec2(col("o_totalprice")))
+        .otherwise(lit(0).cast("decimal(18,2)"))).as(s"f$y"))
+    val detalhe = Tables.orders(s, d)
+      .groupBy(month(col("o_orderdate")).as("mes_num"))
+      .agg(fAggs.head, fAggs.tail: _*)
+    val du = duRows.toDF("du_mes", "du")
+    val detail = display(detalhe
+      .join(broadcast(du), col("mes_num") === col("du_mes"), "left")
+      .withColumn("mes",
+        element_at(array(mesesCap.map(lit): _*), col("mes_num"))))
+    val totalAggs = years.map(y => sum(col(s"f$y")).as(s"f$y"))
+    val total = display(detalhe
+      .agg(totalAggs.head, totalAggs.tail: _*)
+      .withColumn("mes", lit("TOTAL GERAL/MÉDIA"))
+      .withColumn("mes_num", lit(13))
+      .withColumn("du", lit(duRows.map(_._2).sum)))
+    detail.unionByName(total).orderBy(col("mes_num"))
+  }
 
   private val brlFmtSql: String => String = expr =>
     s"""'R$$ ' || translate(format('{:,}', CAST(FLOOR(CAST($expr AS DECIMAL(18,2))) AS BIGINT)), ',', '.')
@@ -357,7 +420,58 @@ object Reports {
       FROM (SELECT *, CAST(Recorrentes AS DOUBLE) / NULLIF(Total_Base, 0) AS perc
             FROM unioned)"""
 
+  private def crescDeSql(a: String, b: String): String = {
+    val cp = s"((ABS($a - $b) * 20000 + $b) // (2 * $b))"
+    s"""CASE WHEN $b = 0 THEN 'N/A'
+       ELSE (CASE WHEN $a < $b THEN '-' ELSE '' END)
+         || translate(format('{:,}', $cp // 100), ',', '.')
+         || ',' || lpad(CAST($cp % 100 AS VARCHAR), 2, '0') || '%'
+       END"""
+  }
+
+  private val r16Sql: String = {
+    val mesCase = monthsPt.zipWithIndex
+      .map { case (m, i) =>
+        s"WHEN ${i + 1} THEN '${m.head + m.tail.toLowerCase}'" }
+      .mkString("CASE mes_num ", " ", " END")
+    def fSum(y: Int) =
+      s"""SUM(CASE WHEN YEAR(o_orderdate) = $y
+          THEN CAST(o_totalprice AS DECIMAL(18,2))
+          ELSE CAST(0 AS DECIMAL(18,2)) END) AS f$y"""
+    s"""
+      WITH dias_uteis AS (
+        SELECT * FROM (VALUES (1,22),(2,20),(3,21),(4,21),(5,21),(6,21),
+          (7,23),(8,21),(9,21),(10,22),(11,20),(12,22)) AS t(du_mes, du)),
+      detalhe AS (
+        SELECT MONTH(o_orderdate) AS mes_num,
+          ${fSum(1997)}, ${fSum(1998)}, ${fSum(1999)}, ${fSum(2000)}
+        FROM orders GROUP BY 1),
+      unioned AS (
+        SELECT $mesCase AS mes, mes_num, f1997, f1998, f1999, f2000, du
+        FROM detalhe LEFT JOIN dias_uteis ON mes_num = du_mes
+        UNION ALL
+        SELECT 'TOTAL GERAL/MÉDIA', 13, SUM(f1997), SUM(f1998),
+          SUM(f1999), SUM(f2000), (SELECT SUM(du) FROM dias_uteis)
+        FROM detalhe),
+      cents AS (
+        SELECT *, CAST(f1997 * 100 AS BIGINT) AS c1997,
+          CAST(f1998 * 100 AS BIGINT) AS c1998,
+          CAST(f1999 * 100 AS BIGINT) AS c1999,
+          CAST(f2000 * 100 AS BIGINT) AS c2000
+        FROM unioned)
+      SELECT mes, mes_num,
+        ${brlFmtSql("f1997")} AS "1997", ${brlFmtSql("f1998")} AS "1998",
+        ${brlFmtSql("f1999")} AS "1999", ${brlFmtSql("f2000")} AS "2000",
+        ${crescDeSql("c1998", "c1997")} AS cresc_98_97,
+        ${crescDeSql("c1999", "c1998")} AS cresc_99_98,
+        ${crescDeSql("c2000", "c1999")} AS cresc_00_99,
+        ${brlFmtSql("COALESCE(((c2000 * 2 + du) // (2 * du)) / 100.0, 0.0)")}
+          AS rob_du_2000
+      FROM cents ORDER BY mes_num"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "r16_cenario_yty" -> r16Sql,
     "r6_sla_producao" -> """
       WITH expedicao_max AS (
         SELECT l_orderkey AS ok_exp, MAX(l_shipdate) AS ultima_expedicao

@@ -62,6 +62,10 @@ object ReportsSmt {
         concat(lit("SN-"), col("l_partkey"), lit("-"), col("l_suppkey"))
           .as("num_serie"),
         col("l_partkey").as("sku"),
+        col("l_suppkey").as("linha_sku"),
+        col("p_name").as("produto_desc"),
+        when(col("l_linestatus") === "F", "SCRAP").otherwise("REPARADO")
+          .as("situacao"),
         to_date(col("l_shipdate")).as("data_reparo"))
 
   private val monthCaseSql: String = monthsPt.zipWithIndex
@@ -80,6 +84,10 @@ object ReportsSmt {
        'SN-' || CAST(l_partkey AS VARCHAR) || '-'
          || CAST(l_suppkey AS VARCHAR) AS num_serie,
        l_partkey AS sku,
+       l_suppkey AS linha_sku,
+       p_name AS produto_desc,
+       CASE WHEN l_linestatus = 'F' THEN 'SCRAP' ELSE 'REPARADO' END
+         AS situacao,
        CAST(l_shipdate AS DATE) AS data_reparo
      FROM lineitem JOIN part ON l_partkey = p_partkey)"""
 
@@ -355,6 +363,86 @@ object ReportsSmt {
       .orderBy(col("reincidencia").desc, col("num_serie"))
   }
 
+  // ---------------------------------------------------------------
+  // Scrap-rate procedures (both conditional-sort branches, O3)
+  // ---------------------------------------------------------------
+
+  /** The `Scrap_Por_Peça` / `SMT_Scrap_SKU` template — the same query
+    * except SKU resolves produto through the deduplicated estoque
+    * lookup (J7) while Por_Peça reads the inline `produto_desc`.
+    * Per SKU×month: entries, scrap count, '% DE SCRAP' string; HAVING
+    * `COUNT(*) > 5 AND scrap > 0` (A6); the reference's two mutually
+    * exclusive CASE sort keys (O3) — chronological when p_mes='TUDO',
+    * scrap-ratio DESC otherwise — kept verbatim, with a sku tiebreak
+    * appended (no LIMIT, so ties only affect display order, not
+    * content).
+    *
+    * The scrap "SKU" is the repair LINE (supplier key), not the part:
+    * parts per repair scale with SF, so a part×month group never
+    * reaches the procedure's `> 5` entry floor at any test scale,
+    * while lines×months keep a scale-invariant ~7 entries/group —
+    * the same density the reference's few-hundred-product staging
+    * table has. */
+  private def scrap(viaEstoque: Boolean, pMes: String): Q = (s, d) => {
+    val base0 = reparos(s, d)
+      .filter(col("chave_ano") === pAno)
+      .filter(lit(pMes) === "TUDO" || col("chave_mes") === pMes)
+    val base =
+      if (!viaEstoque) base0.withColumn("produto",
+        concat(lit("LINHA "), col("linha_sku")))
+      else {
+        val estoque = Tables.supplier(s, d)
+          .select(col("s_suppkey").as("e_sku"), col("s_name").as("produto"))
+          .distinct()
+        base0.join(broadcast(estoque), col("linha_sku") === col("e_sku"), "left")
+          .filter(col("produto").isNotNull)
+      }
+    val sortChrono =
+      if (pMes == "TUDO") col("mes_n") else lit(null).cast("int")
+    val sortPct =
+      if (pMes != "TUDO") col("total_scrap").cast("double") / col("entradas")
+      else lit(null).cast("double")
+    base
+      .groupBy(col("linha_sku").as("sku"), col("produto"),
+        col("chave_mes").as("mes"),
+        col("mes_n"), col("chave_ano").as("ano"))
+      .agg(count(lit(1)).as("entradas"),
+        sum(when(col("situacao") === "SCRAP", 1).otherwise(0))
+          .as("total_scrap"))
+      .filter(col("entradas") > 5 && col("total_scrap") > 0)
+      .withColumn("pct_de_scrap",
+        pctSobTotalStr(col("total_scrap"), col("entradas")))
+      .select(col("sku"), col("produto"), col("mes"), col("mes_n"),
+        col("ano"), col("entradas"), col("total_scrap"), col("pct_de_scrap"))
+      .orderBy(sortChrono.asc, sortPct.desc, col("sku"))
+  }
+
+  private def scrapSql(produtoExpr: String, fromSql: String,
+      whereMes: String, orderSql: String): String = s"""
+    SELECT linha_sku AS sku, $produtoExpr AS produto, chave_mes AS mes, mes_n,
+      chave_ano AS ano, COUNT(*) AS entradas,
+      CAST(SUM(CASE WHEN situacao = 'SCRAP' THEN 1 ELSE 0 END) AS BIGINT)
+        AS total_scrap,
+      ${pctSobTotalSql(
+        "CAST(SUM(CASE WHEN situacao = 'SCRAP' THEN 1 ELSE 0 END) AS BIGINT)",
+        "COUNT(*)")} AS pct_de_scrap
+    FROM $fromSql
+    WHERE chave_ano = $pAno $whereMes
+    GROUP BY linha_sku, $produtoExpr, chave_mes, mes_n, chave_ano
+    HAVING COUNT(*) > 5
+       AND SUM(CASE WHEN situacao = 'SCRAP' THEN 1 ELSE 0 END) > 0
+    ORDER BY $orderSql, sku"""
+
+  /** R14: `SMT_Scrap_SKU('TUDO', 1997)` — estoque-join variant on the
+    * chronological-sort branch. Aliases: 'DESCRIÇÃO PRODUTO'→produto,
+    * 'ENTRADAS'→entradas, 'TOTAL SCRAP'→total_scrap,
+    * '% DE SCRAP'→pct_de_scrap. */
+  val r14ScrapSku: Q = scrap(viaEstoque = true, pMes = "TUDO")
+
+  /** R15: `Scrap_Por_Peça('MARÇO', 1997)` — inline-produto variant on
+    * the scrap-ratio sort branch. */
+  val r15ScrapPorPeca: Q = scrap(viaEstoque = false, pMes = "MARÇO")
+
   val defs: Map[String, Q] = Map(
     "r7_reparos_mom" -> r7ReparosMom,
     "r8_reparos_yoy" -> r8ReparosYoy,
@@ -362,7 +450,9 @@ object ReportsSmt {
     "r10_top10_fornecedores" -> r10Top10Fornecedores,
     "r11_resumo_performance" -> r11ResumoPerformance,
     "r12_snippet_rma" -> r12SnippetRma,
-    "r13_reincidencia_reparos" -> r13ReincidenciaReparos)
+    "r13_reincidencia_reparos" -> r13ReincidenciaReparos,
+    "r14_scrap_sku" -> r14ScrapSku,
+    "r15_scrap_por_peca" -> r15ScrapPorPeca)
 
   private val momYoySelect: (String, String, String, String) => String =
     (prevExpr, qtdPrevAlias, difAlias, pctAlias) => s"""
@@ -448,6 +538,19 @@ object ReportsSmt {
           || '%' AS pct_smt,
         g
       FROM rolled ORDER BY g, ano""",
+    "r14_scrap_sku" -> scrapSql(
+      produtoExpr = "produto",
+      fromSql = s"""($reparosSql r LEFT JOIN
+        (SELECT DISTINCT s_suppkey AS e_sku, s_name AS produto FROM supplier) e
+        ON r.linha_sku = e.e_sku)""",
+      whereMes = "AND produto IS NOT NULL",
+      orderSql = "mes_n ASC"),
+    "r15_scrap_por_peca" -> scrapSql(
+      produtoExpr = "'LINHA ' || CAST(linha_sku AS VARCHAR)",
+      fromSql = reparosSql,
+      whereMes = "AND chave_mes = 'MARÇO'",
+      orderSql =
+        "CAST(SUM(CASE WHEN situacao = 'SCRAP' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) DESC"),
     "r13_reincidencia_reparos" -> s"""
       WITH estoque AS (SELECT DISTINCT p_partkey AS e_sku, p_name AS produto
                        FROM part)

@@ -66,6 +66,42 @@ class ReportsSmtSpec extends AnyFunSuite {
     assert(rows.last.getAs[String]("ano") == "TOTAL GERAL")
   }
 
+  test("scrap: entry floor + scrap>0 hold, both sort branches populated") {
+    val sku = ReportsSmt.r14ScrapSku(spark, sf).collect()
+    assert(sku.nonEmpty)
+    sku.foreach { r =>
+      assert(r.getAs[Long]("entradas") > 5)
+      val scrap = r.getAs[Long]("total_scrap")
+      assert(scrap > 0 && scrap <= r.getAs[Long]("entradas"))
+      assert(r.getAs[String]("pct_de_scrap").endsWith("%"))
+    }
+    // TUDO branch: chronological — mes_n non-decreasing in output order
+    val meses = sku.map(_.getAs[Int]("mes_n")).toSeq
+    assert(meses == meses.sorted)
+    // month branch: single month, ratio-descending
+    val peca = ReportsSmt.r15ScrapPorPeca(spark, sf).collect()
+    assert(peca.nonEmpty && peca.forall(_.getAs[String]("mes") == "MARÇO"))
+    val ratios = peca.map(r =>
+      r.getAs[Long]("total_scrap").toDouble / r.getAs[Long]("entradas")).toSeq
+    assert(ratios == ratios.sorted.reverse)
+  }
+
+  test("r16 YearToYear: 12 months + total row, de_DE display grammar") {
+    val rows = graft.queries.Reports.r16CenarioYty(spark, sf).collect()
+    assert(rows.length == 13)
+    val total = rows.last
+    assert(total.getAs[String]("mes") == "TOTAL GERAL/MÉDIA")
+    assert(total.getAs[Int]("mes_num") == 13)
+    val moneyRe = """R\$ -?\d{1,3}(\.\d{3})*,\d{2}""".r
+    val pctRe = """(-?\d{1,3}(\.\d{3})*,\d{2}%|N/A)""".r
+    rows.foreach { r =>
+      Seq("1997", "1998", "1999", "2000", "rob_du_2000").foreach(c =>
+        assert(moneyRe.matches(r.getAs[String](c)), s"$c: ${r.getAs[String](c)}"))
+      Seq("cresc_98_97", "cresc_99_98", "cresc_00_99").foreach(c =>
+        assert(pctRe.matches(r.getAs[String](c)), s"$c: ${r.getAs[String](c)}"))
+    }
+  }
+
   test("r13 reincidencia: every row repeats and chains are sorted") {
     val rows = ReportsSmt.r13ReincidenciaReparos(spark, sf).collect()
     assert(rows.nonEmpty)
