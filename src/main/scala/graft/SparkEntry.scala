@@ -29,6 +29,7 @@ object SparkEntry {
       (Sources.defs, Sources.oracles),
       (Reports.defs, Reports.oracles),
       (ReportsSmt.defs, ReportsSmt.oracles),
+      (ReportsShowroom.defs, ReportsShowroom.oracles),
       (Events.defs, Events.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */

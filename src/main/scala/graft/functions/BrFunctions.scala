@@ -89,6 +89,18 @@ object BrFunctions {
     * Ref: `PROD_Produtividade_FPY.sql:43`. */
   def monthOrderPt(name: Column): Column = monthNumberPt(name)
 
+  /** pt-BR weekday names indexed by MySQL DAYOFWEEK (1=Domingo…7=Sábado),
+    * locale-independent literal ladder.
+    * Ref: `Códigos Úteis SQL/Cálculo Vendido por Semana.sql:3-12`. */
+  val weekdaysPt: Seq[String] = Seq("Domingo", "Segunda-Feira", "Terça-Feira",
+    "Quarta-Feira", "Quinta-Feira", "Sexta-Feira", "Sábado")
+
+  /** date/timestamp → pt-BR weekday name ('Data Desconhecida' on null,
+    * the ladder's ELSE). Spark's `dayofweek` is 1=Sunday like MySQL's. */
+  def diaSemanaPt(d: Column): Column =
+    coalesce(element_at(array(weekdaysPt.map(lit): _*), dayofweek(d)),
+      lit("Data Desconhecida"))
+
   /** "Semana N" week-of-month label, formula-exact with the reference
     * (`Algoritmo de Estruturação de Dados.py:288-306`): days before the
     * month's first MONDAY are "Semana 0"; from the first Monday on,

@@ -127,7 +127,10 @@ object TrainingData {
     // k seeded murmur hashes per shingle; min per doc = signature
     val minhashes = (0 until numHashes).map(j =>
       min(hash(col("sh"), lit(j))).as(s"h$j"))
-    val sig = sh.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
+    // shingle size folded into the SAME aggregation — one shuffle of
+    // the exploded-shingle table instead of two
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(minhashes.head, (minhashes.tail :+ count(lit(1)).as("n")): _*)
     // bands: concat band rows into one bucket key
     val bandCols = (0 until numHashes / bandRows).map { b =>
       struct(lit(b).as("band"),
@@ -141,7 +144,7 @@ object TrainingData {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     // exact-Jaccard verification only on candidates
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sizes = sig.select(col("doc_id"), col("n"))
     val inter = candidates
       .join(sh.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
