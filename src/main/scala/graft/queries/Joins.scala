@@ -204,7 +204,44 @@ object Joins {
       .orderBy(col("p_partkey"))
   }
 
+  /** J15 (beyond-reference): distributed as-of join — for each
+    * purchase event, the latest click at-or-before its timestamp for
+    * the same user (trade/quote alignment shape; SURVEY §2.3 notes the
+    * reference lacks as-of joins). Spark-first formulation: instead of
+    * a per-row backward probe or a range join that explodes to
+    * candidates × quotes, tag both sides, union them into one stream
+    * sorted by (ts, side) per user, and carry the last click forward
+    * with last_value(ignoreNulls) — ONE shuffle on user_id, linear
+    * work, no broadcast requirement on either side; this is the shape
+    * that survives 100 TB of events. Clicks are pre-collapsed to one
+    * row per (user, ts) so tie-breaks are engine-independent. */
+  val j15Asof: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("ts"), lit(0).as("lado"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("value"), col("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("lado"),
+        col("event_id"), col("value"), lit(null).cast("long").as("click_id"))
+    // at equal ts the click sorts first (lado 0 < 1) → "at-or-before"
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("lado"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_id",
+        last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts",
+        last(when(col("lado") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("lado") === 1 && col("last_click_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("last_click_id").as("click_id"), col("last_click_ts").as("click_ts"))
+      .orderBy(col("event_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "j15_asof" -> j15Asof,
     "j1_left_enrich" -> j1LeftEnrich,
     "j2_lookup" -> j2Lookup,
     "j3_outer_coalesce" -> j3OuterCoalesce,
@@ -220,6 +257,17 @@ object Joins {
     "j14_contains_join" -> j14ContainsJoin)
 
   val oracles: Map[String, String] = Map(
+    "j15_asof" -> """
+      WITH clicks AS (
+        SELECT user_id, ts AS click_ts, MAX(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      purchases AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id, c.click_ts
+      FROM purchases p ASOF JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.click_ts
+      ORDER BY p.event_id""",
     "j1_left_enrich" -> """
       SELECT c_custkey,
         CASE WHEN n.n_name IS NULL OR r.r_name IS NULL THEN NULL

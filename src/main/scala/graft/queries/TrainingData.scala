@@ -123,36 +123,37 @@ object TrainingData {
     val numHashes = 16
     val bandRows = 4
     val base = corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200)
-    val sh = base.select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
-    // k seeded murmur hashes per shingle; min per doc = signature
-    val minhashes = (0 until numHashes).map(j =>
-      min(hash(col("sh"), lit(j))).as(s"h$j"))
-    // shingle size folded into the SAME aggregation — one shuffle of
-    // the exploded-shingle table instead of two
-    val sig = sh.groupBy(col("doc_id"))
-      .agg(minhashes.head, (minhashes.tail :+ count(lit(1)).as("n")): _*)
+    // One narrow pass per doc: distinct shingle array (kept for the
+    // exact verify), k minhashes via array fold — no explode/groupBy
+    // shuffle for signature building. This is the MinHashLSH layout
+    // (features kept per-row), and at 100 TB the signature stage is
+    // embarrassingly parallel.
+    val hcols = (0 until numHashes).map(j =>
+      array_min(transform(col("shs"), x => hash(x, lit(j)))).as(s"h$j"))
+    val sig = base
+      .select(col("doc_id"), shingles(col("text"), 3).as("shs"))
+      .select(col("doc_id") +: col("shs") +: size(col("shs")).as("n") +: hcols: _*)
     // bands: concat band rows into one bucket key
     val bandCols = (0 until numHashes / bandRows).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until bandRows).map(r => col(s"h${b * bandRows + r}")): _*)
           .as("key"))
     }
-    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val candidates = buckets.as("a").join(buckets.as("b"), Seq("band", "key"))
+    val buckets = sig
+      .select(col("doc_id"), col("shs"), col("n"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("shs"), col("n"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    // bucket self-join carries both shingle arrays → exact Jaccard
+    // computed inline on the candidate pair, no join back to an
+    // exploded shingle table (was 3 extra shuffles)
+    buckets.as("a").join(buckets.as("b"), Seq("band", "key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    // exact-Jaccard verification only on candidates
-    val sizes = sig.select(col("doc_id"), col("n"))
-    val inter = candidates
-      .join(sh.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .filter(col("sh") === col("sh_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
-      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.shs").as("sa"), col("b.shs").as("sb"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= 0.5)

@@ -118,6 +118,40 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: drop re-deliveries of the same event_id
+    * arriving within the watermark horizon — the ingestion-dedup stage
+    * of a training-data pipeline (at-least-once source → effectively-
+    * once downstream). `dropDuplicatesWithinWatermark` bounds the
+    * dedup state by the watermark instead of growing forever, which is
+    * what makes it viable on an unbounded 100 TB/day stream. */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: attribute each purchase to the
+    * clicks of the same user in the preceding 30 minutes. Watermarks
+    * on BOTH sides plus the time-range join condition let Spark expire
+    * buffered rows — without them a stream-stream join would hold
+    * state forever. Inner join → Append mode works and emits as soon
+    * as both sides are past the watermark. */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      expr("""user_id = c_user AND
+              click_ts BETWEEN purchase_ts - INTERVAL 30 MINUTES
+                           AND purchase_ts"""))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("value"), col("click_id"), col("click_ts"))
+  }
+
   /** File-source stream over a directory of parquet events (test/demo
     * entry; production swaps in Kafka with the same downstream plan). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

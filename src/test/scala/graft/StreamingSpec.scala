@@ -55,6 +55,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() > 0, "expected at least one closed session")
   }
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    val tmp = java.nio.file.Files.createTempDirectory("events_dup").toString
+    val ev = Tables.events(spark, sf)
+    // simulate at-least-once delivery: every event arrives twice
+    ev.unionByName(ev).write.mode("overwrite").parquet(tmp)
+    val stream = EventStream.readEventStream(spark, tmp)
+    val out = EventStream.runToMemory(spark,
+      EventStream.dedupedStream(stream), "deduped")
+    assert(out.count() == ev.count())
+    assert(out.select("event_id").distinct().count() == ev.count())
+  }
+
+  test("stream-stream click→purchase join matches the batch equivalent") {
+    val tmp = java.nio.file.Files.createTempDirectory("events_ssj").toString
+    Tables.events(spark, sf).write.mode("overwrite").parquet(tmp)
+    val stream = EventStream.readEventStream(spark, tmp)
+    val out = EventStream.runToMemory(spark,
+      EventStream.clickPurchaseJoin(stream), "ss_join")
+    // same function over the batch table: withWatermark is a no-op in
+    // batch, so this is the exact batch-join oracle
+    val batch = EventStream.clickPurchaseJoin(Tables.events(spark, sf))
+    assert(out.count() == batch.count())
+    assert(out.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(out).count() == 0)
+  }
+
   test("stateful sessionization accumulates per-user counts") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("events_sess").toString
