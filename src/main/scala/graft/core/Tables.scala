@@ -14,8 +14,16 @@ import org.apache.spark.sql.functions.{expr, timestamp_micros}
   * `spark.read.parquet`.
   */
 object Tables {
+  // Memoized per (session, path): `spark.read.parquet` lists files and
+  // reads footers on every call, which across a 150-query run is pure
+  // repeated metadata work. Plan-level memoization only — no data is
+  // cached, every query still scans parquet.
+  private val loaded =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    loaded.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
