@@ -83,8 +83,12 @@ object Sources {
     * (`ETL - Análise Preditiva…Machine Learning.py:187-207`). */
   val s12PartitionRefresh: Q = (s, d) => {
     val dir = tmpDir("partitioned") + "/orders"
+    // repartition on the partition column before a partitionBy write —
+    // one writer task per partition, no small-files explosion (the
+    // standard shape for dynamic-partition loads at scale)
     val orders = Tables.orders(s, d)
       .withColumn("ano", year(col("o_orderdate")))
+      .repartition(col("ano"))
     orders.write.partitionBy("ano").mode("overwrite").parquet(dir)
     // refresh 1997 only: same rows with a corrected flag column would
     // normally arrive; here the refresh doubles valor for visibility
