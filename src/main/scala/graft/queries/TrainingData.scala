@@ -94,8 +94,9 @@ object TrainingData {
 
   /** X4: exact n-gram Jaccard near-dup pairs (3-word shingles,
     * J ≥ 0.5) — the verification primitive LSH candidates are checked
-    * against. Self-join on shingle, count intersections, join sizes. */
-  val x4NgramJaccard: Q = (s, d) => {
+    * against. Self-join on shingle (inverted index), count
+    * intersections, join sizes. */
+  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
     val base = corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200)
     val sh = base.select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -110,7 +111,52 @@ object TrainingData {
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val x4NgramJaccard: Q = (s, d) =>
+    ngramJaccardPairs(s, d).orderBy(col("id_a"), col("id_b"))
+
+  /** X14: near-dup clustering — connected components over the exact
+    * Jaccard pair graph (x4, J ≥ 0.5), labeling every corpus doc with
+    * the minimum doc_id of its duplicate component ("canonico"); the
+    * survivor set is `sobrevivente = (doc_id == canonico)`. This is
+    * the stage after pair generation in a real dedup pipeline: pairs
+    * alone don't say which doc to keep when dup relations chain
+    * (A~B, B~C but A!~C).
+    *
+    * Spark-first CC without GraphX: iterative min-label propagation —
+    * each round is one join + one agg shuffle on doc_id, converging in
+    * O(log diameter) rounds; `localCheckpoint` truncates lineage per
+    * round (the standard guard for iterative DataFrame algorithms) and
+    * the loop exits at the exact fixpoint, so the result equals the
+    * transitive closure the oracle computes with a recursive CTE. */
+  val x14DedupClusters: Q = (s, d) => {
+    val docs = corpusWithDupes(s, d)
+      .filter(col("doc_id") % 1000000 < 200).select(col("doc_id"))
+    val pairs = ngramJaccardPairs(s, d)
+    val adj = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = docs.withColumn("label", col("doc_id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbMin = adj
+        .join(labels.select(col("doc_id").as("dst"), col("label").as("dl")),
+          Seq("dst"))
+        .groupBy(col("src").as("doc_id")).agg(min(col("dl")).as("nb"))
+      val next = labels.join(nbMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nb"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("doc_id"), col("label").as("old")), Seq("doc_id"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+    }
+    labels
+      .select(col("doc_id"), col("label").as("canonico"),
+        (col("doc_id") === col("label")).as("sobrevivente"))
+      .orderBy(col("doc_id"))
   }
 
   /** X2: MinHash + LSH near-dup detection (shingle → k=16 minhashes →
@@ -334,6 +380,7 @@ object TrainingData {
   val defs: Map[String, Q] = Map(
     "x12_dedup_cosine" -> x12DedupCosine,
     "x13_ann_ivf" -> x13AnnIvf,
+    "x14_dedup_clusters" -> x14DedupClusters,
     "x1_dedup_exact" -> x1DedupExact,
     "x2_dedup_minhash" -> x2DedupMinhash,
     "x3_simhash" -> x3Simhash,
@@ -356,6 +403,38 @@ object TrainingData {
          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"""
 
   val oracles: Map[String, String] = Map(
+    "x14_dedup_clusters" -> s"""
+      WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM $corpusSql WHERE doc_id % 1000000 < 200),
+      sh AS (
+        SELECT doc_id, unnest($sqlShingles3) AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM corpus)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      p AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN (SELECT doc_id AS id_a, n AS na FROM sizes) USING (id_a)
+        JOIN (SELECT doc_id AS id_b, n AS nb FROM sizes) USING (id_b)
+        WHERE ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5),
+      edges2 AS (
+        SELECT id_a AS a, id_b AS b FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+      reach(a, b) AS (
+        SELECT a, b FROM edges2
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges2 e ON r.b = e.a)
+      SELECT c.doc_id,
+        LEAST(c.doc_id, COALESCE(m.mn, c.doc_id)) AS canonico,
+        c.doc_id = LEAST(c.doc_id, COALESCE(m.mn, c.doc_id)) AS sobrevivente
+      FROM corpus c
+      LEFT JOIN (SELECT a, MIN(b) AS mn FROM reach GROUP BY a) m
+        ON c.doc_id = m.a
+      ORDER BY c.doc_id""",
     "x12_dedup_cosine" -> """
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         ROUND(

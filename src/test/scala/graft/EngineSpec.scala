@@ -77,6 +77,19 @@ class EngineSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"minhash recall $recall")
   }
 
+  test("dedup clusters: every dup-pair shares one canonical label, survivors are minima") {
+    val labels = TrainingData.x14DedupClusters(spark, sf)
+    val byId = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pair endpoints must land in the same component
+    TrainingData.x4NgramJaccard(spark, sf).select("id_a", "id_b").collect()
+      .foreach { r =>
+        assert(byId(r.getLong(0)) == byId(r.getLong(1)),
+          s"pair ${r.getLong(0)}~${r.getLong(1)} split across components")
+      }
+    // canonical id is a member of its own component and minimal
+    byId.foreach { case (id, c) => assert(c <= id && byId(c) == c) }
+  }
+
   test("ANN LSH recall vs brute-force cosine top-10 >= 0.4 (isotropic data)") {
     val exact = TrainingData.x5AnnCosine(spark, sf)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
