@@ -28,8 +28,30 @@ object Bench {
       graft.core.Tables.table(spark, sfDir, t).count()
     }
     graft.core.Tables.events(spark, sfDir).count()
+    // exercise the codegen / shuffle / broadcast / window machinery on
+    // synthetic data (NOT the timed queries): first-query cost then
+    // reflects steady-state JIT instead of cold janino + cold executor
+    // pools, which otherwise adds ~1s to every query's first run
+    locally {
+      import org.apache.spark.sql.functions._
+      val a = spark.range(200000).selectExpr("id % 97 as k", "id as v")
+      val b = spark.range(97).selectExpr("id as k", "id * 2 as w")
+      a.groupBy("k").agg(sum("v"), countDistinct("v")).count()
+      a.join(broadcast(b), "k").count()
+      a.join(b, "k").count()
+      a.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("v")))
+        .filter(col("rn") <= 3).count()
+      a.orderBy(col("v").desc).limit(10).count()
+    }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated name filter (dev iteration; the driver
+    // sets no filter → full run). SPARK_GRAFT_REPEAT repeats the set.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = (1 to repeat).flatMap(_ => selected).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
