@@ -144,14 +144,14 @@ object TrainingData {
         .join(labels.select(col("doc_id").as("dst"), col("label").as("dl")),
           Seq("dst"))
         .groupBy(col("src").as("doc_id")).agg(min(col("dl")).as("nb"))
+      // carry the old label through the update so the convergence
+      // check is a filter on the checkpointed frame, not another join
       val next = labels.join(nbMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("old"),
           least(col("label"), coalesce(col("nb"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("doc_id"), col("label").as("old")), Seq("doc_id"))
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("doc_id"), col("label"))
     }
     labels
       .select(col("doc_id"), col("label").as("canonico"),
