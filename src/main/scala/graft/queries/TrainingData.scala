@@ -235,6 +235,64 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** 32-bit token hash from the md5 prefix (8 hex chars, positional
+    * parse — portable across engines; long arithmetic, no overflow). */
+  private def md5Hash32(c: Column): Column = {
+    val hex = substring(md5(c), 1, 8)
+    (0 until 8).map { i =>
+      (instr(lit("0123456789abcdef"), substring(hex, i + 1, 1)) - 1)
+        .cast("long") * lit(1L << (4 * (7 - i)))
+    }.reduce(_ + _)
+  }
+
+  /** 32-bit simhash signature per doc over the dedup corpus. */
+  private def simhash32(s: SparkSession, d: String): DataFrame = {
+    val toks = corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200)
+      .select(col("doc_id"), explode(distinctTokens(col("text"))).as("tok"))
+      .withColumn("h", md5Hash32(col("tok")))
+    val votes = (0 until 32).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v$i")
+    }
+    toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(i =>
+          when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** X15: SimHash near-dup pairs with banded blocking — the SimHash
+    * DEDUP operator (x3 only emits signatures). 32-bit signatures
+    * split into 4 bands of 8 bits; docs sharing any band bucket become
+    * candidates; exact hamming (bit_count of xor) ≤ 3 verifies.
+    *
+    * The blocking is LOSSLESS for this threshold by pigeonhole: ≤ 3
+    * differing bits cannot touch all 4 bands, so at least one band
+    * matches exactly — the LSH-shaped plan returns EXACTLY the n² scan
+    * result (which is what the oracle computes), while only ever
+    * joining within band buckets. Production width is 64-bit with
+    * 16-bit bands; 32-bit keeps the oracle portable. */
+  val x15SimhashDedup: Q = (s, d) => {
+    val sigs = simhash32(s, d)
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 8).bitwiseAND(255).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("a").join(bands.as("b"), Seq("band", "key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+      .filter(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ---------------------------------------------------------- similarity
 
   private def dot(a: Column, b: Column): Column =
@@ -381,6 +439,7 @@ object TrainingData {
     "x12_dedup_cosine" -> x12DedupCosine,
     "x13_ann_ivf" -> x13AnnIvf,
     "x14_dedup_clusters" -> x14DedupClusters,
+    "x15_simhash_dedup" -> x15SimhashDedup,
     "x1_dedup_exact" -> x1DedupExact,
     "x2_dedup_minhash" -> x2DedupMinhash,
     "x3_simhash" -> x3Simhash,
@@ -402,7 +461,36 @@ object TrainingData {
          range(1, greatest(len(toks) - 2, 0) + 1),
          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"""
 
+  private val simhash32Sql: String = {
+    val hex32 = (0 until 8).map { i =>
+      s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
+    }.mkString("(", " + ", ")")
+    val votes = (0 until 32).map(i =>
+      s"SUM(CASE WHEN (h // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END) AS v$i")
+      .mkString(", ")
+    val assemble = (0 until 32).map(i =>
+      s"CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""(SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
+        FROM (
+          SELECT doc_id, $votes
+          FROM (SELECT doc_id, $hex32 AS h
+                FROM (SELECT doc_id, substring(md5(tok), 1, 8) AS hx
+                      FROM (SELECT doc_id,
+                              unnest(list_distinct(
+                                regexp_split_to_array(trim(text), '\\s+'))) AS tok
+                            FROM $corpusSql
+                            WHERE doc_id % 1000000 < 200)))
+          GROUP BY doc_id))"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "x15_simhash_dedup" -> s"""
+      WITH sigs AS (SELECT * FROM $simhash32Sql)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      ORDER BY id_a, id_b""",
     "x14_dedup_clusters" -> s"""
       WITH RECURSIVE corpus AS (
         SELECT doc_id, text FROM $corpusSql WHERE doc_id % 1000000 < 200),
