@@ -9,9 +9,10 @@ import graft.functions.CosineSimilarity
   * expressions into any session via config —
   * `spark.sql.extensions=graft.GraftExtensions` — so SQL-text users
   * (and Thrift/Connect clients on a real cluster) get `cosine_sim`
-  * without touching code. Function-injection-only today; optimizer
-  * rules/strategies are intentionally absent (SURVEY §4: built-in
-  * Catalyst covers the reference's surface).
+  * without touching code — plus the TopKPerGroup planner strategy
+  * (plans/TopKPerGroup: sort-free per-group top-k). No optimizer
+  * rules: built-in Catalyst covers the reference's surface (SURVEY
+  * §4); the custom pieces are an expression and a physical operator.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -19,5 +20,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -91,6 +91,18 @@ object SortsSetOps {
       .orderBy(col("c_mktsegment"), col("rn"))
   }
 
+  /** O8 (beyond-reference): the same per-group top-k computed by the
+    * engine's custom sort-free physical operator
+    * (plans/TopKPerGroup — bounded heaps, map-side partial top-k,
+    * shuffle of survivors only). Same semantics as the window
+    * formulation (o7/w4); the oracle is the row_number SQL. */
+  val o8TopkPhysical: Q = (s, d) =>
+    graft.plans.TopK
+      .perGroup(Tables.orders(s, d), Seq("o_orderpriority"),
+        Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+
   /** U1: UNION ALL multi-source consolidation with source tag
     * (`SLA de Produção - Completo.sql:130-236`, `ETL - CRM.py:67-76`). */
   val u1UnionTagged: Q = (s, d) => {
@@ -156,6 +168,7 @@ object SortsSetOps {
     "o5_topk" -> o5TopK,
     "o6_nlargest" -> o6Nlargest,
     "o7_per_group_head" -> o7PerGroupHead,
+    "o8_topk_physical" -> o8TopkPhysical,
     "u1_union_tagged" -> u1UnionTagged,
     "u3_union_missing_cols" -> u3UnionByNameMissing,
     "u4_inline_literal" -> u4InlineLiteral,
@@ -168,6 +181,14 @@ object SortsSetOps {
       .mkString("CASE MONTH(o_orderdate) ", " ", " END")
 
   val oracles: Map[String, String] = Map(
+    "o8_topk_physical" -> """
+      SELECT o_orderpriority, o_orderkey, o_totalprice
+      FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+              ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders)
+      WHERE rn <= 3
+      ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""",
     "o1_multi_sort" -> """
       SELECT c_nationkey, c_acctbal, c_custkey FROM customer
       ORDER BY c_nationkey ASC, c_acctbal DESC, c_custkey ASC""",

@@ -11,4 +11,20 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Build a DataFrame from a custom logical plan (Dataset.ofRows is
+    * `private[sql]` in 4.x). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently register a planner strategy on a session that was
+    * not started with `spark.sql.extensions=graft.GraftExtensions`
+    * (the config path also registers it). */
+  def ensureStrategy(spark: SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(strategy))
+      exp.extraStrategies = exp.extraStrategies :+ strategy
+  }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.plans.TopK
+
+/** Custom physical operator: sort-free per-group top-k. */
+class PlansSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def viaWindow(k: Int) = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
+  private def viaTopK(k: Int) =
+    TopK.perGroup(Tables.orders(spark, sf), Seq("o_orderpriority"),
+      Seq(("o_totalprice", true), ("o_orderkey", false)), k)
+
+  test("TopKPerGroup equals the window-rank formulation (unique tiebreak)") {
+    for (k <- Seq(1, 3, 10)) {
+      val a = viaTopK(k).orderBy("o_orderpriority", "o_orderkey").collect().toSeq
+      val b = viaWindow(k).orderBy("o_orderpriority", "o_orderkey").collect().toSeq
+      assert(a == b, s"k=$k mismatch")
+    }
+  }
+
+  test("plan has partial+final heap operators and no Sort") {
+    // SparkPlan.nodeName strips the Exec suffix → "TopKPerGroup"
+    val plan = viaTopK(3).queryExecution.executedPlan.toString
+    assert("TopKPerGroup \\[".r.findAllIn(plan).size == 2,
+      s"expected partial+final heap operators:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"expected exactly the group-key exchange:\n$plan")
+    assert(!plan.contains("Sort "), s"no sort expected:\n$plan")
+  }
+
+  test("operator handles groups smaller than k and string order keys") {
+    val out = TopK.perGroup(Tables.nation(spark, sf), Seq("n_regionkey"),
+      Seq(("n_name", false)), 100)
+    assert(out.count() == Tables.nation(spark, sf).count())
+    val top1 = TopK.perGroup(Tables.nation(spark, sf), Seq("n_regionkey"),
+      Seq(("n_name", false)), 1)
+      .select("n_regionkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val expect = Tables.nation(spark, sf)
+      .groupBy("n_regionkey").agg(min("n_name").as("n_name"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(top1 == expect)
+  }
+}
