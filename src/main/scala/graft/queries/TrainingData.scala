@@ -66,6 +66,21 @@ object TrainingData {
         fingerprintShort(col("text")).as("fp_short"))
       .orderBy(col("doc_id"))
 
+  /** X16: consistent stratified sampling — k docs per language, chosen
+    * by md5(doc_id) order. Hash-rank sampling is the scale idiom for
+    * training-data pipelines: uniform-ish, reproducible across reruns
+    * and engines (no RNG state), and mergeable (the hash order is
+    * global, so partial samples combine exactly — here it runs on the
+    * engine's sort-free TopKPerGroup operator, so the full corpus is
+    * never sorted). */
+  val x16StratifiedSample: Q = (s, d) =>
+    graft.plans.TopK.perGroup(
+      Tables.documents(s, d)
+        .withColumn("amostra_chave", md5(col("doc_id").cast("string"))),
+      Seq("lang"), Seq(("amostra_chave", false)), 5)
+      .select(col("lang"), col("doc_id"), col("amostra_chave"))
+      .orderBy(col("lang"), col("amostra_chave"))
+
   // --------------------------------------------------------------- dedup
 
   /** Documents plus synthesized duplicates (exact copies, id+1M) and
@@ -440,6 +455,7 @@ object TrainingData {
     "x13_ann_ivf" -> x13AnnIvf,
     "x14_dedup_clusters" -> x14DedupClusters,
     "x15_simhash_dedup" -> x15SimhashDedup,
+    "x16_stratified_sample" -> x16StratifiedSample,
     "x1_dedup_exact" -> x1DedupExact,
     "x2_dedup_minhash" -> x2DedupMinhash,
     "x3_simhash" -> x3Simhash,
@@ -484,6 +500,15 @@ object TrainingData {
   }
 
   val oracles: Map[String, String] = Map(
+    "x16_stratified_sample" -> """
+      SELECT lang, doc_id, amostra_chave
+      FROM (SELECT lang, doc_id,
+              md5(CAST(doc_id AS VARCHAR)) AS amostra_chave,
+              ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+            FROM documents)
+      WHERE rn <= 5
+      ORDER BY lang, amostra_chave""",
     "x15_simhash_dedup" -> s"""
       WITH sigs AS (SELECT * FROM $simhash32Sql)
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
