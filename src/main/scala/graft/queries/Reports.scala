@@ -309,8 +309,47 @@ object Reports {
       .orderBy(col("ordem"), col("item"))
   }
 
+  /** R20: `CTE - Check de Integridade e Balanço Ativo-Passivo.sql`
+    * shape-exact: classify rows by description substring (F10), ROLLUP
+    * per company with IFNULL 'TOTAL DO GRUPO' label (A8), pt-BR money
+    * display strings (F14), ROUND'd integrity sum and the
+    * ÍNTEGRO/INCONSISTENTE status CASE (the reference's accounting
+    * identity audit, SURVEY §5). Analog: lineitem plays `source`
+    * (VALUE = l_extendedprice), supplier plays `empresa`, returnflag
+    * plays the ATIVO/PASSIVO description; one month window as in the
+    * reference's ETAPA 1. */
+  val r20BalancoIntegridade: Q = (s, d) => {
+    val base = Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1997-02-01"))
+      .select(dec2(col("l_extendedprice")).as("valor_num"),
+        col("s_name").as("nome_empresa"),
+        when(col("l_returnflag") === "A", "ATIVO")
+          .when(col("l_returnflag") === "R", "PASSIVO")
+          .otherwise("OUTRO").as("tipo"))
+    base.rollup(col("nome_empresa"))
+      .agg(
+        sum(when(col("tipo") === "ATIVO", col("valor_num"))
+          .otherwise(lit(0).cast("decimal(15,2)"))).as("ta"),
+        sum(when(col("tipo") === "PASSIVO", col("valor_num"))
+          .otherwise(lit(0).cast("decimal(15,2)"))).as("tp"),
+        // grouping() is only legal inside the rollup's own agg
+        grouping(col("nome_empresa")).cast("int").as("linha_total"))
+      .select(
+        coalesce(col("nome_empresa"), lit("TOTAL DO GRUPO")).as("empresa"),
+        col("linha_total"),
+        formatBrl(col("ta").cast("double")).as("total_ativo_fmt"),
+        formatBrl(col("tp").cast("double")).as("total_passivo_fmt"),
+        round(col("ta") + col("tp"), 2).cast("double").as("check_integridade"),
+        when(abs(col("ta") + col("tp")) < 0.01, "ÍNTEGRO")
+          .otherwise("INCONSISTENTE").as("status"))
+      .orderBy(col("linha_total"), col("empresa"))
+  }
+
   // lazy: r16 is declared below this map (object-init order)
   lazy val defs: Map[String, Q] = Map(
+    "r20_balanco_integridade" -> r20BalancoIntegridade,
     "r5_painel_sdr" -> r5PainelSdr("maio", 1997),
     "r6_sla_producao" -> r6SlaProducao,
     "r1_cenario_faturamento" -> r1CenarioFaturamento,
@@ -471,6 +510,30 @@ object Reports {
   }
 
   val oracles: Map[String, String] = Map(
+    "r20_balanco_integridade" -> s"""
+      WITH base AS (
+        SELECT CAST(l_extendedprice AS DECIMAL(15,2)) AS valor_num,
+          s_name AS nome_empresa,
+          CASE WHEN l_returnflag = 'A' THEN 'ATIVO'
+               WHEN l_returnflag = 'R' THEN 'PASSIVO'
+               ELSE 'OUTRO' END AS tipo
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-02-01'),
+      agg AS (
+        SELECT COALESCE(nome_empresa, 'TOTAL DO GRUPO') AS empresa,
+          CAST(GROUPING(nome_empresa) AS INT) AS linha_total,
+          SUM(CASE WHEN tipo = 'ATIVO' THEN valor_num
+                   ELSE CAST(0 AS DECIMAL(15,2)) END) AS ta,
+          SUM(CASE WHEN tipo = 'PASSIVO' THEN valor_num
+                   ELSE CAST(0 AS DECIMAL(15,2)) END) AS tp
+        FROM base GROUP BY ROLLUP (nome_empresa))
+      SELECT empresa, linha_total,
+        ${brlFmtSql("ta")} AS total_ativo_fmt,
+        ${brlFmtSql("tp")} AS total_passivo_fmt,
+        CAST(ROUND(ta + tp, 2) AS DOUBLE) AS check_integridade,
+        CASE WHEN ABS(ta + tp) < 0.01 THEN 'ÍNTEGRO'
+             ELSE 'INCONSISTENTE' END AS status
+      FROM agg ORDER BY linha_total, empresa""",
     "r16_cenario_yty" -> r16Sql,
     "r6_sla_producao" -> """
       WITH expedicao_max AS (
