@@ -154,19 +154,23 @@ object TrainingData {
       .localCheckpoint()
     var labels = docs.withColumn("label", col("doc_id")).localCheckpoint()
     var changed = 1L
+    var round = 0
     while (changed > 0) {
       val nbMin = adj
         .join(labels.select(col("doc_id").as("dst"), col("label").as("dl")),
           Seq("dst"))
         .groupBy(col("src").as("doc_id")).agg(min(col("dl")).as("nb"))
       // carry the old label through the update so the convergence
-      // check is a filter on the checkpointed frame, not another join
-      val next = labels.join(nbMin, Seq("doc_id"), "left")
+      // check is a filter, not another join; checkpoint lineage only
+      // every other round — each checkpoint is its own job, and at
+      // small diameters the job overhead outweighs the recompute
+      val nextRaw = labels.join(nbMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("label").as("old"),
           least(col("label"), coalesce(col("nb"), col("label"))).as("label"))
-        .localCheckpoint()
+      val next = if (round % 2 == 1) nextRaw.localCheckpoint() else nextRaw
       changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select(col("doc_id"), col("label"))
+      round += 1
     }
     labels
       .select(col("doc_id"), col("label").as("canonico"),
