@@ -41,6 +41,26 @@ class PropertySpec extends AnyFunSuite {
     assert(grand.compareTo(detail) == 0)
   }
 
+  test("property: TopKPerGroup equals window-rank on random data") {
+    import org.apache.spark.sql.expressions.Window
+    // random (group, value, id) rows WITH duplicate values — id is the
+    // unique tiebreaker, so both formulations are total-ordered
+    val rows = Gen.listOfN(500,
+      Gen.zip(Gen.choose(0, 7), Gen.choose(0, 20))).sample.get
+      .zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+    for (k <- Seq(1, 2, 5)) {
+      val df = rows.toDF("g", "v", "id")
+      val viaOp = graft.plans.TopK
+        .perGroup(df, Seq("g"), Seq(("v", true), ("id", false)), k)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+      val viaWin = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      assert(viaOp == viaWin, s"k=$k")
+    }
+  }
+
   test("property: leadTimeHms roundtrip parses back to seconds") {
     val secs = Gen.choose(0L, 500000L)
     val sample = Gen.listOfN(200, secs).sample.get.distinct
