@@ -26,6 +26,15 @@ object TrainingData {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The fixture tables are single parquet files → ONE scan partition,
+    * which would run every downstream per-row stage (sketches, n²
+    * similarity) single-threaded. Spread them across the cores first —
+    * at production scale the scan already yields many splits and this
+    * repartition disappears; here it is the difference between 1 and
+    * 32 concurrent tasks in the compute-bound stages. */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   private val stopwords = Seq("the", "a", "of", "and")
   private val markerSets: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of"),
@@ -112,7 +121,7 @@ object TrainingData {
     * against. Self-join on shingle (inverted index), count
     * intersections, join sizes. */
   private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val base = corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200)
+    val base = spread(s, corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200))
     val sh = base.select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"), Seq("sh"))
@@ -187,7 +196,7 @@ object TrainingData {
   val x2DedupMinhash: Q = (s, d) => {
     val numHashes = 16
     val bandRows = 4
-    val base = corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200)
+    val base = spread(s, corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200))
     // One narrow pass per doc: distinct shingle array (kept for the
     // exact verify), k minhashes via array fold — no explode/groupBy
     // shuffle for signature building. This is the MinHashLSH layout
@@ -239,7 +248,7 @@ object TrainingData {
   /** X3: SimHash signatures (16-bit): per-bit ±1 votes over distinct
     * tokens, sign → bit. Same computation expressed in the oracle SQL. */
   val x3Simhash: Q = (s, d) => {
-    val toks = Tables.documents(s, d)
+    val toks = spread(s, Tables.documents(s, d))
       .select(col("doc_id"), explode(distinctTokens(col("text"))).as("tok"))
       .withColumn("h", md5Hash16(col("tok")))
     val votes = (0 until 16).map { i =>
@@ -327,7 +336,7 @@ object TrainingData {
     * the corpus is scanned once, scores rounded to 4dp for stable
     * cross-engine ranking. */
   val x5AnnCosine: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
+    val emb = spread(s, Tables.embeddings(s, d))
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val scored = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
@@ -357,7 +366,7 @@ object TrainingData {
     val tables = 8
     val planes = 4
     val dims = 64
-    val emb = Tables.embeddings(s, d)
+    val emb = spread(s, Tables.embeddings(s, d))
     // Deterministic ±1 plane components, computed at PLAN time (md5
     // parity of "table-plane-dim") and embedded as literal arrays — the
     // per-row work is then one zip_with+aggregate per plane instead of
@@ -405,7 +414,7 @@ object TrainingData {
   val x12DedupCosine: Q = (s, d) => {
     // norms precomputed once per side (500 rows) — the n² pair stage
     // then evaluates a single higher-order dot per pair instead of 3
-    val a = Tables.embeddings(s, d)
+    val a = spread(s, Tables.embeddings(s, d))
       .select(col("vec_id").as("id_a"), col("embedding").as("ea"))
     val b = Tables.embeddings(s, d)
       .select(col("vec_id").as("id_b"), col("embedding").as("eb"))
@@ -424,7 +433,7 @@ object TrainingData {
     * ScalaTest asserts recall vs x5. */
   val x13AnnIvf: Q = (s, d) => {
     val nprobe = 4
-    val emb = Tables.embeddings(s, d)
+    val emb = spread(s, Tables.embeddings(s, d))
     val centroids = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
     def cos(a: Column, b: Column): Column = cosineSim(a, b)
