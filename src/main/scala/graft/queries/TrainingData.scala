@@ -187,25 +187,45 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Affine minwise-permutation family h_j(x) = (a_j·x + b_j) mod p
+    * over the portable md5-based base hash: ONE md5 per shingle, k
+    * cheap arithmetic rehashes — the classic universal-hashing MinHash
+    * construction, and bit-identical in any engine with 64-bit
+    * integer arithmetic (a < 2^28 keeps a·x below 2^60). */
+  private val minhashPrime = 4294967311L // smallest prime > 2^32
+  private val minhashParams: Seq[(Long, Long)] = (0 until 16).map { j =>
+    def h32(sd: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$sd$j".getBytes("UTF-8"))
+      (0 until 4).map(i => (h(i) & 0xffL) << (8 * (3 - i))).sum
+    }
+    ((h32("a") >> 4) | 1L, h32("b") % minhashPrime)
+  }
+
   /** X2: MinHash + LSH near-dup detection (shingle → k=16 minhashes →
     * 4 bands × 4 rows → bucket join → exact-Jaccard verify ≥ 0.5).
     * Candidate generation never compares all pairs — at 100 TB the
-    * band join only collides plausibly-similar docs. Not SQL-
-    * expressible → rows-only driver check; ScalaTest asserts recall
-    * vs x4's exact pairs. */
+    * band join only collides plausibly-similar docs. The md5-based
+    * hash family is engine-portable, so the full pipeline has a DuckDB
+    * oracle; ScalaTest additionally asserts recall vs x4's exact
+    * pairs. */
   val x2DedupMinhash: Q = (s, d) => {
     val numHashes = 16
     val bandRows = 4
     val base = spread(s, corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200))
     // One narrow pass per doc: distinct shingle array (kept for the
-    // exact verify), k minhashes via array fold — no explode/groupBy
-    // shuffle for signature building. This is the MinHashLSH layout
-    // (features kept per-row), and at 100 TB the signature stage is
+    // exact verify), base hash computed ONCE per shingle, then k
+    // affine rehashes via array fold — no explode/groupBy shuffle for
+    // signature building. This is the MinHashLSH layout (features
+    // kept per-row), and at 100 TB the signature stage is
     // embarrassingly parallel.
-    val hcols = (0 until numHashes).map(j =>
-      array_min(transform(col("shs"), x => hash(x, lit(j)))).as(s"h$j"))
+    val hcols = minhashParams.zipWithIndex.map { case ((a, b), j) =>
+      array_min(transform(col("hs"),
+        h => (h * lit(a) + lit(b)) % lit(minhashPrime))).as(s"h$j")
+    }
     val sig = base
       .select(col("doc_id"), shingles(col("text"), 3).as("shs"))
+      .withColumn("hs", transform(col("shs"), x => md5Hash32(x)))
       .select(col("doc_id") +: col("shs") +: size(col("shs")).as("n") +: hcols: _*)
     // bands: concat band rows into one bucket key
     val bandCols = (0 until numHashes / bandRows).map { b =>
@@ -355,7 +375,8 @@ object TrainingData {
     * components). A vector lands in one bucket per table; candidates =
     * union over tables of same-bucket vectors; exact cosine only on
     * candidates. Multi-table trades a constant factor of work for
-    * recall — the standard LSH knob. Rows-only driver check; ScalaTest
+    * recall — the standard LSH knob. The plane signs derive from md5
+    * parity, so the whole pipeline has a DuckDB oracle; ScalaTest
     * asserts recall vs x5's exact top-k. */
   val x6AnnLsh: Q = (s, d) => {
     // The synthetic embeddings are near-isotropic (pairwise cosine ≈ 0,
@@ -429,8 +450,14 @@ object TrainingData {
     * deterministic centroids (first 16 vectors), every vector assigned
     * to its nearest cell; queries probe the nprobe=4 nearest cells and
     * run exact cosine only there. Inverted-file topology: the corpus
-    * scan partitions by cell at write time at scale. Rows-only check;
-    * ScalaTest asserts recall vs x5. */
+    * scan partitions by cell at write time at scale. Fully
+    * deterministic → DuckDB oracle; ScalaTest asserts recall vs x5.
+    *
+    * Cell-choice sims are rounded to 6dp so the argmax is stable
+    * across engines: raw doubles could differ in the last ULP between
+    * summation implementations, and an unrounded ORDER BY would make
+    * cell assignment engine-dependent on near-ties (rounded ties break
+    * deterministically by cid). */
   val x13AnnIvf: Q = (s, d) => {
     val nprobe = 4
     val emb = spread(s, Tables.embeddings(s, d))
@@ -440,7 +467,7 @@ object TrainingData {
     // assign: nearest centroid per vector
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
     val assigned = emb.crossJoin(broadcast(centroids))
-      .withColumn("sim", cos(col("embedding"), col("ce")))
+      .withColumn("sim", round(cos(col("embedding"), col("ce")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
@@ -448,7 +475,7 @@ object TrainingData {
     val wq = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
     val probes = emb.filter(col("vec_id") < 5)
       .crossJoin(broadcast(centroids))
-      .withColumn("sim", cos(col("embedding"), col("ce")))
+      .withColumn("sim", round(cos(col("embedding"), col("ce")), 6))
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= nprobe)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid").as("cell"))
@@ -485,6 +512,22 @@ object TrainingData {
       s"(strpos('0123456789abcdef', substring($expr, ${i + 1}, 1)) - 1) * ${1 << (4 * (3 - i))}"
     }.mkString("(", " + ", ")")
 
+  /** DuckDB mirror of md5Hash32: positional hex parse of the md5
+    * prefix — 8 chars → 32-bit value in BIGINT arithmetic. */
+  private def md5Hash32Sql(expr: String): String =
+    (0 until 8).map { i =>
+      s"(strpos('0123456789abcdef', substring(md5($expr), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB mirror of the native CosineSimilarity expression —
+    * list_sum accumulates left-to-right in double exactly like the
+    * codegen loop (proven by the x5/x12 hash matches). */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(list_zip($a, $b),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
+
   private val sqlShingles3 =
     """list_distinct(list_transform(
          range(1, greatest(len(toks) - 2, 0) + 1),
@@ -513,6 +556,112 @@ object TrainingData {
   }
 
   val oracles: Map[String, String] = Map(
+    "x2_dedup_minhash" -> {
+      val params = minhashParams.zipWithIndex
+        .map { case ((a, b), j) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")
+      s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM $corpusSql WHERE doc_id % 1000000 < 200),
+      docs AS (
+        SELECT doc_id, $sqlShingles3 AS shs
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM corpus)),
+      sh AS (SELECT doc_id, unnest(shs) AS sh FROM docs),
+      hs AS (SELECT doc_id, ${md5Hash32Sql("sh")} AS h FROM sh),
+      minh AS (
+        SELECT doc_id, params.j, MIN((h * params.a + params.b) % $minhashPrime) AS mh
+        FROM hs, (VALUES $params) AS params(j, a, b)
+        GROUP BY doc_id, params.j),
+      bands AS (
+        SELECT doc_id, j // 4 AS band,
+          string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
+        FROM minh GROUP BY doc_id, j // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, len(shs) AS n FROM docs),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT c.id_a, c.id_b,
+        ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.nb - i.inter), 4) AS jaccard
+      FROM cand c
+      JOIN inter i USING (id_a, id_b)
+      JOIN (SELECT doc_id AS id_a, n FROM sizes) sa USING (id_a)
+      JOIN (SELECT doc_id AS id_b, n AS nb FROM sizes) sb USING (id_b)
+      WHERE ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.nb - i.inter), 4) >= 0.5
+      ORDER BY id_a, id_b"""
+    },
+    "x6_ann_lsh" -> s"""
+      WITH planes AS (
+        SELECT t.t, p.p,
+          list_transform(range(0, 64), i ->
+            CASE WHEN (strpos('0123456789abcdef',
+                substring(md5(CAST(t.t AS VARCHAR) || '-' || CAST(p.p AS VARCHAR)
+                  || '-' || CAST(i AS VARCHAR)), 4, 1)) - 1) % 2 = 0
+            THEN 1.0 ELSE -1.0 END) AS signs
+        FROM (SELECT unnest(range(0, 8)) AS t) t,
+             (SELECT unnest(range(0, 4)) AS p) p),
+      proj AS (
+        SELECT e.vec_id, pl.t, pl.p,
+          list_sum(list_transform(list_zip(e.embedding, pl.signs),
+            z -> CAST(z[1] AS DOUBLE) * z[2])) AS pr
+        FROM embeddings e, planes pl),
+      buckets AS (
+        SELECT vec_id, t,
+          CAST(SUM(CASE WHEN pr > 0
+            THEN CASE p WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END
+            ELSE 0 END) AS INT) AS b
+        FROM proj GROUP BY vec_id, t),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS qid, n.vec_id AS nid
+        FROM buckets q JOIN buckets n ON q.t = n.t AND q.b = n.b
+        WHERE q.vec_id < 5 AND n.vec_id <> q.vec_id),
+      scored AS (
+        SELECT c.qid, c.nid,
+          ROUND(${cosSql("qe.embedding", "ne.embedding")}, 4) AS score
+        FROM cand c
+        JOIN embeddings qe ON qe.vec_id = c.qid
+        JOIN embeddings ne ON ne.vec_id = c.nid),
+      ranked AS (
+        SELECT qid, nid, score,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rk
+        FROM scored)
+      SELECT qid, nid, score, CAST(rk AS INT) AS rk FROM ranked
+      WHERE rk <= 10 ORDER BY qid, rk""",
+    "x13_ann_ivf" -> s"""
+      WITH cent AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+      sims AS (
+        SELECT e.vec_id, e.embedding, c.cid, c.ce,
+          ROUND(${cosSql("e.embedding", "c.ce")}, 6) AS sim
+        FROM embeddings e, cent c),
+      assigned AS (
+        SELECT vec_id, embedding, cid AS cell FROM (
+          SELECT vec_id, embedding, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+          FROM sims)
+        WHERE rk = 1),
+      probes AS (
+        SELECT vec_id AS qid, embedding AS qe, cid AS cell FROM (
+          SELECT vec_id, embedding, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+          FROM sims WHERE vec_id < 5)
+        WHERE rk <= 4),
+      scored AS (
+        SELECT p.qid, a.vec_id AS nid,
+          ROUND(${cosSql("p.qe", "a.embedding")}, 4) AS score
+        FROM probes p
+        JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.qid),
+      ranked AS (
+        SELECT qid, nid, score,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rk
+        FROM scored)
+      SELECT qid, nid, score, CAST(rk AS INT) AS rk FROM ranked
+      WHERE rk <= 10 ORDER BY qid, rk""",
     "x16_stratified_sample" -> """
       SELECT lang, doc_id, amostra_chave
       FROM (SELECT lang, doc_id,
