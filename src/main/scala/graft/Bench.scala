@@ -74,18 +74,44 @@ object Bench {
       selected.foreach { case (_, fn) =>
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       }
-    val results = (1 to repeat).flatMap(_ => selected).map { case (name, fn) =>
+    val raw = (1 to repeat).flatMap(_ => selected).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // repeat>1: report the MIN per query (steady-state latency), never
+    // duplicate JSON keys; "value" totals one representative pass.
+    val perQuery = raw.groupBy(_._1).view
+      .mapValues(ts => ts.map(_._2).min).toSeq.sortBy(_._1)
+    def fmt(v: Double) = f"$v%.3f"
+    def jsonMap(m: Seq[(String, Double)]) = m
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val total = perQuery.map(_._2).sum
     // "sf" is numeric per the driver contract ("sf":0.1, not a path).
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("0")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir"}""")
+    // The driver captures only the LAST ~2000 bytes of output (both
+    // round-1 and round-2 BENCH files show "parsed": null because the
+    // full 137-query map overflowed that window). So: the full map goes
+    // to a file, and the single printed contract line carries a
+    // headline subset chosen to stay well under the capture window.
+    val headline = Seq(
+      "q1_agg", "a8_rollup", "a20_percentiles", "j6_star_join", "j15_asof",
+      "w4_topn_per_group", "o8_topk_physical", "e1_tumbling_window",
+      "etl1_staging", "r1_cenario_faturamento", "r5_painel_sdr",
+      "m2_group_regression", "s12_partition_refresh", "x2_dedup_minhash",
+      "x4_ngram_jaccard", "x5_ann_cosine", "x6_ann_lsh", "x13_ann_ivf",
+      "x14_dedup_clusters", "x15_simhash_dedup")
+    val qmap = perQuery.toMap
+    val qs = jsonMap(headline.flatMap(n => qmap.get(n).map(n -> _)))
+    val fullPath = java.nio.file.Paths.get("target/bench_full.json")
+    java.nio.file.Files.createDirectories(fullPath.getParent)
+    java.nio.file.Files.writeString(fullPath,
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${perQuery.size},"queries":${jsonMap(perQuery)},"sf":$sfNum,"sf_dir":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${perQuery.size},"queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir"}"""
+    require(line.length < 1800, s"bench line too long: ${line.length}")
+    println(line)
     spark.stop()
   }
 }

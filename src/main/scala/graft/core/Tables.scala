@@ -17,13 +17,24 @@ object Tables {
   // Memoized per (session, path): `spark.read.parquet` lists files and
   // reads footers on every call, which across a 150-query run is pure
   // repeated metadata work. Plan-level memoization only — no data is
-  // cached, every query still scans parquet.
+  // cached, every query still scans parquet. CONTRACT: a memoized path
+  // is immutable for the lifetime of its session (true of the
+  // /root/testdata fixtures; tests that rewrite files must use fresh
+  // paths or call `clear()`), because the plan pins the file listing
+  // captured at first read.
   private val loaded =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Drop all memoized plans (e.g. after rewriting a fixture path). */
+  def clear(): Unit = loaded.clear()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // evict entries of stopped sessions so the map never strongly
+    // retains a dead SparkSession (advisor note, round 2)
+    loaded.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     loaded.getOrElseUpdate((spark, s"$dir/$name.parquet"),
       spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")

@@ -27,7 +27,10 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *
   * Ordering is lexicographic over `orderExprs` with per-key
   * direction flags; callers supply a tiebreaking key for determinism
-  * (same contract as a SQL ORDER BY). Nulls order last.
+  * (same contract as a SQL ORDER BY). Null order keys follow Spark's
+  * ORDER BY defaults — NULLS FIRST on ascending keys, NULLS LAST on
+  * descending — so the result is row-for-row the window formulation
+  * `row_number().over(partitionBy(g).orderBy(o)) <= k`.
   */
 final case class TopKPerGroup(
     groupExprs: Seq[Expression],
@@ -68,7 +71,8 @@ final case class TopKPerGroupExec(
         (BindReferences.bindReference(e, childOutput), desc,
           TypeUtils.getInterpretedOrdering(e.dataType))
       }.toArray
-      // negative = a ranks strictly better than b; nulls rank worst
+      // negative = a ranks strictly better than b; nulls follow
+      // Spark's ORDER BY defaults (first when asc, last when desc)
       def cmpBetter(a: Array[Any], b: Array[Any]): Int = {
         var i = 0
         while (i < bound.length) {
@@ -76,8 +80,8 @@ final case class TopKPerGroupExec(
           val av = a(i); val bv = b(i)
           val c =
             if (av == null && bv == null) 0
-            else if (av == null) 1
-            else if (bv == null) -1
+            else if (av == null) { if (desc) 1 else -1 }
+            else if (bv == null) { if (desc) -1 else 1 }
             else {
               val cc = ord.asInstanceOf[Ordering[Any]].compare(av, bv)
               if (desc) -cc else cc

@@ -289,9 +289,17 @@ object ReportsSmt {
       .withColumn("media_por_tecnico", expr(
         """CASE WHEN tecnicos = 0 THEN NULL
            ELSE CAST((2 * qtd_total + tecnicos) div (2 * tecnicos) AS DOUBLE) END"""))
-      .withColumn("pct_producao", pctNum(col("qtd_producao"), col("qtd_total")))
-      .withColumn("pct_assistencia", pctNum(col("qtd_assistencia"), col("qtd_total")))
-      .withColumn("pct_smt", pctNum(col("qtd_smt"), col("qtd_total")))
+      // cast("double"): pctNum's `/ 100.0` is DECIMAL division in Spark
+      // (decimal(27,6) in the parquet dump) but DOUBLE in DuckDB — the
+      // values agree yet the driver's hash sees different types. The
+      // decimal→double conversion is exact-rational correctly rounded,
+      // as is DuckDB's bigint/100.0, so the doubles are bit-identical.
+      .withColumn("pct_producao",
+        pctNum(col("qtd_producao"), col("qtd_total")).cast("double"))
+      .withColumn("pct_assistencia",
+        pctNum(col("qtd_assistencia"), col("qtd_total")).cast("double"))
+      .withColumn("pct_smt",
+        pctNum(col("qtd_smt"), col("qtd_total")).cast("double"))
       .orderBy(col("ano"))
 
   /** R12: `SMT_Snippet_RMA` shape-exact — the ResumoPerformance

@@ -61,6 +61,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: TopKPerGroup matches window-rank null ordering (asc and desc)") {
+    import org.apache.spark.sql.expressions.Window
+    // ~1 in 4 order keys null: Spark's ORDER BY defaults are NULLS
+    // FIRST ascending / NULLS LAST descending, and the heap comparator
+    // must agree on both (round-2 advisor finding)
+    val rows = Gen.listOfN(400,
+      Gen.zip(Gen.choose(0, 5), Gen.option(Gen.choose(0, 10)))).sample.get
+      .zipWithIndex.map { case ((g, v), i) =>
+        (g, v.map(Integer.valueOf).orNull, i.toLong) }
+    val df = rows.toDF("g", "v", "id")
+    for (desc <- Seq(true, false); k <- Seq(1, 3)) {
+      val viaOp = graft.plans.TopK
+        .perGroup(df, Seq("g"), Seq(("v", desc), ("id", false)), k)
+        .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2))).toSet
+      val ord = if (desc) col("v").desc else col("v").asc
+      val w = Window.partitionBy(col("g")).orderBy(ord, col("id"))
+      val viaWin = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2))).toSet
+      assert(viaOp == viaWin, s"desc=$desc k=$k")
+    }
+  }
+
   test("property: leadTimeHms roundtrip parses back to seconds") {
     val secs = Gen.choose(0L, 500000L)
     val sample = Gen.listOfN(200, secs).sample.get.distinct
