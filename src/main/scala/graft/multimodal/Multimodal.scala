@@ -68,4 +68,59 @@ object Multimodal {
         }
       }
   }
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+
+  /** Thumbnail row emitted by the stubbed resizer. */
+  final case class Thumb(
+      doc_id: Long, width: Int, height: Int, thumb_w: Int, thumb_h: Int,
+      thumb_len: Long, thumb_checksum: String)
+
+  /** STUB resize: a real pipeline decodes pixels and downscales; the
+    * deterministic fake derives source dims from [[FakeCodec]] and
+    * "renders" the thumbnail as the payload's first `maxBytes` bytes
+    * (quarter dims, floor, min 1). The Spark-side shape is the real
+    * one: narrow mapPartitions over (id, binary) — blobs never
+    * shuffle, one codec init per partition, small typed rows out. */
+  def resize(spark: SparkSession, withPayload: DataFrame,
+      maxBytes: Int = 256): Dataset[Thumb] = {
+    import spark.implicits._
+    withPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h) = FakeCodec.decodeDims(bytes)
+          val tb = bytes.take(maxBytes)
+          Thumb(id, w, h, math.max(1, w / 4), math.max(1, h / 4),
+            tb.length.toLong, md5Hex(tb))
+        }
+      }
+  }
+
+  /** One sampled frame of a (fake) video payload. */
+  final case class Frame(doc_id: Long, frame_no: Int, frame_checksum: String)
+
+  /** STUB frame sampler: treats the payload as fixed-`frameLen`-byte
+    * frames and emits every `stride`-th FULL frame with its checksum —
+    * the iterator-flatMap batch shape of a generator UDF (one input
+    * row → n output rows, no shuffle until the caller aggregates).
+    * A real sampler would swap the slice+md5 for a codec call; the
+    * row accounting (floor(len/frameLen) frames, stride sampling)
+    * is the part that must be right at 100 TB. */
+  def frameSample(spark: SparkSession, withPayload: DataFrame,
+      frameLen: Int = 32, stride: Int = 2): Dataset[Frame] = {
+    import spark.implicits._
+    withPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val nFrames = bytes.length / frameLen
+          (0 until nFrames by stride).iterator.map { f =>
+            Frame(id, f, md5Hex(bytes.slice(f * frameLen, (f + 1) * frameLen)))
+          }
+        }
+      }
+  }
 }

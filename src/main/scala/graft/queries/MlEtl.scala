@@ -214,6 +214,23 @@ object MlEtl {
       Multimodal.withBinaryPayload(Tables.documents(s, d)))
       .orderBy(col("doc_id"))
 
+  /** X17: stubbed image resize — decode dims (FakeCodec) + quarter-dim
+    * thumbnail over the batch mapPartitions path; the DuckDB oracle
+    * re-derives the md5-based fake dims with nibble arithmetic, so the
+    * whole decode→resize accounting is hash-checked. */
+  val x17ResizeMeta: Q = (s, d) =>
+    Multimodal.resize(s,
+      Multimodal.withBinaryPayload(Tables.documents(s, d)))
+      .toDF().orderBy(col("doc_id"))
+
+  /** X18: stubbed video frame sampling — payload as 32-byte frames,
+    * every 2nd full frame emitted with its checksum (generator-UDF
+    * batch shape: one row in, n rows out, no shuffle). */
+  val x18FrameSample: Q = (s, d) =>
+    Multimodal.frameSample(s,
+      Multimodal.withBinaryPayload(Tables.documents(s, d)))
+      .toDF().orderBy(col("doc_id"), col("frame_no"))
+
   val defs: Map[String, Q] = Map(
     "m1_forecast" -> m1Forecast,
     "m2_group_regression" -> m2GroupRegression,
@@ -223,7 +240,9 @@ object MlEtl {
     "pr2_star_induction" -> pr2StarInduction,
     "etl1_staging" -> etl1Staging,
     "etl2_audit" -> etl2Audit,
-    "x11_multimodal_meta" -> x11MultimodalMeta)
+    "x11_multimodal_meta" -> x11MultimodalMeta,
+    "x17_resize_meta" -> x17ResizeMeta,
+    "x18_frame_sample" -> x18FrameSample)
 
   private val monthlySql =
     s"""(SELECT YEAR(o_orderdate) AS ano, MONTH(o_orderdate) AS mes,
@@ -361,5 +380,31 @@ object MlEtl {
         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         sha256(text) AS checksum,
         substring(sha256(text), 1, 2) AS shard_key
-      FROM documents ORDER BY doc_id""")
+      FROM documents ORDER BY doc_id""",
+    "x17_resize_meta" -> {
+      // i-th md5 digest byte (0-based) rebuilt from two hex nibbles —
+      // mirrors FakeCodec.decodeDims, which reads raw digest bytes
+      def b(i: Int): String = {
+        def nib(p: Int) =
+          s"(strpos('0123456789abcdef', substring(md5(text), $p, 1)) - 1)"
+        s"(16 * ${nib(2 * i + 1)} + ${nib(2 * i + 2)})"
+      }
+      s"""
+      WITH dims AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS blen,
+          160 + ((${b(0)} * 256 + ${b(1)}) % 481) AS w,
+          120 + ((${b(2)} * 256 + ${b(3)}) % 361) AS h
+        FROM documents)
+      SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        CAST(greatest(w // 4, 1) AS INT) AS thumb_w,
+        CAST(greatest(h // 4, 1) AS INT) AS thumb_h,
+        CAST(least(blen, 256) AS BIGINT) AS thumb_len,
+        md5(substring(text, 1, 256)) AS thumb_checksum
+      FROM dims ORDER BY doc_id"""
+    },
+    "x18_frame_sample" -> """
+      SELECT doc_id, CAST(f AS INT) AS frame_no,
+        md5(substring(text, CAST(f AS INT) * 32 + 1, 32)) AS frame_checksum
+      FROM documents, UNNEST(range(0, octet_length(encode(text)) // 32, 2)) AS t(f)
+      ORDER BY doc_id, frame_no""")
 }
