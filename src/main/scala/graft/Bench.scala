@@ -101,7 +101,8 @@ object Bench {
       "etl1_staging", "r1_cenario_faturamento", "r5_painel_sdr",
       "m2_group_regression", "s12_partition_refresh", "x2_dedup_minhash",
       "x4_ngram_jaccard", "x5_ann_cosine", "x6_ann_lsh", "x13_ann_ivf",
-      "x14_dedup_clusters", "x15_simhash_dedup")
+      "x14_dedup_clusters", "x15_simhash_dedup", "x17_resize_meta",
+      "x18_frame_sample", "x19_gopher_repetition", "x20_decontaminate")
     val qmap = perQuery.toMap
     val qs = jsonMap(headline.flatMap(n => qmap.get(n).map(n -> _)))
     val fullPath = java.nio.file.Paths.get("target/bench_full.json")

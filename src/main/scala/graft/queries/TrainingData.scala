@@ -122,7 +122,11 @@ object TrainingData {
     * intersections, join sizes. */
   private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
     val base = spread(s, corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200))
-    val sh = base.select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+    // project the token array first: an inline wsTokens would re-run
+    // the regex split per element reference (see allShinglesOfToks)
+    val sh = base
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shinglesOfToks(col("toks"), 3)).as("sh"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"), Seq("sh"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -237,7 +241,8 @@ object TrainingData {
         h => (h * lit(a) + lit(b)) % lit(minhashPrime))).as(s"h$j")
     }
     val sig = base
-      .select(col("doc_id"), shingles(col("text"), 3).as("shs"))
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesOfToks(col("toks"), 3).as("shs"))
       .withColumn("hs", transform(col("shs"), x => md5Hash32(x)))
       .select(col("doc_id") +: col("shs") +: size(col("shs")).as("n") +: hcols: _*)
     // bands: concat band rows into one bucket key
@@ -503,7 +508,51 @@ object TrainingData {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** X19: Gopher-style repetition quality signal — the share of all
+    * word 2-grams taken by the single most frequent 2-gram (Rae et
+    * al.'s repetition filters). Two partial-aggregating shuffles:
+    * (doc, gram) counts then per-doc max/sum; at 100 TB both are
+    * map-side combinable and nothing materializes the gram lists past
+    * the first exchange. Docs with <2 tokens have no 2-grams and drop
+    * out (documented inner semantics). */
+  val x19GopherRepetition: Q = (s, d) => {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(allShinglesOfToks(col("toks"), 2)).as("g"))
+    grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("total_2grams"), max(col("c")).as("top_2gram_n"))
+      .withColumn("rep_ratio",
+        col("top_2gram_n").cast("double") / col("total_2grams"))
+      .withColumn("repetitive", col("rep_ratio") > 0.05)
+      .orderBy(col("doc_id"))
+  }
+
+  /** X20: benchmark decontamination — flag training docs sharing any
+    * distinct word 3-gram with the eval set (doc_id < 50 here; a real
+    * pipeline swaps in the benchmark corpus). The eval side is tiny by
+    * construction, so the gram join is an explicit broadcast: the 100
+    * TB training corpus streams map-side against the broadcast gram
+    * set — no shuffle of the corpus at all until the per-doc count
+    * aggregation of the (rare) matches. */
+  val x20Decontaminate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val evalGrams = docs.filter(col("doc_id") < 50)
+      .select(col("doc_id").as("eval_id"), wsTokens(col("text")).as("toks"))
+      .select(col("eval_id"), explode(shinglesOfToks(col("toks"), 3)).as("g"))
+    val trainGrams = docs.filter(col("doc_id") >= 50)
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shinglesOfToks(col("toks"), 3)).as("g"))
+    trainGrams.join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_overlap_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x19_gopher_repetition" -> x19GopherRepetition,
+    "x20_decontaminate" -> x20Decontaminate,
     "x12_dedup_cosine" -> x12DedupCosine,
     "x13_ann_ivf" -> x13AnnIvf,
     "x14_dedup_clusters" -> x14DedupClusters,
@@ -569,6 +618,29 @@ object TrainingData {
   }
 
   val oracles: Map[String, String] = Map(
+    "x19_gopher_repetition" -> """
+      WITH tk AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      grams AS (SELECT doc_id,
+          unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+            i -> toks[i] || ' ' || toks[i+1])) AS g FROM tk),
+      counts AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+      SELECT doc_id,
+        CAST(SUM(c) AS BIGINT) AS total_2grams,
+        CAST(MAX(c) AS BIGINT) AS top_2gram_n,
+        CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS rep_ratio,
+        (CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT)) > 0.05 AS repetitive
+      FROM counts GROUP BY doc_id ORDER BY doc_id""",
+    "x20_decontaminate" -> s"""
+      WITH tk AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+      g AS (SELECT doc_id, unnest($sqlShingles3) AS g FROM tk)
+      SELECT t.doc_id,
+        CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_overlap_grams,
+        CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs
+      FROM g t JOIN g e ON t.g = e.g AND e.doc_id < 50
+      WHERE t.doc_id >= 50
+      GROUP BY t.doc_id ORDER BY t.doc_id""",
     "x2_dedup_minhash" -> {
       val params = minhashParams.zipWithIndex
         .map { case ((a, b), j) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }

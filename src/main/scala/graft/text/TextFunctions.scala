@@ -25,6 +25,30 @@ object TextFunctions {
   /** Distinct whitespace tokens. */
   def distinctTokens(text: Column): Column = array_distinct(wsTokens(text))
 
+  /** Word n-grams WITHOUT dedup (one entry per occurrence) — the
+    * repetition-analysis counterpart of [[shingles]]. `toks` should be
+    * a projected token-array column, not an inline `wsTokens(text)`:
+    * every reference to the argument expression re-evaluates it per
+    * element, so an inline regex split turns O(tokens) references
+    * into O(tokens) splits per row. Projecting the array first makes
+    * it a bound attribute, evaluated once per row (CollapseProject
+    * keeps multi-referenced non-cheap projections separate). */
+  def allShinglesOfToks(toks: Column, n: Int): Column =
+    filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => when(i + (n - 1) < size(toks),
+          concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))),
+      c => c.isNotNull)
+
+  /** Distinct word n-grams from a projected token-array column. */
+  def shinglesOfToks(toks: Column, n: Int): Column =
+    array_distinct(allShinglesOfToks(toks, n))
+
+  /** Word n-grams WITHOUT dedup from raw text (convenience; prefer
+    * [[allShinglesOfToks]] over a projected array in hot paths). */
+  def allShingles(text: Column, n: Int): Column =
+    allShinglesOfToks(wsTokens(text), n)
+
   /** Word n-gram shingles (n consecutive tokens joined by space). */
   def shingles(text: Column, n: Int): Column = {
     val toks = wsTokens(text)
