@@ -550,9 +550,65 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** X21: corpus-curation funnel — the end-to-end shape of a training
+    * -data preprocessing job (language filter → quality threshold →
+    * exact dedup → hash-rank sample) reported as per-stage audit
+    * counts, the reference's §5 audit discipline (row deltas after
+    * every filter) applied to the LLM pipeline. The whole funnel is
+    * ONE pass: per-row stage flags, then a single aggregate
+    * (conditional counts + a distinct-fingerprint count), unpivoted to
+    * the stage rows — not a union of five aggregates, which would scan
+    * the 100 TB corpus five times. The sample-stage count is
+    * `least(5, dedup)` by construction (hash-rank top-5, x16). */
+  val x21CurationFunnel: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val corpus = corpusWithDupes(s, d)
+    val q = qualityScore(col("text"), stopwords)
+    val flags = corpus.join(
+        broadcast(docs.select(col("doc_id").as("base_id"), col("lang"))),
+        corpus("doc_id") % 1000000L === col("base_id"))
+      .select(
+        (col("lang") === "en").as("f_lang"),
+        (col("lang") === "en" && q >= 0.5).as("f_qual"),
+        when(col("lang") === "en" && q >= 0.5, fingerprint(col("text")))
+          .as("fp_kept"))
+    flags.agg(
+        count(lit(1)).as("bruto"),
+        count(when(col("f_lang"), 1)).as("idioma"),
+        count(when(col("f_qual"), 1)).as("qualidade"),
+        countDistinct(col("fp_kept")).as("dedup_exato"))
+      .withColumn("amostra", least(col("dedup_exato"), lit(5L)))
+      .selectExpr("""stack(5,
+        1, 'bruto', bruto,
+        2, 'idioma', idioma,
+        3, 'qualidade', qualidade,
+        4, 'dedup_exato', dedup_exato,
+        5, 'amostra', amostra) AS (ordem, etapa, linhas)""")
+      .orderBy(col("ordem"))
+  }
+
+  /** X22: incremental (batch-over-corpus) dedup — drop incoming docs
+    * whose fingerprint already exists in the corpus, keep the rest.
+    * The ingestion-time counterpart of x1: a LEFT ANTI join on the
+    * fingerprint, shuffling only (fp, id) pairs. The corpus side is
+    * NOT broadcast on purpose — at 100 TB the fingerprint store is
+    * corpus-sized (a bucketed table by fp makes the anti join
+    * shuffle-free); the incoming batch is the small side. */
+  val x22IncrementalDedup: Q = (s, d) => {
+    val corpus = corpusWithDupes(s, d)
+    val existing = corpus.filter(col("doc_id") < 1000000L)
+      .select(fingerprint(col("text")).as("fp")).distinct()
+    corpus.filter(col("doc_id") >= 1000000L)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .join(existing, Seq("fp"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
     "x19_gopher_repetition" -> x19GopherRepetition,
     "x20_decontaminate" -> x20Decontaminate,
+    "x21_curation_funnel" -> x21CurationFunnel,
+    "x22_incremental_dedup" -> x22IncrementalDedup,
     "x12_dedup_cosine" -> x12DedupCosine,
     "x13_ann_ivf" -> x13AnnIvf,
     "x14_dedup_clusters" -> x14DedupClusters,
@@ -641,6 +697,41 @@ object TrainingData {
       FROM g t JOIN g e ON t.g = e.g AND e.doc_id < 50
       WHERE t.doc_id >= 50
       GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "x21_curation_funnel" -> s"""
+      WITH corpus AS (SELECT doc_id, text FROM $corpusSql),
+      wl AS (SELECT c.doc_id, c.text, d.lang
+             FROM corpus c JOIN documents d ON c.doc_id % 1000000 = d.doc_id),
+      s1 AS (SELECT * FROM wl WHERE lang = 'en'),
+      qual AS (SELECT doc_id, text, ROUND(
+          LEAST(len(toks) / 50.0, 1.0) * 0.4
+          + (1.0 - LEAST(CAST(length(text) - length(
+                regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+              / GREATEST(length(text), 1) * 5.0, 1.0)) * 0.3
+          + LEAST(CAST(len(list_filter(toks, t -> t IN ('the','a','of','and')))
+              AS DOUBLE) / GREATEST(len(toks), 1) * 10.0, 1.0) * 0.3, 4) AS q
+        FROM (SELECT doc_id, text,
+                regexp_split_to_array(trim(text), '\\s+') AS toks FROM s1)),
+      s2 AS (SELECT * FROM qual WHERE q >= 0.5),
+      s3 AS (SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS doc_id
+             FROM s2 GROUP BY 1),
+      s4 AS (SELECT doc_id FROM s3
+             ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 5)
+      SELECT 1 AS ordem, 'bruto' AS etapa,
+        CAST((SELECT COUNT(*) FROM corpus) AS BIGINT) AS linhas
+      UNION ALL SELECT 2, 'idioma', (SELECT COUNT(*) FROM s1)
+      UNION ALL SELECT 3, 'qualidade', (SELECT COUNT(*) FROM s2)
+      UNION ALL SELECT 4, 'dedup_exato', (SELECT COUNT(*) FROM s3)
+      UNION ALL SELECT 5, 'amostra', (SELECT COUNT(*) FROM s4)
+      ORDER BY ordem""",
+    "x22_incremental_dedup" -> s"""
+      WITH corpus AS (SELECT doc_id, text FROM $corpusSql),
+      existing AS (SELECT DISTINCT md5(lower(trim(text))) AS fp
+                   FROM corpus WHERE doc_id < 1000000)
+      SELECT doc_id, md5(lower(trim(text))) AS fp
+      FROM corpus
+      WHERE doc_id >= 1000000
+        AND md5(lower(trim(text))) NOT IN (SELECT fp FROM existing)
+      ORDER BY doc_id""",
     "x2_dedup_minhash" -> {
       val params = minhashParams.zipWithIndex
         .map { case ((a, b), j) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }
