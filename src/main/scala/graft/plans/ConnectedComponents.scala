@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DataFrame-only connected components: min-label hooking plus a
+  * pointer-doubling shortcut (Shiloach–Vishkin style), the
+  * GraphX-free CC shape for dedup-cluster labeling.
+  *
+  * Each round:
+  *  1. hook — `label ← min(label, neighbors' labels)`: one join with
+  *     the adjacency list + one partial-aggregating groupBy, both
+  *     hashed on the node id so rounds reuse the same partitioning;
+  *  2. shortcut — `label ← label(label)`: one self-join that halves
+  *     the height of every label-pointer chain.
+  * The shortcut is what turns O(diameter) rounds (plain single-hop
+  * propagation) into O(log diameter) — on a 100 TB near-dup graph a
+  * chained component A~B~C~… is exactly the case that shows up, and
+  * PropertySpec pins the round bound on a path graph.
+  *
+  * `localCheckpoint` every other round truncates lineage (the
+  * recompute of one un-checkpointed round is cheaper than the extra
+  * checkpoint job); the loop exits at the exact fixpoint, so labels
+  * equal the transitive closure (each node → min node id of its
+  * component).
+  */
+object ConnectedComponents {
+
+  /** Labels for `nodes` (column `id`) over undirected `edges`
+    * (columns `src`, `dst`, either orientation), plus the number of
+    * rounds the loop ran. Isolated nodes label themselves. */
+  def minLabelWithRounds(nodes: DataFrame, edges: DataFrame): (DataFrame, Int) = {
+    val adj = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id"))
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0) {
+      val nbMin = adj
+        .join(labels.select(col("id").as("dst"), col("label").as("dl")),
+          Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("dl")).as("nb"))
+      // carry the old label through so the convergence check is a
+      // filter on the update pass, not a second join
+      val hooked = labels.join(nbMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nb"), col("label"))).as("label"))
+      // shortcut: labels are node ids, so label(label) is a lookup of
+      // the label column keyed by itself
+      val nextRaw = hooked.join(
+          labels.select(col("label").as("ll"), col("id").as("label")),
+          Seq("label"), "left")
+        .select(col("id"), col("old"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+      val next = if (round % 2 == 1) nextRaw.localCheckpoint() else nextRaw
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("id"), col("label"))
+      round += 1
+    }
+    (labels, round)
+  }
+
+  /** Labels only (see [[minLabelWithRounds]]). */
+  def minLabel(nodes: DataFrame, edges: DataFrame): DataFrame =
+    minLabelWithRounds(nodes, edges)._1
+}

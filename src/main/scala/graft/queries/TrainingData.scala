@@ -152,55 +152,21 @@ object TrainingData {
     * alone don't say which doc to keep when dup relations chain
     * (A~B, B~C but A!~C).
     *
-    * Spark-first CC without GraphX: min-label hooking plus a
-    * pointer-doubling shortcut (Shiloach–Vishkin style). Each round
-    * does (1) hook: label ← min(label, neighbors' labels) — one
-    * join+agg shuffle on doc_id — and (2) shortcut: label ←
-    * label(label) — one self-join — which halves the height of every
-    * label-pointer chain, so the loop converges in O(log diameter)
-    * rounds rather than the O(diameter) of plain single-hop
-    * propagation. `localCheckpoint` truncates lineage per round (the
-    * standard guard for iterative DataFrame algorithms) and the loop
-    * exits at the exact fixpoint, so the result equals the transitive
-    * closure the oracle computes with a recursive CTE. */
+    * Spark-first CC without GraphX: [[graft.plans.ConnectedComponents]]
+    * (min-label hooking + pointer-doubling shortcut, O(log diameter)
+    * rounds — see its scaladoc; PropertySpec pins both the labels
+    * against union-find and the round bound on a path graph). The
+    * fixpoint equals the transitive closure the oracle computes with
+    * a recursive CTE. */
   val x14DedupClusters: Q = (s, d) => {
     val docs = corpusWithDupes(s, d)
-      .filter(col("doc_id") % 1000000 < 200).select(col("doc_id"))
+      .filter(col("doc_id") % 1000000 < 200)
+      .select(col("doc_id").as("id"))
     val pairs = ngramJaccardPairs(s, d)
-    val adj = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = docs.withColumn("label", col("doc_id")).localCheckpoint()
-    var changed = 1L
-    var round = 0
-    while (changed > 0) {
-      val nbMin = adj
-        .join(labels.select(col("doc_id").as("dst"), col("label").as("dl")),
-          Seq("dst"))
-        .groupBy(col("src").as("doc_id")).agg(min(col("dl")).as("nb"))
-      // carry the old label through the update so the convergence
-      // check is a filter, not another join; checkpoint lineage only
-      // every other round — each checkpoint is its own job, and at
-      // small diameters the job overhead outweighs the recompute
-      val hooked = labels.join(nbMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nb"), col("label"))).as("label"))
-      // shortcut (pointer doubling): follow the label one more hop —
-      // labels are doc_ids, so label(label) is a lookup of the label
-      // column keyed by itself; keeps chains logarithmic
-      val nextRaw = hooked.join(
-          labels.select(col("label").as("ll"), col("doc_id").as("label")),
-          Seq("label"), "left")
-        .select(col("doc_id"), col("old"),
-          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-      val next = if (round % 2 == 1) nextRaw.localCheckpoint() else nextRaw
-      changed = next.filter(col("label") =!= col("old")).count()
-      labels = next.select(col("doc_id"), col("label"))
-      round += 1
-    }
-    labels
-      .select(col("doc_id"), col("label").as("canonico"),
-        (col("doc_id") === col("label")).as("sobrevivente"))
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    graft.plans.ConnectedComponents.minLabel(docs, pairs)
+      .select(col("id").as("doc_id"), col("label").as("canonico"),
+        (col("id") === col("label")).as("sobrevivente"))
       .orderBy(col("doc_id"))
   }
 

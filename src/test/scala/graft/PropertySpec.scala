@@ -84,6 +84,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: ConnectedComponents labels equal union-find on random graphs") {
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r)
+        var c = x; while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    for (seed <- 1 to 3) {
+      val n = 40
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val nodes = (0 until n).map(_.toLong).toDF("id")
+      val edf = edges.toDF("src", "dst")
+      val got = graft.plans.ConnectedComponents.minLabel(nodes, edf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(n, edges), s"seed=$seed")
+    }
+  }
+
+  test("property: pointer doubling converges in O(log n) rounds on a path") {
+    // a 64-node path has diameter 63: plain single-hop min-label
+    // propagation needs ~63 rounds; hooking+shortcutting must stay
+    // logarithmic (the documented complexity claim, pinned here)
+    val n = 64
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val path = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("src", "dst")
+    val (labels, rounds) =
+      graft.plans.ConnectedComponents.minLabelWithRounds(nodes, path)
+    assert(labels.collect().forall(_.getLong(1) == 0L))
+    assert(rounds <= 16, s"expected O(log n) rounds, got $rounds")
+  }
+
   test("property: leadTimeHms roundtrip parses back to seconds") {
     val secs = Gen.choose(0L, 500000L)
     val sample = Gen.listOfN(200, secs).sample.get.distinct
