@@ -23,8 +23,25 @@ import org.apache.spark.sql.functions._
   * checkpoint job); the loop exits at the exact fixpoint, so labels
   * equal the transitive closure (each node → min node id of its
   * component).
+  *
+  * Checkpoint blocks are freed on exit: every loop-era snapshot
+  * (adjacency + intermediate label rounds) is unpersisted before
+  * returning, and the result rides ONE final label snapshot. Without
+  * this, each invocation leaks its checkpoint blocks into the block
+  * manager for the life of the session — in a long-running session
+  * (or a many-query benchmark) the accumulated storage squeezes
+  * execution memory for every query that follows.
   */
 object ConnectedComponents {
+
+  /** Drops the block-manager blocks behind a localCheckpoint'ed
+    * DataFrame. After this the DataFrame is NOT recomputable (the
+    * checkpoint truncated its lineage) — only call on snapshots no
+    * downstream plan references. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** Labels for `nodes` (column `id`) over undirected `edges`
     * (columns `src`, `dst`, either orientation), plus the number of
@@ -35,6 +52,7 @@ object ConnectedComponents {
       .localCheckpoint()
     var labels = nodes.select(col("id"))
       .withColumn("label", col("id")).localCheckpoint()
+    var loopSnapshots = List(adj, labels)
     var changed = 1L
     var round = 0
     while (changed > 0) {
@@ -54,12 +72,23 @@ object ConnectedComponents {
           Seq("label"), "left")
         .select(col("id"), col("old"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-      val next = if (round % 2 == 1) nextRaw.localCheckpoint() else nextRaw
+      val next =
+        if (round % 2 == 1) {
+          val c = nextRaw.localCheckpoint()
+          loopSnapshots ::= c
+          c
+        } else nextRaw
       changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select(col("id"), col("label"))
       round += 1
     }
-    (labels, round)
+    // One final snapshot carries the result; everything the loop
+    // pinned (adjacency + per-round label states) is freed now, so a
+    // CC call leaves behind exactly one (id, label) table's worth of
+    // storage instead of O(rounds) of it.
+    val result = labels.localCheckpoint()
+    loopSnapshots.foreach(freeCheckpoint)
+    (result, round)
   }
 
   /** Labels only (see [[minLabelWithRounds]]). */
