@@ -177,6 +177,31 @@ object MlEtl {
       .orderBy(col("coluna"))
   }
 
+  /** PR3: table-health / linter audit over the whole fixture schema
+    * ([[graft.profiling.TableHealth]] — `Database Linter.py:37-90`,
+    * `scripts_sql/Verificador_de_Integridade.sql:4-57`): per-table
+    * PK-candidate uniqueness + null check, duplicate-key and null-key
+    * tallies, orphan-FK count against the parent, SIM/NÃO status
+    * columns in the reference's report shape. */
+  val pr3TableHealth: Q = (s, d) => {
+    import graft.profiling.TableHealth.{TableSpec, report}
+    report(Seq(
+      TableSpec("region", Tables.region(s, d), Seq("r_regionkey")),
+      TableSpec("nation", Tables.nation(s, d), Seq("n_nationkey"),
+        Some(("n_regionkey", Tables.region(s, d), "r_regionkey"))),
+      TableSpec("customer", Tables.customer(s, d), Seq("c_custkey"),
+        Some(("c_nationkey", Tables.nation(s, d), "n_nationkey"))),
+      TableSpec("supplier", Tables.supplier(s, d), Seq("s_suppkey"),
+        Some(("s_nationkey", Tables.nation(s, d), "n_nationkey"))),
+      TableSpec("part", Tables.part(s, d), Seq("p_partkey")),
+      TableSpec("orders", Tables.orders(s, d), Seq("o_orderkey"),
+        Some(("o_custkey", Tables.customer(s, d), "c_custkey"))),
+      TableSpec("lineitem", Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_linenumber"),
+        Some(("l_orderkey", Tables.orders(s, d), "o_orderkey")))))
+      .orderBy(col("tabela"))
+  }
+
   /** ETL1: the full staging pipeline (SURVEY §3.1) end-to-end over
     * orders: mapping-select+rename, money cast, date coercion, status
     * normalization, null-key filter, injected load stamp. */
@@ -238,6 +263,7 @@ object MlEtl {
     "m5_commission" -> m5Commission,
     "pr1_profile" -> pr1Profile,
     "pr2_star_induction" -> pr2StarInduction,
+    "pr3_table_health" -> pr3TableHealth,
     "etl1_staging" -> etl1Staging,
     "etl2_audit" -> etl2Audit,
     "x11_multimodal_meta" -> x11MultimodalMeta,
@@ -248,6 +274,55 @@ object MlEtl {
     s"""(SELECT YEAR(o_orderdate) AS ano, MONTH(o_orderdate) AS mes,
         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec
         FROM orders GROUP BY 1, 2)"""
+
+  /** One pr3 oracle branch per table (same audit arithmetic as
+    * [[graft.profiling.TableHealth]]). */
+  private def healthBranchSql(
+      table: String, keys: Seq[String],
+      fk: Option[(String, String, String)]): String = {
+    val kc = s"concat_ws('|', ${keys.mkString(", ")})"
+    val kNull = keys.map(k => s"$k IS NULL").mkString(" OR ")
+    val orphan = fk match {
+      case Some((fkCol, parent, pKey)) =>
+        s"""(SELECT CAST(COALESCE(SUM(CASE WHEN c.$fkCol IS NOT NULL
+              AND p.$pKey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+            FROM $table c
+            LEFT JOIN (SELECT DISTINCT $pKey FROM $parent) p
+              ON c.$fkCol = p.$pKey)"""
+      case None => "CAST(0 AS BIGINT)"
+    }
+    s"""SELECT '$table' AS tabela, '${keys.mkString(", ")}' AS pk_candidata,
+        COUNT(*) AS linhas,
+        CASE WHEN COUNT(DISTINCT $kc) = COUNT(*)
+              AND SUM(CASE WHEN $kNull THEN 1 ELSE 0 END) = 0
+          THEN '✅ SIM' ELSE '❌ NÃO' END AS possui_pk,
+        COUNT(*) - COUNT(DISTINCT $kc) AS chaves_duplicadas,
+        CAST(SUM(CASE WHEN $kNull THEN 1 ELSE 0 END) AS BIGINT) AS chaves_nulas,
+        '${fk.map(_._1).getOrElse("---")}' AS fk_coluna,
+        $orphan AS fk_orfas
+        FROM $table"""
+  }
+
+  private val pr3Sql: String = {
+    val branches = Seq(
+      healthBranchSql("region", Seq("r_regionkey"), None),
+      healthBranchSql("nation", Seq("n_nationkey"),
+        Some(("n_regionkey", "region", "r_regionkey"))),
+      healthBranchSql("customer", Seq("c_custkey"),
+        Some(("c_nationkey", "nation", "n_nationkey"))),
+      healthBranchSql("supplier", Seq("s_suppkey"),
+        Some(("s_nationkey", "nation", "n_nationkey"))),
+      healthBranchSql("part", Seq("p_partkey"), None),
+      healthBranchSql("orders", Seq("o_orderkey"),
+        Some(("o_custkey", "customer", "c_custkey"))),
+      healthBranchSql("lineitem", Seq("l_orderkey", "l_linenumber"),
+        Some(("l_orderkey", "orders", "o_orderkey"))))
+    s"""SELECT tabela, pk_candidata, linhas, possui_pk, chaves_duplicadas,
+        chaves_nulas, fk_coluna, fk_orfas,
+        CASE WHEN fk_orfas = 0 THEN '✅ SIM' ELSE '❌ NÃO' END AS fk_integra
+      FROM (${branches.mkString("\n      UNION ALL\n")})
+      ORDER BY tabela"""
+  }
 
   val oracles: Map[String, String] = Map(
     "m1_forecast" -> s"""
@@ -353,6 +428,7 @@ object MlEtl {
              WHEN distintos <= GREATEST(50, linhas // 100) THEN 'dim_attribute'
              ELSE 'text' END AS classe
       FROM stacked ORDER BY coluna""",
+    "pr3_table_health" -> pr3Sql,
     "etl1_staging" -> """
       SELECT o_orderkey AS pedido_id, o_custkey AS cliente_id,
         CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS DOUBLE) AS valor_total,
