@@ -127,6 +127,22 @@ object Scalars {
       .orderBy(col("n_nationkey"))
   }
 
+  /** F9b: byte-level encoding repair — the strict
+    * `encode(cp1252) → decode(utf-8)` round-trip UDF
+    * ([[graft.functions.EncodingRepair]], `Conversor de
+    * Formatos.py:105-136`). Two probes per row: a corrupted column
+    * (must come back accent-perfect) and an already-clean column
+    * (must pass through the identity leg untouched). */
+  val f9bEncodingRepair: Q = (s, d) => {
+    val broken = concat(col("n_name"), lit(brokenSuffix))
+    val clean = concat(col("n_name"), lit(goodSuffix))
+    Tables.nation(s, d)
+      .select(col("n_nationkey"),
+        graft.functions.EncodingRepair.repair(broken).as("texto_reparado"),
+        graft.functions.EncodingRepair.repair(clean).as("texto_ja_limpo"))
+      .orderBy(col("n_nationkey"))
+  }
+
   /** F10: substring classification ladder
     * (`CTE - Check de Integridade….sql:6-10`). */
   val f10SubstringClassify: Q = (s, d) =>
@@ -337,6 +353,7 @@ object Scalars {
     "f7_composite_key" -> f7CompositeKey,
     "f8_split_disambiguate" -> f8SplitDisambiguate,
     "f9_mojibake_repair" -> f9MojibakeRepair,
+    "f9b_encoding_repair" -> f9bEncodingRepair,
     "f10_substring_classify" -> f10SubstringClassify,
     "f11_value_remap" -> f11ValueRemap,
     "f12_simnao" -> f12SimNao,
@@ -442,6 +459,15 @@ object Scalars {
       }
       s"SELECT n_nationkey, $rep AS texto_reparado FROM nation ORDER BY n_nationkey"
     },
+    // The oracle states the REPAIRED truth directly: the corrupted
+    // input is n_name + brokenSuffix (same construction as the Spark
+    // side), so a correct byte round-trip must land exactly on
+    // n_name + goodSuffix; the clean column must be untouched.
+    "f9b_encoding_repair" -> s"""
+      SELECT n_nationkey,
+        n_name || '$goodSuffix' AS texto_reparado,
+        n_name || '$goodSuffix' AS texto_ja_limpo
+      FROM nation ORDER BY n_nationkey""",
 
     "f10_substring_classify" -> """
       SELECT p_partkey,

@@ -126,4 +126,41 @@ class BrFunctionsSpec extends AnyFunSuite {
     assert(evalStr(classifyContains(lit("sem categoria"), rules, "OUTRO"), "x")
       .contains("OUTRO"))
   }
+
+  test("repairEncoding fixes utf8-as-cp1252 mojibake byte-exactly") {
+    import graft.functions.EncodingRepair.repairEncoding
+    def corrupt(good: String): String =
+      new String(good.getBytes("UTF-8"), "windows-1252")
+    for (good <- Seq("ção", "Informação", "Preço único", "ergonômico",
+        "SÃO PAULO — CAFÉ", "ÉÓÚ àêõü")) {
+      assert(repairEncoding(corrupt(good)) == good, s"repair of <$good>")
+      // clean accents must pass through the identity leg untouched
+      assert(repairEncoding(good) == good, s"identity of <$good>")
+    }
+    // 'Á'/'Í' have UTF-8 second bytes 0x81/0x8D — UNDEFINED in cp1252,
+    // so that mis-decode is lossy (U+FFFD) and unrepairable in any
+    // engine; the real-world corruption for them is the latin-1
+    // mis-decode, which the fallback leg repairs
+    for (good <- Seq("ÁGUA", "MÍNIMO", "ÁÉÍÓÚ àêõü")) {
+      val broken = new String(good.getBytes("UTF-8"), "ISO-8859-1")
+      assert(repairEncoding(broken) == good, s"latin-1 repair of <$good>")
+    }
+  }
+
+  test("repairEncoding identity edge cases") {
+    import graft.functions.EncodingRepair.repairEncoding
+    assert(repairEncoding(null) == null)
+    assert(repairEncoding("") == "")
+    assert(repairEncoding("plain ascii 123") == "plain ascii 123")
+    // char outside cp1252 AND latin-1 (→ both encode legs fail): identity
+    assert(repairEncoding("日本語 text") == "日本語 text")
+    // iso-8859-1 fallback leg: Cyrillic 'р' is UTF-8 D1 80; mis-decoded
+    // as LATIN-1 that yields "Ñ" + U+0080, and U+0080 is NOT
+    // cp1252-encodable in the JVM (0x80 is '€' there) — so leg 1
+    // REPORTs and only the latin-1 round-trip can repair it
+    val good = "\u0440"
+    val broken = new String(good.getBytes("UTF-8"), "ISO-8859-1")
+    assert(broken == "\u00d1\u0080")
+    assert(repairEncoding(broken) == good)
+  }
 }
