@@ -18,28 +18,65 @@ object MlEtl {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** M1: forecast substitute (SURVEY §7.4 risk 6 — no JVM Prophet):
-    * seasonal-naive with trailing-year growth. forecast(m) =
-    * value(m-12) × (sum last 12 / sum prior 12), over the monthly
-    * revenue series. Documented deviation from the reference's
-    * Prophet. */
+  /** M1: seasonality-fitting forecast — the faithful port of the
+    * reference's multiplicative-yearly-seasonality model
+    * (`Modelo de Previsão de Vendas.py:69-93`, Prophet with
+    * `seasonality_mode='multiplicative'`), expressed as classical
+    * decomposition: (1) linear trend by exact-moment OLS over the
+    * whole monthly series (the `m2` determinism trick, one group);
+    * (2) per-calendar-month multiplicative index = mean of
+    * `actual / trend`, with the per-row ratios scaled to integer
+    * nano-units so the cross-month mean is an ORDER-FREE integer sum
+    * (a raw double mean would differ between engines in the last
+    * ulp); (3) fitted value = trend × index. The previous
+    * seasonal-naive (lag-12 × trailing-year growth) is kept as
+    * `previsao_naive` — the fallback when fewer than two years of
+    * history exist. No Prophet in the JVM: changepoints and
+    * uncertainty intervals are the documented fidelity delta. */
   val m1Forecast: Q = (s, d) => {
     val monthly = Tables.orders(s, d)
       .groupBy(year(col("o_orderdate")).as("ano"), month(col("o_orderdate")).as("mes"))
       .agg(sum(dec2(col("o_totalprice"))).as("total_dec"))
+      .withColumn("t", (col("ano") - 1995) * 12 + col("mes") - 1)
+    val trend = monthly.agg(
+        count(lit(1)).as("n"),
+        sum(col("t")).as("sx"),
+        sum(col("t") * col("t")).as("sxx"),
+        sum(col("total_dec")).as("sy"),
+        sum(col("total_dec") * col("t")).as("sxy"))
+      .withColumn("num", (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+      .withColumn("den", (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .select((col("num") / col("den")).as("slope"),
+        ((col("sy").cast("double") - col("num") / col("den") * col("sx")) / col("n"))
+          .as("intercept"))
+    val based = monthly.crossJoin(broadcast(trend))
+      .withColumn("trend_t", col("intercept") + col("slope") * col("t"))
+      .withColumn("ratio_scaled",
+        when(col("trend_t") > 0,
+          floor(col("total_dec").cast("double") / col("trend_t") * 1e9)))
+    val seasonal = based.groupBy(col("mes").as("mes_s"))
+      .agg(sum(col("ratio_scaled")).as("rs_sum"),
+        count(col("ratio_scaled")).as("rs_n"))
     val ord = Window.orderBy(col("ano"), col("mes"))
     val last12 = ord.rowsBetween(-11, 0)
     val prior12 = ord.rowsBetween(-23, -12)
-    monthly
+    based.join(broadcast(seasonal), col("mes") === col("mes_s"))
       .withColumn("total", col("total_dec").cast("double"))
+      .withColumn("sazonalidade",
+        round(col("rs_sum").cast("double") / (col("rs_n").cast("double") * 1e9), 6))
+      .withColumn("previsao",
+        when(col("rs_n") > 0 && col("trend_t").isNotNull,
+          round(col("trend_t") *
+            (col("rs_sum").cast("double") / (col("rs_n").cast("double") * 1e9)), 2)))
       .withColumn("lag12", lag(col("total_dec"), 12).over(ord).cast("double"))
       .withColumn("soma_12m", sum(col("total_dec")).over(last12).cast("double"))
       .withColumn("soma_12m_anterior", sum(col("total_dec")).over(prior12).cast("double"))
-      .withColumn("previsao",
+      .withColumn("previsao_naive",
         when(col("lag12").isNull || col("soma_12m_anterior").isNull ||
           col("soma_12m_anterior") === 0, lit(null))
           .otherwise(round(col("lag12") * (col("soma_12m") / col("soma_12m_anterior")), 2)))
-      .select(col("ano"), col("mes"), col("total"), col("previsao"))
+      .select(col("ano"), col("mes"), col("total"), col("previsao"),
+        col("sazonalidade"), col("previsao_naive"))
       .orderBy(col("ano"), col("mes"))
   }
 
@@ -326,19 +363,55 @@ object MlEtl {
 
   val oracles: Map[String, String] = Map(
     "m1_forecast" -> s"""
-      SELECT ano, mes, CAST(total_dec AS DOUBLE) AS total,
-        CASE WHEN lag12 IS NULL OR soma_ant IS NULL OR soma_ant = 0 THEN NULL
-             ELSE ROUND(lag12 * (soma_12m / soma_ant), 2) END AS previsao
-      FROM (
+      WITH monthly AS (
         SELECT ano, mes, total_dec,
-          CAST(LAG(total_dec, 12) OVER ord AS DOUBLE) AS lag12,
-          CAST(SUM(total_dec) OVER (ORDER BY ano, mes
-            ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS DOUBLE) AS soma_12m,
-          CAST(SUM(total_dec) OVER (ORDER BY ano, mes
-            ROWS BETWEEN 23 PRECEDING AND 12 PRECEDING) AS DOUBLE) AS soma_ant
-        FROM $monthlySql
-        WINDOW ord AS (ORDER BY ano, mes))
-      ORDER BY ano, mes""",
+          (ano - 1995) * 12 + mes - 1 AS t
+        FROM $monthlySql),
+      trend AS (
+        SELECT CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+            AS slope,
+          (CAST(sy AS DOUBLE)
+           - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) * sx)
+            / n AS intercept
+        FROM (SELECT COUNT(*) AS n, SUM(t) AS sx, SUM(t*t) AS sxx,
+                SUM(total_dec) AS sy, SUM(total_dec * t) AS sxy
+              FROM monthly)),
+      based AS (
+        SELECT ano, mes, total_dec, t,
+          intercept + slope * t AS trend_t,
+          CASE WHEN intercept + slope * t > 0
+            THEN CAST(FLOOR(CAST(total_dec AS DOUBLE)
+                   / (intercept + slope * t) * 1e9) AS BIGINT) END AS ratio_scaled
+        FROM monthly, trend),
+      seasonal AS (
+        SELECT mes AS mes_s, CAST(SUM(ratio_scaled) AS BIGINT) AS rs_sum,
+          COUNT(ratio_scaled) AS rs_n
+        FROM based GROUP BY mes),
+      naive AS (
+        SELECT ano, mes,
+          CASE WHEN lag12 IS NULL OR soma_ant IS NULL OR soma_ant = 0 THEN NULL
+               ELSE ROUND(lag12 * (soma_12m / soma_ant), 2) END AS previsao_naive
+        FROM (
+          SELECT ano, mes,
+            CAST(LAG(total_dec, 12) OVER ord AS DOUBLE) AS lag12,
+            CAST(SUM(total_dec) OVER (ORDER BY ano, mes
+              ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS DOUBLE) AS soma_12m,
+            CAST(SUM(total_dec) OVER (ORDER BY ano, mes
+              ROWS BETWEEN 23 PRECEDING AND 12 PRECEDING) AS DOUBLE) AS soma_ant
+          FROM monthly
+          WINDOW ord AS (ORDER BY ano, mes)))
+      SELECT b.ano, b.mes, CAST(b.total_dec AS DOUBLE) AS total,
+        CASE WHEN rs_n > 0 AND trend_t IS NOT NULL
+          THEN ROUND(trend_t
+            * (CAST(rs_sum AS DOUBLE) / (CAST(rs_n AS DOUBLE) * 1e9)), 2)
+          END AS previsao,
+        ROUND(CAST(rs_sum AS DOUBLE) / (CAST(rs_n AS DOUBLE) * 1e9), 6)
+          AS sazonalidade,
+        naive.previsao_naive
+      FROM based b
+      JOIN seasonal ON b.mes = mes_s
+      JOIN naive ON b.ano = naive.ano AND b.mes = naive.mes
+      ORDER BY b.ano, b.mes""",
     "m2_group_regression" -> """
       SELECT c_nationkey,
         ROUND(num / den, 4) AS tendencia,

@@ -28,4 +28,28 @@ class MlSpec extends AnyFunSuite {
     val b = GroupForest.trainPerGroup(spark, sf, maxGroups = 2).collect().toSeq
     assert(a == b)
   }
+
+  test("m1 seasonal fit covers the whole series and its index is sane") {
+    val rows = graft.queries.MlEtl.m1Forecast(spark, sf).collect()
+    assert(rows.length >= 24)
+    // the seasonal-fit forecast exists for EVERY month (the naive
+    // fallback needs 24 months of history and starts null)
+    assert(rows.forall(r => !r.isNullAt(r.fieldIndex("previsao"))))
+    assert(rows.take(12).forall(r => r.isNullAt(r.fieldIndex("previsao_naive"))))
+    val idx = rows.map(_.getAs[Double]("sazonalidade"))
+    // multiplicative indexes hover around 1; their mean ≈ 1 because the
+    // OLS trend is unbiased over the same series
+    assert(idx.forall(v => v > 0.3 && v < 2.0), s"index range: ${idx.min}..${idx.max}")
+    val mean = idx.sum / idx.length
+    assert(math.abs(mean - 1.0) < 0.05, s"index mean $mean")
+    // in-sample: the seasonal fit should track actuals at least as well
+    // as the naive fallback on the months where both exist
+    val both = rows.filter(r => !r.isNullAt(r.fieldIndex("previsao_naive")))
+    def mae(f: org.apache.spark.sql.Row => Double) =
+      both.map(r => math.abs(f(r) - r.getAs[Double]("total"))).sum / both.length
+    val maeFit = mae(_.getAs[Double]("previsao"))
+    val maeNaive = mae(_.getAs[Double]("previsao_naive"))
+    assert(maeFit <= maeNaive * 1.25,
+      s"seasonal fit MAE $maeFit vs naive $maeNaive")
+  }
 }
