@@ -430,36 +430,82 @@ object TrainingData {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** X13: IVF ANN (the other scale path): coarse quantizer = 16
-    * deterministic centroids (first 16 vectors), every vector assigned
-    * to its nearest cell; queries probe the nprobe=4 nearest cells and
-    * run exact cosine only there. Inverted-file topology: the corpus
-    * scan partitions by cell at write time at scale. Fully
-    * deterministic → DuckDB oracle; ScalaTest asserts recall vs x5.
-    *
-    * Cell-choice sims are rounded to 6dp so the argmax is stable
-    * across engines: raw doubles could differ in the last ULP between
-    * summation implementations, and an unrounded ORDER BY would make
-    * cell assignment engine-dependent on near-ties (rounded ties break
-    * deterministically by cid). */
-  val x13AnnIvf: Q = (s, d) => {
-    val nprobe = 4
-    val emb = spread(s, Tables.embeddings(s, d))
-    val centroids = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    def cos(a: Column, b: Column): Column = cosineSim(a, b)
-    // assign: nearest centroid per vector
+  /** Nearest-centroid assignment (shared by the Lloyd trainer and the
+    * final IVF index build). Sims are rounded to 6dp so the argmax is
+    * stable across engines: raw doubles could differ in the last ULP
+    * between summation implementations, and an unrounded ORDER BY
+    * would make cell assignment engine-dependent on near-ties
+    * (rounded ties break deterministically by cid). */
+  private def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
-    val assigned = emb.crossJoin(broadcast(centroids))
-      .withColumn("sim", round(cos(col("embedding"), col("ce")), 6))
+    emb.crossJoin(broadcast(cents))
+      .withColumn("sim", round(cosineSim(col("embedding"), col("ce")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+  }
+
+  /** One deterministic Lloyd step: assign every vector to its nearest
+    * centroid, then recompute each centroid as the element-wise mean
+    * of its members. Per-component values are scaled to integer
+    * 2^24-units before summing so the mean is an ORDER-FREE integer
+    * sum (cross-engine exact), then quantized back to float. The
+    * shuffle is on (cell, pos) — at corpus scale this is the standard
+    * map-side-combinable centroid update, no vector list ever
+    * materializes. */
+  private def lloydStep(emb: DataFrame, cents: DataFrame): DataFrame =
+    ivfAssign(emb, cents)
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(floor(col("v").cast("double") * (1 << 24))).as("sv"),
+        count(lit(1)).as("n"))
+      .withColumn("comp",
+        (col("sv").cast("double") / (col("n").cast("double") * (1 << 24)))
+          .cast("float"))
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("pos"), col("comp"))).as("lst"))
+      .select(col("cell").as("cid"),
+        transform(array_sort(col("lst")), x => x.getField("comp")).as("ce"))
+
+  /** X13: IVF ANN (the other scale path): coarse quantizer = 16
+    * centroids seeded from the first 16 vectors and refined by two
+    * deterministic Lloyd iterations ([[lloydStep]] — k-means is
+    * Lloyd 1982; the IVF index is Sivic & Zisserman's inverted file),
+    * every vector assigned to its nearest cell; queries probe the
+    * nprobe=4 nearest cells and run exact cosine only there.
+    * Inverted-file topology: the corpus scan partitions by cell at
+    * write time at scale. Fully deterministic (integer-sum centroid
+    * means, 6dp-rounded argmax) → DuckDB oracle replays the identical
+    * training. ScalaTest asserts recall vs x5 plus cell balance vs the
+    * untrained seed quantizer — on the near-isotropic fixture, recall
+    * at fixed nprobe tracks the probed corpus fraction, so training's
+    * payoff shows up as bounded cell size (query-cost variance), while
+    * on real clustered embeddings it shows up as recall. */
+  private def trainedCentroids(emb: DataFrame, lloydIters: Int): DataFrame = {
+    val seed = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    (0 until lloydIters).foldLeft(seed)((c, _) => lloydStep(emb, c))
+  }
+
+  /** The index's cell assignment after training (balance diagnostics:
+    * the trained quantizer's payoff at fixed nprobe is BOUNDED cell
+    * size — per-query candidate cost — more than raw recall, which on
+    * isotropic fixtures tracks the probed corpus fraction). */
+  def ivfCells(s: SparkSession, d: String, lloydIters: Int): DataFrame = {
+    val emb = spread(s, Tables.embeddings(s, d))
+    ivfAssign(emb, trainedCentroids(emb, lloydIters))
+  }
+
+  def ivfTopK(s: SparkSession, d: String, lloydIters: Int): DataFrame = {
+    val nprobe = 4
+    val emb = spread(s, Tables.embeddings(s, d))
+    val centroids = trainedCentroids(emb, lloydIters)
+    val assigned = ivfAssign(emb, centroids)
     // queries probe nprobe nearest cells
     val wq = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
     val probes = emb.filter(col("vec_id") < 5)
       .crossJoin(broadcast(centroids))
-      .withColumn("sim", round(cos(col("embedding"), col("ce")), 6))
+      .withColumn("sim", round(cosineSim(col("embedding"), col("ce")), 6))
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= nprobe)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid").as("cell"))
@@ -467,12 +513,14 @@ object TrainingData {
     assigned.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("cell"))
       .join(broadcast(probes), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("score", round(cos(col("qe"), col("ne")), 4))
+      .withColumn("score", round(cosineSim(col("qe"), col("ne")), 4))
       .withColumn("rk", row_number().over(wr))
       .filter(col("rk") <= 10)
       .select(col("qid"), col("nid"), col("score"), col("rk"))
       .orderBy(col("qid"), col("rk"))
   }
+
+  val x13AnnIvf: Q = (s, d) => ivfTopK(s, d, lloydIters = 2)
 
   /** X19: Gopher-style repetition quality signal — the share of all
     * word 2-grams taken by the single most frequent 2-gram (Rae et
@@ -774,24 +822,47 @@ object TrainingData {
         FROM scored)
       SELECT qid, nid, score, CAST(rk AS INT) AS rk FROM ranked
       WHERE rk <= 10 ORDER BY qid, rk""",
-    "x13_ann_ivf" -> s"""
-      WITH cent AS (
-        SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
-      sims AS (
-        SELECT e.vec_id, e.embedding, c.cid, c.ce,
-          ROUND(${cosSql("e.embedding", "c.ce")}, 6) AS sim
-        FROM embeddings e, cent c),
-      assigned AS (
+    "x13_ann_ivf" -> {
+      // replay of the two deterministic Lloyd iterations: nearest-
+      // centroid assign (6dp-rounded argmax) then integer-sum
+      // element-wise mean quantized back to float
+      def assignSql(cents: String, out: String): String = s"""
+      $out AS (
         SELECT vec_id, embedding, cid AS cell FROM (
-          SELECT vec_id, embedding, cid,
-            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
-          FROM sims)
-        WHERE rk = 1),
+          SELECT e.vec_id, e.embedding, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ROUND(${cosSql("e.embedding", "c.ce")}, 6) DESC, c.cid)
+              AS rk
+          FROM embeddings e, $cents c)
+        WHERE rk = 1)"""
+      def centSql(assign: String, out: String): String = s"""
+      $out AS (
+        SELECT cell AS cid,
+          list(CAST(CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * 16777216)
+            AS FLOAT) ORDER BY pos) AS ce
+        FROM (
+          SELECT cell, i AS pos,
+            CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 16777216)
+              AS BIGINT)) AS BIGINT) AS sv,
+            COUNT(*) AS n
+          FROM $assign, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+          GROUP BY cell, i)
+        GROUP BY cell)"""
+      s"""
+      WITH cent0 AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+      ${assignSql("cent0", "assign0")},
+      ${centSql("assign0", "cent1")},
+      ${assignSql("cent1", "assign1")},
+      ${centSql("assign1", "cent2")},
+      ${assignSql("cent2", "assigned")},
       probes AS (
         SELECT vec_id AS qid, embedding AS qe, cid AS cell FROM (
-          SELECT vec_id, embedding, cid,
-            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
-          FROM sims WHERE vec_id < 5)
+          SELECT e.vec_id, e.embedding, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ROUND(${cosSql("e.embedding", "c.ce")}, 6) DESC, c.cid)
+              AS rk
+          FROM embeddings e, cent2 c WHERE e.vec_id < 5)
         WHERE rk <= 4),
       scored AS (
         SELECT p.qid, a.vec_id AS nid,
@@ -803,7 +874,8 @@ object TrainingData {
           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rk
         FROM scored)
       SELECT qid, nid, score, CAST(rk AS INT) AS rk FROM ranked
-      WHERE rk <= 10 ORDER BY qid, rk""",
+      WHERE rk <= 10 ORDER BY qid, rk"""
+    },
     "x16_stratified_sample" -> """
       SELECT lang, doc_id, amostra_chave
       FROM (SELECT lang, doc_id,

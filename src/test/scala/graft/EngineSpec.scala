@@ -99,13 +99,27 @@ class EngineSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"ann lsh recall $recall")
   }
 
-  test("IVF ANN recall vs brute-force cosine top-10 >= 0.4 (isotropic data)") {
+  test("IVF ANN: Lloyd-trained quantizer recall >= untrained, >= 0.4") {
     val exact = TrainingData.x5AnnCosine(spark, sf)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = TrainingData.x13AnnIvf(spark, sf)
-      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (exact & ivf).size.toDouble / exact.size
-    assert(recall >= 0.4, s"ivf recall $recall")
+    def recallOf(iters: Int): Double = {
+      val ivf = TrainingData.ivfTopK(spark, sf, lloydIters = iters)
+        .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & ivf).size.toDouble / exact.size
+    }
+    val untrained = recallOf(0)
+    val trained = recallOf(2)
+    assert(trained >= 0.4, s"trained ivf recall $trained")
+    println(s"[ivf] recall untrained=$untrained trained=$trained")
+    // cell balance: max cell size of the trained vs untrained index
+    def maxCell(iters: Int): Long = {
+      val balance = TrainingData.ivfCells(spark, sf, lloydIters = iters)
+        .groupBy("cell").count().collect().map(_.getAs[Long]("count"))
+      println(s"[ivf] iters=$iters cells=${balance.length} max=${balance.max}")
+      balance.max
+    }
+    assert(maxCell(2) <= maxCell(0),
+      "Lloyd training must not worsen the largest cell")
   }
 
   test("Multimodal: scan metadata matches mapPartitions feature extraction") {
