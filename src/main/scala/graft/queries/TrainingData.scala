@@ -277,20 +277,88 @@ object TrainingData {
     }.reduce(_ + _)
   }
 
-  /** 32-bit simhash signature per doc over the dedup corpus. */
-  private def simhash32(s: SparkSession, d: String): DataFrame = {
+  /** 64-bit token hash: two positional 32-bit md5-prefix parses
+    * assembled bitwise (a single positional sum of 16 hex digits
+    * would overflow signed 64-bit arithmetic at digit 15 × 16^15). */
+  private def md5Hash64(c: Column): Column = {
+    def parse32(start: Int): Column = {
+      val hex = substring(md5(c), start, 8)
+      (0 until 8).map { i =>
+        (instr(lit("0123456789abcdef"), substring(hex, i + 1, 1)) - 1)
+          .cast("long") * lit(1L << (4 * (7 - i)))
+      }.reduce(_ + _)
+    }
+    shiftleft(parse32(1), 32).bitwiseOR(parse32(9))
+  }
+
+  /** Width-parameterized simhash signature per doc over the dedup
+    * corpus: per-bit ±1 votes over distinct tokens, sign → bit. The
+    * signature assembles by bitwise OR (disjoint bits) so the 64-bit
+    * sign bit (1L << 63) never rides an ANSI-checked addition. */
+  private def simhashSigs(s: SparkSession, d: String, bits: Int): DataFrame = {
+    require(bits == 32 || bits == 64, s"unsupported simhash width $bits")
+    val hash = if (bits == 64) md5Hash64(col("tok")) else md5Hash32(col("tok"))
     val toks = corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200)
       .select(col("doc_id"), explode(distinctTokens(col("text"))).as("tok"))
-      .withColumn("h", md5Hash32(col("tok")))
-    val votes = (0 until 32).map { i =>
+      .withColumn("h", hash)
+    val votes = (0 until bits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"v$i")
     }
     toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
-        (0 until 32).map(i =>
+        (0 until bits).map(i =>
           when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** Banded near-dup pairs over precomputed simhash signatures:
+    * docs sharing any band bucket become candidates; exact hamming
+    * (bit_count of xor) ≤ `maxHamming` verifies. LOSSLESS whenever
+    * `maxHamming < nBands` (pigeonhole: the differing bits cannot
+    * touch every band, so one band matches exactly) — PropertySpec
+    * pins this against the n² scan at the 64-bit production width. */
+  def simhashBandedPairs(
+      sigs: DataFrame, bandBits: Int, nBands: Int, maxHamming: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(mask).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("a").join(bands.as("b"), Seq("band", "key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** The production-width (64-bit, 4×16-bit bands) simhash dedup —
+    * same plan shape as x15, wider signature (lower false-candidate
+    * rate at corpus scale). JVM-tested; the 32-bit variant keeps the
+    * portable DuckDB oracle. */
+  def simhash64Dedup(s: SparkSession, d: String): DataFrame =
+    simhashBandedPairs(simhashSigs(s, d, 64), bandBits = 16, nBands = 4,
+      maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** All-pairs hamming≤k reference for the lossless-blocking pin. */
+  def simhashBrutePairs(s: SparkSession, d: String, bits: Int,
+      maxHamming: Int): DataFrame = {
+    val sigs = simhashSigs(s, d, bits)
+    sigs.as("a").crossJoin(sigs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("hamming"))
   }
 
   /** X15: SimHash near-dup pairs with banded blocking — the SimHash
@@ -303,27 +371,12 @@ object TrainingData {
     * matches exactly — the LSH-shaped plan returns EXACTLY the n² scan
     * result (which is what the oracle computes), while only ever
     * joining within band buckets. Production width is 64-bit with
-    * 16-bit bands; 32-bit keeps the oracle portable. */
-  val x15SimhashDedup: Q = (s, d) => {
-    val sigs = simhash32(s, d)
-    val bands = sigs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 8).bitwiseAND(255).as("key"))): _*))
-        .as("bk"))
-      .select(col("doc_id"), col("simhash"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    bands.as("a").join(bands.as("b"), Seq("band", "key"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming",
-        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
-      .filter(col("hamming") <= 3)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    * 16-bit bands ([[simhash64Dedup]], PropertySpec-pinned); 32-bit
+    * keeps the oracle portable. */
+  val x15SimhashDedup: Q = (s, d) =>
+    simhashBandedPairs(simhashSigs(s, d, 32), bandBits = 8, nBands = 4,
+      maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   // ---------------------------------------------------------- similarity
 

@@ -121,6 +121,26 @@ class PropertySpec extends AnyFunSuite {
     assert(rounds <= 16, s"expected O(log n) rounds, got $rounds")
   }
 
+  test("property: 64-bit simhash banded blocking is lossless for hamming <= 3") {
+    import graft.queries.TrainingData
+    // production width: 64-bit signatures, 4 bands x 16 bits. Pigeonhole:
+    // 3 differing bits cannot touch all 4 bands, so the banded plan must
+    // return EXACTLY the n^2 scan's pairs.
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getInt(2))
+    val banded = TrainingData.simhash64Dedup(spark, TestSpark.sf)
+      .collect().map(key).toSet
+    val brute = TrainingData
+      .simhashBrutePairs(spark, TestSpark.sf, bits = 64, maxHamming = 3)
+      .collect().map(key).toSet
+    assert(banded == brute,
+      s"banded ${banded.size} pairs != brute ${brute.size}")
+    assert(brute.nonEmpty, "fixture dup corpus must produce near-dup pairs")
+    // signatures use the full width: some doc's sign bit (bit 63) is set,
+    // i.e. the signature is negative as a signed long
+    val sigs = TrainingData.simhashBrutePairs(spark, TestSpark.sf, 64, 64)
+    assert(sigs.count() > 0) // sanity: pipeline runs at full threshold too
+  }
+
   test("property: leadTimeHms roundtrip parses back to seconds") {
     val secs = Gen.choose(0L, 500000L)
     val sample = Gen.listOfN(200, secs).sample.get.distinct
