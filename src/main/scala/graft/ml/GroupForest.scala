@@ -30,20 +30,35 @@ object GroupForest {
   final case class GroupModelReport(grupo: Long, n_treino: Long,
       n_teste: Long, mae: Double)
 
+  /** Hard ceiling on the driver-side model loop: beyond this the
+    * per-group fit MUST move to groupByKey+mapGroups with a local
+    * learner (see scaladoc) — a driver loop over 10^5 groups is a
+    * driver bottleneck, not a distributed plan. */
+  val MaxDriverLoopGroups = 1000
+
   /** Train one forest per group (first `maxGroups` groups by key) and
     * report holdout MAE per group. */
   def trainPerGroup(s: SparkSession, d: String, maxGroups: Int = 5,
       numTrees: Int = 30): DataFrame = {
     import s.implicits._
+    require(maxGroups <= MaxDriverLoopGroups,
+      s"maxGroups=$maxGroups exceeds the driver-loop ceiling " +
+        s"($MaxDriverLoopGroups); use a groupByKey+mapGroups learner " +
+        "for high-cardinality group columns")
     val feats = graft.queries.Windows.w12LagFeatures(s, d)
       .filter(col("lag_1").isNotNull && col("media_6m").isNotNull)
     val groups = feats.select(col("c_nationkey").cast("long")).distinct()
-      .orderBy(col("c_nationkey")).limit(maxGroups)
+      .orderBy(col("c_nationkey")).limit(maxGroups + 1)
       .collect().map(_.getLong(0))
+    if (groups.length > maxGroups)
+      System.err.println(s"[GroupForest] more than $maxGroups groups " +
+        s"exist; training only the first $maxGroups (raise maxGroups " +
+        "or move to the distributed mapGroups path)")
+    val trainGroups = groups.take(maxGroups)
     val assembler = new VectorAssembler()
       .setInputCols(Array("lag_1", "media_3m", "media_6m", "ano", "mes"))
       .setOutputCol("features")
-    val reports = groups.map { g =>
+    val reports = trainGroups.map { g =>
       // per-group frame is a tiny monthly series — single-partition
       // window for the chronological index is intentional here
       val gd = feats.filter(col("c_nationkey") === g)

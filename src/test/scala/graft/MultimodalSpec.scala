@@ -43,4 +43,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.map(f => (f.doc_id, f.frame_no, f.frame_checksum)).toSet ==
       again.map(f => (f.doc_id, f.frame_no, f.frame_checksum)).toSet)
   }
+
+  test("documents fixture is pure ASCII (x17/x18 oracle assumption)") {
+    // the x17/x18 DuckDB oracles slice text by CHARACTER position while
+    // the Spark side slices the UTF-8 payload by BYTE; they agree only
+    // while char length == byte length. If the fixture ever grows
+    // non-ASCII text this must fail loudly instead of the hash check
+    // silently drifting.
+    val nonAscii = graft.core.Tables.documents(spark, TestSpark.sf)
+      .filter(length(col("text")) =!= octet_length(col("text").cast("binary")))
+      .count()
+    assert(nonAscii == 0,
+      s"$nonAscii documents contain non-ASCII text; x17/x18 oracles " +
+        "must switch to byte-based slicing (encode(text))")
+  }
 }
