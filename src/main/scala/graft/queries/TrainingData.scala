@@ -339,10 +339,12 @@ object TrainingData {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** The production-width (64-bit, 4×16-bit bands) simhash dedup —
+  /** X23 / production-width (64-bit, 4×16-bit bands) simhash dedup —
     * same plan shape as x15, wider signature (lower false-candidate
-    * rate at corpus scale). JVM-tested; the 32-bit variant keeps the
-    * portable DuckDB oracle. */
+    * rate at corpus scale). Oracle-proven: DuckDB rebuilds the 64-bit
+    * signatures (hi/lo 32-bit votes, two's-complement sign-bit
+    * assembly) and runs the n² hamming scan the lossless banding must
+    * equal; PropertySpec pins banded == n² on the Spark side too. */
   def simhash64Dedup(s: SparkSession, d: String): DataFrame =
     simhashBandedPairs(simhashSigs(s, d, 64), bandBits = 16, nBands = 4,
       maxHamming = 3)
@@ -680,6 +682,7 @@ object TrainingData {
     "x13_ann_ivf" -> x13AnnIvf,
     "x14_dedup_clusters" -> x14DedupClusters,
     "x15_simhash_dedup" -> x15SimhashDedup,
+    "x23_simhash64_dedup" -> ((s, d) => simhash64Dedup(s, d)),
     "x16_stratified_sample" -> x16StratifiedSample,
     "x1_dedup_exact" -> x1DedupExact,
     "x2_dedup_minhash" -> x2DedupMinhash,
@@ -740,7 +743,45 @@ object TrainingData {
           GROUP BY doc_id))"""
   }
 
+  /** 64-bit signatures: per-token hi/lo 32-bit md5-prefix parses vote
+    * separately (bit i<32 from lo, bit i>=32 from hi — avoids any
+    * 64-bit positional arithmetic), then two's-complement assembly:
+    * bits 0..62 sum positively, a set bit 63 contributes -2^63,
+    * landing on the same signed value Spark's bitwise-OR builds. */
+  private val simhash64Sql: String = {
+    def hexVal(start: Int): String = (0 until 8).map { i =>
+      s"(strpos('0123456789abcdef', substring(hx, ${start + i}, 1)) - 1) * ${1L << (4 * (7 - i))}"
+    }.mkString("(", " + ", ")")
+    val votes = ((0 until 32).map(i =>
+      s"SUM(CASE WHEN (lo // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END) AS v$i") ++
+      (32 until 64).map(i =>
+        s"SUM(CASE WHEN (hi // ${1L << (i - 32)}) % 2 = 1 THEN 1 ELSE -1 END) AS v$i"))
+      .mkString(", ")
+    val asm62 = (0 until 63).map(i =>
+      s"CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""(SELECT doc_id, CAST($asm62
+          + CASE WHEN v63 > 0 THEN -9223372036854775807 - 1 ELSE 0 END
+          AS BIGINT) AS simhash
+        FROM (
+          SELECT doc_id, $votes
+          FROM (SELECT doc_id, ${hexVal(1)} AS hi, ${hexVal(9)} AS lo
+                FROM (SELECT doc_id, substring(md5(tok), 1, 16) AS hx
+                      FROM (SELECT doc_id,
+                              unnest(list_distinct(
+                                regexp_split_to_array(trim(text), '\\s+'))) AS tok
+                            FROM $corpusSql
+                            WHERE doc_id % 1000000 < 200)))
+          GROUP BY doc_id))"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "x23_simhash64_dedup" -> s"""
+      WITH sigs AS (SELECT * FROM $simhash64Sql)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      ORDER BY id_a, id_b""",
     "x19_gopher_repetition" -> """
       WITH tk AS (SELECT doc_id,
           regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
