@@ -106,7 +106,9 @@ object Bench {
       "m2_group_regression", "s12_partition_refresh", "x2_dedup_minhash",
       "x4_ngram_jaccard", "x5_ann_cosine", "x6_ann_lsh", "x13_ann_ivf",
       "x14_dedup_clusters", "x15_simhash_dedup", "x17_resize_meta",
-      "x18_frame_sample", "x19_gopher_repetition", "x20_decontaminate")
+      "x18_frame_sample", "x19_gopher_repetition", "x20_decontaminate",
+      "x23_simhash64_dedup", "pr3_table_health", "f9b_encoding_repair",
+      "m1_forecast")
     val qmap = perQuery.toMap
     val fullPath = java.nio.file.Paths.get("target/bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)

@@ -491,14 +491,23 @@ object TrainingData {
     * between summation implementations, and an unrounded ORDER BY
     * would make cell assignment engine-dependent on near-ties
     * (rounded ties break deterministically by cid). */
-  private def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
+  private def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame =
+    // argmax as max_by, not a window: the aggregate is map-side
+    // combinable (one row per vector survives each partition before
+    // the exchange) where ROW_NUMBER needs a full shuffle+sort per
+    // round — at 3 assignment passes per query this is the x13 hot
+    // path. Order key (sim, -cid) reproduces the window's
+    // (sim DESC, cid ASC) tie-break exactly; cid is unique so the
+    // argmax is never ambiguous. Embedding rides the value struct so
+    // no rejoin is needed.
     emb.crossJoin(broadcast(cents))
       .withColumn("sim", round(cosineSim(col("embedding"), col("ce")), 6))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("cid").as("cell"), col("embedding").as("e")),
+        struct(col("sim"), (-col("cid")).as("tb"))).as("best"))
+      .select(col("vec_id"), col("best.e").as("embedding"),
+        col("best.cell").as("cell"))
 
   /** One deterministic Lloyd step: assign every vector to its nearest
     * centroid, then recompute each centroid as the element-wise mean
