@@ -1,0 +1,90 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions.cosineSim
+
+/** Reusable IVF (inverted-file) ANN index: TRAIN ONCE, QUERY MANY —
+  * the production split the fused x13 query can't express. `build`
+  * seeds nCells centroids from the lowest vector ids and refines them
+  * with deterministic Lloyd iterations; the result holds both the
+  * centroid table and the cell assignment (the inverted file).
+  * `query` probes the nprobe nearest cells per query vector and runs
+  * exact cosine only inside them.
+  *
+  * Persistence at scale: write `index.cells` partitioned (or
+  * bucketed) by `cell` — each query then opens only its probed
+  * cells' files, which is the IVF promise at 100 TB. Centroids are
+  * nCells rows — always broadcastable.
+  *
+  * Determinism contract (shared with the x13 DuckDB oracle): cell
+  * argmax on 6dp-rounded cosine with cid tie-break; centroid means
+  * as order-free integer sums quantized to float
+  * ([[graft.queries.TrainingData]] uses the same building blocks).
+  */
+object IvfIndex {
+
+  final case class Index(centroids: DataFrame, cells: DataFrame)
+
+  /** Nearest-centroid assignment as a map-side-combinable max_by
+    * aggregate (no window sort). */
+  private[graft] def assign(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .withColumn("sim", round(cosineSim(col("embedding"), col("ce")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("cid").as("cell"), col("embedding").as("e")),
+        struct(col("sim"), (-col("cid")).as("tb"))).as("best"))
+      .select(col("vec_id"), col("best.e").as("embedding"),
+        col("best.cell").as("cell"))
+
+  /** One Lloyd step: assign, then element-wise mean per cell over
+    * integer 2^24-scaled components (order-free, engine-exact),
+    * quantized back to float. */
+  private[graft] def lloydStep(emb: DataFrame, cents: DataFrame): DataFrame =
+    assign(emb, cents)
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(floor(col("v").cast("double") * (1 << 24))).as("sv"),
+        count(lit(1)).as("n"))
+      .withColumn("comp",
+        (col("sv").cast("double") / (col("n").cast("double") * (1 << 24)))
+          .cast("float"))
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("pos"), col("comp"))).as("lst"))
+      .select(col("cell").as("cid"),
+        transform(array_sort(col("lst")), x => x.getField("comp")).as("ce"))
+
+  /** Build the index over `emb` (columns `vec_id`, `embedding`). */
+  def build(emb: DataFrame, nCells: Int, lloydIters: Int): Index = {
+    val seed = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val cents = (0 until lloydIters).foldLeft(seed)((c, _) => lloydStep(emb, c))
+    Index(cents, assign(emb, cents))
+  }
+
+  /** Top-k neighbors for each query vector (columns `vec_id`,
+    * `embedding`): probe the nprobe nearest cells, exact cosine only
+    * there, scores rounded to 4dp for stable cross-engine ranking. */
+  def query(index: Index, queries: DataFrame, nprobe: Int, topK: Int): DataFrame = {
+    def cos(a: Column, b: Column): Column = cosineSim(a, b)
+    val wq = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
+    val probes = queries
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("sim", round(cos(col("embedding"), col("ce")), 6))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("cid").as("cell"))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    index.cells
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("score", round(cos(col("qe"), col("ne")), 4))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= topK)
+      .select(col("qid"), col("nid"), col("score"), col("rk"))
+  }
+}

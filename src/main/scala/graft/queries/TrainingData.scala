@@ -485,56 +485,11 @@ object TrainingData {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Nearest-centroid assignment (shared by the Lloyd trainer and the
-    * final IVF index build). Sims are rounded to 6dp so the argmax is
-    * stable across engines: raw doubles could differ in the last ULP
-    * between summation implementations, and an unrounded ORDER BY
-    * would make cell assignment engine-dependent on near-ties
-    * (rounded ties break deterministically by cid). */
-  private def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame =
-    // argmax as max_by, not a window: the aggregate is map-side
-    // combinable (one row per vector survives each partition before
-    // the exchange) where ROW_NUMBER needs a full shuffle+sort per
-    // round — at 3 assignment passes per query this is the x13 hot
-    // path. Order key (sim, -cid) reproduces the window's
-    // (sim DESC, cid ASC) tie-break exactly; cid is unique so the
-    // argmax is never ambiguous. Embedding rides the value struct so
-    // no rejoin is needed.
-    emb.crossJoin(broadcast(cents))
-      .withColumn("sim", round(cosineSim(col("embedding"), col("ce")), 6))
-      .groupBy(col("vec_id"))
-      .agg(max_by(
-        struct(col("cid").as("cell"), col("embedding").as("e")),
-        struct(col("sim"), (-col("cid")).as("tb"))).as("best"))
-      .select(col("vec_id"), col("best.e").as("embedding"),
-        col("best.cell").as("cell"))
-
-  /** One deterministic Lloyd step: assign every vector to its nearest
-    * centroid, then recompute each centroid as the element-wise mean
-    * of its members. Per-component values are scaled to integer
-    * 2^24-units before summing so the mean is an ORDER-FREE integer
-    * sum (cross-engine exact), then quantized back to float. The
-    * shuffle is on (cell, pos) — at corpus scale this is the standard
-    * map-side-combinable centroid update, no vector list ever
-    * materializes. */
-  private def lloydStep(emb: DataFrame, cents: DataFrame): DataFrame =
-    ivfAssign(emb, cents)
-      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("cell"), col("pos"))
-      .agg(sum(floor(col("v").cast("double") * (1 << 24))).as("sv"),
-        count(lit(1)).as("n"))
-      .withColumn("comp",
-        (col("sv").cast("double") / (col("n").cast("double") * (1 << 24)))
-          .cast("float"))
-      .groupBy(col("cell"))
-      .agg(collect_list(struct(col("pos"), col("comp"))).as("lst"))
-      .select(col("cell").as("cid"),
-        transform(array_sort(col("lst")), x => x.getField("comp")).as("ce"))
-
-  /** X13: IVF ANN (the other scale path): coarse quantizer = 16
-    * centroids seeded from the first 16 vectors and refined by two
-    * deterministic Lloyd iterations ([[lloydStep]] — k-means is
-    * Lloyd 1982; the IVF index is Sivic & Zisserman's inverted file),
+  /** X13: IVF ANN (the other scale path) on the reusable
+    * [[graft.ml.IvfIndex]] (build-once/query-many API): coarse
+    * quantizer = 16 centroids seeded from the first 16 vectors and
+    * refined by two deterministic Lloyd iterations (k-means is Lloyd
+    * 1982; the IVF index is Sivic & Zisserman's inverted file),
     * every vector assigned to its nearest cell; queries probe the
     * nprobe=4 nearest cells and run exact cosine only there.
     * Inverted-file topology: the corpus scan partitions by cell at
@@ -545,42 +500,16 @@ object TrainingData {
     * at fixed nprobe tracks the probed corpus fraction, so training's
     * payoff shows up as bounded cell size (query-cost variance), while
     * on real clustered embeddings it shows up as recall. */
-  private def trainedCentroids(emb: DataFrame, lloydIters: Int): DataFrame = {
-    val seed = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    (0 until lloydIters).foldLeft(seed)((c, _) => lloydStep(emb, c))
-  }
-
-  /** The index's cell assignment after training (balance diagnostics:
-    * the trained quantizer's payoff at fixed nprobe is BOUNDED cell
-    * size — per-query candidate cost — more than raw recall, which on
-    * isotropic fixtures tracks the probed corpus fraction). */
-  def ivfCells(s: SparkSession, d: String, lloydIters: Int): DataFrame = {
-    val emb = spread(s, Tables.embeddings(s, d))
-    ivfAssign(emb, trainedCentroids(emb, lloydIters))
-  }
+  def ivfCells(s: SparkSession, d: String, lloydIters: Int): DataFrame =
+    graft.ml.IvfIndex
+      .build(spread(s, Tables.embeddings(s, d)), nCells = 16, lloydIters)
+      .cells
 
   def ivfTopK(s: SparkSession, d: String, lloydIters: Int): DataFrame = {
-    val nprobe = 4
     val emb = spread(s, Tables.embeddings(s, d))
-    val centroids = trainedCentroids(emb, lloydIters)
-    val assigned = ivfAssign(emb, centroids)
-    // queries probe nprobe nearest cells
-    val wq = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
-    val probes = emb.filter(col("vec_id") < 5)
-      .crossJoin(broadcast(centroids))
-      .withColumn("sim", round(cosineSim(col("embedding"), col("ce")), 6))
-      .withColumn("rk", row_number().over(wq))
-      .filter(col("rk") <= nprobe)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid").as("cell"))
-    val wr = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
-    assigned.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("cell"))
-      .join(broadcast(probes), Seq("cell"))
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("score", round(cosineSim(col("qe"), col("ne")), 4))
-      .withColumn("rk", row_number().over(wr))
-      .filter(col("rk") <= 10)
-      .select(col("qid"), col("nid"), col("score"), col("rk"))
+    val index = graft.ml.IvfIndex.build(emb, nCells = 16, lloydIters)
+    graft.ml.IvfIndex
+      .query(index, emb.filter(col("vec_id") < 5), nprobe = 4, topK = 10)
       .orderBy(col("qid"), col("rk"))
   }
 

@@ -110,6 +110,15 @@ class EngineSpec extends AnyFunSuite {
     val untrained = recallOf(0)
     val trained = recallOf(2)
     assert(trained >= 0.4, s"trained ivf recall $trained")
+    // index reuse + exhaustive-probe identity: ONE built index queried
+    // with nprobe = nCells must reproduce brute-force exactly (probing
+    // every cell IS the exact search)
+    val emb = core.Tables.embeddings(spark, sf)
+    val index = ml.IvfIndex.build(emb, nCells = 16, lloydIters = 2)
+    val full = ml.IvfIndex
+      .query(index, emb.filter(col("vec_id") < 5), nprobe = 16, topK = 10)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, "nprobe=nCells must equal brute-force top-k")
     println(s"[ivf] recall untrained=$untrained trained=$trained")
     // cell balance: max cell size of the trained vs untrained index
     def maxCell(iters: Int): Long = {
