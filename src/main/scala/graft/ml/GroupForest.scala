@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
   * Control flow mirrors the reference: an explicit loop over groups,
   * each fitting its own forest (the reference does exactly this in
   * Python). Scale note: each group's series is tiny (monthly points),
-  * so at 100 TB the parallelism axis is ACROSS groups — swap the
-  * driver loop for groupByKey+mapGroups with a local in-JVM learner,
-  * keeping per-group data on one executor; the feature build (the
-  * actually-data-heavy part) stays the distributed w12 window plan.
+  * so at 100 TB the parallelism axis is ACROSS groups — that path is
+  * IMPLEMENTED in [[DistributedGroupLearner]] (groupByKey+mapGroups
+  * with a local in-JVM forest, no driver involvement, any group
+  * cardinality); this module stays as the Spark-ML parity port of
+  * the reference's loop, capped at [[MaxDriverLoopGroups]].
   *
   * `m2_group_regression` (queries/MlEtl) remains the oracle-checkable
   * deterministic variant; this module is the Spark-ML parity path

@@ -29,6 +29,24 @@ class MlSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("distributed per-group learner: all groups, finite MAE, deterministic") {
+    import graft.ml.DistributedGroupLearner
+    val rep = DistributedGroupLearner.fitPerGroup(spark, sf).collect()
+    // every group is fitted (no driver-side cap on this path)
+    val nGroups = graft.queries.Windows.w12LagFeatures(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("lag_1").isNotNull)
+      .select("c_nationkey").distinct().count()
+    assert(rep.length == nGroups, s"${rep.length} fits for $nGroups groups")
+    rep.foreach { r =>
+      assert(r.getAs[Long]("n_treino") > 0)
+      val mae = r.getAs[Double]("mae")
+      assert(r.getAs[Long]("n_teste") == 0 || (!mae.isNaN && mae >= 0))
+    }
+    // bit-stable: per-group seeded RNG, no executor-order dependence
+    val again = DistributedGroupLearner.fitPerGroup(spark, sf).collect()
+    assert(rep.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("m1 seasonal fit covers the whole series and its index is sane") {
     val rows = graft.queries.MlEtl.m1Forecast(spark, sf).collect()
     assert(rows.length >= 24)
