@@ -21,6 +21,42 @@ object Sources {
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** S1+S2+S4 (Excel, real): multi-sheet XLSX round-trip through the
+    * dependency-free OOXML reader/writer ([[graft.sources.Xlsx]]) —
+    * customers exported one sheet per segment (`df.to_excel` shape,
+    * `ETL - CRM.py:67-76`), read back sheet-by-sheet with header
+    * promotion, tagged, unioned, projected and cast (the
+    * COLUMN_MAPPING step). The oracle reads the same rows from
+    * parquet, so the hash check covers the whole XLSX write→read
+    * path including numeric round-trips (Double.toString → cast is
+    * exact). Excel is an export format: the per-sheet collect is the
+    * reference's own `to_excel` driver-side shape, bounded by
+    * Excel's 1M-row sheet cap — corpus IO stays on parquet. */
+  val s1ExcelRoundtrip: Q = (s, d) => {
+    val path = tmpDir("xlsx") + "/clientes.xlsx"
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal"))
+    val header = Seq("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    val segs = cust.select("c_mktsegment").distinct()
+      .collect().map(_.getString(0)).sorted
+    val sheets = segs.toSeq.map { seg =>
+      val rows = cust.filter(col("c_mktsegment") === seg)
+        .orderBy("c_custkey").collect()
+        .map(r => Seq[Any](r.getLong(0), r.getString(1), r.getString(2),
+          r.getDouble(3))).toSeq
+      (seg, header, rows)
+    }
+    graft.sources.Xlsx.write(path, sheets)
+    graft.sources.Xlsx.sheetNames(path).map { sheet =>
+      graft.sources.Xlsx.read(s, path, sheet)
+        .withColumn("origem_aba", lit(sheet))
+    }.reduce(_.unionByName(_))
+      .select(col("c_custkey").cast("long"), col("c_name"),
+        col("origem_aba"), col("c_acctbal").cast("double"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** S3: schema probe — limit-0 read validates columns without
     * scanning data (`ETL - Primeiro Pedido.py:112`). */
   val s3SchemaProbe: Q = (s, d) => {
@@ -103,6 +139,7 @@ object Sources {
   }
 
   val defs: Map[String, Q] = Map(
+    "s1_excel_roundtrip" -> s1ExcelRoundtrip,
     "s3_schema_probe" -> s3SchemaProbe,
     "s4_multi_sheet_union" -> s4MultiSheetUnion,
     "s5_csv_roundtrip" -> s5CsvRoundtrip,
@@ -110,6 +147,9 @@ object Sources {
     "s12_partition_refresh" -> s12PartitionRefresh)
 
   val oracles: Map[String, String] = Map(
+    "s1_excel_roundtrip" -> """
+      SELECT c_custkey, c_name, c_mktsegment AS origem_aba, c_acctbal
+      FROM customer ORDER BY c_custkey""",
     "s3_schema_probe" -> """
       SELECT * FROM (VALUES
         ('o_orderkey', 'bigint'), ('o_custkey', 'bigint'),

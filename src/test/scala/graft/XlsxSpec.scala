@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Xlsx
+
+/** The s1 oracle proves the writer→reader round trip on clean data;
+  * this spec covers the awkward parts: XML escaping, unicode, sparse
+  * rows, multi-sheet order, and Excel's OWN cell encoding
+  * (sharedStrings) which our writer never emits but real files use. */
+class XlsxSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory("xlsx-spec").resolve(name).toString
+
+  test("round trip preserves strings, numbers, escaping, unicode") {
+    val path = tmp("t.xlsx")
+    val rows = Seq(
+      Seq[Any](1L, "a & b < c > \"d\"", 1.5),
+      Seq[Any](2L, "ação São Paulo — café", -0.25),
+      Seq[Any](3L, "", 1234567.89))
+    Xlsx.write(path, Seq(("Plan1", Seq("id", "txt", "val"), rows)))
+    val (header, back) = Xlsx.readSheet(path, "Plan1")
+    assert(header == Seq("id", "txt", "val"))
+    assert(back.map(_(1)) == rows.map(_(1)))
+    assert(back.map(_(0).toLong) == Seq(1L, 2L, 3L))
+    assert(back.map(_(2).toDouble) == Seq(1.5, -0.25, 1234567.89))
+  }
+
+  test("null cells are skipped on write and padded on read") {
+    val path = tmp("sparse.xlsx")
+    Xlsx.write(path, Seq(("S", Seq("a", "b", "c"),
+      Seq(Seq[Any](1L, null, "x"), Seq[Any](null, 2L, null)))))
+    val (_, back) = Xlsx.readSheet(path, "S")
+    assert(back == Seq(Seq("1", null, "x"), Seq(null, "2", null)))
+  }
+
+  test("multi-sheet workbook keeps order and names") {
+    val path = tmp("multi.xlsx")
+    Xlsx.write(path, Seq(
+      ("Zeta", Seq("k"), Seq(Seq[Any]("z"))),
+      ("Alpha", Seq("k"), Seq(Seq[Any]("a")))))
+    assert(Xlsx.sheetNames(path) == Seq("Zeta", "Alpha"))
+    assert(Xlsx.readSheet(path, "Alpha")._2 == Seq(Seq("a")))
+  }
+
+  test("reads Excel-style sharedStrings cells our writer never emits") {
+    // hand-build a workbook the way Excel itself encodes strings:
+    // t="s" cells indexing xl/sharedStrings.xml (with a rich-text run)
+    val path = tmp("shared.xlsx")
+    val zip = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def entry(n: String, c: String): Unit = {
+      zip.putNextEntry(new ZipEntry(n)); zip.write(c.getBytes("UTF-8")); zip.closeEntry()
+    }
+    entry("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="Dados" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    entry("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="2" uniqueCount="2"><si><t>nome</t></si><si><r><t>João </t></r><r><t>Silva</t></r></si></sst>""")
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="s"><v>0</v></c></row><row r="2"><c r="A2" t="s"><v>1</v></c></row></sheetData></worksheet>""")
+    zip.close()
+    val (header, rows) = Xlsx.readSheet(path, "Dados")
+    assert(header == Seq("nome"))
+    assert(rows == Seq(Seq("João Silva"))) // rich-text runs concatenate
+  }
+
+  test("header-promoted DataFrame matches sheet content") {
+    val path = tmp("df.xlsx")
+    Xlsx.write(path, Seq(("S", Seq("k", "v"),
+      Seq(Seq[Any](1L, "um"), Seq[Any](2L, "dois")))))
+    val df = Xlsx.read(spark, path, "S")
+    assert(df.columns.toSeq == Seq("k", "v"))
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("1", "um"), ("2", "dois")))
+  }
+}
