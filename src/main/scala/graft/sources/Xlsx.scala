@@ -49,21 +49,47 @@ object Xlsx {
     sb.toString
   }
 
-  private def cellXml(ref: String, v: Any): String = v match {
+  private def cellXml(ref: String, v: Any, style: String = ""): String = v match {
     case null                      => ""
     case n @ (_: Long | _: Int | _: Short | _: Byte) =>
-      s"""<c r="$ref"><v>$n</v></c>"""
-    case d: Double                 => s"""<c r="$ref"><v>$d</v></c>"""
-    case f: Float                  => s"""<c r="$ref"><v>$f</v></c>"""
-    case d: java.math.BigDecimal   => s"""<c r="$ref"><v>${d.toPlainString}</v></c>"""
+      s"""<c r="$ref"$style><v>$n</v></c>"""
+    case d: Double                 => s"""<c r="$ref"$style><v>$d</v></c>"""
+    case f: Float                  => s"""<c r="$ref"$style><v>$f</v></c>"""
+    case d: java.math.BigDecimal   => s"""<c r="$ref"$style><v>${d.toPlainString}</v></c>"""
     case other =>
-      s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(other.toString)}</t></is></c>"""
+      s"""<c r="$ref"$style t="inlineStr"><is><t xml:space="preserve">${xmlEscape(other.toString)}</t></is></c>"""
+  }
+
+  /** Column display formats for the styled writer (S14 — the
+    * reference's xlsxwriter money/percent/date formats,
+    * `EDA - Faturamento.py:88-91`). Maps to OOXML numFmt codes. */
+  object Fmt {
+    val Brl = "\"R$\" #,##0.00"     // fmt_money
+    val Percent = "0.00%"           // fmt_perc
+    val Date = "yyyy-mm-dd"
+    val Int = "#,##0"
   }
 
   /** Write a workbook: (sheetName, header, rows) per sheet. Strings
     * go as inline strings, numbers as numeric cells. */
-  def write(path: String, sheets: Seq[(String, Seq[String], Seq[Seq[Any]])]): Unit = {
+  def write(path: String, sheets: Seq[(String, Seq[String], Seq[Seq[Any]])]): Unit =
+    writeStyled(path, sheets.map { case (n, h, r) => (n, h, r, Map.empty[Int, String]) })
+
+  /** Styled variant: per sheet, `formats` maps column index → numFmt
+    * code (see [[Fmt]]). Emits xl/styles.xml with one cellXf per
+    * distinct format and stamps `s=` on the data cells of formatted
+    * columns — the formatted-report-sink shape (S14). Values stay
+    * raw numerics; formatting is display-only, exactly like
+    * xlsxwriter's add_format. */
+  def writeStyled(
+      path: String,
+      sheets: Seq[(String, Seq[String], Seq[Seq[Any]], Map[Int, String])]): Unit = {
     require(sheets.nonEmpty, "xlsx needs at least one sheet")
+    // distinct formats across the workbook → custom numFmtIds (164+),
+    // cellXf index 0 = unstyled default
+    val fmtCodes = sheets.flatMap(_._4.values).distinct
+    val numFmtId = fmtCodes.zipWithIndex.map { case (c, i) => c -> (164 + i) }.toMap
+    val styleIdx = fmtCodes.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
     val zip = new ZipOutputStream(
       new BufferedOutputStream(new FileOutputStream(path)))
     def entry(name: String, content: String): Unit = {
@@ -78,6 +104,7 @@ object Xlsx {
          |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
          |<Default Extension="xml" ContentType="application/xml"/>
          |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+         |<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>
          |${(1 to n).map(i => s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""").mkString("\n")}
          |</Types>""".stripMargin)
     entry("_rels/.rels",
@@ -89,7 +116,7 @@ object Xlsx {
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
          |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
          |<sheets>
-         |${sheets.zipWithIndex.map { case ((name, _, _), i) =>
+         |${sheets.zipWithIndex.map { case ((name, _, _, _), i) =>
              s"""<sheet name="${xmlEscape(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>""" }.mkString("\n")}
          |</sheets>
          |</workbook>""".stripMargin)
@@ -97,15 +124,35 @@ object Xlsx {
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
          |${(1 to n).map(i => s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""").mkString("\n")}
+         |<Relationship Id="rId${n + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>
          |</Relationships>""".stripMargin)
-    sheets.zipWithIndex.foreach { case ((_, header, rows), si) =>
+    entry("xl/styles.xml",
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+         |<numFmts count="${fmtCodes.size}">
+         |${fmtCodes.map(c => s"""<numFmt numFmtId="${numFmtId(c)}" formatCode="${xmlEscape(c)}"/>""").mkString("\n")}
+         |</numFmts>
+         |<fonts count="1"><font><sz val="11"/><name val="Calibri"/></font></fonts>
+         |<fills count="1"><fill><patternFill patternType="none"/></fill></fills>
+         |<borders count="1"><border/></borders>
+         |<cellXfs count="${fmtCodes.size + 1}">
+         |<xf numFmtId="0" applyNumberFormat="0"/>
+         |${fmtCodes.map(c => s"""<xf numFmtId="${numFmtId(c)}" applyNumberFormat="1"/>""").mkString("\n")}
+         |</cellXfs>
+         |</styleSheet>""".stripMargin)
+    sheets.zipWithIndex.foreach { case ((_, header, rows, formats), si) =>
+      val colStyle: Int => String = ci =>
+        formats.get(ci).map(c => styleIdx(c)).filter(_ > 0)
+          .map(ix => s""" s="$ix"""").getOrElse("")
       val sb = new StringBuilder
       sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
       sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
       (header +: rows).zipWithIndex.foreach { case (row, ri) =>
         sb.append(s"""<row r="${ri + 1}">""")
         row.zipWithIndex.foreach { case (v, ci) =>
-          sb.append(cellXml(s"${colName(ci)}${ri + 1}", v))
+          // header row stays unstyled; data cells carry the column fmt
+          val style = if (ri == 0) "" else colStyle(ci)
+          sb.append(cellXml(s"${colName(ci)}${ri + 1}", v, style))
         }
         sb.append("</row>")
       }

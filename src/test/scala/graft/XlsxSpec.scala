@@ -70,6 +70,29 @@ class XlsxSpec extends AnyFunSuite {
     assert(rows == Seq(Seq("João Silva"))) // rich-text runs concatenate
   }
 
+  test("styled report sink: numFmts land in styles.xml, cells reference them") {
+    val path = tmp("styled.xlsx")
+    Xlsx.writeStyled(path, Seq(("Relatório", Seq("sku", "valor", "share"),
+      Seq(Seq[Any]("A1", 1234.5, 0.25), Seq[Any]("B2", 99.99, 0.75)),
+      Map(1 -> Xlsx.Fmt.Brl, 2 -> Xlsx.Fmt.Percent))))
+    def part(name: String): String = {
+      val z = new java.util.zip.ZipFile(path)
+      try new String(z.getInputStream(z.getEntry(name)).readAllBytes, "UTF-8")
+      finally z.close()
+    }
+    val styles = part("xl/styles.xml")
+    assert(styles.contains("&quot;R$&quot; #,##0.00"))
+    assert(styles.contains("0.00%"))
+    val sheet = part("xl/worksheets/sheet1.xml")
+    // data cells of formatted columns carry s=; header row does not
+    assert(sheet.contains("""<c r="B2" s="1"><v>1234.5</v></c>"""))
+    assert(sheet.contains("""<c r="C3" s="2"><v>0.75</v></c>"""))
+    assert(sheet.contains("""<c r="B1" t="inlineStr">"""))
+    // values stay raw — the round trip reads the same numbers back
+    val (_, rows) = Xlsx.readSheet(path, "Relatório")
+    assert(rows.map(_(1).toDouble) == Seq(1234.5, 99.99))
+  }
+
   test("header-promoted DataFrame matches sheet content") {
     val path = tmp("df.xlsx")
     Xlsx.write(path, Seq(("S", Seq("k", "v"),
