@@ -93,6 +93,29 @@ class XlsxSpec extends AnyFunSuite {
     assert(rows.map(_(1).toDouble) == Seq(1234.5, 99.99))
   }
 
+  test("property: round trip is identity for arbitrary strings and numbers") {
+    import org.scalacheck.Gen
+    val path = tmp("prop.xlsx")
+    // printable-ish unicode including XML specials and accents; keep
+    // out raw control chars (illegal in XML 1.0, Excel rejects them too)
+    val charGen = Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('&', '<', '>', '"', '\'', ' ', 'ç', 'ã', 'É', '—', '€'))
+    val strGen = Gen.listOf(charGen).map(_.mkString)
+    val rows = Gen.listOfN(120,
+      Gen.zip(Gen.choose(Long.MinValue, Long.MaxValue), strGen,
+        Gen.choose(-1e12, 1e12))).sample.get
+      .map { case (l, s, d) => Seq[Any](l, s, d) }
+    Xlsx.write(path, Seq(("P", Seq("l", "s", "d"), rows)))
+    val (_, back) = Xlsx.readSheet(path, "P")
+    assert(back.size == rows.size)
+    rows.zip(back).foreach { case (orig, got) =>
+      assert(got(0).toLong == orig(0))
+      assert(got(1) == orig(1), s"string <${orig(1)}>")
+      assert(got(2).toDouble == orig(2))
+    }
+  }
+
   test("header-promoted DataFrame matches sheet content") {
     val path = tmp("df.xlsx")
     Xlsx.write(path, Seq(("S", Seq("k", "v"),
