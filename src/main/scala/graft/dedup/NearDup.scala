@@ -1,0 +1,146 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions._
+
+/** The near-duplicate detection stack as a reusable library facade —
+  * every operator takes a generic `docs` DataFrame with `doc_id` +
+  * `text` (any source), so a user runs the same pipeline the x*
+  * benchmark queries prove out, on their own corpus:
+  *
+  *   exact fingerprints → [[exactDedup]]
+  *   candidate pairs    → [[minhashLshPairs]] (bucketed, linear-ish)
+  *                        [[ngramJaccardPairs]] (exact, the verifier)
+  *   clustering         → [[clusters]] (connected components,
+  *                        canonical survivor per component)
+  *   survivors          → [[survivors]]
+  *
+  * Everything is deterministic and engine-portable (md5-derived hash
+  * families), which is what makes the x1/x2/x4/x14 DuckDB oracles
+  * possible — the queries in [[graft.queries.TrainingData]] delegate
+  * here, so the oracle checks cover THIS code.
+  *
+  * Scale shapes (see PLANS.md): signatures are per-row array folds
+  * (no explode shuffle), candidates come from band-bucket self-joins
+  * (never all-pairs), exact verification runs only inside buckets,
+  * and clustering is O(log diameter) pointer-doubling CC.
+  */
+object NearDup {
+
+  /** 32-bit md5-prefix hash of a string column — portable across
+    * engines (hex parsed positionally, long arithmetic). */
+  private[graft] def md5Hash32(c: Column): Column = {
+    val hex = substring(md5(c), 1, 8)
+    (0 until 8).map { i =>
+      (instr(lit("0123456789abcdef"), substring(hex, i + 1, 1)) - 1)
+        .cast("long") * lit(1L << (4 * (7 - i)))
+    }.reduce(_ + _)
+  }
+
+  /** Exact dedup: hash-groupBy on the normalized-text fingerprint,
+    * keep the minimum id (`ETL`-style first-wins). Shuffles only
+    * (fp, id) pairs, never text bodies. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id_mantido"),
+        count(lit(1)).as("n_copias"))
+
+  /** Exact n-gram Jaccard pairs via inverted-index self-join on the
+    * shingle — the verification primitive. Quadratic only within
+    * shingle postings, never across the corpus. */
+  def ngramJaccardPairs(docs: DataFrame, shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shinglesOfToks(col("toks"), shingleN)).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"), Seq("sh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  private[graft] val minhashPrime = 4294967311L // smallest prime > 2^32
+
+  /** Affine minwise-permutation family h_j(x) = (a_j·x + b_j) mod p
+    * over the md5 base hash: ONE md5 per shingle, k cheap arithmetic
+    * rehashes — bit-identical in any engine with 64-bit integers
+    * (a < 2^28 keeps a·x below 2^60). */
+  private[graft] def minhashParams(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { j =>
+      def h32(sd: String): Long = {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$sd$j".getBytes("UTF-8"))
+        (0 until 4).map(i => (h(i) & 0xffL) << (8 * (3 - i))).sum
+      }
+      ((h32("a") >> 4) | 1L, h32("b") % minhashPrime)
+    }
+
+  /** MinHash+LSH near-dup pairs: shingle → k minhashes (per-row array
+    * fold, no shuffle) → bands → bucket self-join → exact Jaccard
+    * verify INSIDE buckets only. Threshold-tuning: the S-curve
+    * midpoint is ≈ (1/bands)^(1/bandRows). */
+  def minhashLshPairs(docs: DataFrame, numHashes: Int = 16,
+      bandRows: Int = 4, shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bandRows == 0, "numHashes must divide into bands")
+    val params = minhashParams(numHashes)
+    val hcols = params.zipWithIndex.map { case ((a, b), j) =>
+      array_min(transform(col("hs"),
+        h => (h * lit(a) + lit(b)) % lit(minhashPrime))).as(s"h$j")
+    }
+    val sig = docs
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesOfToks(col("toks"), shingleN).as("shs"))
+      .withColumn("hs", transform(col("shs"), x => md5Hash32(x)))
+      .select(col("doc_id") +: col("shs") +: size(col("shs")).as("n") +: hcols: _*)
+    val bandCols = (0 until numHashes / bandRows).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until bandRows).map(r => col(s"h${b * bandRows + r}")): _*)
+          .as("key"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), col("shs"), col("n"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("shs"), col("n"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    buckets.as("a").join(buckets.as("b"), Seq("band", "key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.shs").as("sa"), col("b.shs").as("sb"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Cluster near-dup pairs into components and pick the canonical
+    * survivor (minimum doc_id) per component — the stage after pair
+    * generation: pair relations chain (A~B, B~C but A!~C), and only
+    * a transitive closure says which doc to keep. O(log diameter)
+    * rounds via [[graft.plans.ConnectedComponents]]. */
+  def clusters(docs: DataFrame, pairs: DataFrame): DataFrame =
+    graft.plans.ConnectedComponents.minLabel(
+      docs.select(col("doc_id").as("id")),
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .select(col("id").as("doc_id"), col("label").as("canonico"),
+        (col("id") === col("label")).as("sobrevivente"))
+
+  /** The deduplicated corpus: survivors of [[clusters]] joined back
+    * to their text. */
+  def survivors(docs: DataFrame, pairs: DataFrame): DataFrame =
+    clusters(docs, pairs).filter(col("sobrevivente"))
+      .select(col("doc_id"))
+      .join(docs, Seq("doc_id"))
+}

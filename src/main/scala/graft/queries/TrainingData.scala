@@ -109,37 +109,20 @@ object TrainingData {
        UNION ALL SELECT doc_id + 2000000, text || ' extra' FROM documents)"""
 
   /** X1: exact dedup — hash-groupBy on fingerprint, keep first id.
-    * At scale this shuffles only (fp, id) pairs. */
+    * At scale this shuffles only (fp, id) pairs.
+    * ([[graft.dedup.NearDup.exactDedup]] — the x1/x2/x4/x14 queries
+    * delegate to the reusable dedup facade, so the DuckDB oracles
+    * cover the library code users call on their own corpora.) */
   val x1DedupExact: Q = (s, d) =>
-    corpusWithDupes(s, d)
-      .groupBy(fingerprint(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id_mantido"), count(lit(1)).as("n_copias"))
+    graft.dedup.NearDup.exactDedup(corpusWithDupes(s, d))
       .orderBy(col("doc_id_mantido"))
 
   /** X4: exact n-gram Jaccard near-dup pairs (3-word shingles,
     * J ≥ 0.5) — the verification primitive LSH candidates are checked
-    * against. Self-join on shingle (inverted index), count
-    * intersections, join sizes. */
-  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val base = spread(s, corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200))
-    // project the token array first: an inline wsTokens would re-run
-    // the regex split per element reference (see allShinglesOfToks)
-    val sh = base
-      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(shinglesOfToks(col("toks"), 3)).as("sh"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"), Seq("sh"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
-      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
+    * against ([[graft.dedup.NearDup.ngramJaccardPairs]]). */
+  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
+    graft.dedup.NearDup.ngramJaccardPairs(
+      spread(s, corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200)))
 
   val x4NgramJaccard: Q = (s, d) =>
     ngramJaccardPairs(s, d).orderBy(col("id_a"), col("id_b"))
@@ -158,86 +141,25 @@ object TrainingData {
     * against union-find and the round bound on a path graph). The
     * fixpoint equals the transitive closure the oracle computes with
     * a recursive CTE. */
-  val x14DedupClusters: Q = (s, d) => {
-    val docs = corpusWithDupes(s, d)
-      .filter(col("doc_id") % 1000000 < 200)
-      .select(col("doc_id").as("id"))
-    val pairs = ngramJaccardPairs(s, d)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-    graft.plans.ConnectedComponents.minLabel(docs, pairs)
-      .select(col("id").as("doc_id"), col("label").as("canonico"),
-        (col("id") === col("label")).as("sobrevivente"))
+  val x14DedupClusters: Q = (s, d) =>
+    graft.dedup.NearDup.clusters(
+      corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200),
+      ngramJaccardPairs(s, d))
       .orderBy(col("doc_id"))
-  }
-
-  /** Affine minwise-permutation family h_j(x) = (a_j·x + b_j) mod p
-    * over the portable md5-based base hash: ONE md5 per shingle, k
-    * cheap arithmetic rehashes — the classic universal-hashing MinHash
-    * construction, and bit-identical in any engine with 64-bit
-    * integer arithmetic (a < 2^28 keeps a·x below 2^60). */
-  private val minhashPrime = 4294967311L // smallest prime > 2^32
-  private val minhashParams: Seq[(Long, Long)] = (0 until 16).map { j =>
-    def h32(sd: String): Long = {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$sd$j".getBytes("UTF-8"))
-      (0 until 4).map(i => (h(i) & 0xffL) << (8 * (3 - i))).sum
-    }
-    ((h32("a") >> 4) | 1L, h32("b") % minhashPrime)
-  }
 
   /** X2: MinHash + LSH near-dup detection (shingle → k=16 minhashes →
-    * 4 bands × 4 rows → bucket join → exact-Jaccard verify ≥ 0.5).
-    * Candidate generation never compares all pairs — at 100 TB the
-    * band join only collides plausibly-similar docs. The md5-based
-    * hash family is engine-portable, so the full pipeline has a DuckDB
-    * oracle; ScalaTest additionally asserts recall vs x4's exact
-    * pairs. */
-  val x2DedupMinhash: Q = (s, d) => {
-    val numHashes = 16
-    val bandRows = 4
-    val base = spread(s, corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200))
-    // One narrow pass per doc: distinct shingle array (kept for the
-    // exact verify), base hash computed ONCE per shingle, then k
-    // affine rehashes via array fold — no explode/groupBy shuffle for
-    // signature building. This is the MinHashLSH layout (features
-    // kept per-row), and at 100 TB the signature stage is
-    // embarrassingly parallel.
-    val hcols = minhashParams.zipWithIndex.map { case ((a, b), j) =>
-      array_min(transform(col("hs"),
-        h => (h * lit(a) + lit(b)) % lit(minhashPrime))).as(s"h$j")
-    }
-    val sig = base
-      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
-      .select(col("doc_id"), shinglesOfToks(col("toks"), 3).as("shs"))
-      .withColumn("hs", transform(col("shs"), x => md5Hash32(x)))
-      .select(col("doc_id") +: col("shs") +: size(col("shs")).as("n") +: hcols: _*)
-    // bands: concat band rows into one bucket key
-    val bandCols = (0 until numHashes / bandRows).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("_", (0 until bandRows).map(r => col(s"h${b * bandRows + r}")): _*)
-          .as("key"))
-    }
-    val buckets = sig
-      .select(col("doc_id"), col("shs"), col("n"),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("shs"), col("n"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    // bucket self-join carries both shingle arrays → exact Jaccard
-    // computed inline on the candidate pair, no join back to an
-    // exploded shingle table (was 3 extra shuffles)
-    buckets.as("a").join(buckets.as("b"), Seq("band", "key"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.shs").as("sa"), col("b.shs").as("sb"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    * 4 bands × 4 rows → bucket join → exact-Jaccard verify ≥ 0.5) —
+    * [[graft.dedup.NearDup.minhashLshPairs]]. Candidate generation
+    * never compares all pairs — at 100 TB the band join only collides
+    * plausibly-similar docs. Signatures are per-row array folds (no
+    * explode/groupBy shuffle), the bucket self-join carries both
+    * shingle arrays so the exact verify is inline, and the md5-based
+    * hash family is engine-portable → full DuckDB oracle; ScalaTest
+    * additionally asserts recall vs x4's exact pairs. */
+  val x2DedupMinhash: Q = (s, d) =>
+    graft.dedup.NearDup.minhashLshPairs(
+      spread(s, corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200)))
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   /** 16-bit hash of a token from its md5 prefix — portable across
     * engines (md5 is identical; hex parsed positionally). */
@@ -779,7 +701,7 @@ object TrainingData {
         AND md5(lower(trim(text))) NOT IN (SELECT fp FROM existing)
       ORDER BY doc_id""",
     "x2_dedup_minhash" -> {
-      val params = minhashParams.zipWithIndex
+      val params = graft.dedup.NearDup.minhashParams(16).zipWithIndex
         .map { case ((a, b), j) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }
         .mkString(", ")
       s"""
@@ -792,7 +714,7 @@ object TrainingData {
       sh AS (SELECT doc_id, unnest(shs) AS sh FROM docs),
       hs AS (SELECT doc_id, ${md5Hash32Sql("sh")} AS h FROM sh),
       minh AS (
-        SELECT doc_id, params.j, MIN((h * params.a + params.b) % $minhashPrime) AS mh
+        SELECT doc_id, params.j, MIN((h * params.a + params.b) % ${graft.dedup.NearDup.minhashPrime}) AS mh
         FROM hs, (VALUES $params) AS params(j, a, b)
         GROUP BY doc_id, params.j),
       bands AS (
