@@ -20,6 +20,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("repair_encoding"),
+      new ExpressionInfo(
+        classOf[graft.functions.RepairEncoding].getName, "repair_encoding"),
+      (exprs: Seq[Expression]) => graft.functions.RepairEncoding(exprs(0))))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -3,9 +3,11 @@ package graft.functions
 import java.nio.CharBuffer
 import java.nio.charset.{CharacterCodingException, Charset, CodingErrorAction}
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.UserDefinedFunction
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Byte-level encoding repair — the second half of the reference's F9
   * (`Conversor de Formatos.py:105-136`): text that was UTF-8 on disk
@@ -25,11 +27,14 @@ import org.apache.spark.sql.functions.udf
   * their real-world corruption is the latin-1 mis-decode, which the
   * fallback leg repairs.
   *
-  * This is the repo's one sanctioned Scala UDF (SURVEY §2.12):
-  * charset round-trips need the JVM codec machinery, which has no
-  * Column-expression equivalent. It stays off hot paths — the regex
-  * library repair (`Scalars.mojibakePairs`) is the codegen'd
-  * scan-speed variant for known patterns.
+  * Exposed as the named Catalyst expression `repair_encoding`
+  * (SURVEY §2.12 sanctioned the JVM-codec escape hatch here as a
+  * Scala UDF; a CodegenFallback expression is the stronger form —
+  * named in SQL text, null-safe by construction, visible to the
+  * analyzer — the codec machinery itself still has no codegen
+  * equivalent). It stays off hot paths — the regex library repair
+  * (`Scalars.mojibakePairs`) is the codegen'd scan-speed variant for
+  * known patterns.
   */
 object EncodingRepair {
 
@@ -54,7 +59,31 @@ object EncodingRepair {
       .orElse(strictRoundTrip(s, "ISO-8859-1"))
       .getOrElse(s)
 
-  val repairEncodingUdf: UserDefinedFunction = udf(repairEncoding _)
+  def repair(c: Column): Column =
+    GraftBridge.toColumn(RepairEncoding(GraftBridge.toExpression(c)))
 
-  def repair(c: Column): Column = repairEncodingUdf(c)
+  /** Register `repair_encoding` for SQL-text use on a session (the
+    * extensions config path also registers it). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "repair_encoding", exprs => RepairEncoding(exprs(0)), "scala_udf")
+}
+
+/** `repair_encoding(string) → string` — see [[EncodingRepair]]. */
+case class RepairEncoding(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "repair_encoding"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"repair_encoding expects string, got ${child.dataType.simpleString}")
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      EncodingRepair.repairEncoding(input.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

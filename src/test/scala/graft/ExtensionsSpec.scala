@@ -36,6 +36,22 @@ class ExtensionsSpec extends AnyFunSuite {
     g.apply(ext) // re-registration must not throw
   }
 
+  test("repair_encoding evaluates as a named expression in SQL text") {
+    val spark = TestSpark.spark
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "repair_encoding",
+      exprs => graft.functions.RepairEncoding(exprs(0)), "scala_udf")
+    val broken = new String("ção".getBytes("UTF-8"), "windows-1252")
+    import spark.implicits._
+    val out = Seq(broken).toDF("t").createOrReplaceTempView("enc_probe")
+    val r = spark.sql("SELECT repair_encoding(t) AS fixed FROM enc_probe")
+      .collect()(0).getString(0)
+    assert(r == "ção")
+    // null-safe by construction (nullIntolerant expression)
+    assert(spark.sql("SELECT repair_encoding(CAST(NULL AS STRING))")
+      .collect()(0).isNullAt(0))
+  }
+
   test("cosine_sim rejects non-float-array inputs") {
     val spark = TestSpark.spark
     VectorExpressions.register(spark)
