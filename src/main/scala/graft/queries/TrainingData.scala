@@ -147,6 +147,18 @@ object TrainingData {
       ngramJaccardPairs(s, d))
       .orderBy(col("doc_id"))
 
+  /** X24: end-to-end dedup — the DEDUPLICATED CORPUS itself
+    * ([[graft.dedup.NearDup.survivors]]): transitive-closure clusters
+    * over the exact pair graph, one canonical doc kept per component,
+    * texts joined back. The operator a training pipeline actually
+    * calls; x14 exposes the labels, this exposes the output corpus. */
+  val x24DedupSurvivors: Q = (s, d) =>
+    graft.dedup.NearDup.survivors(
+      corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200),
+      ngramJaccardPairs(s, d))
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
   /** X2: MinHash + LSH near-dup detection (shingle → k=16 minhashes →
     * 4 bands × 4 rows → bucket join → exact-Jaccard verify ≥ 0.5) —
     * [[graft.dedup.NearDup.minhashLshPairs]]. Candidate generation
@@ -541,6 +553,7 @@ object TrainingData {
     "x12_dedup_cosine" -> x12DedupCosine,
     "x13_ann_ivf" -> x13AnnIvf,
     "x14_dedup_clusters" -> x14DedupClusters,
+    "x24_dedup_survivors" -> x24DedupSurvivors,
     "x15_simhash_dedup" -> x15SimhashDedup,
     "x23_simhash64_dedup" -> ((s, d) => simhash64Dedup(s, d)),
     "x16_stratified_sample" -> x16StratifiedSample,
@@ -580,6 +593,40 @@ object TrainingData {
     """list_distinct(list_transform(
          range(1, greatest(len(toks) - 2, 0) + 1),
          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"""
+
+  /** Shared CTE chain for x14/x24: exact Jaccard pairs → undirected
+    * edges → recursive transitive closure → per-doc canonical label. */
+  private lazy val dedupClusterCtes = s"""
+      WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM $corpusSql WHERE doc_id % 1000000 < 200),
+      sh AS (
+        SELECT doc_id, unnest($sqlShingles3) AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM corpus)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      p AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN (SELECT doc_id AS id_a, n AS na FROM sizes) USING (id_a)
+        JOIN (SELECT doc_id AS id_b, n AS nb FROM sizes) USING (id_b)
+        WHERE ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5),
+      edges2 AS (
+        SELECT id_a AS a, id_b AS b FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+      reach(a, b) AS (
+        SELECT a, b FROM edges2
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges2 e ON r.b = e.a),
+      labels AS (
+        SELECT c.doc_id,
+          LEAST(c.doc_id, COALESCE(m.mn, c.doc_id)) AS canonico
+        FROM corpus c
+        LEFT JOIN (SELECT a, MIN(b) AS mn FROM reach GROUP BY a) m
+          ON c.doc_id = m.a)"""
 
   private val simhash32Sql: String = {
     val hex32 = (0 until 8).map { i =>
@@ -847,37 +894,15 @@ object TrainingData {
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
       ORDER BY id_a, id_b""",
     "x14_dedup_clusters" -> s"""
-      WITH RECURSIVE corpus AS (
-        SELECT doc_id, text FROM $corpusSql WHERE doc_id % 1000000 < 200),
-      sh AS (
-        SELECT doc_id, unnest($sqlShingles3) AS sh
-        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-              FROM corpus)),
-      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      inter AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY 1, 2),
-      p AS (
-        SELECT id_a, id_b
-        FROM inter
-        JOIN (SELECT doc_id AS id_a, n AS na FROM sizes) USING (id_a)
-        JOIN (SELECT doc_id AS id_b, n AS nb FROM sizes) USING (id_b)
-        WHERE ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5),
-      edges2 AS (
-        SELECT id_a AS a, id_b AS b FROM p
-        UNION ALL SELECT id_b, id_a FROM p),
-      reach(a, b) AS (
-        SELECT a, b FROM edges2
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN edges2 e ON r.b = e.a)
-      SELECT c.doc_id,
-        LEAST(c.doc_id, COALESCE(m.mn, c.doc_id)) AS canonico,
-        c.doc_id = LEAST(c.doc_id, COALESCE(m.mn, c.doc_id)) AS sobrevivente
-      FROM corpus c
-      LEFT JOIN (SELECT a, MIN(b) AS mn FROM reach GROUP BY a) m
-        ON c.doc_id = m.a
-      ORDER BY c.doc_id""",
+      $dedupClusterCtes
+      SELECT doc_id, canonico, doc_id = canonico AS sobrevivente
+      FROM labels ORDER BY doc_id""",
+    "x24_dedup_survivors" -> s"""
+      $dedupClusterCtes
+      SELECT l.doc_id, c.text
+      FROM labels l JOIN corpus c ON l.doc_id = c.doc_id
+      WHERE l.doc_id = l.canonico
+      ORDER BY l.doc_id""",
     "x12_dedup_cosine" -> """
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         ROUND(
