@@ -120,9 +120,14 @@ object Bench {
     }
     // never abort a finished run over line length: drop trailing
     // headline entries until the contract line fits the driver's
-    // capture window (bench_full.json keeps the complete map)
+    // capture window (bench_full.json keeps the complete map).
+    // Bounded take(): a pathologically long sf_dir could keep even
+    // the zero-query line over budget — print that minimal line
+    // rather than spin or drop the run.
     val line = Iterator.iterate(headline)(_.dropRight(1))
-      .map(lineFor).find(_.length < 1800).get
+      .take(headline.size + 1)
+      .map(lineFor).find(_.length < 1800)
+      .getOrElse(lineFor(Seq.empty))
     println(line)
     spark.stop()
   }

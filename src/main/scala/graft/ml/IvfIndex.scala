@@ -56,9 +56,13 @@ object IvfIndex {
       .select(col("cell").as("cid"),
         transform(array_sort(col("lst")), x => x.getField("comp")).as("ce"))
 
-  /** Build the index over `emb` (columns `vec_id`, `embedding`). */
+  /** Build the index over `emb` (columns `vec_id`, `embedding`).
+    * Seeds from the nCells LOWEST vec_ids (TakeOrdered, not a full
+    * sort) — id spaces that are sparse or offset (e.g. post-dedup)
+    * still yield a full quantizer; on a dense-from-0 corpus this is
+    * identical to `vec_id < nCells` (the x13 oracle replays that). */
   def build(emb: DataFrame, nCells: Int, lloydIters: Int): Index = {
-    val seed = emb.filter(col("vec_id") < nCells)
+    val seed = emb.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val cents = (0 until lloydIters).foldLeft(seed)((c, _) => lloydStep(emb, c))
     Index(cents, assign(emb, cents))

@@ -38,11 +38,14 @@ object TableHealth {
     when(ok, "✅ SIM").otherwise("❌ NÃO")
 
   private def health(t: TableSpec): DataFrame = {
-    // concat_ws never returns null (all-null keys → ""), so the
-    // distinct count treats a fully-null key as one value — the null
-    // tally is reported separately. Same function, same semantics in
-    // the DuckDB oracle.
-    val keyConcat = concat_ws("|", t.keyCols.map(col): _*)
+    // distinct over a STRUCT of the key columns, not a string concat:
+    // a separator-based concat miscounts keys whose values contain
+    // the separator ("x|y","z" vs "x","y|z") and concat_ws silently
+    // drops nulls ((1,null) vs (null,1)). The struct itself is never
+    // null, so fully/partially-null keys count as distinct values —
+    // the null tally is reported separately. Oracle mirrors with
+    // struct_pack.
+    val keyStruct = struct(t.keyCols.map(col): _*)
     val keyNull = t.keyCols.map(col(_).isNull).reduce(_ || _)
     val (joined, fkCol, orphan) = t.fk match {
       case Some((fkName, parent, parentKey)) =>
@@ -59,7 +62,7 @@ object TableHealth {
     joined
       .agg(
         count(lit(1)).as("linhas"),
-        countDistinct(keyConcat).as("chaves_distintas"),
+        countDistinct(keyStruct).as("chaves_distintas"),
         sum(keyNull.cast("long")).as("chaves_nulas"),
         orphan.as("fk_orfas"))
       .select(

@@ -317,7 +317,8 @@ object MlEtl {
   private def healthBranchSql(
       table: String, keys: Seq[String],
       fk: Option[(String, String, String)]): String = {
-    val kc = s"concat_ws('|', ${keys.mkString(", ")})"
+    val kc = "struct_pack(" +
+      keys.zipWithIndex.map { case (k, i) => s"k$i := $k" }.mkString(", ") + ")"
     val kNull = keys.map(k => s"$k IS NULL").mkString(" OR ")
     val orphan = fk match {
       case Some((fkCol, parent, pKey)) =>

@@ -33,20 +33,24 @@ object Sources {
     * reference's own `to_excel` driver-side shape, bounded by
     * Excel's 1M-row sheet cap — corpus IO stays on parquet. */
   val s1ExcelRoundtrip: Q = (s, d) => {
-    val path = tmpDir("xlsx") + "/clientes.xlsx"
-    val cust = Tables.customer(s, d)
+    // stable path (overwritten per run, not accumulated): repeated
+    // bench invocations must not litter the temp dir with workbooks
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_s1_xlsx")
+    Files.createDirectories(dir)
+    val path = dir.resolve("clientes.xlsx").toString
+    val header = Seq("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    // ONE collect; the per-sheet split happens driver-side (this is
+    // an export of a dim-sized table — the to_excel shape)
+    val rows = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
         col("c_acctbal"))
-    val header = Seq("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
-    val segs = cust.select("c_mktsegment").distinct()
-      .collect().map(_.getString(0)).sorted
-    val sheets = segs.toSeq.map { seg =>
-      val rows = cust.filter(col("c_mktsegment") === seg)
-        .orderBy("c_custkey").collect()
-        .map(r => Seq[Any](r.getLong(0), r.getString(1), r.getString(2),
-          r.getDouble(3))).toSeq
-      (seg, header, rows)
-    }
+      .orderBy("c_custkey").collect()
+    val sheets = rows.groupBy(_.getString(2)).toSeq.sortBy(_._1)
+      .map { case (seg, rs) =>
+        (seg, header, rs.toSeq.map(r => Seq[Any](r.getLong(0),
+          r.getString(1), r.getString(2), r.getDouble(3))))
+      }
     graft.sources.Xlsx.write(path, sheets)
     graft.sources.Xlsx.sheetNames(path).map { sheet =>
       graft.sources.Xlsx.read(s, path, sheet)

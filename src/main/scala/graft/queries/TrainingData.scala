@@ -201,29 +201,17 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
-  /** 32-bit token hash from the md5 prefix (8 hex chars, positional
-    * parse — portable across engines; long arithmetic, no overflow). */
-  private def md5Hash32(c: Column): Column = {
-    val hex = substring(md5(c), 1, 8)
-    (0 until 8).map { i =>
-      (instr(lit("0123456789abcdef"), substring(hex, i + 1, 1)) - 1)
-        .cast("long") * lit(1L << (4 * (7 - i)))
-    }.reduce(_ + _)
-  }
+  /** 32-bit token hash from the md5 prefix (delegates to the one
+    * positional hex parse, [[graft.dedup.NearDup.md5Hash32At]]). */
+  private def md5Hash32(c: Column): Column =
+    graft.dedup.NearDup.md5Hash32(c)
 
-  /** 64-bit token hash: two positional 32-bit md5-prefix parses
-    * assembled bitwise (a single positional sum of 16 hex digits
-    * would overflow signed 64-bit arithmetic at digit 15 × 16^15). */
-  private def md5Hash64(c: Column): Column = {
-    def parse32(start: Int): Column = {
-      val hex = substring(md5(c), start, 8)
-      (0 until 8).map { i =>
-        (instr(lit("0123456789abcdef"), substring(hex, i + 1, 1)) - 1)
-          .cast("long") * lit(1L << (4 * (7 - i)))
-      }.reduce(_ + _)
-    }
-    shiftleft(parse32(1), 32).bitwiseOR(parse32(9))
-  }
+  /** 64-bit token hash: two positional 32-bit md5 parses assembled
+    * bitwise (a single positional sum of 16 hex digits would overflow
+    * signed 64-bit arithmetic at digit 15 × 16^15). */
+  private def md5Hash64(c: Column): Column =
+    shiftleft(graft.dedup.NearDup.md5Hash32At(c, 1), 32)
+      .bitwiseOR(graft.dedup.NearDup.md5Hash32At(c, 9))
 
   /** Width-parameterized simhash signature per doc over the dedup
     * corpus: per-bit ±1 votes over distinct tokens, sign → bit. The
@@ -283,6 +271,10 @@ object TrainingData {
     simhashBandedPairs(simhashSigs(s, d, 64), bandBits = 16, nBands = 4,
       maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** 64-bit signatures (test hook for the full-width pin). */
+  def simhashSigs64(s: SparkSession, d: String): DataFrame =
+    simhashSigs(s, d, 64)
 
   /** All-pairs hamming≤k reference for the lossless-blocking pin. */
   def simhashBrutePairs(s: SparkSession, d: String, bits: Int,

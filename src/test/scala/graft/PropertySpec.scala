@@ -135,10 +135,12 @@ class PropertySpec extends AnyFunSuite {
     assert(banded == brute,
       s"banded ${banded.size} pairs != brute ${brute.size}")
     assert(brute.nonEmpty, "fixture dup corpus must produce near-dup pairs")
-    // signatures use the full width: some doc's sign bit (bit 63) is set,
-    // i.e. the signature is negative as a signed long
-    val sigs = TrainingData.simhashBrutePairs(spark, TestSpark.sf, 64, 64)
-    assert(sigs.count() > 0) // sanity: pipeline runs at full threshold too
+    // signatures use the full width: some doc's sign bit (bit 63) is
+    // set, i.e. the signature is negative as a signed long — a mask
+    // regression to 63 bits would fail here
+    val negative = TrainingData.simhashSigs64(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("simhash") < 0).count()
+    assert(negative > 0, "no signature has bit 63 set")
   }
 
   test("property: leadTimeHms roundtrip parses back to seconds") {

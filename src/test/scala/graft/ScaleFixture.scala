@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * headline query degrades superlinearly vs sf0.1 — catches
   * driver-side bottlenecks a 600k-row bench can't.
   *
-  * Key offsets keep ids unique per copy; `doc_id` shifts by 1,000,000
-  * so the dedup-corpus selector (`doc_id % 1000000 < 200`) scales the
-  * near-dup corpus by the same factor.
+  * Key offsets keep ids unique per copy; `doc_id` shifts by
+  * 10,000,000 — a multiple of the dedup-corpus selector's modulus
+  * (`doc_id % 1000000 < 200` still picks 200 docs per copy) that
+  * cannot collide with corpusWithDupes' synthetic +1M/+2M duplicate
+  * ids (a 1M shift would alias copy k's base docs with copy k-1's
+  * synthetic near-dups, corrupting the scaled dedup corpus).
   *
   *   sbt "Test/runMain graft.ScaleFixture [outDir] [copies]"
   */
@@ -54,7 +57,7 @@ object ScaleFixture {
     }
     write(scaled("orders", Map("o_orderkey" -> 100000000L)), "orders")
     write(scaled("lineitem", Map("l_orderkey" -> 100000000L)), "lineitem")
-    write(scaled("documents", Map("doc_id" -> 1000000L)), "documents")
+    write(scaled("documents", Map("doc_id" -> 10000000L)), "documents")
     write(scaled("embeddings", Map("vec_id" -> 1000000L)), "embeddings")
     write(scaled("events", Map("event_id" -> 100000000L)), "events")
     println(s"scale fixture written to $out (${copies}x facts)")
