@@ -52,6 +52,18 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect()(0).isNullAt(0))
   }
 
+  test("Graft.init onboards a session: functions + views in one call") {
+    val spark = TestSpark.spark
+    Graft.init(spark, TestSpark.sf)
+    Graft.init(spark, TestSpark.sf) // idempotent
+    val r = spark.sql("""
+      SELECT n_name, repair_encoding(n_name) AS fixed,
+        cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS c
+      FROM nation ORDER BY n_nationkey LIMIT 1""").collect()(0)
+    assert(r.getString(0) == r.getString(1)) // clean names pass through
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
   test("cosine_sim rejects non-float-array inputs") {
     val spark = TestSpark.spark
     VectorExpressions.register(spark)
