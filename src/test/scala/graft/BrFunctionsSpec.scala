@@ -147,6 +147,24 @@ class BrFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: repairEncoding inverts cp1252 mis-decoding for random pt-BR text") {
+    import graft.functions.EncodingRepair.repairEncoding
+    import org.scalacheck.Gen
+    // chars whose UTF-8 continuation bytes are cp1252-DEFINED (so the
+    // mis-decode is lossless and therefore repairable) — the pt-BR
+    // alphabet minus Á/Í-class chars (0x81/0x8D are undefined slots)
+    val chars = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('ç', 'ã', 'é', 'ê', 'õ', 'ô', 'ú', 'Ã', 'É', 'Ç'),
+      1 -> Gen.const(' '))
+    val strs = Gen.listOfN(200, Gen.listOf(chars).map(_.mkString)).sample.get
+    strs.foreach { good =>
+      val broken = new String(good.getBytes("UTF-8"), "windows-1252")
+      assert(repairEncoding(broken) == good, s"<$good>")
+      assert(repairEncoding(good) == good, s"identity <$good>")
+    }
+  }
+
   test("repairEncoding identity edge cases") {
     import graft.functions.EncodingRepair.repairEncoding
     assert(repairEncoding(null) == null)

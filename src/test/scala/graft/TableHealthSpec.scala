@@ -57,4 +57,24 @@ class TableHealthSpec extends AnyFunSuite {
       .collect()(0)
     assert(dup.getAs[Long]("chaves_duplicadas") == 1)
   }
+
+  test("composite keys never collide across column boundaries or nulls") {
+    // ("x|y","z") vs ("x","y|z"): distinct keys a separator-concat
+    // would merge; likewise (1,null) vs (null,1) with concat_ws's
+    // null-skip. The struct-based distinct must call both unique.
+    val sep = Seq(("x|y", "z"), ("x", "y|z")).toDF("a", "b")
+    val r1 = TableHealth.report(Seq(TableSpec("sep", sep, Seq("a", "b"))))
+      .collect()(0)
+    assert(r1.getAs[Long]("chaves_duplicadas") == 0)
+    assert(r1.getAs[String]("possui_pk").endsWith("SIM"))
+
+    val nulls = Seq((Option(1), Option.empty[Int]), (Option.empty[Int], Option(1)))
+      .toDF("a", "b")
+    val r2 = TableHealth.report(Seq(TableSpec("nn", nulls, Seq("a", "b"))))
+      .collect()(0)
+    assert(r2.getAs[Long]("chaves_duplicadas") == 0)
+    // but they ARE null keys, so the PK still fails on the null tally
+    assert(r2.getAs[Long]("chaves_nulas") == 2)
+    assert(r2.getAs[String]("possui_pk").endsWith("NÃO"))
+  }
 }

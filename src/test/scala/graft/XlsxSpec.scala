@@ -116,6 +116,17 @@ class XlsxSpec extends AnyFunSuite {
     }
   }
 
+  test("wide sheets round trip past column Z (AA.. refs)") {
+    val path = tmp("wide.xlsx")
+    val width = 60 // through AA..BH
+    val header = (0 until width).map(i => s"c$i")
+    val row = (0 until width).map(i => s"v$i": Any)
+    Xlsx.write(path, Seq(("W", header, Seq(row))))
+    val (h, rows) = Xlsx.readSheet(path, "W")
+    assert(h == header)
+    assert(rows == Seq((0 until width).map(i => s"v$i")))
+  }
+
   test("header-promoted DataFrame matches sheet content") {
     val path = tmp("df.xlsx")
     Xlsx.write(path, Seq(("S", Seq("k", "v"),
