@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import graft.text.TextFunctions.fingerprint
+
+/** Streaming document ingestion for the training-data pipeline: the
+  * x22 incremental-dedup semantics on an UNBOUNDED stream. New docs
+  * arrive continuously; each micro-batch is anti-joined on the text
+  * fingerprint against the static corpus fingerprint set, so only
+  * never-seen documents flow downstream.
+  *
+  * The stream-static left-anti join is STATELESS on the stream side
+  * (each batch probes the static side; nothing is buffered across
+  * batches), which is what keeps it viable on a 100 TB/day firehose —
+  * the corpus fingerprint table is the bounded state, refreshed by
+  * the batch pipeline (s12-style partition refresh), not by the
+  * stream. At scale the static side is a fp-bucketed table
+  * (core/Partitioning) so the per-batch probe is shuffle-free.
+  */
+object DocStream {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** File-source stream of (doc_id, text) parquet (test/demo entry;
+    * production swaps in Kafka with the same downstream plan). */
+  def readDocStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema).parquet(dir)
+
+  /** Only documents whose fingerprint is NOT already in the corpus.
+    * Works identically on a batch DataFrame (stateless plan) — the
+    * spec uses that as the oracle. */
+  def incrementalDedup(newDocs: DataFrame, corpus: DataFrame): DataFrame =
+    newDocs
+      .withColumn("fp", fingerprint(col("text")))
+      .join(corpus.select(fingerprint(col("text")).as("fp")).distinct(),
+        Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+}

@@ -99,4 +99,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.filter(col("s.n_events") =!= col("b.count")).count() == 0)
     assert(out.filter(col("closed_by_timeout")).count() == 0)
   }
+
+  test("stream-static incremental dedup admits only never-seen documents") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 300)
+    // arriving batch: half re-deliveries of corpus docs (shifted ids,
+    // same text → same fingerprint), half genuinely new docs
+    val redelivered = corpus.filter(col("doc_id") < 150)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val fresh = docs.filter(col("doc_id") >= 300)
+    val tmp = java.nio.file.Files.createTempDirectory("docs_stream").toString
+    fresh.unionByName(redelivered).write.mode("overwrite").parquet(tmp)
+    val stream = graft.streaming.DocStream.readDocStream(spark, tmp)
+    val out = EventStream.runToMemory(spark,
+      graft.streaming.DocStream.incrementalDedup(stream, corpus), "inc_dedup")
+    // the same stateless plan over the batch input is the oracle
+    val batch = graft.streaming.DocStream.incrementalDedup(
+      spark.read.parquet(tmp), corpus)
+    assert(out.count() == batch.count())
+    assert(out.exceptAll(batch).count() == 0)
+    // every re-delivered doc was dropped; every fresh doc admitted
+    assert(out.filter(col("doc_id") >= 5000000L).count() == 0)
+    assert(out.count() == fresh.count())
+  }
 }
