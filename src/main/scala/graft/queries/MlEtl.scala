@@ -267,6 +267,35 @@ object MlEtl {
       sum(col("cliente_id").isNull.cast("long")).as("nulos_cliente"),
       sum(col("data_pedido").isNull.cast("long")).as("nulos_data"))
 
+  /** ETL3: join-coverage audit — the reference's enrichment
+    * reconciliation (`ETL - CRM.py:158-160` "Cobertura IBGE: m de n
+    * leads (p%)" + the unmatched-key extract of its RELATORIO
+    * artifact, `:305-326`): per-key lead count, matched count,
+    * coverage percent with an OK/PARCIAL/SEM ENRIQUECIMENTO status,
+    * and the A9-style total row. The dim is deliberately partial
+    * (n_nationkey < 20) so the unmatched branch is exercised; rows
+    * with `com_match = 0` ARE the "Cidades_Sem_IBGE" extract. */
+  val etl3JoinCoverage: Q = (s, d) => {
+    val dim = Tables.nation(s, d).filter(col("n_nationkey") < 20)
+      .select(col("n_nationkey"))
+    val per = Tables.customer(s, d)
+      .join(dim, col("c_nationkey") === col("n_nationkey"), "left")
+      .groupBy(col("c_nationkey").as("chave"))
+      .agg(count(lit(1)).as("linhas"),
+        sum(col("n_nationkey").isNotNull.cast("long")).as("com_match"))
+    val total = per.agg(
+        sum(col("linhas")).as("linhas"), sum(col("com_match")).as("com_match"))
+      .select(lit(-1).as("chave"), col("linhas"), col("com_match"))
+    per.unionByName(total)
+      .withColumn("cobertura_pct",
+        round(col("com_match").cast("double") / col("linhas") * 100, 2))
+      .withColumn("status",
+        when(col("com_match") === 0, "SEM ENRIQUECIMENTO")
+          .when(col("com_match") < col("linhas"), "PARCIAL")
+          .otherwise("OK"))
+      .orderBy(col("chave"))
+  }
+
   /** X11: multimodal metadata at scan stage — binary payload column,
     * byte length + checksum + shard key as codegen'd expressions
     * (decode itself is the stubbed mapPartitions path, see
@@ -303,6 +332,7 @@ object MlEtl {
     "pr3_table_health" -> pr3TableHealth,
     "etl1_staging" -> etl1Staging,
     "etl2_audit" -> etl2Audit,
+    "etl3_join_coverage" -> etl3JoinCoverage,
     "x11_multimodal_meta" -> x11MultimodalMeta,
     "x17_resize_meta" -> x17ResizeMeta,
     "x18_frame_sample" -> x18FrameSample)
@@ -525,6 +555,26 @@ object MlEtl {
       FROM orders
       WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
         AND o_orderdate IS NOT NULL""",
+    "etl3_join_coverage" -> """
+      WITH per AS (
+        SELECT c_nationkey AS chave, COUNT(*) AS linhas,
+          CAST(SUM(CASE WHEN n.n_nationkey IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS com_match
+        FROM customer c
+        LEFT JOIN (SELECT n_nationkey FROM nation WHERE n_nationkey < 20) n
+          ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1),
+      unioned AS (
+        SELECT * FROM per
+        UNION ALL
+        SELECT -1, CAST(SUM(linhas) AS BIGINT), CAST(SUM(com_match) AS BIGINT)
+        FROM per)
+      SELECT chave, linhas, com_match,
+        ROUND(CAST(com_match AS DOUBLE) / linhas * 100, 2) AS cobertura_pct,
+        CASE WHEN com_match = 0 THEN 'SEM ENRIQUECIMENTO'
+             WHEN com_match < linhas THEN 'PARCIAL'
+             ELSE 'OK' END AS status
+      FROM unioned ORDER BY chave""",
     "x11_multimodal_meta" -> """
       SELECT doc_id,
         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
