@@ -347,6 +347,38 @@ object Reports {
       .orderBy(col("linha_total"), col("empresa"))
   }
 
+  /** R21: plan-vs-actual reconciliation with CVP%
+    * (`ValidadorProduçãoPorSku.sql:44-66`): product dim left-joined to
+    * two PRE-AGGREGATED CTEs (planned per SKU · produced per SKU),
+    * COALESCE-0 defaults, zero-guarded CVP% = produced/planned. The
+    * percent is computed as half-up integer centi-units (the r16
+    * crescStr trick) for engine-stable DECIMAL(5,2) semantics.
+    * Analog: planned = all ordered qty per part; produced = qty
+    * shipped before the cutoff; the reference's single-SKU WHERE is
+    * the optional `sku` parameter (S8 stored-proc shape). */
+  def r21CvpSku(sku: Option[Long]): Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val planejado = li.groupBy(col("l_partkey").as("pk_pln"))
+      .agg(sum(col("l_quantity").cast("int")).as("qtd_planejada"))
+    val produzido = li.filter(col("l_shipdate") < lit("1997-01-01"))
+      .groupBy(col("l_partkey").as("pk_prd"))
+      .agg(sum(col("l_quantity").cast("int")).as("qtd_produzida"))
+    val base = Tables.part(s, d)
+      .join(produzido, col("p_partkey") === col("pk_prd"), "left")
+      .join(planejado, col("p_partkey") === col("pk_pln"), "left")
+      .select(col("p_partkey").as("cod_produto"),
+        col("p_name").as("descricao"), col("p_brand").as("marca"),
+        coalesce(col("qtd_produzida"), lit(0L)).as("qtd_produzida"),
+        coalesce(col("qtd_planejada"), lit(0L)).as("qtd_planejada"))
+      .withColumn("cvp_pct",
+        when(col("qtd_planejada") === 0, lit(0.0))
+          .otherwise(expr(
+            """((qtd_produzida * 20000 + qtd_planejada)
+               div (2 * qtd_planejada)) / 100.0""")))
+    sku.fold(base)(k => base.filter(col("cod_produto") === k))
+      .orderBy(col("cod_produto"))
+  }
+
   // lazy: r16 is declared below this map (object-init order)
   lazy val defs: Map[String, Q] = Map(
     "r20_balanco_integridade" -> r20BalancoIntegridade,
@@ -356,7 +388,8 @@ object Reports {
     "r2_recorrencia_base" -> r2RecorrenciaBase,
     "r3_recorrencia_alertas" -> r3RecorrenciaAlertas,
     "r4_inadimplencia_base" -> r4InadimplenciaBase,
-    "r16_cenario_yty" -> r16CenarioYty)
+    "r16_cenario_yty" -> r16CenarioYty,
+    "r21_cvp_sku" -> r21CvpSku(None))
 
   /** R16: `Cenario_YearToYear()` shape-exact
     * (`scripts_sql/Cenario_YearToYear.sql`): four-year revenue pivot
@@ -510,6 +543,28 @@ object Reports {
   }
 
   val oracles: Map[String, String] = Map(
+    "r21_cvp_sku" -> """
+      WITH planejado AS (
+        SELECT l_partkey, CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT)
+          AS qtd_planejada
+        FROM lineitem GROUP BY l_partkey),
+      produzido AS (
+        SELECT l_partkey, CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT)
+          AS qtd_produzida
+        FROM lineitem WHERE l_shipdate < '1997-01-01' GROUP BY l_partkey),
+      base AS (
+        SELECT p_partkey AS cod_produto, p_name AS descricao,
+          p_brand AS marca,
+          COALESCE(prd.qtd_produzida, 0) AS qtd_produzida,
+          COALESCE(pln.qtd_planejada, 0) AS qtd_planejada
+        FROM part
+        LEFT JOIN produzido prd ON p_partkey = prd.l_partkey
+        LEFT JOIN planejado pln ON p_partkey = pln.l_partkey)
+      SELECT cod_produto, descricao, marca, qtd_produzida, qtd_planejada,
+        CASE WHEN qtd_planejada = 0 THEN 0.0
+          ELSE ((qtd_produzida * 20000 + qtd_planejada)
+                // (2 * qtd_planejada)) / 100.0 END AS cvp_pct
+      FROM base ORDER BY cod_produto""",
     "r20_balanco_integridade" -> s"""
       WITH base AS (
         SELECT CAST(l_extendedprice AS DECIMAL(15,2)) AS valor_num,
