@@ -14,11 +14,16 @@ object Views {
     "supplier", "part", "orders", "lineitem", "events", "documents",
     "embeddings")
 
-  /** Register all fixture tables of `dir` as temp views named after
-    * the tables (lineitem, orders, …). */
+  /** Register the tables PRESENT in `dir` as temp views named after
+    * the tables (lineitem, orders, …). Absent tables are skipped —
+    * a partial warehouse registers its subset instead of failing
+    * half-initialized on the first missing path. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    tableNames.foreach {
-      case "events" => Tables.events(spark, dir).createOrReplaceTempView("events")
-      case t => Tables.table(spark, dir, t).createOrReplaceTempView(t)
-    }
+    tableNames
+      .filter(t => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, s"$t.parquet")))
+      .foreach {
+        case "events" => Tables.events(spark, dir).createOrReplaceTempView("events")
+        case t => Tables.table(spark, dir, t).createOrReplaceTempView(t)
+      }
 }

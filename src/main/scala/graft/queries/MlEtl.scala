@@ -278,15 +278,19 @@ object MlEtl {
   val etl3JoinCoverage: Q = (s, d) => {
     val dim = Tables.nation(s, d).filter(col("n_nationkey") < 20)
       .select(col("n_nationkey"))
-    val per = Tables.customer(s, d)
+    // report key (segment) is COARSER than the join key (nation), as
+    // in the reference's per-city coverage: groups genuinely mix
+    // matched and unmatched rows, so PARCIAL is a reachable per-key
+    // status, not just a total-row artifact. ROLLUP produces the
+    // grand-total row in the same single pass.
+    Tables.customer(s, d)
       .join(dim, col("c_nationkey") === col("n_nationkey"), "left")
-      .groupBy(col("c_nationkey").as("chave"))
+      .rollup(col("c_mktsegment"))
       .agg(count(lit(1)).as("linhas"),
         sum(col("n_nationkey").isNotNull.cast("long")).as("com_match"))
-    val total = per.agg(
-        sum(col("linhas")).as("linhas"), sum(col("com_match")).as("com_match"))
-      .select(lit(-1).as("chave"), col("linhas"), col("com_match"))
-    per.unionByName(total)
+      .select(
+        coalesce(col("c_mktsegment"), lit("--- TOTAL ---")).as("chave"),
+        col("linhas"), col("com_match"))
       .withColumn("cobertura_pct",
         round(col("com_match").cast("double") / col("linhas") * 100, 2))
       .withColumn("status",
@@ -556,25 +560,22 @@ object MlEtl {
       WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
         AND o_orderdate IS NOT NULL""",
     "etl3_join_coverage" -> """
-      WITH per AS (
-        SELECT c_nationkey AS chave, COUNT(*) AS linhas,
-          CAST(SUM(CASE WHEN n.n_nationkey IS NOT NULL THEN 1 ELSE 0 END)
-            AS BIGINT) AS com_match
-        FROM customer c
-        LEFT JOIN (SELECT n_nationkey FROM nation WHERE n_nationkey < 20) n
-          ON c.c_nationkey = n.n_nationkey
-        GROUP BY 1),
-      unioned AS (
-        SELECT * FROM per
-        UNION ALL
-        SELECT -1, CAST(SUM(linhas) AS BIGINT), CAST(SUM(com_match) AS BIGINT)
-        FROM per)
-      SELECT chave, linhas, com_match,
-        ROUND(CAST(com_match AS DOUBLE) / linhas * 100, 2) AS cobertura_pct,
-        CASE WHEN com_match = 0 THEN 'SEM ENRIQUECIMENTO'
-             WHEN com_match < linhas THEN 'PARCIAL'
+      SELECT COALESCE(c_mktsegment, '--- TOTAL ---') AS chave,
+        COUNT(*) AS linhas,
+        CAST(SUM(CASE WHEN n.n_nationkey IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS com_match,
+        ROUND(CAST(SUM(CASE WHEN n.n_nationkey IS NOT NULL THEN 1 ELSE 0 END)
+          AS DOUBLE) / COUNT(*) * 100, 2) AS cobertura_pct,
+        CASE WHEN SUM(CASE WHEN n.n_nationkey IS NOT NULL THEN 1 ELSE 0 END) = 0
+               THEN 'SEM ENRIQUECIMENTO'
+             WHEN SUM(CASE WHEN n.n_nationkey IS NOT NULL THEN 1 ELSE 0 END)
+               < COUNT(*) THEN 'PARCIAL'
              ELSE 'OK' END AS status
-      FROM unioned ORDER BY chave""",
+      FROM customer c
+      LEFT JOIN (SELECT n_nationkey FROM nation WHERE n_nationkey < 20) n
+        ON c.c_nationkey = n.n_nationkey
+      GROUP BY ROLLUP (c_mktsegment)
+      ORDER BY chave""",
     "x11_multimodal_meta" -> """
       SELECT doc_id,
         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -529,11 +529,10 @@ object TrainingData {
     * shuffle-free); the incoming batch is the small side. */
   val x22IncrementalDedup: Q = (s, d) => {
     val corpus = corpusWithDupes(s, d)
-    val existing = corpus.filter(col("doc_id") < 1000000L)
-      .select(fingerprint(col("text")).as("fp")).distinct()
-    corpus.filter(col("doc_id") >= 1000000L)
-      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-      .join(existing, Seq("fp"), "left_anti")
+    graft.streaming.DocStream.incrementalDedup(
+      corpus.filter(col("doc_id") >= 1000000L),
+      corpus.filter(col("doc_id") < 1000000L))
+      .select(col("doc_id"), col("fp"))
       .orderBy(col("doc_id"))
   }
 

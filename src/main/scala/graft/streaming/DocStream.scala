@@ -30,13 +30,35 @@ object DocStream {
   def readDocStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(docSchema).parquet(dir)
 
-  /** Only documents whose fingerprint is NOT already in the corpus.
-    * Works identically on a batch DataFrame (stateless plan) — the
-    * spec uses that as the oracle. */
-  def incrementalDedup(newDocs: DataFrame, corpus: DataFrame): DataFrame =
-    newDocs
-      .withColumn("fp", fingerprint(col("text")))
-      .join(corpus.select(fingerprint(col("text")).as("fp")).distinct(),
-        Seq("fp"), "left_anti")
-      .select(col("doc_id"), col("fp"))
+  /** Only documents whose fingerprint is NOT already in the corpus —
+    * every input column rides through (plus `fp`), so the admitted
+    * stream is directly ingestible without a re-join. Works
+    * identically on a batch DataFrame (stateless plan) — the spec
+    * uses that as the oracle.
+    *
+    * Self-duplicates: the anti-join checks the CORPUS SNAPSHOT only.
+    * Re-deliveries of an admitted-but-not-yet-refreshed doc (intra-
+    * batch, or across batches before the corpus table folds the
+    * sink's fingerprints back in) pass the corpus check — pass
+    * `dedupWithin = Some((tsColumn, horizon))` to also drop stream-
+    * side duplicates within a watermark horizon (bounded state; the
+    * corpus refresh cadence should be ≤ the horizon so the two
+    * mechanisms hand off exactly). Without a timestamp column the
+    * refresh cadence alone bounds the duplicate-admission window —
+    * that contract is the production shape, not a free pass. */
+  def incrementalDedup(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      dedupWithin: Option[(String, String)] = None): DataFrame = {
+    val withFp = newDocs.withColumn("fp", fingerprint(col("text")))
+    val selfDeduped = dedupWithin match {
+      case Some((tsCol, horizon)) =>
+        withFp.withWatermark(tsCol, horizon)
+          .dropDuplicatesWithinWatermark("fp")
+      case None => withFp
+    }
+    selfDeduped.join(
+      corpus.select(fingerprint(col("text")).as("fp")).distinct(),
+      Seq("fp"), "left_anti")
+  }
 }

@@ -121,5 +121,29 @@ class StreamingSpec extends AnyFunSuite {
     // every re-delivered doc was dropped; every fresh doc admitted
     assert(out.filter(col("doc_id") >= 5000000L).count() == 0)
     assert(out.count() == fresh.count())
+    // admitted docs carry their text — directly ingestible downstream
+    assert(out.columns.contains("text"))
+  }
+
+  test("dedupWithin drops stream-side re-deliveries ahead of the corpus refresh") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 300)
+    val fresh = docs.filter(col("doc_id") >= 300)
+    // the same new doc delivered twice INSIDE the stream (same text →
+    // same fingerprint, different ids): the corpus anti-join alone
+    // cannot drop it; the watermark dedup must
+    val redelivered = fresh.filter(col("doc_id") < 350)
+      .select((col("doc_id") + 7000000L).as("doc_id"), col("text"))
+    val arriving = fresh.unionByName(redelivered)
+      .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+    val tmp = java.nio.file.Files.createTempDirectory("docs_wind").toString
+    arriving.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP").parquet(tmp)
+    val out = EventStream.runToMemory(spark,
+      graft.streaming.DocStream.incrementalDedup(stream, corpus,
+        dedupWithin = Some(("ts", "10 minutes"))), "inc_dedup_w")
+    assert(out.count() == fresh.count(), "one admission per fingerprint")
+    assert(out.select("fp").distinct().count() == out.count())
   }
 }
