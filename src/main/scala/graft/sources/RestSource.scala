@@ -24,6 +24,31 @@ object RestSource {
 
   type Fetch = String => String
 
+  /** The reference's retry policy (`cnpj_core.py:61-99`: 3 retries,
+    * exponential backoff 0.8·2^n seconds) as a transport decorator.
+    * The sleeper is injectable so tests assert the schedule without
+    * waiting it out. */
+  def withRetry(
+      fetch: Fetch,
+      retries: Int = 3,
+      backoffBaseSeconds: Double = 0.8,
+      sleep: Long => Unit = Thread.sleep): Fetch = url => {
+    var attempt = 0
+    var result: Option[String] = None
+    var lastErr: Throwable = null
+    while (result.isEmpty && attempt <= retries) {
+      try result = Some(fetch(url))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          lastErr = e
+          if (attempt < retries)
+            sleep((backoffBaseSeconds * (1L << attempt) * 1000).toLong)
+      }
+      attempt += 1
+    }
+    result.getOrElse(throw lastErr)
+  }
+
   /** Paged GET until a page yields no rows (the IBGE loop): page
     * bodies parse as one JSON array or object per page. */
   def paginated(

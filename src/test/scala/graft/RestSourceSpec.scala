@@ -43,6 +43,24 @@ class RestSourceSpec extends AnyFunSuite {
     assert(byKey("404").getAs[String]("erro") == "all providers failed")
   }
 
+  test("withRetry follows the reference's exponential backoff schedule") {
+    var calls = 0
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val flaky: String => String = _ => {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("HTTP 503") else "ok"
+    }
+    val fetch = RestSource.withRetry(flaky, sleep = sleeps += _)
+    assert(fetch("u") == "ok")
+    assert(calls == 3)
+    assert(sleeps.toSeq == Seq(800L, 1600L)) // 0.8·2^0, 0.8·2^1 seconds
+    // exhausted retries rethrow the last error
+    val dead = RestSource.withRetry(_ => throw new RuntimeException("down"),
+      retries = 2, sleep = _ => ())
+    val e = intercept[RuntimeException](dead("u"))
+    assert(e.getMessage == "down")
+  }
+
   test("payload parses as nested struct for the oracled JSON surface") {
     val df = RestSource.enrichByKey(spark, Seq("1"),
       providers = Seq("p" -> (k => k)),
