@@ -32,7 +32,7 @@ object Profiler {
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val n = row.getAs[Long]("__n")
-    cols.map { c =>
+    cols.toIndexedSeq.map { c =>
       ColumnProfile(c, df.schema(c).dataType.simpleString, n,
         row.getAs[Long](s"__d_$c"), row.getAs[Long](s"__z_$c"))
     }

@@ -195,7 +195,7 @@ object Aggregations {
     * one scan, one row out. */
   val a14NullProfile: Q = (s, d) => {
     val df = Tables.events(s, d)
-    df.select(df.columns.map(c =>
+    df.select(df.columns.toIndexedSeq.map(c =>
       sum(col(c).isNull.cast("long")).as(s"nulls_$c")): _*)
   }
 

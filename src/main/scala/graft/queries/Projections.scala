@@ -34,7 +34,7 @@ object Projections {
     * (`Base de Produtos Mais Vendidos - Showroom.py:47`). */
   val p2HeaderNormalize: Q = (s, d) => {
     val df = Tables.region(s, d)
-    df.toDF(df.columns.map(_.trim.toUpperCase): _*).orderBy(col("R_REGIONKEY"))
+    df.toDF(df.columns.toIndexedSeq.map(_.trim.toUpperCase): _*).orderBy(col("R_REGIONKEY"))
   }
 
   /** P3: positional-fallback rename — rename by ordinal when the header

@@ -412,7 +412,7 @@ object Reports {
     val years = Seq(1997, 1998, 1999, 2000)
     val duRows = Seq((1, 22), (2, 20), (3, 21), (4, 21), (5, 21), (6, 21),
       (7, 23), (8, 21), (9, 21), (10, 22), (11, 20), (12, 22))
-    val mesesCap = monthsPt.map(m => m.head + m.tail.toLowerCase)
+    val mesesCap = monthsPt.map(m => s"${m.head}${m.tail.toLowerCase}")
     def crescStr(a: String, b: String): Column = {
       val cp = s"((ABS($a - $b) * 20000 + $b) div (2 * $b))"
       when(col(b) === 0, lit("N/A")).otherwise(concat(
@@ -508,7 +508,7 @@ object Reports {
   private val r16Sql: String = {
     val mesCase = monthsPt.zipWithIndex
       .map { case (m, i) =>
-        s"WHEN ${i + 1} THEN '${m.head + m.tail.toLowerCase}'" }
+        s"WHEN ${i + 1} THEN '${m.head}${m.tail.toLowerCase}'" }
       .mkString("CASE mes_num ", " ", " END")
     def fSum(y: Int) =
       s"""SUM(CASE WHEN YEAR(o_orderdate) = $y
