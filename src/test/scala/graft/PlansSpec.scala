@@ -41,6 +41,30 @@ class PlansSpec extends AnyFunSuite {
     assert(!plan.contains("Sort "), s"no sort expected:\n$plan")
   }
 
+  test("pr3 table-health scans prune to the audited key columns only") {
+    val plan = graft.queries.MlEtl.pr3TableHealth(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the lineitem scan (16 columns) must read only the PK pair + FK;
+    // a full-schema read would make the audit a full-table IO at scale
+    val liScan = plan.linesIterator
+      .find(l => l.contains("lineitem.parquet") && l.contains("ReadSchema"))
+    assert(liScan.isDefined, "no lineitem scan with ReadSchema in plan")
+    val schema = liScan.get.substring(liScan.get.indexOf("ReadSchema"))
+    assert(schema.contains("l_orderkey") && schema.contains("l_linenumber"))
+    assert(!schema.contains("l_comment") && !schema.contains("l_extendedprice"),
+      s"lineitem scan reads more than the audited keys: $schema")
+  }
+
+  test("IVF cell assignment plans as an aggregate, not a window sort") {
+    val plan = graft.queries.TrainingData
+      .ivfCells(spark, sf, lloydIters = 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("max_by") || plan.contains("HashAggregate"),
+      "assignment should be a (map-side combinable) aggregate")
+    assert(!plan.contains("row_number"),
+      "assignment must not fall back to the window formulation")
+  }
+
   test("operator handles groups smaller than k and string order keys") {
     val out = TopK.perGroup(Tables.nation(spark, sf), Seq("n_regionkey"),
       Seq(("n_name", false)), 100)
