@@ -536,7 +536,195 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** X25: sequence packing — the concat-and-chunk step every LLM
+    * training pipeline runs after curation (documents concatenated in
+    * a stable order, split at fixed token boundaries into training
+    * sequences). Packing is per-SOURCE shard: a window cumsum gives
+    * each doc its token offset within its shard, docs spanning a
+    * boundary land in every sequence they overlap, and the report
+    * aggregates per (shard, sequence). 100 TB design: packing order
+    * is only ever needed within a shard (production packs per input
+    * file/partition), so the sort is per-source — there is no global
+    * order and no single-partition window; a skewed shard splits into
+    * hash sub-shards with independent sequence spaces. */
+  val x25PackSequences: Q = (s, d) => {
+    val B = 256
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("ini", sum(col("n_tok")).over(w) - col("n_tok"))
+      .select(col("source"), col("doc_id"), col("ini"), col("n_tok"),
+        explode(sequence(floor(col("ini") / B),
+          floor((col("ini") + col("n_tok") - 1) / B))).as("seq_id"))
+      .withColumn("toks_na_seq",
+        least(col("ini") + col("n_tok"), (col("seq_id") + 1) * B)
+          - greatest(col("ini"), col("seq_id") * B))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks_na_seq")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\(\\d{2}\\) \\d{4,5}-\\d{4}"
+
+  /** The corpus with deterministic synthetic PII appended (the fixture
+    * text has none): every 7th doc gains an email, every 11th a
+    * BR-format phone — both derived from doc_id so the DuckDB oracle
+    * rebuilds the identical corpus. */
+  private def piiCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contato: user"), col("doc_id"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" fone: (11) 99999-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit(""))).as("text"))
+
+  /** X26: PII redaction — scan-speed regex scrub (emails, phones)
+    * with per-doc match counts, the pre-training privacy pass. Pure
+    * codegen'd Column expressions (regexp_count/regexp_replace), no
+    * shuffle, no UDF: at 100 TB this runs at parquet-scan speed and
+    * the regexes are RE2-compatible (no backtracking blowup on
+    * adversarial text). Both engines replay the same injected corpus
+    * ([[piiCorpus]]), so the hash compare proves redaction equality,
+    * not just counts. */
+  val x26PiiRedaction: Q = (s, d) =>
+    piiCorpus(s, d)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(emailRe)).cast("int").as("n_emails"),
+        regexp_count(col("text"), lit(phoneRe)).cast("int").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("text"), emailRe, "[EMAIL]"),
+          phoneRe, "[TELEFONE]")).as("fp_redigido"))
+      .orderBy(col("doc_id"))
+
+  /** Test probe: docs whose REDACTED text still matches a PII regex —
+    * redaction must be a fixpoint (EngineSpec). */
+  private[graft] def piiFixpointProbe(s: SparkSession, d: String): Long =
+    piiCorpus(s, d)
+      .select(regexp_replace(regexp_replace(col("text"), emailRe, "[EMAIL]"),
+        phoneRe, "[TELEFONE]").as("t"))
+      .filter(regexp_count(col("t"), lit(emailRe)) > 0 ||
+        regexp_count(col("t"), lit(phoneRe)) > 0)
+      .count()
+
+  /** X27: domain-mixture sampling — resize each source/domain to a
+    * target token budget by taking docs in md5(doc_id) hash order
+    * until the budget is crossed (greedy prefix, boundary doc kept).
+    * This is the training-mix step (domain reweighting to a token
+    * recipe). Deterministic and mergeable like x16: the hash order is
+    * global, no RNG state. One shuffle on the mixture key; a skewed
+    * domain sub-shards by hash with a pro-rated per-shard budget. */
+  val x27DomainMixture: Q = (s, d) => {
+    val budget = 500L
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("amostra_chave"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tok"),
+        md5(col("doc_id").cast("string")).as("amostra_chave"))
+      .withColumn("tok_antes", sum(col("n_tok")).over(w) - col("n_tok"))
+      .filter(col("tok_antes") < budget)
+      .select(col("source"), col("doc_id"), col("n_tok"), col("tok_antes"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** X28: per-label embedding centroids (mean pooling) — prototype
+    * vectors / class centroids over an embedding column. Element-wise
+    * mean via posexplode + the integer 2^24-scale sum (the exact
+    * order-free trick shared with [[graft.ml.IvfIndex.lloydStep]]),
+    * emitted as (label, pos, comp) scalars. Both shuffles are
+    * map-side combinable; nothing materializes per-label vector
+    * lists. */
+  val x28LabelCentroids: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(floor(col("v").cast("double") * (1 << 24))).as("sv"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (col("sv").cast("double") / (col("n").cast("double") * (1 << 24)))
+          .as("comp"),
+        col("n"))
+      .orderBy(col("label"), col("pos"))
+
+  /** X29: Bloom-prefiltered incremental dedup — the 100 TB shape of
+    * x22. A Bloom filter over the corpus fingerprints (built with the
+    * engine's order-independent `bloom_filter_agg`, broadcast to the
+    * scan) splits the incoming batch map-side: bloom-NEGATIVE docs are
+    * definitely new (no false negatives) and skip the join entirely;
+    * only bloom-POSITIVE candidates — a tiny fraction at scale — pay
+    * the exact anti-join that removes false positives. The output is
+    * therefore bit-identical to the exact x22 result (asserted in
+    * EngineSpec and by sharing its DuckDB oracle), while the shuffled
+    * volume drops from the whole batch to the candidate sliver. */
+  val x29BloomDedup: Q = (s, d) => {
+    val corpus = corpusWithDupes(s, d)
+    val existing = corpus.filter(col("doc_id") < 1000000L)
+      .select(fingerprint(col("text")).as("fp")).distinct()
+    val incoming = corpus.filter(col("doc_id") >= 1000000L)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    // The sketch is collected to the driver and embedded as a binary
+    // literal (the same shape as Spark's own df.stat.bloomFilter):
+    // might_contain requires a constant/scalar-subquery bloom side,
+    // and the sketch is fixed-size at build time (bits, not rows), so
+    // this is a bounded single-row action, not a data collect.
+    val bf = existing
+      .agg(graft.functions.SketchFunctions
+        .bloomFilterAgg(col("fp"), 3000L, 24000L).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val flagged = incoming
+      .withColumn("candidato",
+        graft.functions.SketchFunctions.mightContain(lit(bf), col("fp")))
+      .select(col("doc_id"), col("fp"), col("candidato"))
+    val definitelyNew = flagged.filter(!col("candidato"))
+      .select(col("doc_id"), col("fp"))
+    val verified = flagged.filter(col("candidato"))
+      .join(existing, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+    definitelyNew.unionByName(verified).orderBy(col("doc_id"))
+  }
+
+  /** X30: TF-IDF keyword extraction — top-3 tokens per document by
+    * tf·idf (idf = ln((N+1)/(df+1)), scores 4dp-rounded for stable
+    * cross-engine ranking, token tie-break). Corpus-wide df rides ONE
+    * map-side-combinable (token → doc-count) aggregate whose output is
+    * vocabulary-sized (then broadcast); tf is per-doc local. Nothing
+    * shuffles the corpus twice at scale. */
+  val x30TfidfTopk: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    // corpus size as a 1-row broadcast (the A10 scalar pattern), not a
+    // driver-side count — the whole query stays one lazy plan
+    val nDocs = docs.agg(count(lit(1)).as("n_corpus"))
+    val tf = docs
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") *
+        log((col("n_corpus") + 1.0) / (col("df") + lit(1.0))), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("score"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x29_bloom_dedup" -> x29BloomDedup,
+    "x30_tfidf_topk" -> x30TfidfTopk,
+    "x25_pack_sequences" -> x25PackSequences,
+    "x26_pii_redaction" -> x26PiiRedaction,
+    "x27_domain_mixture" -> x27DomainMixture,
+    "x28_label_centroids" -> x28LabelCentroids,
     "x19_gopher_repetition" -> x19GopherRepetition,
     "x20_decontaminate" -> x20Decontaminate,
     "x21_curation_funnel" -> x21CurationFunnel,
@@ -672,7 +860,87 @@ object TrainingData {
           GROUP BY doc_id))"""
   }
 
+  /** Shared x22/x29 oracle: the exact incremental-dedup result (the
+    * Bloom path must reproduce it bit-identically). */
+  private lazy val incrementalDedupSql = s"""
+      WITH corpus AS (SELECT doc_id, text FROM $corpusSql),
+      existing AS (SELECT DISTINCT md5(lower(trim(text))) AS fp
+                   FROM corpus WHERE doc_id < 1000000)
+      SELECT doc_id, md5(lower(trim(text))) AS fp
+      FROM corpus
+      WHERE doc_id >= 1000000
+        AND md5(lower(trim(text))) NOT IN (SELECT fp FROM existing)
+      ORDER BY doc_id"""
+
+  /** DuckDB replay of [[piiCorpus]]'s deterministic injection. */
+  private val piiCorpusSql = """
+    (SELECT doc_id, text
+      || CASE WHEN doc_id % 7 = 0
+           THEN ' contato: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           ELSE '' END
+      || CASE WHEN doc_id % 11 = 0
+           THEN ' fone: (11) 99999-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           ELSE '' END AS text
+     FROM documents)"""
+
   val oracles: Map[String, String] = Map(
+    "x25_pack_sequences" -> """
+      WITH d AS (
+        SELECT doc_id, source,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        FROM documents),
+      o AS (
+        SELECT doc_id, source, n_tok,
+          CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+            - n_tok AS BIGINT) AS ini
+        FROM d),
+      e AS (
+        SELECT source, doc_id, ini, n_tok,
+          CAST(unnest(range(ini // 256, (ini + n_tok - 1) // 256 + 1)) AS BIGINT)
+            AS seq_id
+        FROM o)
+      SELECT source, seq_id,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(LEAST(ini + n_tok, (seq_id + 1) * 256)
+          - GREATEST(ini, seq_id * 256)) AS BIGINT) AS n_tokens,
+        MIN(doc_id) AS first_doc,
+        MAX(doc_id) AS last_doc
+      FROM e GROUP BY source, seq_id
+      ORDER BY source, seq_id""",
+    "x26_pii_redaction" -> s"""
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        CAST(len(regexp_extract_all(text,
+          '\\(\\d{2}\\) \\d{4,5}-\\d{4}')) AS INT) AS n_phones,
+        md5(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\\(\\d{2}\\) \\d{4,5}-\\d{4}', '[TELEFONE]', 'g')) AS fp_redigido
+      FROM $piiCorpusSql
+      ORDER BY doc_id""",
+    "x27_domain_mixture" -> """
+      WITH d AS (
+        SELECT doc_id, source,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+          md5(CAST(doc_id AS VARCHAR)) AS amostra_chave
+        FROM documents),
+      o AS (
+        SELECT source, doc_id, n_tok,
+          CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY amostra_chave)
+            - n_tok AS BIGINT) AS tok_antes
+        FROM d)
+      SELECT source, doc_id, n_tok, tok_antes
+      FROM o WHERE tok_antes < 500
+      ORDER BY source, doc_id""",
+    "x28_label_centroids" -> """
+      SELECT label, CAST(i - 1 AS INT) AS pos,
+        CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 16777216)
+            AS BIGINT)) AS DOUBLE)
+          / (CAST(COUNT(*) AS DOUBLE) * 16777216) AS comp,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+      GROUP BY label, i
+      ORDER BY label, pos""",
     "x23_simhash64_dedup" -> s"""
       WITH sigs AS (SELECT * FROM $simhash64Sql)
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -729,15 +997,33 @@ object TrainingData {
       UNION ALL SELECT 4, 'dedup_exato', (SELECT COUNT(*) FROM s3)
       UNION ALL SELECT 5, 'amostra', (SELECT COUNT(*) FROM s4)
       ORDER BY ordem""",
-    "x22_incremental_dedup" -> s"""
-      WITH corpus AS (SELECT doc_id, text FROM $corpusSql),
-      existing AS (SELECT DISTINCT md5(lower(trim(text))) AS fp
-                   FROM corpus WHERE doc_id < 1000000)
-      SELECT doc_id, md5(lower(trim(text))) AS fp
-      FROM corpus
-      WHERE doc_id >= 1000000
-        AND md5(lower(trim(text))) NOT IN (SELECT fp FROM existing)
-      ORDER BY doc_id""",
+    "x22_incremental_dedup" -> incrementalDedupSql,
+    // x29 is the Bloom-prefiltered physical strategy for the SAME
+    // logical result — no false negatives + exact verify of positives
+    // means the output is bit-identical to x22's (EngineSpec asserts
+    // the DataFrame equality; the shared oracle proves it vs DuckDB).
+    "x29_bloom_dedup" -> incrementalDedupSql,
+    "x30_tfidf_topk" -> """
+      WITH tk AS (
+        SELECT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM tk GROUP BY doc_id, token),
+      df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+             FROM tf GROUP BY token),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      scored AS (
+        SELECT t.doc_id, t.token, t.tf, d.df,
+          ROUND(t.tf * ln((n.n + 1.0) / (d.df + 1.0)), 4) AS score
+        FROM tf t JOIN df d USING (token), n),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, token) AS rk
+        FROM scored)
+      SELECT doc_id, token, tf, df, score, CAST(rk AS INT) AS rk
+      FROM ranked WHERE rk <= 3
+      ORDER BY doc_id, rk""",
     "x2_dedup_minhash" -> {
       val params = graft.dedup.NearDup.minhashParams(16).zipWithIndex
         .map { case ((a, b), j) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }

@@ -145,6 +145,89 @@ class EngineSpec extends AnyFunSuite {
     assert(dims == 0)
   }
 
+  test("sequence packing conserves tokens and fills interior sequences") {
+    val docs = Tables.documents(spark, sf)
+    val totalToks = docs
+      .select(graft.text.TextFunctions.tokenCount(col("text")).as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    val packed = TrainingData.x25PackSequences(spark, sf)
+    // every token lands in exactly one sequence slot
+    assert(packed.agg(sum("n_tokens")).collect()(0).getLong(0) == totalToks)
+    // all but the last sequence of each source hold exactly 256 tokens
+    val short = packed
+      .withColumn("last_seq", max(col("seq_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      .filter(col("seq_id") < col("last_seq") && col("n_tokens") =!= 256)
+      .count()
+    assert(short == 0, s"$short interior sequences not exactly 256 tokens")
+  }
+
+  test("PII redaction scrubs every injected email and phone") {
+    val out = TrainingData.x26PiiRedaction(spark, sf)
+    // injected cadence: every 7th doc an email, every 11th a phone
+    val bad = out.filter(
+      (col("doc_id") % 7 === 0 && col("n_emails") < 1) ||
+      (col("doc_id") % 11 === 0 && col("n_phones") < 1)).count()
+    assert(bad == 0)
+    // the redacted text has no residual matches: re-running redaction
+    // over an already-redacted corpus must be a fixpoint
+    val redacted = TrainingData.piiFixpointProbe(spark, sf)
+    assert(redacted == 0, s"$redacted docs still match PII regexes after redaction")
+  }
+
+  test("domain mixture keeps the hash-prefix within each source's budget") {
+    val out = TrainingData.x27DomainMixture(spark, sf)
+    assert(out.filter(col("tok_antes") >= 500).count() == 0)
+    // greedy prefix: per source, tokens kept reach the budget (or the
+    // whole source is smaller than it)
+    val under = out.groupBy("source")
+      .agg(sum(col("n_tok") + lit(0)).as("kept"),
+        max(col("tok_antes") + col("n_tok")).as("cum_end"))
+      .filter(col("cum_end") < 500)
+    val totals = Tables.documents(spark, sf)
+      .groupBy("source")
+      .agg(sum(graft.text.TextFunctions.tokenCount(col("text"))).as("total"))
+    val wrong = under.join(totals, "source")
+      .filter(col("kept") =!= col("total")).count()
+    assert(wrong == 0, "a source stopped before its budget with docs left over")
+  }
+
+  test("label centroids equal the brute-force per-label mean") {
+    val cents = TrainingData.x28LabelCentroids(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val brute = Tables.embeddings(spark, sf)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(cents.keySet == brute.keySet)
+    // integer 2^24 quantization keeps the exact mean within 2^-24 per element
+    val worst = cents.map { case (k, v) => math.abs(v - brute(k)) }.max
+    assert(worst < 1e-6, s"centroid diverges from brute-force mean by $worst")
+  }
+
+  test("bloom-prefiltered dedup is bit-identical to the exact anti-join") {
+    val exact = TrainingData.x22IncrementalDedup(spark, sf)
+    val bloom = TrainingData.x29BloomDedup(spark, sf)
+    assert(bloom.count() == exact.count())
+    assert(bloom.exceptAll(exact).count() == 0)
+    assert(exact.exceptAll(bloom).count() == 0)
+  }
+
+  test("tf-idf top-k: ranks are dense per doc and idf falls with df") {
+    val out = TrainingData.x30TfidfTopk(spark, sf).collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.values.forall(rs =>
+      rs.map(_.getInt(5)).sorted.sameElements(1 to rs.length)))
+    // within a doc at equal tf, a rarer token (lower df) never ranks
+    // below a more common one
+    val inverted = byDoc.values.exists { rs =>
+      rs.exists(a => rs.exists(b =>
+        a.getInt(5) < b.getInt(5) && a.getLong(2) == b.getLong(2) &&
+          a.getLong(3) > b.getLong(3)))
+    }
+    assert(!inverted)
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
