@@ -78,4 +78,43 @@ class PlansSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
     assert(top1 == expect)
   }
+
+  test("PII redaction plans with zero exchanges (scan-speed claim)") {
+    val plan = graft.queries.TrainingData.x26PiiRedaction(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the trailing orderBy is the oracle's presentation sort; nothing
+    // BEFORE it may shuffle — so exactly the one range exchange
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"expected only the presentation-sort exchange:\n$plan")
+  }
+
+  test("sequence packing windows per source, never a single partition") {
+    val plan = graft.queries.TrainingData.x25PackSequences(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(source"),
+      s"expected the window exchange keyed by source:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"packing must not collapse to one partition:\n$plan")
+  }
+
+  test("bloom dedup probes map-side: might_contain filters before the join") {
+    val plan = graft.queries.TrainingData.x29BloomDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    // both union branches carry a probe: NOT might_contain (definitely
+    // new, skips the join) and might_contain (candidates)
+    assert("might_contain".r.findAllIn(plan).size >= 2,
+      s"expected bloom probes on both union branches:\n$plan")
+    // the anti-join consumes only bloom-positive candidates: a probe
+    // filter sits below the join (after it in the printout)
+    val joinAt = plan.indexOf("LeftAnti")
+    assert(joinAt >= 0 && plan.indexOf("might_contain", joinAt) > joinAt,
+      s"bloom probe should feed the anti-join's left side:\n$plan")
+  }
+
+  test("tf-idf broadcasts the vocabulary-sized df side") {
+    val plan = graft.queries.TrainingData.x30TfidfTopk(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"df join should broadcast:\n$plan")
+  }
 }
