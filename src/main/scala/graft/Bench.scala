@@ -108,7 +108,9 @@ object Bench {
       "x14_dedup_clusters", "x15_simhash_dedup", "x17_resize_meta",
       "x18_frame_sample", "x19_gopher_repetition", "x20_decontaminate",
       "x23_simhash64_dedup", "pr3_table_health", "f9b_encoding_repair",
-      "m1_forecast")
+      "m1_forecast", "x25_pack_sequences", "x26_pii_redaction",
+      "x27_domain_mixture", "x28_label_centroids", "x29_bloom_dedup",
+      "x30_tfidf_topk")
     val qmap = perQuery.toMap
     val fullPath = java.nio.file.Paths.get("target/bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
