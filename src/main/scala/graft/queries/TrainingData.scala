@@ -547,19 +547,18 @@ object TrainingData {
     * file/partition), so the sort is per-source — there is no global
     * order and no single-partition window; a skewed shard splits into
     * hash sub-shards with independent sequence spaces. */
-  val x25PackSequences: Q = (s, d) => {
-    val B = 256
+  /** Packing core over (doc_id, source, n_tok) rows — reusable on any
+    * tokenized corpus (x25 and the packing property test share it). */
+  private[graft] def packSequences(rows: DataFrame, b: Int): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        tokenCount(col("text")).cast("long").as("n_tok"))
+    rows
       .withColumn("ini", sum(col("n_tok")).over(w) - col("n_tok"))
       .select(col("source"), col("doc_id"), col("ini"), col("n_tok"),
-        explode(sequence(floor(col("ini") / B),
-          floor((col("ini") + col("n_tok") - 1) / B))).as("seq_id"))
+        explode(sequence(floor(col("ini") / b),
+          floor((col("ini") + col("n_tok") - 1) / b))).as("seq_id"))
       .withColumn("toks_na_seq",
-        least(col("ini") + col("n_tok"), (col("seq_id") + 1) * B)
-          - greatest(col("ini"), col("seq_id") * B))
+        least(col("ini") + col("n_tok"), (col("seq_id") + 1) * b)
+          - greatest(col("ini"), col("seq_id") * b))
       .groupBy(col("source"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("toks_na_seq")).as("n_tokens"),
@@ -567,6 +566,12 @@ object TrainingData {
         max(col("doc_id")).as("last_doc"))
       .orderBy(col("source"), col("seq_id"))
   }
+
+  val x25PackSequences: Q = (s, d) =>
+    packSequences(
+      Tables.documents(s, d).select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tok")),
+      b = 256)
 
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val phoneRe = "\\(\\d{2}\\) \\d{4,5}-\\d{4}"

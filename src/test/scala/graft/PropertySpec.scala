@@ -154,4 +154,28 @@ class PropertySpec extends AnyFunSuite {
         split(col("hms"), ":").getItem(2).cast("long"))
     assert(df.filter(col("back") =!= col("s")).count() == 0)
   }
+
+  test("property: sequence packing conserves tokens on random corpora") {
+    // random shards with random doc token lengths, including docs far
+    // longer than the budget (span many sequences) and 1-token docs
+    val rows = Gen.listOfN(300,
+      Gen.zip(Gen.choose(0, 5), Gen.oneOf(Gen.choose(1L, 20L), Gen.choose(200L, 900L))))
+      .sample.get.zipWithIndex
+      .map { case ((src, n), i) => (i.toLong, s"s$src", n) }
+    val df = rows.toDF("doc_id", "source", "n_tok")
+    val b = 128
+    val packed = graft.queries.TrainingData.packSequences(df, b).collect()
+    val bySource = packed.groupBy(_.getString(0))
+    val totals = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    for ((src, seqs) <- bySource) {
+      // conservation: every token lands in exactly one sequence slot
+      assert(seqs.map(_.getLong(3)).sum == totals(src), s"token loss in $src")
+      // sequence ids are dense 0..floor((total-1)/b)
+      val ids = seqs.map(_.getLong(1)).sorted
+      assert(ids.sameElements(0L to (totals(src) - 1) / b), s"gap in $src")
+      // interior sequences are exactly full
+      val interior = seqs.filter(_.getLong(1) < ids.last)
+      assert(interior.forall(_.getLong(3) == b), s"underfull interior seq in $src")
+    }
+  }
 }
