@@ -573,8 +573,8 @@ object TrainingData {
         tokenCount(col("text")).cast("long").as("n_tok")),
       b = 256)
 
-  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val phoneRe = "\\(\\d{2}\\) \\d{4,5}-\\d{4}"
+  private val emailRe = emailPattern
+  private val phoneRe = phonePattern
 
   /** The corpus with deterministic synthetic PII appended (the fixture
     * text has none): every 7th doc gains an email, every 11th a
@@ -603,16 +603,14 @@ object TrainingData {
       .select(col("doc_id"),
         regexp_count(col("text"), lit(emailRe)).cast("int").as("n_emails"),
         regexp_count(col("text"), lit(phoneRe)).cast("int").as("n_phones"),
-        md5(regexp_replace(regexp_replace(col("text"), emailRe, "[EMAIL]"),
-          phoneRe, "[TELEFONE]")).as("fp_redigido"))
+        md5(redactPii(col("text"))).as("fp_redigido"))
       .orderBy(col("doc_id"))
 
   /** Test probe: docs whose REDACTED text still matches a PII regex —
     * redaction must be a fixpoint (EngineSpec). */
   private[graft] def piiFixpointProbe(s: SparkSession, d: String): Long =
     piiCorpus(s, d)
-      .select(regexp_replace(regexp_replace(col("text"), emailRe, "[EMAIL]"),
-        phoneRe, "[TELEFONE]").as("t"))
+      .select(redactPii(col("text")).as("t"))
       .filter(regexp_count(col("t"), lit(emailRe)) > 0 ||
         regexp_count(col("t"), lit(phoneRe)) > 0)
       .count()

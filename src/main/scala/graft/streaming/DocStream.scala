@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-import graft.text.TextFunctions.fingerprint
+import graft.text.TextFunctions.{fingerprint, qualityScore, redactPii, tokenCount}
 
 /** Streaming document ingestion for the training-data pipeline: the
   * x22 incremental-dedup semantics on an UNBOUNDED stream. New docs
@@ -61,4 +61,19 @@ object DocStream {
       corpus.select(fingerprint(col("text")).as("fp")).distinct(),
       Seq("fp"), "left_anti")
   }
+
+  /** Stateless curation pass for streaming ingestion: token count +
+    * quality score + threshold filter + PII redaction, all pure
+    * Column expressions — the plan is IDENTICAL on a stream and a
+    * batch DataFrame (no state, no watermark, no shuffle), so the
+    * batch run is the spec's oracle and a 100 TB/day firehose pays
+    * scan-speed only. Chain before [[incrementalDedup]] for the full
+    * ingest shape: curate → dedup → sink. */
+  def curate(docs: DataFrame, minQuality: Double,
+      stopwords: Seq[String]): DataFrame =
+    docs
+      .withColumn("n_tok", tokenCount(col("text")))
+      .withColumn("quality", round(qualityScore(col("text"), stopwords), 4))
+      .filter(col("quality") >= minQuality)
+      .withColumn("text", redactPii(col("text")))
 }

@@ -109,4 +109,17 @@ object TextFunctions {
 
   /** Short 16-hex-char fingerprint for bucketing. */
   def fingerprintShort(text: Column): Column = substring(fingerprint(text), 1, 16)
+
+  /** RE2-compatible PII patterns (linear-time — no backtracking
+    * blowup on adversarial text; also valid DuckDB regexes so the
+    * oracle replays them verbatim). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\(\\d{2}\\) \\d{4,5}-\\d{4}"
+
+  /** Scan-speed PII scrub: emails → [EMAIL], BR phones → [TELEFONE].
+    * Pure codegen'd Column expression — composes unchanged onto
+    * batch and streaming plans. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "[EMAIL]"),
+      phonePattern, "[TELEFONE]")
 }

@@ -125,6 +125,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.columns.contains("text"))
   }
 
+  test("stateless curation runs unchanged on a stream (quality + redaction)") {
+    val stop = Seq("the", "a", "of", "and")
+    // inject PII into some docs so redaction is exercised on-stream
+    val docs = Tables.documents(spark, sf).select(col("doc_id"),
+      concat(col("text"), when(col("doc_id") % 5 === 0,
+        lit(" escreva: alguem@exemplo.com")).otherwise(lit(""))).as("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("docs_curate").toString
+    docs.write.mode("overwrite").parquet(tmp)
+    val out = EventStream.runToMemory(spark,
+      graft.streaming.DocStream.curate(
+        graft.streaming.DocStream.readDocStream(spark, tmp), 0.3, stop),
+      "curated")
+    val batch = graft.streaming.DocStream.curate(docs, 0.3, stop)
+    assert(out.count() == batch.count() && out.count() > 0)
+    assert(out.exceptAll(batch).count() == 0)
+    // every injected email was scrubbed in-flight
+    assert(out.filter(col("text").contains("@")).count() == 0)
+    assert(out.filter(col("doc_id") % 5 === 0)
+      .filter(!col("text").contains("[EMAIL]")).count() == 0)
+  }
+
   test("dedupWithin drops stream-side re-deliveries ahead of the corpus refresh") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val corpus = docs.filter(col("doc_id") < 300)
