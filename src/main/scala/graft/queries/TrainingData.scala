@@ -536,18 +536,18 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
-  /** X25: sequence packing — the concat-and-chunk step every LLM
-    * training pipeline runs after curation (documents concatenated in
-    * a stable order, split at fixed token boundaries into training
-    * sequences). Packing is per-SOURCE shard: a window cumsum gives
-    * each doc its token offset within its shard, docs spanning a
-    * boundary land in every sequence they overlap, and the report
-    * aggregates per (shard, sequence). 100 TB design: packing order
-    * is only ever needed within a shard (production packs per input
-    * file/partition), so the sort is per-source — there is no global
-    * order and no single-partition window; a skewed shard splits into
-    * hash sub-shards with independent sequence spaces. */
-  /** Packing core over (doc_id, source, n_tok) rows — reusable on any
+  /** Sequence-packing core over (doc_id, source, n_tok) rows — the
+    * concat-and-chunk step every LLM training pipeline runs after
+    * curation (documents concatenated in a stable order, split at
+    * fixed `b`-token boundaries into training sequences). Packing is
+    * per-SOURCE shard: a window cumsum gives each doc its token
+    * offset within its shard, docs spanning a boundary land in every
+    * sequence they overlap, and the report aggregates per (shard,
+    * sequence). 100 TB design: packing order is only ever needed
+    * within a shard (production packs per input file/partition), so
+    * the sort is per-source — there is no global order and no
+    * single-partition window; a skewed shard splits into hash
+    * sub-shards with independent sequence spaces. Reusable on any
     * tokenized corpus (x25 and the packing property test share it). */
   private[graft] def packSequences(rows: DataFrame, b: Int): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
