@@ -82,6 +82,28 @@ object IvfIndex {
     Index(cents, assign(emb, cents))
   }
 
+  /** Persist the index: centroids as one tiny parquet, cells
+    * PARTITIONED BY cell — the on-disk inverted file. Each query then
+    * opens only its probed cells' files via dynamic partition pruning
+    * (see [[load]] / MlSpec's plan assertion), which is the IVF
+    * promise at 100 TB: probe cost scales with nprobe/nCells of the
+    * corpus, not the corpus. */
+  def save(index: Index, path: String): Unit = {
+    index.centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/centroids")
+    index.cells.repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Reload a persisted index. The cells scan carries `cell` as a
+    * partition column, so [[query]]'s join against the probed cells
+    * triggers dynamic partition pruning — non-probed cells' files are
+    * never opened. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Index =
+    Index(
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/cells"))
+
   /** Top-k neighbors for each query vector (columns `vec_id`,
     * `embedding`): probe the nprobe nearest cells, exact cosine only
     * there, scores rounded to 4dp for stable cross-engine ranking. */

@@ -70,4 +70,25 @@ class MlSpec extends AnyFunSuite {
     assert(maeFit <= maeNaive * 1.25,
       s"seasonal fit MAE $maeFit vs naive $maeNaive")
   }
+
+  test("persisted IVF index: same results, probed-cells-only scan (DPP)") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding"))
+    val index = graft.ml.IvfIndex.build(emb, nCells = 16, lloydIters = 1)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    graft.ml.IvfIndex.save(index, tmp)
+    val loaded = graft.ml.IvfIndex.load(spark, tmp)
+    val queries = emb.filter(col("vec_id") < 5)
+    val inMem = graft.ml.IvfIndex.query(index, queries, nprobe = 4, topK = 10)
+      .orderBy("qid", "rk")
+    val onDisk = graft.ml.IvfIndex.query(loaded, queries, nprobe = 4, topK = 10)
+      .orderBy("qid", "rk")
+    assert(onDisk.collect().toSeq == inMem.collect().toSeq)
+    // the cells scan must read `cell` as a partition column with a
+    // dynamic pruning filter: non-probed cells' files are never opened
+    val plan = onDisk.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the cells scan:\n$plan")
+  }
 }
