@@ -550,6 +550,7 @@ object TrainingData {
     * sub-shards with independent sequence spaces. Reusable on any
     * tokenized corpus (x25 and the packing property test share it). */
   private[graft] def packSequences(rows: DataFrame, b: Int): DataFrame = {
+    require(b > 0, s"sequence budget must be positive, got $b")
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
     rows
       .withColumn("ini", sum(col("n_tok")).over(w) - col("n_tok"))
