@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.functions.RepairEncoding].getName, "repair_encoding"),
       (exprs: Seq[Expression]) => graft.functions.RepairEncoding(exprs(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("deflate_ratio"),
+      new ExpressionInfo(
+        classOf[graft.functions.DeflateRatio].getName, "deflate_ratio"),
+      (exprs: Seq[Expression]) => graft.functions.DeflateRatio(exprs(0))))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

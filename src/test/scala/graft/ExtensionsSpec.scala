@@ -64,6 +64,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("deflate_ratio separates repetitive from high-entropy text") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.CompressionExpressions.deflateRatio
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val boiler = ("lorem ipsum " * 200).trim
+    val noise = (1 to 200).map(i =>
+      graft.text.TextFunctions.fingerprint(lit(i.toString))).toList
+    val df = Seq(boiler).toDF("t")
+      .select(deflateRatio(col("t")).as("r_rep"),
+        deflateRatio(concat(noise: _*)).as("r_noise"),
+        deflateRatio(lit("")).as("r_empty"))
+    val row = df.collect()(0)
+    assert(row.getDouble(0) < 0.1, s"boilerplate ratio ${row.getDouble(0)}")
+    assert(row.getDouble(1) > 0.4, s"noise ratio ${row.getDouble(1)}")
+    assert(row.getDouble(2) == 1.0)
+    // deterministic across evaluations (interpreted and codegen paths)
+    val again = df.collect()(0)
+    assert(row.getDouble(0) == again.getDouble(0))
+    assert(row.getDouble(1) == again.getDouble(1))
+  }
+
   test("cosine_sim rejects non-float-array inputs") {
     val spark = TestSpark.spark
     VectorExpressions.register(spark)

@@ -155,6 +155,37 @@ class PropertySpec extends AnyFunSuite {
     assert(df.filter(col("back") =!= col("s")).count() == 0)
   }
 
+  test("property: redactPii scrubs ScalaCheck-generated emails and phones") {
+    import graft.text.TextFunctions
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(8).mkString)
+    val email = for {
+      u <- word; d <- word
+      tld <- Gen.oneOf("com", "org", "net", "com.br")
+    } yield s"$u@$d.$tld"
+    val phone = for {
+      dd <- Gen.choose(11, 99)
+      p1 <- Gen.choose(1000, 99999)
+      p2 <- Gen.choose(1000, 9999)
+    } yield s"($dd) $p1-$p2"
+    val doc = for {
+      pre <- Gen.listOfN(5, word); mid <- Gen.listOfN(5, word)
+      e <- email; p <- phone
+      nE <- Gen.choose(0, 2); nP <- Gen.choose(0, 2)
+    } yield (pre.mkString(" ") + (s" $e" * nE) + " " + mid.mkString(" ")
+      + (s" $p" * nP), nE, nP)
+    val sample = Gen.listOfN(200, doc).sample.get
+    val df = sample.toDF("text", "n_e", "n_p")
+      .withColumn("got_e", regexp_count(col("text"), lit(TextFunctions.emailPattern)))
+      .withColumn("got_p", regexp_count(col("text"), lit(TextFunctions.phonePattern)))
+      .withColumn("clean", TextFunctions.redactPii(col("text")))
+      .withColumn("left_e", regexp_count(col("clean"), lit(TextFunctions.emailPattern)))
+      .withColumn("left_p", regexp_count(col("clean"), lit(TextFunctions.phonePattern)))
+    // counts match the injections; redaction is total
+    assert(df.filter(col("got_e") =!= col("n_e") ||
+      col("got_p") =!= col("n_p")).count() == 0)
+    assert(df.filter(col("left_e") > 0 || col("left_p") > 0).count() == 0)
+  }
+
   test("property: sequence packing conserves tokens on random corpora") {
     // random shards with random doc token lengths, including docs far
     // longer than the budget (span many sequences) and 1-token docs
