@@ -677,9 +677,13 @@ object TrainingData {
     // might_contain requires a constant/scalar-subquery bloom side,
     // and the sketch is fixed-size at build time (bits, not rows), so
     // this is a bounded single-row action, not a data collect.
+    // sized above the largest fixture corpus (50k fps at the 10×
+    // scale smoke): an undersized bloom only degrades pruning (more
+    // candidates reach the exact join), never correctness — but size
+    // to the corpus cardinality estimate in production
     val bf = existing
       .agg(graft.functions.SketchFunctions
-        .bloomFilterAgg(col("fp"), 3000L, 24000L).as("bf"))
+        .bloomFilterAgg(col("fp"), 60000L, 480000L).as("bf"))
       .collect()(0).getAs[Array[Byte]](0)
     val flagged = incoming
       .withColumn("candidato",
