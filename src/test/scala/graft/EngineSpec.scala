@@ -135,7 +135,7 @@ class EngineSpec extends AnyFunSuite {
     val docs = Multimodal.withBinaryPayload(Tables.documents(spark, sf))
     val scan = Multimodal.scanMetadata(docs)
     val feats = Multimodal.extractFeatures(spark, docs)
-    val joined = scan.as("a").join(feats.toDF.as("b"), Seq("doc_id"))
+    val joined = scan.as("a").join(feats.toDF().as("b"), Seq("doc_id"))
     val n = joined.count()
     assert(n == docs.count())
     assert(joined.filter(col("a.byte_len") =!= col("b.byte_len")).count() == 0)

@@ -44,7 +44,7 @@ class StreamingSpec extends AnyFunSuite {
       .parquet(tmp)
       .as[EventStream.Event]
     val sessions = EventStream.sessionizeEventTime(spark, stream, gapMinutes = 10)
-    val out = EventStream.runToMemory(spark, sessions.toDF, "evtime_sessions")
+    val out = EventStream.runToMemory(spark, sessions.toDF(), "evtime_sessions")
     // every emitted session respects the gap invariant: fim = lastTs + gap
     assert(out.filter(col("fim") <= col("inicio")).count() == 0)
     // emitted (closed) sessions must never exceed a user's total events
@@ -92,7 +92,7 @@ class StreamingSpec extends AnyFunSuite {
       .parquet(tmp)
       .as[EventStream.Event]
     val sessions = EventStream.sessionize(spark, stream)
-    val out = EventStream.runToMemory(spark, sessions.toDF, "sessions", OutputMode.Update)
+    val out = EventStream.runToMemory(spark, sessions.toDF(), "sessions", OutputMode.Update)
     // one open session per user, counting every event of that user
     val perUser = Tables.events(spark, sf).groupBy("user_id").count()
     val joined = out.as("s").join(perUser.as("b"), Seq("user_id"))
