@@ -536,43 +536,63 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic hash sub-shard in [0, n): the first 16 bits of
+    * md5(doc_id), reproducible bit-for-bit in DuckDB as
+    * `('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % n`.
+    * This is the skew splitter for the packing/mixture windows: a
+    * skewed source (one web crawl = most of the corpus) spreads over
+    * `n` independent window partitions instead of one task's sort. */
+  private def subShard(n: Int): Column =
+    pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long"), lit(n.toLong)).cast("int")
+
   /** Sequence-packing core over (doc_id, source, n_tok) rows — the
     * concat-and-chunk step every LLM training pipeline runs after
     * curation (documents concatenated in a stable order, split at
     * fixed `b`-token boundaries into training sequences). Packing is
-    * per-SOURCE shard: a window cumsum gives each doc its token
-    * offset within its shard, docs spanning a boundary land in every
-    * sequence they overlap, and the report aggregates per (shard,
+    * per (source, sub_shard): each source splits into `subShards`
+    * hash sub-shards ([[subShard]]) with INDEPENDENT sequence spaces,
+    * a window cumsum gives each doc its token offset within its
+    * sub-shard, docs spanning a boundary land in every sequence they
+    * overlap, and the report aggregates per (source, sub_shard,
     * sequence). 100 TB design: packing order is only ever needed
     * within a shard (production packs per input file/partition), so
-    * the sort is per-source — there is no global order and no
-    * single-partition window; a skewed shard splits into hash
-    * sub-shards with independent sequence spaces. Reusable on any
+    * there is no global order and no single-partition window — and a
+    * skewed source is bounded by its sub-shard size, not its own: set
+    * `subShards ≈ source_tokens / tokens_per_task` for the hot
+    * source. Zero-token docs are dropped (they span no sequence and
+    * would otherwise emit spurious boundary rows). Reusable on any
     * tokenized corpus (x25 and the packing property test share it). */
-  private[graft] def packSequences(rows: DataFrame, b: Int): DataFrame = {
+  private[graft] def packSequences(rows: DataFrame, b: Int,
+      subShards: Int = 1): DataFrame = {
     require(b > 0, s"sequence budget must be positive, got $b")
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    require(subShards > 0, s"sub-shard count must be positive, got $subShards")
+    val w = Window.partitionBy(col("source"), col("sub_shard"))
+      .orderBy(col("doc_id"))
     rows
+      .filter(col("n_tok") > 0)
+      .withColumn("sub_shard", subShard(subShards))
       .withColumn("ini", sum(col("n_tok")).over(w) - col("n_tok"))
-      .select(col("source"), col("doc_id"), col("ini"), col("n_tok"),
+      .select(col("source"), col("sub_shard"), col("doc_id"), col("ini"),
+        col("n_tok"),
         explode(sequence(floor(col("ini") / b),
           floor((col("ini") + col("n_tok") - 1) / b))).as("seq_id"))
       .withColumn("toks_na_seq",
         least(col("ini") + col("n_tok"), (col("seq_id") + 1) * b)
           - greatest(col("ini"), col("seq_id") * b))
-      .groupBy(col("source"), col("seq_id"))
+      .groupBy(col("source"), col("sub_shard"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("toks_na_seq")).as("n_tokens"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
-      .orderBy(col("source"), col("seq_id"))
+      .orderBy(col("source"), col("sub_shard"), col("seq_id"))
   }
 
   val x25PackSequences: Q = (s, d) =>
     packSequences(
       Tables.documents(s, d).select(col("doc_id"), col("source"),
         tokenCount(col("text")).cast("long").as("n_tok")),
-      b = 256)
+      b = 256, subShards = 4)
 
   private val emailRe = emailPattern
   private val phoneRe = phonePattern
@@ -616,26 +636,52 @@ object TrainingData {
         regexp_count(col("t"), lit(phoneRe)) > 0)
       .count()
 
-  /** X27: domain-mixture sampling — resize each source/domain to a
-    * target token budget by taking docs in md5(doc_id) hash order
-    * until the budget is crossed (greedy prefix, boundary doc kept).
-    * This is the training-mix step (domain reweighting to a token
-    * recipe). Deterministic and mergeable like x16: the hash order is
-    * global, no RNG state. One shuffle on the mixture key; a skewed
-    * domain sub-shards by hash with a pro-rated per-shard budget. */
-  val x27DomainMixture: Q = (s, d) => {
-    val budget = 500L
-    val w = Window.partitionBy(col("source"))
+  /** Domain-mixture core over (doc_id, source, n_tok, amostra_chave)
+    * rows: resize each source/domain to a target token budget by
+    * taking docs in hash (`amostra_chave`) order until the budget is
+    * crossed (greedy prefix, boundary doc kept). Each source splits
+    * into `subShards` hash sub-shards ([[subShard]]) and the source
+    * budget is PRO-RATED by the sub-shard's token share
+    * (`cota = budget * shard_tok div source_tok`, integer arithmetic
+    * so both engines agree exactly); each sub-shard then runs its own
+    * greedy prefix against its own quota. A skewed domain is thus
+    * bounded by its sub-shard, never a single task's sort, and the
+    * total taken stays within a boundary-doc-per-shard of the source
+    * budget. The quota table is mixture-key-sized → broadcast. */
+  private[graft] def domainMixture(rows: DataFrame, budget: Long,
+      subShards: Int): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    require(subShards > 0, s"sub-shard count must be positive, got $subShards")
+    val base = rows.withColumn("sub_shard", subShard(subShards))
+    val quota = base.groupBy(col("source"), col("sub_shard"))
+      .agg(sum(col("n_tok")).as("shard_tok"))
+      .withColumn("source_tok",
+        sum(col("shard_tok")).over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("sub_shard"),
+        expr(s"$budget * shard_tok div source_tok").as("cota"))
+    val w = Window.partitionBy(col("source"), col("sub_shard"))
       .orderBy(col("amostra_chave"))
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        tokenCount(col("text")).cast("long").as("n_tok"),
-        md5(col("doc_id").cast("string")).as("amostra_chave"))
+    base
       .withColumn("tok_antes", sum(col("n_tok")).over(w) - col("n_tok"))
-      .filter(col("tok_antes") < budget)
-      .select(col("source"), col("doc_id"), col("n_tok"), col("tok_antes"))
+      .join(broadcast(quota), Seq("source", "sub_shard"))
+      .filter(col("tok_antes") < col("cota"))
+      .select(col("source"), col("sub_shard"), col("doc_id"), col("n_tok"),
+        col("tok_antes"), col("cota"))
       .orderBy(col("source"), col("doc_id"))
   }
+
+  /** X27: domain-mixture sampling — the training-mix step (domain
+    * reweighting to a token recipe) on [[domainMixture]]. Deterministic
+    * and mergeable like x16: the hash order is global, no RNG state.
+    * One shuffle on the mixture key, sub-sharded 4 ways with pro-rated
+    * per-shard budgets (the skew path, exercised by default). */
+  val x27DomainMixture: Q = (s, d) =>
+    domainMixture(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          tokenCount(col("text")).cast("long").as("n_tok"),
+          md5(col("doc_id").cast("string")).as("amostra_chave")),
+      budget = 500L, subShards = 4)
 
   /** X28: per-label embedding centroids (mean pooling) — prototype
     * vectors / class centroids over an embedding column. Element-wise
@@ -895,26 +941,29 @@ object TrainingData {
     "x25_pack_sequences" -> """
       WITH d AS (
         SELECT doc_id, source,
-          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
-        FROM documents),
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 4
+            AS INT) AS sub_shard
+        FROM documents
+        WHERE len(regexp_split_to_array(trim(text), '\s+')) > 0),
       o AS (
-        SELECT doc_id, source, n_tok,
-          CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+        SELECT doc_id, source, sub_shard, n_tok,
+          CAST(SUM(n_tok) OVER (PARTITION BY source, sub_shard ORDER BY doc_id)
             - n_tok AS BIGINT) AS ini
         FROM d),
       e AS (
-        SELECT source, doc_id, ini, n_tok,
+        SELECT source, sub_shard, doc_id, ini, n_tok,
           CAST(unnest(range(ini // 256, (ini + n_tok - 1) // 256 + 1)) AS BIGINT)
             AS seq_id
         FROM o)
-      SELECT source, seq_id,
+      SELECT source, sub_shard, seq_id,
         CAST(COUNT(*) AS BIGINT) AS n_docs,
         CAST(SUM(LEAST(ini + n_tok, (seq_id + 1) * 256)
           - GREATEST(ini, seq_id * 256)) AS BIGINT) AS n_tokens,
         MIN(doc_id) AS first_doc,
         MAX(doc_id) AS last_doc
-      FROM e GROUP BY source, seq_id
-      ORDER BY source, seq_id""",
+      FROM e GROUP BY source, sub_shard, seq_id
+      ORDER BY source, sub_shard, seq_id""",
     "x26_pii_redaction" -> s"""
       SELECT doc_id,
         CAST(len(regexp_extract_all(text,
@@ -930,16 +979,24 @@ object TrainingData {
       WITH d AS (
         SELECT doc_id, source,
           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
-          md5(CAST(doc_id AS VARCHAR)) AS amostra_chave
+          md5(CAST(doc_id AS VARCHAR)) AS amostra_chave,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 4
+            AS INT) AS sub_shard
         FROM documents),
+      q AS (
+        SELECT source, sub_shard,
+          CAST((500 * SUM(n_tok))
+            // (SUM(SUM(n_tok)) OVER (PARTITION BY source)) AS BIGINT) AS cota
+        FROM d GROUP BY source, sub_shard),
       o AS (
-        SELECT source, doc_id, n_tok,
-          CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY amostra_chave)
-            - n_tok AS BIGINT) AS tok_antes
+        SELECT source, sub_shard, doc_id, n_tok,
+          CAST(SUM(n_tok) OVER (PARTITION BY source, sub_shard
+            ORDER BY amostra_chave) - n_tok AS BIGINT) AS tok_antes
         FROM d)
-      SELECT source, doc_id, n_tok, tok_antes
-      FROM o WHERE tok_antes < 500
-      ORDER BY source, doc_id""",
+      SELECT o.source, o.sub_shard, o.doc_id, o.n_tok, o.tok_antes, q.cota
+      FROM o JOIN q ON o.source = q.source AND o.sub_shard = q.sub_shard
+      WHERE o.tok_antes < q.cota
+      ORDER BY o.source, o.doc_id""",
     "x28_label_centroids" -> """
       SELECT label, CAST(i - 1 AS INT) AS pos,
         CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 16777216)

@@ -151,15 +151,23 @@ class EngineSpec extends AnyFunSuite {
       .select(graft.text.TextFunctions.tokenCount(col("text")).as("n"))
       .agg(sum("n")).collect()(0).getLong(0)
     val packed = TrainingData.x25PackSequences(spark, sf)
-    // every token lands in exactly one sequence slot
+    // every token lands in exactly one sequence slot — sub-sharding
+    // redistributes docs but conserves the total
     assert(packed.agg(sum("n_tokens")).collect()(0).getLong(0) == totalToks)
-    // all but the last sequence of each source hold exactly 256 tokens
+    // all but the last sequence of each (source, sub_shard) hold
+    // exactly 256 tokens — sequence spaces are independent per shard
     val short = packed
       .withColumn("last_seq", max(col("seq_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source", "sub_shard")))
       .filter(col("seq_id") < col("last_seq") && col("n_tokens") =!= 256)
       .count()
     assert(short == 0, s"$short interior sequences not exactly 256 tokens")
+    // the skew split is real: every source spreads over >1 sub-shard
+    val spreadless = packed.groupBy("source")
+      .agg(countDistinct(col("sub_shard")).as("shards"))
+      .filter(col("shards") < 2).count()
+    assert(spreadless == 0, "a source collapsed into a single sub-shard")
   }
 
   test("PII redaction scrubs every injected email and phone") {
@@ -175,21 +183,38 @@ class EngineSpec extends AnyFunSuite {
     assert(redacted == 0, s"$redacted docs still match PII regexes after redaction")
   }
 
-  test("domain mixture keeps the hash-prefix within each source's budget") {
+  test("domain mixture pro-rates the budget across sub-shards and fills each") {
     val out = TrainingData.x27DomainMixture(spark, sf)
-    assert(out.filter(col("tok_antes") >= 500).count() == 0)
-    // greedy prefix: per source, tokens kept reach the budget (or the
-    // whole source is smaller than it)
-    val under = out.groupBy("source")
-      .agg(sum(col("n_tok") + lit(0)).as("kept"),
-        max(col("tok_antes") + col("n_tok")).as("cum_end"))
-      .filter(col("cum_end") < 500)
-    val totals = Tables.documents(spark, sf)
-      .groupBy("source")
-      .agg(sum(graft.text.TextFunctions.tokenCount(col("text"))).as("total"))
-    val wrong = under.join(totals, "source")
-      .filter(col("kept") =!= col("total")).count()
-    assert(wrong == 0, "a source stopped before its budget with docs left over")
+    // the greedy prefix never starts a doc at or past its shard quota
+    assert(out.filter(col("tok_antes") >= col("cota")).count() == 0)
+    // pro-rating: per source, the shard quotas sum to within one
+    // floor-rounding per shard of the 500-token budget
+    val quotaSums = out.select(col("source"), col("sub_shard"), col("cota"))
+      .distinct()
+      .groupBy("source").agg(sum(col("cota")).as("q"),
+        countDistinct(col("sub_shard")).as("shards"))
+      .collect()
+    for (r <- quotaSums) {
+      val (q, shards) = (r.getLong(1), r.getLong(2))
+      assert(q <= 500 && q > 500 - shards,
+        s"source ${r.getString(0)}: quotas sum to $q over $shards shards")
+    }
+    // greedy prefix per shard: tokens kept reach the shard quota (or
+    // the whole shard is smaller than it)
+    val shardTotals = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        graft.text.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n_tok"))
+      .withColumn("sub_shard", pmod(conv(substring(
+        md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long"), lit(4L)).cast("int"))
+      .groupBy("source", "sub_shard").agg(sum("n_tok").as("total"))
+    val wrong = out.groupBy("source", "sub_shard")
+      .agg(sum(col("n_tok")).as("kept"), first(col("cota")).as("cota"))
+      .join(shardTotals, Seq("source", "sub_shard"))
+      .filter(col("kept") < col("cota") && col("kept") =!= col("total"))
+      .count()
+    assert(wrong == 0, "a sub-shard stopped before its quota with docs left over")
   }
 
   test("label centroids equal the brute-force per-label mean") {

@@ -188,25 +188,83 @@ class PropertySpec extends AnyFunSuite {
 
   test("property: sequence packing conserves tokens on random corpora") {
     // random shards with random doc token lengths, including docs far
-    // longer than the budget (span many sequences) and 1-token docs
+    // longer than the budget (span many sequences), 1-token docs, and
+    // ZERO-token docs (must be dropped, never emit boundary rows)
     val rows = Gen.listOfN(300,
-      Gen.zip(Gen.choose(0, 5), Gen.oneOf(Gen.choose(1L, 20L), Gen.choose(200L, 900L))))
+      Gen.zip(Gen.choose(0, 5), Gen.oneOf(Gen.choose(0L, 20L), Gen.choose(200L, 900L))))
       .sample.get.zipWithIndex
       .map { case ((src, n), i) => (i.toLong, s"s$src", n) }
     val df = rows.toDF("doc_id", "source", "n_tok")
     val b = 128
-    val packed = graft.queries.TrainingData.packSequences(df, b).collect()
-    val bySource = packed.groupBy(_.getString(0))
     val totals = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
-    for ((src, seqs) <- bySource) {
+
+    // unsharded (subShards = 1): one sequence space per source
+    val packed = graft.queries.TrainingData.packSequences(df, b).collect()
+    for ((src, seqs) <- packed.groupBy(_.getString(0))) {
       // conservation: every token lands in exactly one sequence slot
-      assert(seqs.map(_.getLong(3)).sum == totals(src), s"token loss in $src")
+      assert(seqs.map(_.getLong(4)).sum == totals(src), s"token loss in $src")
       // sequence ids are dense 0..floor((total-1)/b)
-      val ids = seqs.map(_.getLong(1)).sorted
+      val ids = seqs.map(_.getLong(2)).sorted
       assert(ids.sameElements(0L to (totals(src) - 1) / b), s"gap in $src")
       // interior sequences are exactly full
-      val interior = seqs.filter(_.getLong(1) < ids.last)
-      assert(interior.forall(_.getLong(3) == b), s"underfull interior seq in $src")
+      val interior = seqs.filter(_.getLong(2) < ids.last)
+      assert(interior.forall(_.getLong(4) == b), s"underfull interior seq in $src")
     }
+
+    // sharded (subShards = 4): independent sequence spaces per
+    // (source, sub_shard); sharded ≡ unsharded on token conservation
+    val sharded = graft.queries.TrainingData.packSequences(df, b, 4).collect()
+    val shardedTotals = sharded.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(4)).sum).toMap
+    assert(shardedTotals == totals.filter(_._2 > 0),
+      "sub-sharding changed a source's packed token total")
+    for (((src, shard), seqs) <- sharded.groupBy(r => (r.getString(0), r.getInt(1)))) {
+      val shardTotal = seqs.map(_.getLong(4)).sum
+      val ids = seqs.map(_.getLong(2)).sorted
+      assert(ids.sameElements(0L to (shardTotal - 1) / b), s"gap in $src/$shard")
+      val interior = seqs.filter(_.getLong(2) < ids.last)
+      assert(interior.forall(_.getLong(4) == b),
+        s"underfull interior seq in $src/$shard")
+    }
+  }
+
+  test("property: domain mixture pro-rated quotas sum to the budget") {
+    // skewed corpus: source s0 holds ~90% of the tokens
+    val rows = Gen.listOfN(400,
+      Gen.zip(Gen.frequency(9 -> Gen.const(0), 1 -> Gen.choose(1, 3)),
+        Gen.choose(1L, 50L)))
+      .sample.get.zipWithIndex
+      .map { case ((src, n), i) => (i.toLong, s"s$src", n) }
+    val budget = 300L
+    val base = rows.toDF("doc_id", "source", "n_tok")
+      .withColumn("amostra_chave", md5(col("doc_id").cast("string")))
+    val one = graft.queries.TrainingData.domainMixture(base, budget, 1).collect()
+    val four = graft.queries.TrainingData.domainMixture(base, budget, 4).collect()
+    val totals = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // subShards=1 degenerates to the plain greedy prefix: quota == budget
+    assert(one.forall(_.getLong(5) == budget))
+    for ((src, sel) <- four.groupBy(_.getString(0))) {
+      // quotas sum to within one floor-rounding per shard of the budget
+      val quotas = sel.map(r => r.getInt(1) -> r.getLong(5)).distinct
+      val qsum = quotas.map(_._2).sum
+      assert(qsum <= budget && qsum > budget - quotas.length,
+        s"$src: quotas $quotas sum to $qsum vs budget $budget")
+      // each shard's greedy prefix fills its quota or exhausts the shard
+      for ((shard, q) <- quotas) {
+        val kept = sel.filter(_.getInt(1) == shard).map(_.getLong(3)).sum
+        val shardTotal = rows.filter(r => r._2 == src &&
+          subShardOf(r._1, 4) == shard).map(_._3).sum
+        assert(kept >= math.min(q, shardTotal),
+          s"$src/$shard kept $kept < min(quota $q, shard $shardTotal)")
+      }
+    }
+  }
+
+  /** JVM-side replay of TrainingData.subShard for test bookkeeping. */
+  private def subShardOf(docId: Long, n: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(docId.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 4)
+    (java.lang.Long.parseLong(hex, 16) % n).toInt
   }
 }
