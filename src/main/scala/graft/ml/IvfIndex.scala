@@ -98,11 +98,19 @@ object IvfIndex {
   /** Reload a persisted index. The cells scan carries `cell` as a
     * partition column, so [[query]]'s join against the probed cells
     * triggers dynamic partition pruning — non-probed cells' files are
-    * never opened. */
-  def load(spark: org.apache.spark.sql.SparkSession, path: String): Index =
+    * never opened. Partition-column inference appends `cell` last and
+    * may narrow it (directory names infer as INT); select it back
+    * into build-time order and re-align its type to the centroids'
+    * `cid` so a loaded index is schema-identical to a built one. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cidType = cents.schema("cid").dataType
     Index(
-      spark.read.parquet(s"$path/centroids"),
-      spark.read.parquet(s"$path/cells"))
+      cents,
+      spark.read.parquet(s"$path/cells")
+        .select(col("vec_id"), col("embedding"),
+          col("cell").cast(cidType).as("cell")))
+  }
 
   /** Top-k neighbors for each query vector (columns `vec_id`,
     * `embedding`): probe the nprobe nearest cells, exact cosine only

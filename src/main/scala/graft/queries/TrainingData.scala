@@ -441,6 +441,32 @@ object TrainingData {
 
   val x13AnnIvf: Q = (s, d) => ivfTopK(s, d, lloydIters = 2)
 
+  /** X31: the persisted-IVF QUERY path — the production side of the
+    * build-once/query-many split that the fused x13 (train + probe,
+    * timed together every run) can't show. The first call per sf-dir
+    * builds and [[graft.ml.IvfIndex.save]]s the on-disk inverted file
+    * (cells partitioned by `cell`); every later call — including every
+    * timed bench pass, since the warm pass pays the build — only loads
+    * it and probes, opening none but the probed cells' files via
+    * dynamic partition pruning (plan-asserted in MlSpec). Same
+    * determinism contract as x13 (shared [[ivfOracle]]); queries are
+    * vec_id 5..9 so the two entries' results stay distinguishable. */
+  val x31IvfQuery: Q = (s, d) => {
+    val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"target/ivf_index_$tag"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path/cells/_SUCCESS")))
+      graft.ml.IvfIndex.save(
+        graft.ml.IvfIndex.build(
+          spread(s, Tables.embeddings(s, d)), nCells = 16, lloydIters = 2),
+        path)
+    graft.ml.IvfIndex.query(
+      graft.ml.IvfIndex.load(s, path),
+      Tables.embeddings(s, d).filter(col("vec_id") >= 5 && col("vec_id") < 10),
+      nprobe = 4, topK = 10)
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** X19: Gopher-style repetition quality signal — the share of all
     * word 2-grams taken by the single most frequent 2-gram (Rae et
     * al.'s repetition filters). Two partial-aggregating shuffles:
@@ -773,6 +799,7 @@ object TrainingData {
   }
 
   val defs: Map[String, Q] = Map(
+    "x31_ivf_query" -> x31IvfQuery,
     "x29_bloom_dedup" -> x29BloomDedup,
     "x30_tfidf_topk" -> x30TfidfTopk,
     "x25_pack_sequences" -> x25PackSequences,
@@ -821,6 +848,63 @@ object TrainingData {
           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
         / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
          * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
+
+  /** Shared DuckDB replay of the deterministic IVF train+probe chain
+    * (x13 and x31 differ only in which vectors act as queries):
+    * two Lloyd iterations — nearest-centroid assign (6dp-rounded
+    * argmax) then integer-sum element-wise mean quantized back to
+    * float — then probe the 4 nearest cells and rank exact cosine. */
+  private def ivfOracle(queryPred: String): String = {
+    def assignSql(cents: String, out: String): String = s"""
+      $out AS (
+        SELECT vec_id, embedding, cid AS cell FROM (
+          SELECT e.vec_id, e.embedding, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ROUND(${cosSql("e.embedding", "c.ce")}, 6) DESC, c.cid)
+              AS rk
+          FROM embeddings e, $cents c)
+        WHERE rk = 1)"""
+    def centSql(assign: String, out: String): String = s"""
+      $out AS (
+        SELECT cell AS cid,
+          list(CAST(CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * 16777216)
+            AS FLOAT) ORDER BY pos) AS ce
+        FROM (
+          SELECT cell, i AS pos,
+            CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 16777216)
+              AS BIGINT)) AS BIGINT) AS sv,
+            COUNT(*) AS n
+          FROM $assign, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+          GROUP BY cell, i)
+        GROUP BY cell)"""
+    s"""
+      WITH cent0 AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+      ${assignSql("cent0", "assign0")},
+      ${centSql("assign0", "cent1")},
+      ${assignSql("cent1", "assign1")},
+      ${centSql("assign1", "cent2")},
+      ${assignSql("cent2", "assigned")},
+      probes AS (
+        SELECT vec_id AS qid, embedding AS qe, cid AS cell FROM (
+          SELECT e.vec_id, e.embedding, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ROUND(${cosSql("e.embedding", "c.ce")}, 6) DESC, c.cid)
+              AS rk
+          FROM embeddings e, cent2 c WHERE $queryPred)
+        WHERE rk <= 4),
+      scored AS (
+        SELECT p.qid, a.vec_id AS nid,
+          ROUND(${cosSql("p.qe", "a.embedding")}, 4) AS score
+        FROM probes p
+        JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.qid),
+      ranked AS (
+        SELECT qid, nid, score,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rk
+        FROM scored)
+      SELECT qid, nid, score, CAST(rk AS INT) AS rk FROM ranked
+      WHERE rk <= 10 ORDER BY qid, rk"""
+  }
 
   private val sqlShingles3 =
     """list_distinct(list_transform(
@@ -1165,60 +1249,8 @@ object TrainingData {
         FROM scored)
       SELECT qid, nid, score, CAST(rk AS INT) AS rk FROM ranked
       WHERE rk <= 10 ORDER BY qid, rk""",
-    "x13_ann_ivf" -> {
-      // replay of the two deterministic Lloyd iterations: nearest-
-      // centroid assign (6dp-rounded argmax) then integer-sum
-      // element-wise mean quantized back to float
-      def assignSql(cents: String, out: String): String = s"""
-      $out AS (
-        SELECT vec_id, embedding, cid AS cell FROM (
-          SELECT e.vec_id, e.embedding, c.cid,
-            ROW_NUMBER() OVER (PARTITION BY e.vec_id
-              ORDER BY ROUND(${cosSql("e.embedding", "c.ce")}, 6) DESC, c.cid)
-              AS rk
-          FROM embeddings e, $cents c)
-        WHERE rk = 1)"""
-      def centSql(assign: String, out: String): String = s"""
-      $out AS (
-        SELECT cell AS cid,
-          list(CAST(CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * 16777216)
-            AS FLOAT) ORDER BY pos) AS ce
-        FROM (
-          SELECT cell, i AS pos,
-            CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 16777216)
-              AS BIGINT)) AS BIGINT) AS sv,
-            COUNT(*) AS n
-          FROM $assign, UNNEST(range(1, len(embedding) + 1)) AS t(i)
-          GROUP BY cell, i)
-        GROUP BY cell)"""
-      s"""
-      WITH cent0 AS (
-        SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
-      ${assignSql("cent0", "assign0")},
-      ${centSql("assign0", "cent1")},
-      ${assignSql("cent1", "assign1")},
-      ${centSql("assign1", "cent2")},
-      ${assignSql("cent2", "assigned")},
-      probes AS (
-        SELECT vec_id AS qid, embedding AS qe, cid AS cell FROM (
-          SELECT e.vec_id, e.embedding, c.cid,
-            ROW_NUMBER() OVER (PARTITION BY e.vec_id
-              ORDER BY ROUND(${cosSql("e.embedding", "c.ce")}, 6) DESC, c.cid)
-              AS rk
-          FROM embeddings e, cent2 c WHERE e.vec_id < 5)
-        WHERE rk <= 4),
-      scored AS (
-        SELECT p.qid, a.vec_id AS nid,
-          ROUND(${cosSql("p.qe", "a.embedding")}, 4) AS score
-        FROM probes p
-        JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.qid),
-      ranked AS (
-        SELECT qid, nid, score,
-          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rk
-        FROM scored)
-      SELECT qid, nid, score, CAST(rk AS INT) AS rk FROM ranked
-      WHERE rk <= 10 ORDER BY qid, rk"""
-    },
+    "x13_ann_ivf" -> ivfOracle("e.vec_id < 5"),
+    "x31_ivf_query" -> ivfOracle("e.vec_id >= 5 AND e.vec_id < 10"),
     "x16_stratified_sample" -> """
       SELECT lang, doc_id, amostra_chave
       FROM (SELECT lang, doc_id,

@@ -79,6 +79,11 @@ class MlSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("ivf_idx").toString
     graft.ml.IvfIndex.save(index, tmp)
     val loaded = graft.ml.IvfIndex.load(spark, tmp)
+    // loaded index is schema-identical to the built one (partition
+    // inference would otherwise move `cell` last and narrow it to INT)
+    assert(loaded.cells.schema.map(f => (f.name, f.dataType)) ==
+      index.cells.schema.map(f => (f.name, f.dataType)),
+      s"loaded ${loaded.cells.schema} != built ${index.cells.schema}")
     val queries = emb.filter(col("vec_id") < 5)
     val inMem = graft.ml.IvfIndex.query(index, queries, nprobe = 4, topK = 10)
       .orderBy("qid", "rk")
