@@ -31,8 +31,13 @@ object MlEtl {
     * ulp); (3) fitted value = trend × index. The previous
     * seasonal-naive (lag-12 × trailing-year growth) is kept as
     * `previsao_naive` — the fallback when fewer than two years of
-    * history exist. No Prophet in the JVM: changepoints and
-    * uncertainty intervals are the documented fidelity delta. */
+    * history exist; (4) 80% uncertainty band (Prophet's default
+    * `interval_width=0.8`, the reference's `yhat_lower`/`yhat_upper`)
+    * as residual quantiles around the fit: residuals in exact integer
+    * cents, nearest-rank p10/p90 (pure integer rank selection — no
+    * interpolation, so both engines pick the identical cent value),
+    * added back onto each fitted point. No Prophet in the JVM:
+    * changepoints are the one documented fidelity delta. */
   val m1Forecast: Q = (s, d) => {
     val monthly = Tables.orders(s, d)
       .groupBy(year(col("o_orderdate")).as("ano"), month(col("o_orderdate")).as("mes"))
@@ -60,7 +65,7 @@ object MlEtl {
     val ord = Window.orderBy(col("ano"), col("mes"))
     val last12 = ord.rowsBetween(-11, 0)
     val prior12 = ord.rowsBetween(-23, -12)
-    based.join(broadcast(seasonal), col("mes") === col("mes_s"))
+    val fit = based.join(broadcast(seasonal), col("mes") === col("mes_s"))
       .withColumn("total", col("total_dec").cast("double"))
       .withColumn("sazonalidade",
         round(col("rs_sum").cast("double") / (col("rs_n").cast("double") * 1e9), 6))
@@ -75,7 +80,27 @@ object MlEtl {
         when(col("lag12").isNull || col("soma_12m_anterior").isNull ||
           col("soma_12m_anterior") === 0, lit(null))
           .otherwise(round(col("lag12") * (col("soma_12m") / col("soma_12m_anterior")), 2)))
+      .withColumn("prev_cents", round(col("previsao") * 100).cast("long"))
+    // 80% band: residuals in exact integer cents over the whole fitted
+    // series (a months-sized set — the single-partition rank window is
+    // inherently tiny no matter the corpus), nearest-rank p10/p90
+    val resid = fit.filter(col("previsao").isNotNull)
+      .select(((col("total_dec") * 100).cast("long") - col("prev_cents")).as("rc"))
+    val qs = resid
+      .withColumn("rn", row_number().over(Window.orderBy(col("rc"))))
+      .withColumn("nr", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .agg(
+        min(when(col("rn") === greatest(ceil(col("nr") * 0.1), lit(1L)),
+          col("rc"))).as("q_lo"),
+        min(when(col("rn") === ceil(col("nr") * 0.9), col("rc"))).as("q_hi"))
+    fit.crossJoin(broadcast(qs))
+      .withColumn("previsao_inferior",
+        round((col("prev_cents") + col("q_lo")) / 100.0, 2))
+      .withColumn("previsao_superior",
+        round((col("prev_cents") + col("q_hi")) / 100.0, 2))
       .select(col("ano"), col("mes"), col("total"), col("previsao"),
+        col("previsao_inferior"), col("previsao_superior"),
         col("sazonalidade"), col("previsao_naive"))
       .orderBy(col("ano"), col("mes"))
   }
@@ -434,19 +459,39 @@ object MlEtl {
             CAST(SUM(total_dec) OVER (ORDER BY ano, mes
               ROWS BETWEEN 23 PRECEDING AND 12 PRECEDING) AS DOUBLE) AS soma_ant
           FROM monthly
-          WINDOW ord AS (ORDER BY ano, mes)))
-      SELECT b.ano, b.mes, CAST(b.total_dec AS DOUBLE) AS total,
-        CASE WHEN rs_n > 0 AND trend_t IS NOT NULL
-          THEN ROUND(trend_t
-            * (CAST(rs_sum AS DOUBLE) / (CAST(rs_n AS DOUBLE) * 1e9)), 2)
-          END AS previsao,
-        ROUND(CAST(rs_sum AS DOUBLE) / (CAST(rs_n AS DOUBLE) * 1e9), 6)
-          AS sazonalidade,
-        naive.previsao_naive
-      FROM based b
-      JOIN seasonal ON b.mes = mes_s
-      JOIN naive ON b.ano = naive.ano AND b.mes = naive.mes
-      ORDER BY b.ano, b.mes""",
+          WINDOW ord AS (ORDER BY ano, mes))),
+      fitted AS (
+        SELECT b.ano, b.mes, b.total_dec, CAST(b.total_dec AS DOUBLE) AS total,
+          CASE WHEN rs_n > 0 AND trend_t IS NOT NULL
+            THEN ROUND(trend_t
+              * (CAST(rs_sum AS DOUBLE) / (CAST(rs_n AS DOUBLE) * 1e9)), 2)
+            END AS previsao,
+          ROUND(CAST(rs_sum AS DOUBLE) / (CAST(rs_n AS DOUBLE) * 1e9), 6)
+            AS sazonalidade,
+          naive.previsao_naive
+        FROM based b
+        JOIN seasonal ON b.mes = mes_s
+        JOIN naive ON b.ano = naive.ano AND b.mes = naive.mes),
+      qs AS (
+        SELECT
+          MIN(CASE WHEN rn = GREATEST(CAST(CEIL(nr * 0.1) AS BIGINT), 1)
+            THEN rc END) AS q_lo,
+          MIN(CASE WHEN rn = CAST(CEIL(nr * 0.9) AS BIGINT)
+            THEN rc END) AS q_hi
+        FROM (
+          SELECT rc, ROW_NUMBER() OVER (ORDER BY rc) AS rn,
+            COUNT(*) OVER () AS nr
+          FROM (SELECT CAST(total_dec * 100 AS BIGINT)
+                  - CAST(ROUND(previsao * 100) AS BIGINT) AS rc
+                FROM fitted WHERE previsao IS NOT NULL)))
+      SELECT ano, mes, total, previsao,
+        ROUND((CAST(ROUND(previsao * 100) AS BIGINT) + q_lo) / 100.0, 2)
+          AS previsao_inferior,
+        ROUND((CAST(ROUND(previsao * 100) AS BIGINT) + q_hi) / 100.0, 2)
+          AS previsao_superior,
+        sazonalidade, previsao_naive
+      FROM fitted, qs
+      ORDER BY ano, mes""",
     "m2_group_regression" -> """
       SELECT c_nationkey,
         ROUND(num / den, 4) AS tendencia,

@@ -69,6 +69,17 @@ class MlSpec extends AnyFunSuite {
     val maeNaive = mae(_.getAs[Double]("previsao_naive"))
     assert(maeFit <= maeNaive * 1.25,
       s"seasonal fit MAE $maeFit vs naive $maeNaive")
+    // 80% residual-quantile band: ordered, tracks the point forecast,
+    // and in-sample coverage sits near the nominal width
+    assert(rows.forall { r =>
+      r.getAs[Double]("previsao_inferior") <= r.getAs[Double]("previsao_superior")
+    })
+    val covered = rows.count { r =>
+      val t = r.getAs[Double]("total")
+      t >= r.getAs[Double]("previsao_inferior") &&
+        t <= r.getAs[Double]("previsao_superior")
+    }.toDouble / rows.length
+    assert(covered >= 0.7 && covered <= 0.95, s"interval coverage $covered")
   }
 
   test("persisted IVF index: same results, probed-cells-only scan (DPP)") {
