@@ -744,22 +744,21 @@ object TrainingData {
       .select(fingerprint(col("text")).as("fp")).distinct()
     val incoming = corpus.filter(col("doc_id") >= 1000000L)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-    // The sketch is collected to the driver and embedded as a binary
-    // literal (the same shape as Spark's own df.stat.bloomFilter):
-    // might_contain requires a constant/scalar-subquery bloom side,
-    // and the sketch is fixed-size at build time (bits, not rows), so
-    // this is a bounded single-row action, not a data collect.
-    // sized above the largest fixture corpus (50k fps at the 10×
-    // scale smoke): an undersized bloom only degrades pruning (more
-    // candidates reach the exact join), never correctness — but size
-    // to the corpus cardinality estimate in production
-    val bf = existing
-      .agg(graft.functions.SketchFunctions
-        .bloomFilterAgg(col("fp"), 60000L, 480000L).as("bf"))
-      .collect()(0).getAs[Array[Byte]](0)
+    // The sketch rides a SCALAR SUBQUERY (the same shape Spark's own
+    // InjectRuntimeFilter feeds might_contain, and the form its type
+    // check admits besides a constant): the whole query stays ONE
+    // lazy plan — building the DataFrame runs no job, and the
+    // fixed-size aggregate executes as a subquery stage of the same
+    // query. Sized above the largest fixture corpus (50k fps at the
+    // 10× scale smoke): an undersized bloom only degrades pruning
+    // (more candidates reach the exact join), never correctness —
+    // size to the corpus cardinality estimate in production.
+    val bf = org.apache.spark.sql.GraftBridge.scalarSubquery(
+      existing.agg(graft.functions.SketchFunctions
+        .bloomFilterAgg(col("fp"), 60000L, 480000L).as("bf")))
     val flagged = incoming
       .withColumn("candidato",
-        graft.functions.SketchFunctions.mightContain(lit(bf), col("fp")))
+        graft.functions.SketchFunctions.mightContain(bf, col("fp")))
       .select(col("doc_id"), col("fp"), col("candidato"))
     val definitelyNew = flagged.filter(!col("candidato"))
       .select(col("doc_id"), col("fp"))
@@ -773,8 +772,11 @@ object TrainingData {
     * tf·idf (idf = ln((N+1)/(df+1)), scores 4dp-rounded for stable
     * cross-engine ranking, token tie-break). Corpus-wide df rides ONE
     * map-side-combinable (token → doc-count) aggregate whose output is
-    * vocabulary-sized (then broadcast); tf is per-doc local. Nothing
-    * shuffles the corpus twice at scale. */
+    * vocabulary-sized; tf is per-doc local. No broadcast hint on the
+    * df join: a 100 TB corpus's vocabulary can exceed broadcast
+    * limits, so AQE picks the strategy (it broadcasts at fixture
+    * scale anyway — plan-asserted in PlansSpec). Nothing shuffles the
+    * corpus twice at scale. */
   val x30TfidfTopk: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     // corpus size as a 1-row broadcast (the A10 scalar pattern), not a
@@ -783,11 +785,13 @@ object TrainingData {
     val tf = docs
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    // tf is already one row per (doc_id, token): a plain count is the
+    // same number as count-distinct without the distinct-expand
     val df = tf.groupBy(col("token"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("token"))
-    tf.join(broadcast(df), Seq("token"))
+    tf.join(df, Seq("token"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score", round(col("tf") *
         log((col("n_corpus") + 1.0) / (col("df") + lit(1.0))), 4))

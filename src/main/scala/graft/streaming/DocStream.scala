@@ -62,18 +62,22 @@ object DocStream {
       Seq("fp"), "left_anti")
   }
 
-  /** Stateless curation pass for streaming ingestion: token count +
-    * quality score + threshold filter + PII redaction, all pure
+  /** Stateless curation pass for streaming ingestion: PII redaction,
+    * then token count + quality score + threshold filter — all pure
     * Column expressions — the plan is IDENTICAL on a stream and a
     * batch DataFrame (no state, no watermark, no shuffle), so the
     * batch run is the spec's oracle and a 100 TB/day firehose pays
-    * scan-speed only. Chain before [[incrementalDedup]] for the full
-    * ingest shape: curate → dedup → sink. */
+    * scan-speed only. Redaction runs FIRST so the emitted `n_tok` and
+    * `quality` describe the text actually emitted (a redacted phone
+    * collapses two whitespace tokens into one placeholder — counting
+    * before redacting would overstate downstream sequence packing).
+    * Chain before [[incrementalDedup]] for the full ingest shape:
+    * curate → dedup → sink. */
   def curate(docs: DataFrame, minQuality: Double,
       stopwords: Seq[String]): DataFrame =
     docs
+      .withColumn("text", redactPii(col("text")))
       .withColumn("n_tok", tokenCount(col("text")))
       .withColumn("quality", round(qualityScore(col("text"), stopwords), 4))
       .filter(col("quality") >= minQuality)
-      .withColumn("text", redactPii(col("text")))
 }

@@ -18,6 +18,17 @@ object GraftBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Wrap a 1-row/1-column DataFrame as a scalar-subquery expression —
+    * the lazy alternative to collecting a scalar and embedding it as a
+    * literal. This is the exact shape Spark's own InjectRuntimeFilter
+    * uses to feed `BloomFilterMightContain` (whose type check admits a
+    * foldable literal or a PlanExpression subquery): the aggregate
+    * runs as a subquery stage of the ONE enclosing query, not as a
+    * separate eager job at plan-construction time. */
+  def scalarSubquery(df: DataFrame): Column =
+    toColumn(org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      df.queryExecution.analyzed))
+
   /** Idempotently register a planner strategy on a session that was
     * not started with `spark.sql.extensions=graft.GraftExtensions`
     * (the config path also registers it). */

@@ -111,9 +111,14 @@ class PlansSpec extends AnyFunSuite {
       s"bloom probe should feed the anti-join's left side:\n$plan")
   }
 
-  test("tf-idf broadcasts the vocabulary-sized df side") {
-    val plan = graft.queries.TrainingData.x30TfidfTopk(spark, sf)
-      .queryExecution.executedPlan.toString
+  test("tf-idf broadcasts the vocabulary-sized df side (AQE, no hint)") {
+    // no explicit broadcast hint on the df join (a 100 TB vocabulary
+    // can exceed broadcast limits) — AQE must still pick broadcast at
+    // fixture scale from runtime stats, so execute first, then read
+    // the finalized adaptive plan
+    val q = graft.queries.TrainingData.x30TfidfTopk(spark, sf)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"df join should broadcast:\n$plan")
   }
