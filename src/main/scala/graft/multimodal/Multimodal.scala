@@ -73,6 +73,18 @@ object Multimodal {
     java.security.MessageDigest.getInstance("MD5")
       .digest(bytes).map("%02x".format(_)).mkString
 
+  /** Slice-checksum contract shared with the x17/x18 DuckDB oracles:
+    * md5 over the ASCII bytes of the LOWERCASE HEX rendering of the
+    * slice. DuckDB's `md5` accepts only VARCHAR, so hashing the hex
+    * string — `md5(lower(substr(hex(payload), 2*off+1, 2*len)))` on
+    * the oracle side — is the byte-exact contract BOTH engines can
+    * compute for any payload: no ASCII or valid-UTF-8 assumption on
+    * the slice boundaries (a frame cut through a multi-byte char
+    * still hashes identically). Equally injective in the bytes, so a
+    * wrong slice offset still fails the hash compare. */
+  private def md5OfHex(bytes: Array[Byte]): String =
+    md5Hex(bytes.map("%02x".format(_)).mkString.getBytes("US-ASCII"))
+
   /** Thumbnail row emitted by the stubbed resizer. */
   final case class Thumb(
       doc_id: Long, width: Int, height: Int, thumb_w: Int, thumb_h: Int,
@@ -94,7 +106,7 @@ object Multimodal {
           val (w, h) = FakeCodec.decodeDims(bytes)
           val tb = bytes.take(maxBytes)
           Thumb(id, w, h, math.max(1, w / 4), math.max(1, h / 4),
-            tb.length.toLong, md5Hex(tb))
+            tb.length.toLong, md5OfHex(tb))
         }
       }
   }
@@ -118,7 +130,7 @@ object Multimodal {
         it.flatMap { case (id, bytes) =>
           val nFrames = bytes.length / frameLen
           (0 until nFrames by stride).iterator.map { f =>
-            Frame(id, f, md5Hex(bytes.slice(f * frameLen, (f + 1) * frameLen)))
+            Frame(id, f, md5OfHex(bytes.slice(f * frameLen, (f + 1) * frameLen)))
           }
         }
       }

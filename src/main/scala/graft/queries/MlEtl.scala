@@ -645,12 +645,13 @@ object MlEtl {
         CAST(greatest(w // 4, 1) AS INT) AS thumb_w,
         CAST(greatest(h // 4, 1) AS INT) AS thumb_h,
         CAST(least(blen, 256) AS BIGINT) AS thumb_len,
-        md5(substring(text, 1, 256)) AS thumb_checksum
+        md5(lower(substr(hex(encode(text)), 1, 512))) AS thumb_checksum
       FROM dims ORDER BY doc_id"""
     },
     "x18_frame_sample" -> """
       SELECT doc_id, CAST(f AS INT) AS frame_no,
-        md5(substring(text, CAST(f AS INT) * 32 + 1, 32)) AS frame_checksum
+        md5(lower(substr(hex(encode(text)), CAST(f AS INT) * 64 + 1, 64)))
+          AS frame_checksum
       FROM documents, UNNEST(range(0, octet_length(encode(text)) // 32, 2)) AS t(f)
       ORDER BY doc_id, frame_no""")
 }

@@ -44,17 +44,30 @@ class MultimodalSpec extends AnyFunSuite {
       again.map(f => (f.doc_id, f.frame_no, f.frame_checksum)).toSet)
   }
 
-  test("documents fixture is pure ASCII (x17/x18 oracle assumption)") {
-    // the x17/x18 DuckDB oracles slice text by CHARACTER position while
-    // the Spark side slices the UTF-8 payload by BYTE; they agree only
-    // while char length == byte length. If the fixture ever grows
-    // non-ASCII text this must fail loudly instead of the hash check
-    // silently drifting.
-    val nonAscii = graft.core.Tables.documents(spark, TestSpark.sf)
-      .filter(length(col("text")) =!= octet_length(col("text").cast("binary")))
-      .count()
-    assert(nonAscii == 0,
-      s"$nonAscii documents contain non-ASCII text; x17/x18 oracles " +
-        "must switch to byte-based slicing (encode(text))")
+  test("x17/x18 slice checksums are byte-based: non-ASCII payloads agree") {
+    // the slice-checksum contract is md5 over the lowercase-hex
+    // rendering of the BYTE slice (see Multimodal.md5OfHex) — replay
+    // it independently here on text whose frame boundaries cut
+    // through multi-byte UTF-8 chars, so the old char-vs-byte slicing
+    // ambiguity the ASCII fixture used to mask cannot return
+    import spark.implicits._
+    val text = "héllo wörld ça va — ação e coração, 日本語テキスト " * 4
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val wp = Multimodal.withBinaryPayload(docs)
+    val bytes = text.getBytes("UTF-8")
+    def expect(slice: Array[Byte]): String = {
+      val hexed = slice.map("%02x".format(_)).mkString.getBytes("US-ASCII")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(hexed).map("%02x".format(_)).mkString
+    }
+    val frames = Multimodal.frameSample(spark, wp).collect()
+    assert(frames.length == (bytes.length / 32 + 1) / 2)
+    frames.foreach { f =>
+      val slice = bytes.slice(f.frame_no * 32, (f.frame_no + 1) * 32)
+      assert(f.frame_checksum == expect(slice), s"frame ${f.frame_no}")
+    }
+    val thumb = Multimodal.resize(spark, wp).collect().head
+    assert(thumb.thumb_checksum == expect(bytes.take(256)))
+    assert(thumb.thumb_len == math.min(bytes.length, 256))
   }
 }
