@@ -122,7 +122,8 @@ object Bench {
       "x23_simhash64_dedup", "pr3_table_health", "f9b_encoding_repair",
       "m1_forecast", "x25_pack_sequences", "x26_pii_redaction",
       "x27_domain_mixture", "x28_label_centroids", "x29_bloom_dedup",
-      "x30_tfidf_topk", "x31_ivf_query")
+      "x30_tfidf_topk", "x31_ivf_query", "x32_quality_calibration",
+      "x33_substring_dedup", "x34_filtered_ann")
     val qmap = perQuery.toMap
     val fullPath = java.nio.file.Paths.get("target/bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)

@@ -148,4 +148,44 @@ object NearDup {
     clusters(docs, pairs).filter(col("sobrevivente"))
       .select(col("doc_id"))
       .join(docs, Seq("doc_id"))
+
+  /** Exact SUBSTRING-level duplicate pairs — the "dedup repeated
+    * substrings" motif (Lee et al., *Deduplicating Training Data
+    * Makes Language Models Better*) at document-pair granularity:
+    * fixed-`win`-char windows at `stride`-char steps are hashed per
+    * doc, and docs sharing a window hash are emitted with the count
+    * of shared distinct windows. Catches PARTIAL duplication —
+    * a copied paragraph inside an otherwise-new doc — that doc-level
+    * fingerprints ([[exactDedup]]) and whole-doc Jaccard
+    * ([[ngramJaccardPairs]]) both miss.
+    *
+    * Scale shape: the corpus shuffles only (window_hash, doc_id)
+    * pairs; the self-join is an inverted index over window postings,
+    * quadratic only within a posting. Windows occurring in more than
+    * `maxDf` docs are dropped BEFORE the join — boilerplate/template
+    * suppression, which is also the posting-size skew ceiling at
+    * 100 TB (a site template shared by a million pages never reaches
+    * the join). Windows are CHARACTER-positional in both engines
+    * (Spark `substr` and DuckDB `substring`), so the DuckDB oracle
+    * is byte-safe with no encoding assumption. Docs shorter than
+    * `win` have no window (guarded — a negative sequence bound would
+    * otherwise generate descending ranges). */
+  def substringDupPairs(docs: DataFrame, win: Int = 64, stride: Int = 32,
+      maxDf: Int = 50): DataFrame = {
+    val wins = docs
+      .filter(length(col("text")) >= win)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0),
+            floor((length(col("text")) - win) / stride).cast("int")),
+          i => md5(col("text").substr(i * stride + 1, lit(win)))))).as("wh"))
+    val keep = wins.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("wh"))
+    val pruned = wins.join(keep, Seq("wh"))
+    pruned.select(col("wh"), col("doc_id").as("id_a"))
+      .join(pruned.select(col("wh"), col("doc_id").as("id_b")), Seq("wh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("janelas"))
+  }
 }

@@ -802,7 +802,78 @@ object TrainingData {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** X32: per-source quality calibration — normalize the quality gate
+    * ACROSS domains by keeping each source's top docs relative to its
+    * OWN quality distribution (a fixed global threshold over-prunes
+    * noisy domains and under-prunes clean ones; recipe-style curation
+    * calibrates per source). The per-source 60th-percentile cut is
+    * computed on a HISTOGRAM of the 4dp-rounded quality — bounded
+    * cardinality by construction (≤ 10⁴ buckets/source), so the
+    * corpus shuffles only map-side-combinable (source, quality)
+    * counts, the cumulative window runs over the tiny histogram, and
+    * the threshold table is mixture-key-sized → broadcast back. The
+    * corpus itself is never windowed. Keep rule: quality strictly
+    * above the nearest-rank cut (engine-exact: the cut is an observed
+    * 4dp value, no interpolation). */
+  val x32QualityCalibration: Q = (s, d) => {
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        qualityScore(col("text"), stopwords).as("quality"))
+    val hist = scored.groupBy(col("source"), col("quality"))
+      .agg(count(lit(1)).as("c"))
+    val corte = hist
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("source")).orderBy(col("quality"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
+      .filter(col("cum") >= ceil(col("n") * 0.6))
+      .groupBy(col("source")).agg(min(col("quality")).as("corte"))
+    scored.join(broadcast(corte), Seq("source"))
+      .filter(col("quality") > col("corte"))
+      .select(col("source"), col("doc_id"), col("quality"), col("corte"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** X33: substring-level duplicate pairs on the dedup corpus
+    * ([[graft.dedup.NearDup.substringDupPairs]] — 64-char windows,
+    * 32-char stride, df ≤ 50 boilerplate guard). The synthetic exact
+    * and near copies guarantee shared windows, and the " extra"
+    * suffix of the near copy demonstrates what doc-level hashing
+    * can't: the pair still collides on every interior window. */
+  val x33SubstringDedup: Q = (s, d) =>
+    graft.dedup.NearDup.substringDupPairs(
+      spread(s, corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200)))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** X34: metadata-filtered ANN — top-k cosine neighbors restricted
+    * to a catalog predicate (here `label = 0`; production: language,
+    * license, date-range). This is PRE-filtering (filter, then
+    * search): the predicate reaches the parquet scan as a pushed
+    * filter (plan-asserted in PlansSpec), so the search space prunes
+    * at I/O time — the right order whenever the filter is selective,
+    * vs post-filtering top-k which must over-fetch to survive the
+    * cut. Brute-force exact over the filtered catalog is the
+    * correctness baseline; the IVF path composes the same way
+    * (filter the cells relation before [[graft.ml.IvfIndex.query]]). */
+  val x34FilteredAnn: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val catalog = emb.filter(col("label") === 0)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    catalog.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("score", round(cosineSim(col("qe"), col("ne")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("nid"), col("score"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x32_quality_calibration" -> x32QualityCalibration,
+    "x33_substring_dedup" -> x33SubstringDedup,
+    "x34_filtered_ann" -> x34FilteredAnn,
     "x31_ivf_query" -> x31IvfQuery,
     "x29_bloom_dedup" -> x29BloomDedup,
     "x30_tfidf_topk" -> x30TfidfTopk,
@@ -1388,6 +1459,69 @@ object TrainingData {
         GROUP BY doc_id)
       ORDER BY doc_id"""
     },
+    "x32_quality_calibration" -> """
+      WITH scored AS (
+        SELECT doc_id, source,
+          ROUND(LEAST(n_tok / 50.0, 1.0) * 0.4
+            + (1.0 - LEAST(punct_ratio * 5.0, 1.0)) * 0.3
+            + LEAST(stop_ratio * 10.0, 1.0) * 0.3, 4) AS quality
+        FROM (
+          SELECT doc_id, source,
+            len(toks) AS n_tok,
+            CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))
+              AS DOUBLE) / GREATEST(length(text), 1) AS punct_ratio,
+            CAST(len(list_filter(toks, t -> t IN ('the','a','of','and'))) AS DOUBLE)
+              / GREATEST(len(toks), 1) AS stop_ratio
+          FROM (SELECT doc_id, source, text,
+                  regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents))),
+      hist AS (
+        SELECT source, quality, COUNT(*) AS c
+        FROM scored GROUP BY source, quality),
+      corte AS (
+        SELECT source, MIN(quality) AS corte FROM (
+          SELECT source, quality,
+            SUM(c) OVER (PARTITION BY source ORDER BY quality) AS cum,
+            SUM(c) OVER (PARTITION BY source) AS n
+          FROM hist)
+        WHERE cum >= CEIL(n * 0.6) GROUP BY source)
+      SELECT s.source, s.doc_id, s.quality, corte.corte
+      FROM scored s JOIN corte ON s.source = corte.source
+      WHERE s.quality > corte.corte
+      ORDER BY s.source, s.doc_id""",
+    "x33_substring_dedup" -> s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM $corpusSql WHERE doc_id % 1000000 < 200),
+      wins AS (
+        SELECT DISTINCT doc_id, md5(substring(text, CAST(i AS INT) * 32 + 1, 64)) AS wh
+        FROM corpus, UNNEST(range(0, (length(text) - 64) // 32 + 1)) AS t(i)
+        WHERE length(text) >= 64),
+      keep AS (
+        SELECT wh FROM (SELECT wh, COUNT(*) AS df FROM wins GROUP BY wh)
+        WHERE df <= 50),
+      p AS (SELECT w.doc_id, w.wh FROM wins w JOIN keep USING (wh))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(COUNT(*) AS BIGINT) AS janelas
+      FROM p a JOIN p b ON a.wh = b.wh AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b
+      ORDER BY id_a, id_b""",
+    "x34_filtered_ann" -> """
+      WITH scored AS (
+        SELECT q.vec_id AS qid, n.vec_id AS nid,
+          ROUND(
+            list_sum(list_transform(list_zip(q.embedding, n.embedding),
+              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(n.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+            4) AS score
+        FROM embeddings q, embeddings n
+        WHERE q.vec_id < 5 AND n.label = 0 AND n.vec_id <> q.vec_id),
+      ranked AS (
+        SELECT qid, nid, score,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rk
+        FROM scored)
+      SELECT qid, nid, score, CAST(rk AS INT) AS rk FROM ranked
+      WHERE rk <= 10 ORDER BY qid, rk""",
     "x5_ann_cosine" -> """
       WITH scored AS (
         SELECT q.vec_id AS qid, n.vec_id AS nid,

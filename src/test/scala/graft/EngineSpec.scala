@@ -217,6 +217,36 @@ class EngineSpec extends AnyFunSuite {
     assert(wrong == 0, "a sub-shard stopped before its quota with docs left over")
   }
 
+  test("quality calibration keeps at most the top 40% of each source") {
+    val out = TrainingData.x32QualityCalibration(spark, sf)
+    assert(out.count() > 0)
+    val totals = Tables.documents(spark, sf).groupBy("source")
+      .agg(count(lit(1)).as("total"))
+    // nearest-rank 60th-percentile cut: kept = n - cum(corte) <= 0.4n,
+    // and everything kept sits strictly above the cut
+    val bad = out.groupBy("source")
+      .agg(count(lit(1)).as("kept"), min(col("quality")).as("minq"),
+        first(col("corte")).as("corte"))
+      .join(totals, "source")
+      .filter(col("kept") > col("total") * 0.4 || col("minq") <= col("corte"))
+      .count()
+    assert(bad == 0, "a source kept more than its top 40% or leaked below the cut")
+  }
+
+  test("filtered ANN searches only the label-0 catalog, dense top-k") {
+    val out = TrainingData.x34FilteredAnn(spark, sf)
+    assert(out.count() > 0)
+    val lab = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("nid"), col("label"))
+    assert(out.join(lab, "nid").filter(col("label") =!= 0).count() == 0,
+      "a neighbor escaped the metadata filter")
+    // per query: ranks are dense 1..n with n <= 10
+    val shape = out.groupBy("qid")
+      .agg(count(lit(1)).as("n"), max(col("rk")).as("mx"))
+      .filter(col("n") =!= col("mx") || col("n") > 10)
+    assert(shape.count() == 0)
+  }
+
   test("label centroids equal the brute-force per-label mean") {
     val cents = TrainingData.x28LabelCentroids(spark, sf)
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap

@@ -47,4 +47,43 @@ class NearDupSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet
     assert(surv == Set(1L, 4L))
   }
+
+  test("substringDupPairs catches partial duplication doc-level hashing misses") {
+    val para = "x" * 30 + " this exact paragraph was copied between documents " + "y" * 30
+    // windows are position-aligned from the doc start (stride 32), so a
+    // copied span collides only where both docs hit it at the same
+    // offset mod stride — pin both prefixes to exactly 32 chars (in
+    // production the stride makes alignment a probability-1 event for
+    // spans ≫ win + stride; here we make it deterministic)
+    val pre1 = "first doc intro ".padTo(32, '.')
+    val pre2 = "second doc intro ".padTo(32, '-')
+    val partial = Seq(
+      (1L, pre1 + para + " and then it ends uniquely here."),
+      (2L, pre2 + para + " but the closing words differ!!!"),
+      (3L, "a third document with no copied material at all, long enough to window " +
+        "but sharing nothing with the others beyond plain english words.")
+    ).toDF("doc_id", "text")
+    // doc-level: no exact dup
+    assert(NearDup.exactDedup(partial).count() == 3)
+    val pairs = NearDup.substringDupPairs(partial).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // substring-level: only (1,2) collide, on at least 2 aligned
+    // windows (para spans 112 chars ≥ win + stride past both offsets)
+    assert(pairs.keySet == Set((1L, 2L)), s"got ${pairs.keySet}")
+    assert(pairs((1L, 2L)) >= 2)
+  }
+
+  test("substringDupPairs drops boilerplate windows above maxDf") {
+    val template = "standard site navigation header with many repeated characters here!! "
+    val many = (1L to 10L).map(i =>
+      (i, template + s"unique body $i padded to be long enough for windows " + "z" * 40))
+      .toDF("doc_id", "text")
+    // template windows appear in all 10 docs; with maxDf=3 they are
+    // suppressed, and the unique bodies share nothing
+    val pairs = NearDup.substringDupPairs(many, maxDf = 3)
+    assert(pairs.count() == 0, "boilerplate windows must not produce pairs")
+    // raising the cap lets the template collide everything
+    val loose = NearDup.substringDupPairs(many, maxDf = 10)
+    assert(loose.count() == 10L * 9 / 2)
+  }
 }

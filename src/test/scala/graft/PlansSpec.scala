@@ -111,6 +111,15 @@ class PlansSpec extends AnyFunSuite {
       s"bloom probe should feed the anti-join's left side:\n$plan")
   }
 
+  test("filtered ANN pushes the label predicate down to the catalog scan") {
+    // PRE-filtering is the point of x34: the metadata predicate must
+    // reach the parquet reader, not run after the scan
+    val plan = graft.queries.TrainingData.x34FilteredAnn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(label,0)"),
+      s"label predicate should appear in PushedFilters:\n$plan")
+  }
+
   test("tf-idf broadcasts the vocabulary-sized df side (AQE, no hint)") {
     // no explicit broadcast hint on the df join (a 100 TB vocabulary
     // can exceed broadcast limits) — AQE must still pick broadcast at
