@@ -451,7 +451,10 @@ object TrainingData {
     * dynamic partition pruning (plan-asserted in MlSpec). Same
     * determinism contract as x13 (shared [[ivfOracle]]); queries are
     * vec_id 5..9 so the two entries' results stay distinguishable. */
-  val x31IvfQuery: Q = (s, d) => {
+  /** Build-and-save the x13-shaped IVF index once per sf-dir (first
+    * caller pays; everyone after — x31's probes, x35's cells — reads
+    * the materialized inverted file from disk). Returns the path. */
+  private def ensureIvfIndex(s: SparkSession, d: String): String = {
     val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
     val path = s"target/ivf_index_$tag"
     if (!java.nio.file.Files.exists(
@@ -460,12 +463,15 @@ object TrainingData {
         graft.ml.IvfIndex.build(
           spread(s, Tables.embeddings(s, d)), nCells = 16, lloydIters = 2),
         path)
+    path
+  }
+
+  val x31IvfQuery: Q = (s, d) =>
     graft.ml.IvfIndex.query(
-      graft.ml.IvfIndex.load(s, path),
+      graft.ml.IvfIndex.load(s, ensureIvfIndex(s, d)),
       Tables.embeddings(s, d).filter(col("vec_id") >= 5 && col("vec_id") < 10),
       nprobe = 4, topK = 10)
       .orderBy(col("qid"), col("rk"))
-  }
 
   /** X19: Gopher-style repetition quality signal — the share of all
     * word 2-grams taken by the single most frequent 2-gram (Rae et
@@ -870,7 +876,40 @@ object TrainingData {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** X35: semantic dedup (the SemDeDup recipe, Abbas et al. 2023):
+    * embedding-space near-duplicate removal bucketed by k-means
+    * cells — candidate pairs are scored only WITHIN each IVF cell
+    * (reusing the x13 Lloyd-trained quantizer), pairs at cosine ≥ τ
+    * chain into components via pointer-doubling CC, and the minimum
+    * vec_id survives per component. The quadratic term is bounded by
+    * the largest cell, never the corpus — that bucketing IS the
+    * method (cross-cell near-dups are SemDeDup's own documented
+    * recall trade-off, amortized by training the quantizer). τ = 0.4
+    * matches x12's verify threshold so the fixture produces real
+    * clusters. The cells come from the PERSISTED index
+    * ([[ensureIvfIndex]], shared with x31): the three references to
+    * the cell relation (both pair sides + the id universe) scan the
+    * materialized parquet instead of re-running the lazy assignment
+    * per reference — the build-once shape production uses. */
+  val x35SemanticDedup: Q = (s, d) => {
+    val cells = graft.ml.IvfIndex.load(s, ensureIvfIndex(s, d)).cells
+    val pairs = cells
+      .select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+      .join(cells.select(col("cell"), col("vec_id").as("id_b"),
+        col("embedding").as("eb")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosineSim(col("ea"), col("eb")), 4) >= 0.4)
+      .select(col("id_a"), col("id_b"))
+    graft.plans.ConnectedComponents.minLabel(
+      cells.select(col("vec_id").as("id")),
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .select(col("id").as("vec_id"), col("label").as("canonico"),
+        (col("id") === col("label")).as("sobrevivente"))
+      .orderBy(col("vec_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x35_semantic_dedup" -> x35SemanticDedup,
     "x32_quality_calibration" -> x32QualityCalibration,
     "x33_substring_dedup" -> x33SubstringDedup,
     "x34_filtered_ann" -> x34FilteredAnn,
@@ -924,12 +963,12 @@ object TrainingData {
         / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
          * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
 
-  /** Shared DuckDB replay of the deterministic IVF train+probe chain
-    * (x13 and x31 differ only in which vectors act as queries):
-    * two Lloyd iterations — nearest-centroid assign (6dp-rounded
-    * argmax) then integer-sum element-wise mean quantized back to
-    * float — then probe the 4 nearest cells and rank exact cosine. */
-  private def ivfOracle(queryPred: String): String = {
+  /** The IVF train+assign CTE chain (no leading WITH): cent0 seeds →
+    * two deterministic Lloyd iterations (6dp-rounded argmax assign,
+    * integer-sum element-wise mean quantized back to float) →
+    * `assigned` (vec_id, embedding, cell) — shared by [[ivfOracle]]
+    * (x13/x31) and the x35 semantic-dedup oracle. */
+  private lazy val ivfAssignedCtes: String = {
     def assignSql(cents: String, out: String): String = s"""
       $out AS (
         SELECT vec_id, embedding, cid AS cell FROM (
@@ -952,14 +991,18 @@ object TrainingData {
           FROM $assign, UNNEST(range(1, len(embedding) + 1)) AS t(i)
           GROUP BY cell, i)
         GROUP BY cell)"""
-    s"""
-      WITH cent0 AS (
+    s"""cent0 AS (
         SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
       ${assignSql("cent0", "assign0")},
       ${centSql("assign0", "cent1")},
       ${assignSql("cent1", "assign1")},
       ${centSql("assign1", "cent2")},
-      ${assignSql("cent2", "assigned")},
+      ${assignSql("cent2", "assigned")}"""
+  }
+
+  private def ivfOracle(queryPred: String): String = {
+    s"""
+      WITH $ivfAssignedCtes,
       probes AS (
         SELECT vec_id AS qid, embedding AS qe, cid AS cell FROM (
           SELECT e.vec_id, e.embedding, c.cid,
@@ -1505,6 +1548,27 @@ object TrainingData {
       FROM p a JOIN p b ON a.wh = b.wh AND a.doc_id < b.doc_id
       GROUP BY id_a, id_b
       ORDER BY id_a, id_b""",
+    "x35_semantic_dedup" -> s"""
+      WITH RECURSIVE $ivfAssignedCtes,
+      p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ROUND(${cosSql("a.embedding", "b.embedding")}, 4) >= 0.4),
+      edges2 AS (
+        SELECT id_a AS a, id_b AS b FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+      reach(a, b) AS (
+        SELECT a, b FROM edges2
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges2 e ON r.b = e.a)
+      SELECT e.vec_id,
+        LEAST(e.vec_id, COALESCE(m.mn, e.vec_id)) AS canonico,
+        (e.vec_id = LEAST(e.vec_id, COALESCE(m.mn, e.vec_id))) AS sobrevivente
+      FROM embeddings e
+      LEFT JOIN (SELECT a, MIN(b) AS mn FROM reach GROUP BY a) m
+        ON e.vec_id = m.a
+      ORDER BY e.vec_id""",
     "x34_filtered_ann" -> """
       WITH scored AS (
         SELECT q.vec_id AS qid, n.vec_id AS nid,

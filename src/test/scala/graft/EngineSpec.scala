@@ -247,6 +247,21 @@ class EngineSpec extends AnyFunSuite {
     assert(shape.count() == 0)
   }
 
+  test("semantic dedup labels are canonical min-ids with consistent survivors") {
+    val out = TrainingData.x35SemanticDedup(spark, sf)
+    assert(out.count() == Tables.embeddings(spark, sf).count())
+    // canonical label is the component minimum: never above the member
+    assert(out.filter(col("canonico") > col("vec_id")).count() == 0)
+    // survivor flag is exactly "I am my own canonical"
+    assert(out.filter(
+      col("sobrevivente") =!= (col("vec_id") === col("canonico"))).count() == 0)
+    // every canonical id is itself a surviving row
+    val canon = out.select(col("canonico")).distinct()
+    val surv = out.filter(col("sobrevivente")).select(col("vec_id"))
+    assert(canon.join(surv, canon("canonico") === surv("vec_id"), "left_anti")
+      .count() == 0)
+  }
+
   test("label centroids equal the brute-force per-label mean") {
     val cents = TrainingData.x28LabelCentroids(spark, sf)
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
