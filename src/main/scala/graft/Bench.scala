@@ -123,7 +123,8 @@ object Bench {
       "m1_forecast", "x25_pack_sequences", "x26_pii_redaction",
       "x27_domain_mixture", "x28_label_centroids", "x29_bloom_dedup",
       "x30_tfidf_topk", "x31_ivf_query", "x32_quality_calibration",
-      "x33_substring_dedup", "x34_filtered_ann", "x35_semantic_dedup")
+      "x33_substring_dedup", "x34_filtered_ann", "x35_semantic_dedup",
+      "x36_train_split")
     val qmap = perQuery.toMap
     val fullPath = java.nio.file.Paths.get("target/bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)

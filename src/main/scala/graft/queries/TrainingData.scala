@@ -908,7 +908,28 @@ object TrainingData {
       .orderBy(col("vec_id"))
   }
 
+  /** X36: deterministic train/val/test split — hash-bucket assignment
+    * (16-bit md5 prefix mod 100: <90 train, <95 val, else test). A
+    * doc's split depends on nothing but its own id, which is the
+    * property that makes held-out sets trustworthy at 100 TB: stable
+    * across reruns, engines, partitionings, AND corpus growth (new
+    * docs never reshuffle old assignments, unlike row-number or
+    * sample() splits). Pure scan-speed Column expressions, zero
+    * shuffle before the presentation sort. */
+  val x36TrainSplit: Q = (s, d) => {
+    val balde = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long"), lit(100L))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        when(balde < 90, "train").when(balde < 95, "val")
+          .otherwise("test").as("split"),
+        balde.cast("int").as("balde"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x36_train_split" -> x36TrainSplit,
     "x35_semantic_dedup" -> x35SemanticDedup,
     "x32_quality_calibration" -> x32QualityCalibration,
     "x33_substring_dedup" -> x33SubstringDedup,
@@ -1548,6 +1569,16 @@ object TrainingData {
       FROM p a JOIN p b ON a.wh = b.wh AND a.doc_id < b.doc_id
       GROUP BY id_a, id_b
       ORDER BY id_a, id_b""",
+    "x36_train_split" -> """
+      SELECT doc_id, source,
+        CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+          ELSE 'test' END AS split,
+        CAST(b AS INT) AS balde
+      FROM (
+        SELECT doc_id, source,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS b
+        FROM documents)
+      ORDER BY doc_id""",
     "x35_semantic_dedup" -> s"""
       WITH RECURSIVE $ivfAssignedCtes,
       p AS (

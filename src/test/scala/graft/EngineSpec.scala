@@ -247,6 +247,27 @@ class EngineSpec extends AnyFunSuite {
     assert(shape.count() == 0)
   }
 
+  test("train split is complete, disjoint, and near the 90/5/5 recipe") {
+    val out = TrainingData.x36TrainSplit(spark, sf)
+    val total = Tables.documents(spark, sf).count()
+    assert(out.count() == total)
+    val frac = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble / total).toMap
+    assert(frac.keySet == Set("train", "val", "test"))
+    // hash buckets approximate the recipe; the fixture is small, so
+    // allow a generous but meaningful tolerance
+    assert(math.abs(frac("train") - 0.90) < 0.05, s"train ${frac("train")}")
+    assert(frac("val") > 0.01 && frac("val") < 0.10)
+    assert(frac("test") > 0.01 && frac("test") < 0.10)
+    // the split is a pure function of doc_id: bucket never disagrees
+    // with the labeled split
+    val bad = out.filter(
+      (col("balde") < 90 && col("split") =!= "train") ||
+      (col("balde") >= 90 && col("balde") < 95 && col("split") =!= "val") ||
+      (col("balde") >= 95 && col("split") =!= "test")).count()
+    assert(bad == 0)
+  }
+
   test("semantic dedup labels are canonical min-ids with consistent survivors") {
     val out = TrainingData.x35SemanticDedup(spark, sf)
     assert(out.count() == Tables.embeddings(spark, sf).count())

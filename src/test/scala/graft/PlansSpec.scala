@@ -111,6 +111,17 @@ class PlansSpec extends AnyFunSuite {
       s"bloom probe should feed the anti-join's left side:\n$plan")
   }
 
+  test("substring and semantic dedup joins never degenerate to cartesians") {
+    // both ops self-join on a key (window hash / cell); a dropped key
+    // would silently turn them into corpus-squared scans
+    for (q <- Seq("x33_substring_dedup", "x35_semantic_dedup")) {
+      val plan = graft.queries.TrainingData.defs(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$q must join on its bucket key:\n$plan")
+    }
+  }
+
   test("filtered ANN pushes the label predicate down to the catalog scan") {
     // PRE-filtering is the point of x34: the metadata predicate must
     // reach the parquet reader, not run after the scan
