@@ -552,6 +552,34 @@ object TrainingData {
       .orderBy(col("ordem"))
   }
 
+  /** X37: per-source curation funnel — x21's audit accounting broken
+    * down by origin domain, the report mixture decisions actually
+    * consume (which source loses how much at which gate feeds the
+    * x27 budget recipe). Same single-pass discipline: ONE scan
+    * computes every stage flag, one groupBy(source) aggregates the
+    * conditional counts + per-source distinct fingerprints — never a
+    * rescan per stage. */
+  val x37FunnelBySource: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val corpus = corpusWithDupes(s, d)
+    val q = qualityScore(col("text"), stopwords)
+    val flags = corpus.join(
+        broadcast(docs.select(col("doc_id").as("base_id"), col("lang"),
+          col("source"))),
+        corpus("doc_id") % 1000000L === col("base_id"))
+      .select(col("source"),
+        (col("lang") === "en").as("f_lang"),
+        (col("lang") === "en" && q >= 0.5).as("f_qual"),
+        when(col("lang") === "en" && q >= 0.5, fingerprint(col("text")))
+          .as("fp_kept"))
+    flags.groupBy(col("source")).agg(
+        count(lit(1)).as("bruto"),
+        count(when(col("f_lang"), 1)).as("idioma"),
+        count(when(col("f_qual"), 1)).as("qualidade"),
+        countDistinct(col("fp_kept")).as("dedup_exato"))
+      .orderBy(col("source"))
+  }
+
   /** X22: incremental (batch-over-corpus) dedup — drop incoming docs
     * whose fingerprint already exists in the corpus, keep the rest.
     * The ingestion-time counterpart of x1: a LEFT ANTI join on the
@@ -929,6 +957,7 @@ object TrainingData {
   }
 
   val defs: Map[String, Q] = Map(
+    "x37_funnel_by_source" -> x37FunnelBySource,
     "x36_train_split" -> x36TrainSplit,
     "x35_semantic_dedup" -> x35SemanticDedup,
     "x32_quality_calibration" -> x32QualityCalibration,
@@ -1285,6 +1314,27 @@ object TrainingData {
       UNION ALL SELECT 4, 'dedup_exato', (SELECT COUNT(*) FROM s3)
       UNION ALL SELECT 5, 'amostra', (SELECT COUNT(*) FROM s4)
       ORDER BY ordem""",
+    "x37_funnel_by_source" -> s"""
+      WITH corpus AS (SELECT doc_id, text FROM $corpusSql),
+      wl AS (SELECT c.doc_id, c.text, d.lang, d.source
+             FROM corpus c JOIN documents d ON c.doc_id % 1000000 = d.doc_id),
+      qual AS (SELECT doc_id, source, lang, text, ROUND(
+          LEAST(len(toks) / 50.0, 1.0) * 0.4
+          + (1.0 - LEAST(CAST(length(text) - length(
+                regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+              / GREATEST(length(text), 1) * 5.0, 1.0)) * 0.3
+          + LEAST(CAST(len(list_filter(toks, t -> t IN ('the','a','of','and')))
+              AS DOUBLE) / GREATEST(len(toks), 1) * 10.0, 1.0) * 0.3, 4) AS q
+        FROM (SELECT doc_id, source, lang, text,
+                regexp_split_to_array(trim(text), '\\s+') AS toks FROM wl))
+      SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS bruto,
+        CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS idioma,
+        CAST(COUNT(CASE WHEN lang = 'en' AND q >= 0.5 THEN 1 END) AS BIGINT)
+          AS qualidade,
+        CAST(COUNT(DISTINCT CASE WHEN lang = 'en' AND q >= 0.5
+          THEN md5(lower(trim(text))) END) AS BIGINT) AS dedup_exato
+      FROM qual GROUP BY source ORDER BY source""",
     "x22_incremental_dedup" -> incrementalDedupSql,
     // x29 is the Bloom-prefiltered physical strategy for the SAME
     // logical result — no false negatives + exact verify of positives

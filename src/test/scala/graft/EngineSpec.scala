@@ -247,6 +247,21 @@ class EngineSpec extends AnyFunSuite {
     assert(shape.count() == 0)
   }
 
+  test("per-source funnel reconciles with the global funnel") {
+    val per = TrainingData.x37FunnelBySource(spark, sf)
+      .agg(sum("bruto").as("b"), sum("idioma").as("i"),
+        sum("qualidade").as("q"), sum("dedup_exato").as("d"))
+      .collect()(0)
+    val global = TrainingData.x21CurationFunnel(spark, sf).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(per.getLong(0) == global("bruto"))
+    assert(per.getLong(1) == global("idioma"))
+    assert(per.getLong(2) == global("qualidade"))
+    // per-source distinct fingerprints can only over-count the global
+    // distinct (identical text in two sources counts once globally)
+    assert(per.getLong(3) >= global("dedup_exato"))
+  }
+
   test("train split is complete, disjoint, and near the 90/5/5 recipe") {
     val out = TrainingData.x36TrainSplit(spark, sf)
     val total = Tables.documents(spark, sf).count()

@@ -260,6 +260,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: substring windows are exact and bounded on random docs") {
+    // random docs assembled from a small alphabet of 32-char segments:
+    // shared windows arise exactly where two docs picked the same
+    // segment sequence at the same aligned offset
+    val segs = Vector("a", "b", "c", "d").map(_ * 32)
+    val rows = Gen.listOfN(40, Gen.listOfN(6, Gen.choose(0, 3)))
+      .sample.get.zipWithIndex
+      .map { case (picks, i) => (i.toLong, picks.map(segs).mkString) }
+    val df = rows.toDF("doc_id", "text")
+    val out = graft.dedup.NearDup
+      .substringDupPairs(df, win = 64, stride = 32, maxDf = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // independent replay: per-doc distinct aligned 64-char windows
+    val winsOf = rows.map { case (id, t) =>
+      id -> (0 to (t.length - 64) / 32)
+        .map(p => t.substring(p * 32, p * 32 + 64)).toSet
+    }.toMap
+    for {
+      (ia, wa) <- winsOf; (ib, wb) <- winsOf if ia < ib
+    } {
+      val shared = (wa & wb).size.toLong
+      assert(out.getOrElse((ia, ib), 0L) == shared,
+        s"pair ($ia,$ib): got ${out.getOrElse((ia, ib), 0L)}, want $shared")
+    }
+    // symmetry-free output: no (b, a) duplicates ever appear
+    assert(out.keys.forall { case (a, b) => a < b })
+  }
+
   /** JVM-side replay of TrainingData.subShard for test bookkeeping. */
   private def subShardOf(docId: Long, n: Int): Int = {
     val hex = java.security.MessageDigest.getInstance("MD5")
