@@ -18,11 +18,14 @@ import org.apache.spark.sql.functions._
   * chained component A~B~C~… is exactly the case that shows up, and
   * PropertySpec pins the round bound on a path graph.
   *
-  * `localCheckpoint` every other round truncates lineage (the
-  * recompute of one un-checkpointed round is cheaper than the extra
-  * checkpoint job); the loop exits at the exact fixpoint, so labels
-  * equal the transitive closure (each node → min node id of its
-  * component).
+  * `localCheckpoint` EVERY round, taken before the convergence
+  * count: the eager checkpoint is the round's single full
+  * evaluation and the count then reads the cached blocks — the
+  * prior every-other-round scheme made the count evaluate the raw
+  * plan and the next odd round's checkpoint re-evaluate it (~1.5
+  * full evaluations per round vs exactly 1 now). The loop exits at
+  * the exact fixpoint, so labels equal the transitive closure (each
+  * node → min node id of its component).
   *
   * Checkpoint blocks are freed on exit: every loop-era snapshot
   * (adjacency + intermediate label rounds) is unpersisted before
@@ -72,12 +75,12 @@ object ConnectedComponents {
           Seq("label"), "left")
         .select(col("id"), col("old"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-      val next =
-        if (round % 2 == 1) {
-          val c = nextRaw.localCheckpoint()
-          loopSnapshots ::= c
-          c
-        } else nextRaw
+      // checkpoint FIRST (the round's one full evaluation), then run
+      // the convergence count over the cached blocks — counting the
+      // raw plan and checkpointing it afterwards would evaluate the
+      // round twice (eager localCheckpoint re-runs the plan)
+      val next = nextRaw.localCheckpoint()
+      loopSnapshots ::= next
       changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select(col("id"), col("label"))
       round += 1
