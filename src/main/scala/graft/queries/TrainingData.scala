@@ -956,7 +956,24 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** X38: per-source token-length distribution — log2-bucketed doc
+    * length histogram, the packing/truncation diagnostic every corpus
+    * report carries (how much of a source sits beyond the training
+    * sequence length drives the x25 packing budget and the truncation
+    * loss estimate). Bucket = floor(log2(n_tok)) computed as binary
+    * BIT LENGTH (integer-exact in both engines; a double log2 is one
+    * ulp off exactly at the power-of-2 bucket boundaries). ONE
+    * map-side-combinable aggregate over (source, bucket). */
+  val x38LengthHistogram: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("balde", (length(bin(col("n_tok"))) - 1).cast("int"))
+      .groupBy(col("source"), col("balde"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("source"), col("balde"))
+
   val defs: Map[String, Q] = Map(
+    "x38_length_histogram" -> x38LengthHistogram,
     "x37_funnel_by_source" -> x37FunnelBySource,
     "x36_train_split" -> x36TrainSplit,
     "x35_semantic_dedup" -> x35SemanticDedup,
@@ -1314,6 +1331,16 @@ object TrainingData {
       UNION ALL SELECT 4, 'dedup_exato', (SELECT COUNT(*) FROM s3)
       UNION ALL SELECT 5, 'amostra', (SELECT COUNT(*) FROM s4)
       ORDER BY ordem""",
+    "x38_length_histogram" -> """
+      SELECT source, CAST(length(bin(n_tok)) - 1 AS INT) AS balde,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM (SELECT source,
+              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                AS n_tok
+            FROM documents)
+      GROUP BY source, balde
+      ORDER BY source, balde""",
     "x37_funnel_by_source" -> s"""
       WITH corpus AS (SELECT doc_id, text FROM $corpusSql),
       wl AS (SELECT c.doc_id, c.text, d.lang, d.source

@@ -247,6 +247,22 @@ class EngineSpec extends AnyFunSuite {
     assert(shape.count() == 0)
   }
 
+  test("length histogram conserves docs and tokens per source") {
+    val out = TrainingData.x38LengthHistogram(spark, sf)
+    val expect = Tables.documents(spark, sf)
+      .select(col("source"),
+        graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .groupBy("source").agg(count(lit(1)).as("docs"), sum("n").as("toks"))
+    val got = out.groupBy("source")
+      .agg(sum("n_docs").as("docs2"), sum("n_tokens").as("toks2"))
+    assert(expect.join(got, "source")
+      .filter(col("docs") =!= col("docs2") || col("toks") =!= col("toks2"))
+      .count() == 0)
+    // buckets are the binary bit length: 2^b <= every bucket's docs' n_tok
+    // is not directly visible post-agg, but bucket values must be sane
+    assert(out.filter(col("balde") < 0 || col("balde") > 40).count() == 0)
+  }
+
   test("per-source funnel reconciles with the global funnel") {
     val per = TrainingData.x37FunnelBySource(spark, sf)
       .agg(sum("bruto").as("b"), sum("idioma").as("i"),
