@@ -846,7 +846,10 @@ object TrainingData {
     * corpus shuffles only map-side-combinable (source, quality)
     * counts, the cumulative window runs over the tiny histogram, and
     * the threshold table is mixture-key-sized → broadcast back. The
-    * corpus itself is never windowed. Keep rule: quality strictly
+    * corpus itself is never windowed; it IS scanned twice (histogram
+    * pass + filter pass — inherent to compute-threshold-then-apply;
+    * at 100 TB quality is staged as an ingest column and the
+    * calibration pass prices histogram-only). Keep rule: quality strictly
     * above the nearest-rank cut (engine-exact: the cut is an observed
     * 4dp value, no interpolation). */
   val x32QualityCalibration: Q = (s, d) => {

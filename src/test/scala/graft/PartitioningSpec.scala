@@ -33,6 +33,34 @@ class PartitioningSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed fingerprint store makes incremental dedup shuffle-free") {
+    // substantiates the x22/x29 scale claim: with the corpus
+    // fingerprint table bucketed by fp, the per-batch LEFT ANTI probe
+    // needs no Exchange on the corpus side (the incoming batch hashes
+    // into the corpus's existing bucketing)
+    spark.sql("DROP TABLE IF EXISTS b_fps")
+    spark.sql("DROP TABLE IF EXISTS b_batch")
+    val docs = Tables.documents(spark, sf)
+      .select(graft.text.TextFunctions.fingerprint(col("text")).as("fp"))
+      .distinct()
+    Partitioning.writeBucketed(docs, "b_fps", "fp", 8)
+    Partitioning.writeBucketed(
+      Tables.documents(spark, sf).select(col("doc_id"),
+        graft.text.TextFunctions.fingerprint(col("text")).as("fp")),
+      "b_batch", "fp", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val anti = spark.table("b_batch")
+        .join(spark.table("b_fps"), Seq("fp"), "left_anti")
+      val plan = anti.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed anti-join should not shuffle:\n$plan")
+      // every batch fp exists in the corpus store here → empty result
+      assert(anti.count() == 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("saltedJoin equals plain join") {
     val li = Tables.lineitem(spark, sf)
       .withColumnRenamed("l_orderkey", "o_orderkey")
