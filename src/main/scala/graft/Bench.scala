@@ -124,7 +124,8 @@ object Bench {
       "x27_domain_mixture", "x28_label_centroids", "x29_bloom_dedup",
       "x30_tfidf_topk", "x31_ivf_query", "x32_quality_calibration",
       "x33_substring_dedup", "x34_filtered_ann", "x35_semantic_dedup",
-      "x36_train_split", "x37_funnel_by_source", "x38_length_histogram")
+      "x36_train_split", "x37_funnel_by_source", "x38_length_histogram",
+      "x39_unigram_logppl")
     val qmap = perQuery.toMap
     val fullPath = java.nio.file.Paths.get("target/bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)

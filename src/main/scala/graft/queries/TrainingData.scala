@@ -975,7 +975,36 @@ object TrainingData {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .orderBy(col("source"), col("balde"))
 
+  /** X39: unigram log-perplexity proxy — the CCNet-style perplexity
+    * filter with a unigram LM standing in for KenLM (the container
+    * has no LM; the SHAPE is the real one): per-doc mean negative
+    * log-probability of its tokens under corpus unigram frequencies.
+    * High score = rare/garbled tokens (boilerplate and gibberish
+    * separate cleanly); the filter step is a threshold on `ppl_proxy`.
+    * Scale shape: ONE vocabulary-sized (token → count) aggregate
+    * joins back to the exploded corpus (AQE broadcasts it at fixture
+    * scale), the corpus total rides a 1-row broadcast, and the
+    * per-doc mean is an ORDER-FREE integer sum (per-token logp
+    * quantized to 1e-6 units — a raw double sum would differ between
+    * engines in the last ulp under different partitionings). */
+  val x39UnigramLogppl: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
+    val cnt = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val tot = tok.agg(count(lit(1)).as("n"))
+    tok.join(cnt, Seq("token"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lp_q",
+        floor(-log(col("c").cast("double") / col("n")) * 1e6).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        round(sum(col("lp_q")).cast("double") / (count(lit(1)) * 1e6), 4)
+          .as("ppl_proxy"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x39_unigram_logppl" -> x39UnigramLogppl,
     "x38_length_histogram" -> x38LengthHistogram,
     "x37_funnel_by_source" -> x37FunnelBySource,
     "x36_train_split" -> x36TrainSplit,
@@ -1334,6 +1363,19 @@ object TrainingData {
       UNION ALL SELECT 4, 'dedup_exato', (SELECT COUNT(*) FROM s3)
       UNION ALL SELECT 5, 'amostra', (SELECT COUNT(*) FROM s4)
       ORDER BY ordem""",
+    "x39_unigram_logppl" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents),
+      cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+      tot AS (SELECT COUNT(*) AS n FROM tok)
+      SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_tok,
+        ROUND(CAST(SUM(CAST(FLOOR(-LN(CAST(c AS DOUBLE) / n) * 1e6) AS BIGINT))
+            AS DOUBLE) / (COUNT(*) * 1e6), 4) AS ppl_proxy
+      FROM tok JOIN cnt USING (token) CROSS JOIN tot
+      GROUP BY doc_id
+      ORDER BY doc_id""",
     "x38_length_histogram" -> """
       SELECT source, CAST(length(bin(n_tok)) - 1 AS INT) AS balde,
         CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -247,6 +247,19 @@ class EngineSpec extends AnyFunSuite {
     assert(shape.count() == 0)
   }
 
+  test("unigram log-perplexity is positive and conserves token counts") {
+    val out = TrainingData.x39UnigramLogppl(spark, sf)
+    // every doc has at least one token with corpus probability < 1,
+    // so the mean negative log-probability is strictly positive
+    assert(out.filter(col("ppl_proxy") <= 0).count() == 0)
+    val bad = out.join(Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.text.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n")), "doc_id")
+      .filter(col("n_tok") =!= col("n")).count()
+    assert(bad == 0, "per-doc token count disagrees with the tokenizer")
+  }
+
   test("length histogram conserves docs and tokens per source") {
     val out = TrainingData.x38LengthHistogram(spark, sf)
     val expect = Tables.documents(spark, sf)
