@@ -136,10 +136,12 @@ class PlansSpec extends AnyFunSuite {
     // can exceed broadcast limits) — AQE must still pick broadcast at
     // fixture scale from runtime stats, so execute first, then read
     // the finalized adaptive plan
-    val q = graft.queries.TrainingData.x30TfidfTopk(spark, sf)
-    q.count()
-    val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
-      s"df join should broadcast:\n$plan")
+    for (name <- Seq("x30_tfidf_topk", "x39_unigram_logppl")) {
+      val q = graft.queries.TrainingData.defs(name)(spark, sf)
+      q.count()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+        s"$name vocabulary join should broadcast:\n$plan")
+    }
   }
 }
