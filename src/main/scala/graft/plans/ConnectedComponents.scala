@@ -27,13 +27,16 @@ import org.apache.spark.sql.functions._
   * the exact fixpoint, so labels equal the transitive closure (each
   * node → min node id of its component).
   *
-  * Checkpoint blocks are freed on exit: every loop-era snapshot
-  * (adjacency + intermediate label rounds) is unpersisted before
-  * returning, and the result rides ONE final label snapshot. Without
-  * this, each invocation leaks its checkpoint blocks into the block
-  * manager for the life of the session — in a long-running session
-  * (or a many-query benchmark) the accumulated storage squeezes
-  * execution memory for every query that follows.
+  * Checkpoint blocks are freed AS THE LOOP RUNS: once round N's
+  * checkpoint has materialized, round N-1's snapshot has no remaining
+  * references and is unpersisted immediately — peak checkpoint
+  * storage is the adjacency plus two label tables (the round being
+  * built and its predecessor), independent of round count. On exit
+  * the result rides ONE final label snapshot and everything else is
+  * freed. Without this, each invocation would retain O(rounds) of
+  * checkpoint blocks for the life of the session — in a long-running
+  * session (or a many-query benchmark) the accumulated storage
+  * squeezes execution memory for every query that follows.
   */
 object ConnectedComponents {
 
@@ -55,7 +58,6 @@ object ConnectedComponents {
       .localCheckpoint()
     var labels = nodes.select(col("id"))
       .withColumn("label", col("id")).localCheckpoint()
-    var loopSnapshots = List(adj, labels)
     var changed = 1L
     var round = 0
     while (changed > 0) {
@@ -80,17 +82,22 @@ object ConnectedComponents {
       // raw plan and checkpointing it afterwards would evaluate the
       // round twice (eager localCheckpoint re-runs the plan)
       val next = nextRaw.localCheckpoint()
-      loopSnapshots ::= next
       changed = next.filter(col("label") =!= col("old")).count()
+      // `next` is fully materialized (eager checkpoint) and the
+      // convergence count has run, so the previous round's snapshot
+      // has no remaining references — free it NOW, keeping live
+      // storage at adjacency + two label tables regardless of how
+      // many rounds the graph needs.
+      freeCheckpoint(labels)
       labels = next.select(col("id"), col("label"))
       round += 1
     }
-    // One final snapshot carries the result; everything the loop
-    // pinned (adjacency + per-round label states) is freed now, so a
-    // CC call leaves behind exactly one (id, label) table's worth of
-    // storage instead of O(rounds) of it.
+    // One final snapshot carries the result; the last loop snapshot
+    // and the adjacency are freed now, so a CC call leaves behind
+    // exactly one (id, label) table's worth of storage.
     val result = labels.localCheckpoint()
-    loopSnapshots.foreach(freeCheckpoint)
+    freeCheckpoint(labels)
+    freeCheckpoint(adj)
     (result, round)
   }
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -22,40 +22,96 @@ object MlEtl {
     * reference's multiplicative-yearly-seasonality model
     * (`Modelo de Previsão de Vendas.py:69-93`, Prophet with
     * `seasonality_mode='multiplicative'`), expressed as classical
-    * decomposition: (1) linear trend by exact-moment OLS over the
-    * whole monthly series (the `m2` determinism trick, one group);
-    * (2) per-calendar-month multiplicative index = mean of
-    * `actual / trend`, with the per-row ratios scaled to integer
-    * nano-units so the cross-month mean is an ORDER-FREE integer sum
-    * (a raw double mean would differ between engines in the last
-    * ulp); (3) fitted value = trend × index. The previous
-    * seasonal-naive (lag-12 × trailing-year growth) is kept as
-    * `previsao_naive` — the fallback when fewer than two years of
-    * history exist; (4) 80% uncertainty band (Prophet's default
-    * `interval_width=0.8`, the reference's `yhat_lower`/`yhat_upper`)
-    * as residual quantiles around the fit: residuals in exact integer
-    * cents, nearest-rank p10/p90 (pure integer rank selection — no
-    * interpolation, so both engines pick the identical cent value),
-    * added back onto each fitted point. No Prophet in the JVM:
-    * changepoints are the one documented fidelity delta. */
+    * decomposition: (1) PIECEWISE-linear trend with one SSE-chosen
+    * changepoint — Prophet's trend is continuous piecewise linear
+    * over candidate changepoints in the first `changepoint_range=0.8`
+    * of history; the deterministic analog scans every candidate knot
+    * c in that range, solves the 3-parameter OLS basis
+    * `(1, t, max(0, t−c))` in closed form (Cramer) from EXACT
+    * integer-cent moments, and keeps the best-fit knot (ties →
+    * earliest). Argmin trick: SSE = Σy² − (b0·Σy + b1·Σty + b2·Σhy)
+    * and Σy² is knot-independent, so maximizing the explained term
+    * needs no 128-bit Σy². The knot scan is months × months rows —
+    * trivially small at any corpus scale because it runs over the
+    * already-aggregated monthly series; (2) per-calendar-month
+    * multiplicative index = mean of `actual / trend`, with the
+    * per-row ratios scaled to integer nano-units so the cross-month
+    * mean is an ORDER-FREE integer sum (a raw double mean would
+    * differ between engines in the last ulp); (3) fitted value =
+    * trend × index. The previous seasonal-naive (lag-12 × trailing-
+    * year growth) is kept as `previsao_naive` — the fallback when
+    * fewer than two years of history exist; (4) 80% uncertainty band
+    * (Prophet's default `interval_width=0.8`, the reference's
+    * `yhat_lower`/`yhat_upper`) as residual quantiles around the
+    * fit: residuals in exact integer cents, nearest-rank p10/p90
+    * (pure integer rank selection — no interpolation, so both
+    * engines pick the identical cent value), added back onto each
+    * fitted point. Remaining fidelity delta vs Prophet: one knot
+    * instead of L1-regularized many, and no MAP smoothing. */
   val m1Forecast: Q = (s, d) => {
     val monthly = Tables.orders(s, d)
       .groupBy(year(col("o_orderdate")).as("ano"), month(col("o_orderdate")).as("mes"))
       .agg(sum(dec2(col("o_totalprice"))).as("total_dec"))
       .withColumn("t", (col("ano") - 1995) * 12 + col("mes") - 1)
-    val trend = monthly.agg(
+      .withColumn("yc", (col("total_dec") * 100).cast("long"))
+    def d2(c: Column) = c.cast("double")
+    val bounds = monthly.agg(min(col("t")).as("tmin"), max(col("t")).as("tmax"))
+    val cands = monthly.select(col("t").as("c")).crossJoin(broadcast(bounds))
+      .filter(col("c") >= col("tmin") + 1 &&
+        col("c") <= col("tmin") + floor((col("tmax") - col("tmin")) * 0.8))
+      .select(col("c"))
+    // Per-candidate exact moments (all integer/long, order-free).
+    // y-free minors and det stay in exact long arithmetic (≤ ~3e13);
+    // terms mixing y-moments are computed in double with an identical
+    // expression shape on both engines (IEEE ops on identical inputs
+    // are bit-identical — only aggregation ORDER is hazardous, and
+    // every sum here is exact-integer).
+    val mom = monthly.crossJoin(broadcast(cands))
+      .withColumn("h", greatest(col("t") - col("c"), lit(0)))
+      .groupBy(col("c")).agg(
         count(lit(1)).as("n"),
-        sum(col("t")).as("sx"),
-        sum(col("t") * col("t")).as("sxx"),
-        sum(col("total_dec")).as("sy"),
-        sum(col("total_dec") * col("t")).as("sxy"))
-      .withColumn("num", (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
-      .withColumn("den", (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
-      .select((col("num") / col("den")).as("slope"),
-        ((col("sy").cast("double") - col("num") / col("den") * col("sx")) / col("n"))
-          .as("intercept"))
-    val based = monthly.crossJoin(broadcast(trend))
-      .withColumn("trend_t", col("intercept") + col("slope") * col("t"))
+        sum(col("t")).as("sx"), sum(col("t") * col("t")).as("sxx"),
+        sum(col("h")).as("sh"), sum(col("h") * col("h")).as("shh"),
+        sum(col("t") * col("h")).as("sth"),
+        sum(col("yc")).as("sy"), sum(col("t") * col("yc")).as("sxy"),
+        sum(col("h") * col("yc")).as("shy"))
+    val knot = mom
+      .withColumn("det",
+        col("n") * (col("sxx") * col("shh") - col("sth") * col("sth"))
+          - col("sx") * (col("sx") * col("shh") - col("sth") * col("sh"))
+          + col("sh") * (col("sx") * col("sth") - col("sxx") * col("sh")))
+      .filter(col("det") =!= 0)
+      .withColumn("b0",
+        (d2(col("sy")) * d2(col("sxx") * col("shh") - col("sth") * col("sth"))
+          - d2(col("sx")) * (d2(col("sxy")) * d2(col("shh"))
+            - d2(col("sth")) * d2(col("shy")))
+          + d2(col("sh")) * (d2(col("sxy")) * d2(col("sth"))
+            - d2(col("sxx")) * d2(col("shy"))))
+          / d2(col("det")))
+      .withColumn("b1",
+        (d2(col("n")) * (d2(col("sxy")) * d2(col("shh"))
+            - d2(col("sth")) * d2(col("shy")))
+          - d2(col("sy")) * d2(col("sx") * col("shh") - col("sth") * col("sh"))
+          + d2(col("sh")) * (d2(col("sx")) * d2(col("shy"))
+            - d2(col("sxy")) * d2(col("sh"))))
+          / d2(col("det")))
+      .withColumn("b2",
+        (d2(col("n")) * (d2(col("sxx")) * d2(col("shy"))
+            - d2(col("sxy")) * d2(col("sth")))
+          - d2(col("sx")) * (d2(col("sx")) * d2(col("shy"))
+            - d2(col("sxy")) * d2(col("sh")))
+          + d2(col("sy")) * d2(col("sx") * col("sth") - col("sxx") * col("sh")))
+          / d2(col("det")))
+      .withColumn("expl",
+        col("b0") * d2(col("sy")) + col("b1") * d2(col("sxy"))
+          + col("b2") * d2(col("shy")))
+      .orderBy(col("expl").desc, col("c"))
+      .limit(1)
+      .select(col("c"), col("b0"), col("b1"), col("b2"))
+    val based = monthly.crossJoin(broadcast(knot))
+      .withColumn("trend_t",
+        (col("b0") + col("b1") * col("t")
+          + col("b2") * greatest(col("t") - col("c"), lit(0))) / 100.0)
       .withColumn("ratio_scaled",
         when(col("trend_t") > 0,
           floor(col("total_dec").cast("double") / col("trend_t") * 1e9)))
@@ -425,24 +481,62 @@ object MlEtl {
     "m1_forecast" -> s"""
       WITH monthly AS (
         SELECT ano, mes, total_dec,
-          (ano - 1995) * 12 + mes - 1 AS t
+          (ano - 1995) * 12 + mes - 1 AS t,
+          CAST(total_dec * 100 AS BIGINT) AS yc
         FROM $monthlySql),
-      trend AS (
-        SELECT CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
-            AS slope,
-          (CAST(sy AS DOUBLE)
-           - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) * sx)
-            / n AS intercept
-        FROM (SELECT COUNT(*) AS n, SUM(t) AS sx, SUM(t*t) AS sxx,
-                SUM(total_dec) AS sy, SUM(total_dec * t) AS sxy
-              FROM monthly)),
+      bounds AS (SELECT MIN(t) AS tmin, MAX(t) AS tmax FROM monthly),
+      cands AS (
+        SELECT t AS c FROM monthly, bounds
+        WHERE t >= tmin + 1
+          AND t <= tmin + CAST(FLOOR((tmax - tmin) * 0.8) AS BIGINT)),
+      mom AS (
+        SELECT c, COUNT(*) AS n,
+          CAST(SUM(t) AS BIGINT) AS sx, CAST(SUM(t*t) AS BIGINT) AS sxx,
+          CAST(SUM(h) AS BIGINT) AS sh, CAST(SUM(h*h) AS BIGINT) AS shh,
+          CAST(SUM(t*h) AS BIGINT) AS sth,
+          CAST(SUM(yc) AS BIGINT) AS sy, CAST(SUM(t*yc) AS BIGINT) AS sxy,
+          CAST(SUM(h*yc) AS BIGINT) AS shy
+        FROM (SELECT c, t, yc, GREATEST(t - c, 0) AS h FROM monthly, cands)
+        GROUP BY c),
+      knot AS (
+        SELECT c, b0, b1, b2 FROM (
+          SELECT c, b0, b1, b2,
+            b0 * CAST(sy AS DOUBLE) + b1 * CAST(sxy AS DOUBLE)
+              + b2 * CAST(shy AS DOUBLE) AS expl
+          FROM (
+            SELECT c, sy, sxy, shy,
+              (CAST(sy AS DOUBLE) * CAST(sxx*shh - sth*sth AS DOUBLE)
+               - CAST(sx AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(shh AS DOUBLE)
+                   - CAST(sth AS DOUBLE) * CAST(shy AS DOUBLE))
+               + CAST(sh AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(sth AS DOUBLE)
+                   - CAST(sxx AS DOUBLE) * CAST(shy AS DOUBLE)))
+                / CAST(det AS DOUBLE) AS b0,
+              (CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(shh AS DOUBLE)
+                   - CAST(sth AS DOUBLE) * CAST(shy AS DOUBLE))
+               - CAST(sy AS DOUBLE) * CAST(sx*shh - sth*sh AS DOUBLE)
+               + CAST(sh AS DOUBLE) * (CAST(sx AS DOUBLE) * CAST(shy AS DOUBLE)
+                   - CAST(sxy AS DOUBLE) * CAST(sh AS DOUBLE)))
+                / CAST(det AS DOUBLE) AS b1,
+              (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) * CAST(shy AS DOUBLE)
+                   - CAST(sxy AS DOUBLE) * CAST(sth AS DOUBLE))
+               - CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) * CAST(shy AS DOUBLE)
+                   - CAST(sxy AS DOUBLE) * CAST(sh AS DOUBLE))
+               + CAST(sy AS DOUBLE) * CAST(sx*sth - sxx*sh AS DOUBLE))
+                / CAST(det AS DOUBLE) AS b2
+            FROM (SELECT *,
+                n * (sxx*shh - sth*sth) - sx * (sx*shh - sth*sh)
+                  + sh * (sx*sth - sxx*sh) AS det
+              FROM mom)
+            WHERE det <> 0))
+        ORDER BY expl DESC, c LIMIT 1),
       based AS (
         SELECT ano, mes, total_dec, t,
-          intercept + slope * t AS trend_t,
-          CASE WHEN intercept + slope * t > 0
+          (b0 + b1 * t + b2 * GREATEST(t - c, 0)) / 100.0 AS trend_t,
+          CASE WHEN (b0 + b1 * t + b2 * GREATEST(t - c, 0)) / 100.0 > 0
             THEN CAST(FLOOR(CAST(total_dec AS DOUBLE)
-                   / (intercept + slope * t) * 1e9) AS BIGINT) END AS ratio_scaled
-        FROM monthly, trend),
+                   / ((b0 + b1 * t + b2 * GREATEST(t - c, 0)) / 100.0) * 1e9)
+                 AS BIGINT) END AS ratio_scaled
+        FROM monthly, knot),
       seasonal AS (
         SELECT mes AS mes_s, CAST(SUM(ratio_scaled) AS BIGINT) AS rs_sum,
           COUNT(ratio_scaled) AS rs_n

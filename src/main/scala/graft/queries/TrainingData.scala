@@ -454,21 +454,49 @@ object TrainingData {
   /** Build-and-save the x13-shaped IVF index once per sf-dir (first
     * caller pays; everyone after — x31's probes, x35's cells — reads
     * the materialized inverted file from disk). Returns the path. */
+  /** name:size:mtime fingerprint of a fixture table's data files —
+    * embedded in materialization cache paths so a changed fixture
+    * abandons the stale artifact and rebuilds instead of silently
+    * reusing it (which would surface only as a confusing oracle
+    * mismatch). */
+  private def fixtureFp(d: String, table: String): String = {
+    import scala.jdk.CollectionConverters._
+    val src = java.nio.file.Paths.get(d, s"$table.parquet")
+    val files =
+      if (java.nio.file.Files.isDirectory(src)) {
+        val st = java.nio.file.Files.walk(src)
+        try st.iterator().asScala.filter(
+          java.nio.file.Files.isRegularFile(_)).toVector
+        finally st.close()
+      } else Vector(src)
+    val sig = files.map(p => s"${p.getFileName}:" +
+        s"${java.nio.file.Files.size(p)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+      .sorted.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+  }
+
   private def ensureIvfIndex(s: SparkSession, d: String): String = {
     val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
-    val path = s"target/ivf_index_$tag"
+    // The cache path embeds the build parameters AND the fixture
+    // fingerprint ([[fixtureFp]]).
+    val nCells = 16; val lloydIters = 2
+    val path =
+      s"target/ivf_index_${tag}_c${nCells}i${lloydIters}_${fixtureFp(d, "embeddings")}"
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$path/cells/_SUCCESS")))
       graft.ml.IvfIndex.save(
         graft.ml.IvfIndex.build(
-          spread(s, Tables.embeddings(s, d)), nCells = 16, lloydIters = 2),
+          spread(s, Tables.embeddings(s, d)), nCells = nCells, lloydIters),
         path)
     path
   }
 
   val x31IvfQuery: Q = (s, d) =>
     graft.ml.IvfIndex.query(
-      graft.ml.IvfIndex.load(s, ensureIvfIndex(s, d)),
+      graft.ml.IvfIndex.loadCached(s, ensureIvfIndex(s, d)),
       Tables.embeddings(s, d).filter(col("vec_id") >= 5 && col("vec_id") < 10),
       nprobe = 4, topK = 10)
       .orderBy(col("qid"), col("rk"))
@@ -870,6 +898,51 @@ object TrainingData {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Materialize the ingest-staged corpus once per sf-dir: the
+    * [[graft.streaming.DocStream.curate]] output (redacted text,
+    * n_tok, quality — the stream/batch-identical curation pass)
+    * persisted to parquet, quality carried as a COLUMN. This is the
+    * producer side of x32b's single-pass calibration: at 100 TB the
+    * quality score is computed once at ingest, not re-derived from
+    * text by every downstream consumer. minQuality=0 keeps every doc
+    * (calibration wants the full distribution; the threshold comes
+    * AFTER calibration). */
+  private def ensureCuratedStaged(s: SparkSession, d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"target/curated_staged_${tag}_${fixtureFp(d, "documents")}"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path/_SUCCESS")))
+      graft.streaming.DocStream.curate(
+        Tables.documents(s, d), minQuality = 0.0, stopwords)
+        .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** X32b: the single-corpus-scan variant of [[x32QualityCalibration]]
+    * — the documented 100 TB path made real. Quality is read from the
+    * ingest-staged table ([[ensureCuratedStaged]]), never recomputed:
+    * the calibration pass prices HISTOGRAM-ONLY (a (source, quality)
+    * column-pruned scan — no text read, no regex work, bounded ≤10⁴
+    * buckets/source), and the filter pass is the one corpus scan,
+    * again without touching `text`. Same cut rule and output as x32,
+    * so the same oracle proves the staged column carries the exact
+    * score. Plan receipt (PLANS.md): both scans' ReadSchema exclude
+    * `text`; no qualityScore expression appears anywhere. */
+  val x32bQualityIngest: Q = (s, d) => {
+    val staged = s.read.parquet(ensureCuratedStaged(s, d))
+    val corte = staged
+      .groupBy(col("source"), col("quality")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("source")).orderBy(col("quality"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
+      .filter(col("cum") >= ceil(col("n") * 0.6))
+      .groupBy(col("source")).agg(min(col("quality")).as("corte"))
+    staged.join(broadcast(corte), Seq("source"))
+      .filter(col("quality") > col("corte"))
+      .select(col("source"), col("doc_id"), col("quality"), col("corte"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** X33: substring-level duplicate pairs on the dedup corpus
     * ([[graft.dedup.NearDup.substringDupPairs]] — 64-char windows,
     * 32-char stride, df ≤ 50 boilerplate guard). The synthetic exact
@@ -923,7 +996,7 @@ object TrainingData {
     * materialized parquet instead of re-running the lazy assignment
     * per reference — the build-once shape production uses. */
   val x35SemanticDedup: Q = (s, d) => {
-    val cells = graft.ml.IvfIndex.load(s, ensureIvfIndex(s, d)).cells
+    val cells = graft.ml.IvfIndex.loadCached(s, ensureIvfIndex(s, d)).cells
     val pairs = cells
       .select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("ea"))
       .join(cells.select(col("cell"), col("vec_id").as("id_b"),
@@ -985,8 +1058,13 @@ object TrainingData {
     * joins back to the exploded corpus (AQE broadcasts it at fixture
     * scale), the corpus total rides a 1-row broadcast, and the
     * per-doc mean is an ORDER-FREE integer sum (per-token logp
-    * quantized to 1e-6 units — a raw double sum would differ between
-    * engines in the last ulp under different partitionings). */
+    * quantized to 1e-4 units — a raw double sum would differ between
+    * engines in the last ulp under different partitionings; ROUND at
+    * 1e-4 rather than FLOOR at 1e-6 because JVM Math.log and DuckDB
+    * LN agree only to ~1 ulp, and a probability landing on a
+    * quantization boundary would flip a fine-grained floor — 100×
+    * fewer boundary events at this granularity, same 4dp contract as
+    * x30). */
   val x39UnigramLogppl: Q = (s, d) => {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
@@ -995,10 +1073,10 @@ object TrainingData {
     tok.join(cnt, Seq("token"))
       .crossJoin(broadcast(tot))
       .withColumn("lp_q",
-        floor(-log(col("c").cast("double") / col("n")) * 1e6).cast("long"))
+        round(-log(col("c").cast("double") / col("n")) * 1e4, 0).cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"),
-        round(sum(col("lp_q")).cast("double") / (count(lit(1)) * 1e6), 4)
+        round(sum(col("lp_q")).cast("double") / (count(lit(1)) * 1e4), 4)
           .as("ppl_proxy"))
       .orderBy(col("doc_id"))
   }
@@ -1010,6 +1088,7 @@ object TrainingData {
     "x36_train_split" -> x36TrainSplit,
     "x35_semantic_dedup" -> x35SemanticDedup,
     "x32_quality_calibration" -> x32QualityCalibration,
+    "x32b_quality_ingest" -> x32bQualityIngest,
     "x33_substring_dedup" -> x33SubstringDedup,
     "x34_filtered_ann" -> x34FilteredAnn,
     "x31_ivf_query" -> x31IvfQuery,
@@ -1238,6 +1317,39 @@ object TrainingData {
            ELSE '' END AS text
      FROM documents)"""
 
+  /** Shared by x32 (compute-at-query) and x32b (staged-at-ingest):
+    * the two paths must be bit-identical, so one oracle serves both. */
+  private val x32OracleSql = """
+      WITH scored AS (
+        SELECT doc_id, source,
+          ROUND(LEAST(n_tok / 50.0, 1.0) * 0.4
+            + (1.0 - LEAST(punct_ratio * 5.0, 1.0)) * 0.3
+            + LEAST(stop_ratio * 10.0, 1.0) * 0.3, 4) AS quality
+        FROM (
+          SELECT doc_id, source,
+            len(toks) AS n_tok,
+            CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))
+              AS DOUBLE) / GREATEST(length(text), 1) AS punct_ratio,
+            CAST(len(list_filter(toks, t -> t IN ('the','a','of','and'))) AS DOUBLE)
+              / GREATEST(len(toks), 1) AS stop_ratio
+          FROM (SELECT doc_id, source, text,
+                  regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents))),
+      hist AS (
+        SELECT source, quality, COUNT(*) AS c
+        FROM scored GROUP BY source, quality),
+      corte AS (
+        SELECT source, MIN(quality) AS corte FROM (
+          SELECT source, quality,
+            SUM(c) OVER (PARTITION BY source ORDER BY quality) AS cum,
+            SUM(c) OVER (PARTITION BY source) AS n
+          FROM hist)
+        WHERE cum >= CEIL(n * 0.6) GROUP BY source)
+      SELECT s.source, s.doc_id, s.quality, corte.corte
+      FROM scored s JOIN corte ON s.source = corte.source
+      WHERE s.quality > corte.corte
+      ORDER BY s.source, s.doc_id"""
+
   val oracles: Map[String, String] = Map(
     "x25_pack_sequences" -> """
       WITH d AS (
@@ -1371,8 +1483,8 @@ object TrainingData {
       tot AS (SELECT COUNT(*) AS n FROM tok)
       SELECT doc_id,
         CAST(COUNT(*) AS BIGINT) AS n_tok,
-        ROUND(CAST(SUM(CAST(FLOOR(-LN(CAST(c AS DOUBLE) / n) * 1e6) AS BIGINT))
-            AS DOUBLE) / (COUNT(*) * 1e6), 4) AS ppl_proxy
+        ROUND(CAST(SUM(CAST(ROUND(-LN(CAST(c AS DOUBLE) / n) * 1e4, 0) AS BIGINT))
+            AS DOUBLE) / (COUNT(*) * 1e4), 4) AS ppl_proxy
       FROM tok JOIN cnt USING (token) CROSS JOIN tot
       GROUP BY doc_id
       ORDER BY doc_id""",
@@ -1645,36 +1757,10 @@ object TrainingData {
         GROUP BY doc_id)
       ORDER BY doc_id"""
     },
-    "x32_quality_calibration" -> """
-      WITH scored AS (
-        SELECT doc_id, source,
-          ROUND(LEAST(n_tok / 50.0, 1.0) * 0.4
-            + (1.0 - LEAST(punct_ratio * 5.0, 1.0)) * 0.3
-            + LEAST(stop_ratio * 10.0, 1.0) * 0.3, 4) AS quality
-        FROM (
-          SELECT doc_id, source,
-            len(toks) AS n_tok,
-            CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))
-              AS DOUBLE) / GREATEST(length(text), 1) AS punct_ratio,
-            CAST(len(list_filter(toks, t -> t IN ('the','a','of','and'))) AS DOUBLE)
-              / GREATEST(len(toks), 1) AS stop_ratio
-          FROM (SELECT doc_id, source, text,
-                  regexp_split_to_array(trim(text), '\s+') AS toks
-                FROM documents))),
-      hist AS (
-        SELECT source, quality, COUNT(*) AS c
-        FROM scored GROUP BY source, quality),
-      corte AS (
-        SELECT source, MIN(quality) AS corte FROM (
-          SELECT source, quality,
-            SUM(c) OVER (PARTITION BY source ORDER BY quality) AS cum,
-            SUM(c) OVER (PARTITION BY source) AS n
-          FROM hist)
-        WHERE cum >= CEIL(n * 0.6) GROUP BY source)
-      SELECT s.source, s.doc_id, s.quality, corte.corte
-      FROM scored s JOIN corte ON s.source = corte.source
-      WHERE s.quality > corte.corte
-      ORDER BY s.source, s.doc_id""",
+    "x32_quality_calibration" -> x32OracleSql,
+    // x32b stages quality at ingest but must produce the IDENTICAL
+    // result — one oracle proves the staged column carries the score
+    "x32b_quality_ingest" -> x32OracleSql,
     "x33_substring_dedup" -> s"""
       WITH corpus AS (
         SELECT doc_id, text FROM $corpusSql WHERE doc_id % 1000000 < 200),

@@ -163,11 +163,19 @@ class EngineSpec extends AnyFunSuite {
       .filter(col("seq_id") < col("last_seq") && col("n_tokens") =!= 256)
       .count()
     assert(short == 0, s"$short interior sequences not exactly 256 tokens")
-    // the skew split is real: every source spreads over >1 sub-shard
+    // the skew split is real: every source with enough docs spreads
+    // over >1 sub-shard. Restricted to sources with >=8 docs — the
+    // md5 shard of a 1-2 doc source can legitimately land in one
+    // sub-shard (P(all same of 4) = 4^(1-n)), and asserting spread
+    // there would pin a property of the hash on this fixture, not of
+    // packSequences.
+    val srcDocs = docs.groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("docs"))
     val spreadless = packed.groupBy("source")
       .agg(countDistinct(col("sub_shard")).as("shards"))
-      .filter(col("shards") < 2).count()
-    assert(spreadless == 0, "a source collapsed into a single sub-shard")
+      .join(srcDocs, "source")
+      .filter(col("docs") >= 8 && col("shards") < 2).count()
+    assert(spreadless == 0, "a >=8-doc source collapsed into a single sub-shard")
   }
 
   test("PII redaction scrubs every injected email and phone") {
