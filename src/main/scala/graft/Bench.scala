@@ -117,7 +117,15 @@ object Bench {
     val loadBefore = loadAvg(); val jvmsBefore = otherJvms()
     val raw = (1 to repeat).flatMap { _ =>
       interPassGc()
-      selected.map { case (name, fn) =>
+      selected.zipWithIndex.map { case ((name, fn), i) =>
+        // Periodic IN-pass GC, outside the timed region: a ~190-query
+        // pass accumulates enough broadcast/shuffle garbage that a
+        // full-heap collection fires mid-pass and lands inside
+        // whichever timed query allocates next (measured: x31 reads
+        // ~2.5s in the full suite vs 0.45-0.67s in any ≤42-query
+        // subset, same code, same JVM settings). Draining every 24
+        // queries keeps collections in the gaps between timers.
+        if (i > 0 && i % 24 == 0) interPassGc()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
@@ -158,7 +166,8 @@ object Bench {
       "x30_tfidf_topk", "x31_ivf_query", "x32_quality_calibration",
       "x33_substring_dedup", "x34_filtered_ann", "x35_semantic_dedup",
       "x36_train_split", "x37_funnel_by_source", "x38_length_histogram",
-      "x39_unigram_logppl")
+      "x39_unigram_logppl", "x32b_quality_ingest", "x35b_semdedup_nprobe2",
+      "a20b_percentiles_approx")
     val qmap = perQuery.toMap
     // Sentinel block appended to both the file and the contract line:
     // "protocol" names the measurement (min over `repeat` timed passes

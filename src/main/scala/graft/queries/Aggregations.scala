@@ -269,10 +269,32 @@ object Aggregations {
         percentile(col("o_totalprice"), lit(0.75)).as("p75"))
       .orderBy(col("o_orderstatus"))
 
+  /** A20b: the sketch twin of [[a20Percentiles]] — the 100 TB path
+    * (SURVEY §2.4's own note). Exact `percentile` materializes and
+    * sorts every group's values; `percentile_approx` is a bounded-
+    * memory quantile sketch and `approx_count_distinct` an HLL++ —
+    * both map-side-combinable single-shuffle aggregates whose memory
+    * is O(sketch), not O(group). Sketch internals are engine-specific
+    * (DuckDB's approx functions use different sketches), so there is
+    * deliberately NO oracleSql entry: the driver records the weaker
+    * rows-only check and AggregationsSpec pins the error bounds
+    * against the exact a20 instead — bound-checked, not hash-matched.
+    * accuracy=10000 ⇒ rank error ≤ 1/10000 of the group. */
+  val a20bPercentilesApprox: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.25), lit(10000)).as("p25"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("o_totalprice"), lit(0.75), lit(10000)).as("p75"),
+        approx_count_distinct(col("o_custkey")).as("clientes_aprox"))
+      .orderBy(col("o_orderstatus"))
+
   val defs: Map[String, Q] = Map(
     "a18_cube" -> a18Cube,
     "a19_grouping_sets" -> a19GroupingSets,
     "a20_percentiles" -> a20Percentiles,
+    "a20b_percentiles_approx" -> a20bPercentilesApprox,
     "q1_agg" -> q1Agg,
     "a2_count_distinct" -> a2CountDistinct,
     "a3_conditional_agg" -> a3ConditionalAgg,

@@ -1012,6 +1012,42 @@ object TrainingData {
       .orderBy(col("vec_id"))
   }
 
+  /** X35b: cross-cell recall knob for [[x35SemanticDedup]] — each
+    * vector probes its TOP-2 nearest cells (nprobe=2, reusing the
+    * persisted index's centroid table and the 6dp+cid tie-break
+    * contract of [[graft.ml.IvfIndex.query]]), so a near-dup pair
+    * straddling a cell boundary — single-cell SemDeDup's documented
+    * miss — still becomes a candidate when either side's second
+    * choice is the other's cell. Cost model at 100 TB: every vector
+    * appears in ≤2 cells, so the candidate set is ≤4× the single-cell
+    * one and the quadratic term stays bounded by the largest cell;
+    * recall/cost measured on the fixture in PLANS.md. Pairs colliding
+    * in both shared cells dedup AFTER the τ-threshold (distinct on
+    * the id pair, never on the embeddings). */
+  val x35bSemdedupNprobe2: Q = (s, d) => {
+    val idx = graft.ml.IvfIndex.loadCached(s, ensureIvfIndex(s, d))
+    val wq = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
+    val probed = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(idx.centroids))
+      .withColumn("sim", round(cosineSim(col("embedding"), col("ce")), 6))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= 2)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+    val pairs = probed
+      .select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+      .join(probed.select(col("cell"), col("vec_id").as("id_b"),
+        col("embedding").as("eb")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosineSim(col("ea"), col("eb")), 4) >= 0.4)
+      .select(col("id_a"), col("id_b")).distinct()
+    graft.plans.ConnectedComponents.minLabel(
+      idx.cells.select(col("vec_id").as("id")),
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .select(col("id").as("vec_id"), col("label").as("canonico"),
+        (col("id") === col("label")).as("sobrevivente"))
+      .orderBy(col("vec_id"))
+  }
+
   /** X36: deterministic train/val/test split — hash-bucket assignment
     * (16-bit md5 prefix mod 100: <90 train, <95 val, else test). A
     * doc's split depends on nothing but its own id, which is the
@@ -1087,6 +1123,7 @@ object TrainingData {
     "x37_funnel_by_source" -> x37FunnelBySource,
     "x36_train_split" -> x36TrainSplit,
     "x35_semantic_dedup" -> x35SemanticDedup,
+    "x35b_semdedup_nprobe2" -> x35bSemdedupNprobe2,
     "x32_quality_calibration" -> x32QualityCalibration,
     "x32b_quality_ingest" -> x32bQualityIngest,
     "x33_substring_dedup" -> x33SubstringDedup,
@@ -1792,6 +1829,35 @@ object TrainingData {
       p AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ROUND(${cosSql("a.embedding", "b.embedding")}, 4) >= 0.4),
+      edges2 AS (
+        SELECT id_a AS a, id_b AS b FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+      reach(a, b) AS (
+        SELECT a, b FROM edges2
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges2 e ON r.b = e.a)
+      SELECT e.vec_id,
+        LEAST(e.vec_id, COALESCE(m.mn, e.vec_id)) AS canonico,
+        (e.vec_id = LEAST(e.vec_id, COALESCE(m.mn, e.vec_id))) AS sobrevivente
+      FROM embeddings e
+      LEFT JOIN (SELECT a, MIN(b) AS mn FROM reach GROUP BY a) m
+        ON e.vec_id = m.a
+      ORDER BY e.vec_id""",
+    "x35b_semdedup_nprobe2" -> s"""
+      WITH RECURSIVE $ivfAssignedCtes,
+      probed AS (
+        SELECT vec_id, embedding, cid AS cell FROM (
+          SELECT e.vec_id, e.embedding, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ROUND(${cosSql("e.embedding", "c.ce")}, 6) DESC, c.cid)
+              AS rk
+          FROM embeddings e, cent2 c)
+        WHERE rk <= 2),
+      p AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM probed a JOIN probed b
           ON a.cell = b.cell AND a.vec_id < b.vec_id
         WHERE ROUND(${cosSql("a.embedding", "b.embedding")}, 4) >= 0.4),
       edges2 AS (

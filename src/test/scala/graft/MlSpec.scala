@@ -107,4 +107,44 @@ class MlSpec extends AnyFunSuite {
     assert(plan.contains("dynamicpruning"),
       s"expected dynamic partition pruning on the cells scan:\n$plan")
   }
+
+  test("nprobe=2 SemDeDup candidates: superset of single-cell, recall vs brute truth") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorExpressions.cosineSim
+    val emb = graft.core.Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding"))
+    val index = graft.ml.IvfIndex.build(emb, nCells = 16, lloydIters = 2)
+    def pairSet(assigned: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      assigned.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+        .join(assigned.select(col("cell"), col("vec_id").as("id_b"),
+          col("embedding").as("eb")), Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(round(cosineSim(col("ea"), col("eb")), 4) >= 0.4)
+        .select(col("id_a"), col("id_b")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairSet(index.cells)
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
+    val probed = emb.crossJoin(broadcast(index.centroids))
+      .withColumn("sim", round(cosineSim(col("embedding"), col("ce")), 6))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= 2)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+    val double = pairSet(probed)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val truth = a.crossJoin(emb.select(col("vec_id").as("id_b"),
+        col("embedding").as("eb")))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosineSim(col("ea"), col("eb")), 4) >= 0.4)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // top-1 cell is always among the top-2 probes, so candidates only grow;
+    // every candidate passed the same τ, so both are subsets of the truth
+    assert(single.subsetOf(double), "nprobe=2 lost a single-cell pair")
+    assert(double.subsetOf(truth), "a candidate pair is not a true pair")
+    val r1 = if (truth.isEmpty) 1.0 else single.size.toDouble / truth.size
+    val r2 = if (truth.isEmpty) 1.0 else double.size.toDouble / truth.size
+    assert(r2 >= r1, s"recall dropped: $r2 < $r1")
+    info(f"recall single-cell=$r1%.3f nprobe2=$r2%.3f truth=${truth.size}")
+  }
 }
