@@ -1117,7 +1117,41 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** X40: BIGRAM log-perplexity proxy — one LM order closer to CCNet's
+    * KenLM than x39's unigram: per-doc mean of −ln P(wᵢ | wᵢ₋₁) under
+    * corpus bigram MLE (c(wᵢ₋₁wᵢ)/c(wᵢ₋₁)); repeated phrasing scores
+    * LOW (predictable continuations), unseen-combination gibberish
+    * scores high — the separation the unigram model can't express
+    * (it only sees token rarity). Docs with <2 tokens have no bigram
+    * and drop out (inner semantics, documented). Scale shape — and
+    * the reason this is a distinct operator, not an x39 parameter: a
+    * 100 TB corpus's BIGRAM vocabulary is itself huge (≈ unique-pair
+    * count), far past broadcast, so the count join is a SHUFFLE hash
+    * join on the gram (both sides partial-aggregated) where x39's
+    * unigram table AQE-broadcasts. Same determinism contract as x39:
+    * per-step logp quantized to 1e-4 units via ROUND (order-free
+    * integer sum; c2 ≤ c1 by construction so every step ≥ 0). */
+  val x40BigramLogppl: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val bi = toks
+      .select(col("doc_id"), explode(allShinglesOfToks(col("toks"), 2)).as("g"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+    val cnt2 = bi.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    bi.join(cnt2, Seq("g")).join(uni, Seq("w1"))
+      .withColumn("lp_q",
+        round(-log(col("c2").cast("double") / col("c1")) * 1e4, 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp_q")).cast("double") / (count(lit(1)) * 1e4), 4)
+          .as("ppl2_proxy"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x40_bigram_logppl" -> x40BigramLogppl,
     "x39_unigram_logppl" -> x39UnigramLogppl,
     "x38_length_histogram" -> x38LengthHistogram,
     "x37_funnel_by_source" -> x37FunnelBySource,
@@ -1512,6 +1546,23 @@ object TrainingData {
       UNION ALL SELECT 4, 'dedup_exato', (SELECT COUNT(*) FROM s3)
       UNION ALL SELECT 5, 'amostra', (SELECT COUNT(*) FROM s4)
       ORDER BY ordem""",
+    "x40_bigram_logppl" -> """
+      WITH tk AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      uni AS (SELECT w1, COUNT(*) AS c1
+              FROM (SELECT unnest(toks) AS w1 FROM tk) GROUP BY w1),
+      bi AS (SELECT doc_id, g, split_part(g, ' ', 1) AS w1
+             FROM (SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1])) AS g FROM tk)),
+      cnt2 AS (SELECT g, COUNT(*) AS c2 FROM bi GROUP BY g)
+      SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        ROUND(CAST(SUM(CAST(ROUND(-LN(CAST(c2 AS DOUBLE) / c1) * 1e4, 0)
+            AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1e4), 4) AS ppl2_proxy
+      FROM bi JOIN cnt2 USING (g) JOIN uni USING (w1)
+      GROUP BY doc_id
+      ORDER BY doc_id""",
     "x39_unigram_logppl" -> """
       WITH tok AS (
         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token

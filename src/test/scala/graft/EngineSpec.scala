@@ -268,6 +268,26 @@ class EngineSpec extends AnyFunSuite {
     assert(bad == 0, "per-doc token count disagrees with the tokenizer")
   }
 
+  test("bigram log-perplexity conserves bigram counts and orders below-unigram") {
+    val out = TrainingData.x40BigramLogppl(spark, sf)
+    // no negative steps: c(w1 w2) <= c(w1) by construction
+    assert(out.filter(col("ppl2_proxy") < 0).count() == 0)
+    // conservation: a doc with n tokens has exactly n-1 bigrams; docs
+    // with <2 tokens are absent (inner semantics, documented)
+    val bad = out.join(Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.text.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n")), "doc_id")
+      .filter(col("n_bigrams") =!= col("n") - 1).count()
+    assert(bad == 0, "n_bigrams != n_tok - 1 for some doc")
+    // the conditional model can only be more predictable than the
+    // unigram one ON AVERAGE over the corpus (per-doc it may not be)
+    val m2 = out.agg(avg(col("ppl2_proxy"))).collect()(0).getDouble(0)
+    val m1 = TrainingData.x39UnigramLogppl(spark, sf)
+      .agg(avg(col("ppl_proxy"))).collect()(0).getDouble(0)
+    assert(m2 < m1, s"bigram mean $m2 not below unigram mean $m1")
+  }
+
   test("length histogram conserves docs and tokens per source") {
     val out = TrainingData.x38LengthHistogram(spark, sf)
     val expect = Tables.documents(spark, sf)
