@@ -132,6 +132,10 @@ object Bench {
       }
     }
     val loadAfter = loadAvg(); val jvmsAfter = otherJvms()
+    // Per-pass totals: two close numbers demonstrate the timed passes
+    // really are steady-state (a big pass1→pass2 drop would mean the
+    // warm pass missed something and min-of-N is hiding cold cost).
+    val passTotals = raw.grouped(selected.size).map(_.map(_._2).sum).toSeq
     // repeat>1: report the MIN per query (steady-state latency), never
     // duplicate JSON keys; "value" totals one representative pass.
     val perQuery = raw.groupBy(_._1).view
@@ -173,7 +177,7 @@ object Bench {
     // "protocol" names the measurement (min over `repeat` timed passes
     // after one untimed warm pass); load/jvms expose contention.
     val sentinel =
-      s""","protocol":"min_of_$repeat","load_avg":[${fmt(loadBefore)},${fmt(loadAfter)}],"other_jvms":[$jvmsBefore,$jvmsAfter]"""
+      s""","protocol":"min_of_$repeat","pass_totals":[${passTotals.map(fmt).mkString(",")}],"load_avg":[${fmt(loadBefore)},${fmt(loadAfter)}],"other_jvms":[$jvmsBefore,$jvmsAfter]"""
     val fullPath = java.nio.file.Paths.get("target/bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.writeString(fullPath,

@@ -130,6 +130,28 @@ object IvfIndex {
     loadedIdx.getOrElseUpdate((spark, path), load(spark, path))
   }
 
+  /** Incremental index maintenance — the production path for a
+    * growing corpus: assign a NEW batch of vectors to the EXISTING
+    * (pinned) centroids and append them to the persisted inverted
+    * file, without retraining. This is how IVF indexes are actually
+    * operated at 100 TB (FAISS `add` after `train`): the quantizer is
+    * frozen, so old cell assignments never change, queries see old
+    * and new vectors identically, and the append writes only the new
+    * batch's cells (dynamic partition overwrite is NOT needed —
+    * parquet append into the partitioned layout). Quantizer drift
+    * under distribution shift is the operator's documented trade-off;
+    * the rebuild threshold is an ops decision, not an engine one.
+    * Determinism contract identical to [[build]]'s assignment. */
+  def append(spark: org.apache.spark.sql.SparkSession, path: String,
+      newEmb: DataFrame): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    assign(newEmb, cents)
+      .repartition(col("cell")).write.mode("append")
+      .partitionBy("cell").parquet(s"$path/cells")
+    // drop any memoized handle for this path: its file listing is stale
+    loadedIdx.filterInPlace { case ((_, p), _) => p != path }
+  }
+
   /** Top-k neighbors for each query vector (columns `vec_id`,
     * `embedding`): probe the nprobe nearest cells, exact cosine only
     * there, scores rounded to 4dp for stable cross-engine ranking. */

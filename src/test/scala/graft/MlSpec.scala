@@ -108,6 +108,36 @@ class MlSpec extends AnyFunSuite {
       s"expected dynamic partition pruning on the cells scan:\n$plan")
   }
 
+  test("IvfIndex.append: frozen quantizer — appended index answers like in-memory union") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding"))
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 5 === 0)
+    val index = graft.ml.IvfIndex.build(old, nCells = 16, lloydIters = 1)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    graft.ml.IvfIndex.save(index, tmp)
+    graft.ml.IvfIndex.append(spark, tmp, fresh)
+    val loaded = graft.ml.IvfIndex.load(spark, tmp)
+    // nothing lost, nothing duplicated
+    assert(loaded.cells.count() == emb.count())
+    // old vectors' assignments are untouched by the append (frozen quantizer)
+    val oldCells = index.cells.select(col("vec_id"), col("cell"))
+    val after = loaded.cells.select(col("vec_id"), col("cell").as("cell2"))
+    assert(oldCells.join(after, "vec_id")
+      .filter(col("cell") =!= col("cell2")).count() == 0)
+    // queries against the appended on-disk index match an in-memory
+    // index built from the same frozen centroids over old ∪ new
+    val inMem = graft.ml.IvfIndex.Index(index.centroids,
+      index.cells.union(graft.ml.IvfIndex.assign(fresh, index.centroids)))
+    val queries = emb.filter(col("vec_id") < 5)
+    val a = graft.ml.IvfIndex.query(loaded, queries, nprobe = 4, topK = 10)
+      .orderBy("qid", "rk").collect().toSeq
+    val b = graft.ml.IvfIndex.query(inMem, queries, nprobe = 4, topK = 10)
+      .orderBy("qid", "rk").collect().toSeq
+    assert(a == b)
+  }
+
   test("nprobe=2 SemDeDup candidates: superset of single-cell, recall vs brute truth") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorExpressions.cosineSim
