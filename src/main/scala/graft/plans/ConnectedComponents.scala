@@ -53,8 +53,15 @@ object ConnectedComponents {
     * (columns `src`, `dst`, either orientation), plus the number of
     * rounds the loop ran. Isolated nodes label themselves. */
   def minLabelWithRounds(nodes: DataFrame, edges: DataFrame): (DataFrame, Int) = {
+    // Pre-partition the adjacency on the per-round join key BEFORE
+    // checkpointing: localCheckpoint preserves the physical
+    // outputPartitioning in its LogicalRDD, so every round's
+    // adj ⋈ labels probe sees the (typically larger) adjacency side
+    // already hashed on `dst` and skips re-shuffling it — one fewer
+    // exchange of the edge list per round, every round.
     val adj = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint()
     var labels = nodes.select(col("id"))
       .withColumn("label", col("id")).localCheckpoint()
