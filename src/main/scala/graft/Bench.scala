@@ -171,7 +171,8 @@ object Bench {
       "x33_substring_dedup", "x34_filtered_ann", "x35_semantic_dedup",
       "x36_train_split", "x37_funnel_by_source", "x38_length_histogram",
       "x39_unigram_logppl", "x32b_quality_ingest", "x35b_semdedup_nprobe2",
-      "a20b_percentiles_approx", "x40_bigram_logppl")
+      "a20b_percentiles_approx", "x40_bigram_logppl",
+      "x41_gopher_dup_ngrams")
     val qmap = perQuery.toMap
     // Sentinel block appended to both the file and the contract line:
     // "protocol" names the measurement (min over `repeat` timed passes

@@ -49,11 +49,21 @@ object MlEtl {
     * fitted point. Remaining fidelity delta vs Prophet: one knot
     * instead of L1-regularized many, and no MAP smoothing. */
   val m1Forecast: Q = (s, d) => {
-    val monthly = Tables.orders(s, d)
-      .groupBy(year(col("o_orderdate")).as("ano"), month(col("o_orderdate")).as("mes"))
-      .agg(sum(dec2(col("o_totalprice"))).as("total_dec"))
-      .withColumn("t", (col("ano") - 1995) * 12 + col("mes") - 1)
-      .withColumn("yc", (col("total_dec") * 100).cast("long"))
+    // The monthly series is referenced by four downstream stages
+    // (bounds, candidate knots, per-knot moments, the fit) and a
+    // DataFrame re-executes its whole plan per reference — four scans
+    // of orders for an ≤O(100)-row series. Pin it as a driver-local
+    // relation (the IvfIndex.pin pattern for provably tiny frames):
+    // ONE orders aggregate, then every stage reads local rows.
+    val monthly = {
+      val m = Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("ano"), month(col("o_orderdate")).as("mes"))
+        .agg(sum(dec2(col("o_totalprice"))).as("total_dec"))
+        .withColumn("t", (col("ano") - 1995) * 12 + col("mes") - 1)
+        .withColumn("yc", (col("total_dec") * 100).cast("long"))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(m.collect().toSeq.asJava, m.schema)
+    }
     def d2(c: Column) = c.cast("double")
     val bounds = monthly.agg(min(col("t")).as("tmin"), max(col("t")).as("tmax"))
     val cands = monthly.select(col("t").as("c")).crossJoin(broadcast(bounds))

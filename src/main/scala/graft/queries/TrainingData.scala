@@ -521,6 +521,29 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** X41: the second Gopher repetition filter (Rae et al. publish a
+    * SUITE: x19 carries "top n-gram share", this carries "fraction of
+    * tokens in duplicate n-grams" — a doc can pass one and fail the
+    * other, e.g. many distinct phrases each repeated twice). Per doc:
+    * the share of all 3-gram slots taken by 3-grams occurring ≥2×
+    * WITHIN that doc. Same two map-side-combinable shuffles as x19
+    * ((doc, gram) counts → per-doc sums); nothing global, nothing
+    * beyond the doc's own gram table. Docs with <3 tokens have no
+    * 3-gram and drop out (inner semantics, like x19). */
+  val x41GopherDupNgrams: Q = (s, d) => {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(allShinglesOfToks(col("toks"), 3)).as("g"))
+    grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("total_3grams"),
+        sum(when(col("c") >= 2, col("c")).otherwise(lit(0))).as("dup_3gram_n"))
+      .withColumn("dup_ratio",
+        col("dup_3gram_n").cast("double") / col("total_3grams"))
+      .withColumn("repetitive", col("dup_ratio") > 0.3)
+      .orderBy(col("doc_id"))
+  }
+
   /** X20: benchmark decontamination — flag training docs sharing any
     * distinct word 3-gram with the eval set (doc_id < 50 here; a real
     * pipeline swaps in the benchmark corpus). The eval side is tiny by
@@ -1105,7 +1128,10 @@ object TrainingData {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
     val cnt = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
-    val tot = tok.agg(count(lit(1)).as("n"))
+    // corpus token total = Σ vocabulary counts — derived from `cnt`
+    // instead of a THIRD tokenize+explode pass over the corpus (each
+    // DataFrame reference re-executes its plan; same value exactly)
+    val tot = cnt.agg(sum(col("c")).as("n"))
     tok.join(cnt, Seq("token"))
       .crossJoin(broadcast(tot))
       .withColumn("lp_q",
@@ -1151,6 +1177,7 @@ object TrainingData {
   }
 
   val defs: Map[String, Q] = Map(
+    "x41_gopher_dup_ngrams" -> x41GopherDupNgrams,
     "x40_bigram_logppl" -> x40BigramLogppl,
     "x39_unigram_logppl" -> x39UnigramLogppl,
     "x38_length_histogram" -> x38LengthHistogram,
@@ -1546,6 +1573,21 @@ object TrainingData {
       UNION ALL SELECT 4, 'dedup_exato', (SELECT COUNT(*) FROM s3)
       UNION ALL SELECT 5, 'amostra', (SELECT COUNT(*) FROM s4)
       ORDER BY ordem""",
+    "x41_gopher_dup_ngrams" -> """
+      WITH tk AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      grams AS (SELECT doc_id,
+          unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g FROM tk),
+      counts AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+      SELECT doc_id,
+        CAST(SUM(c) AS BIGINT) AS total_3grams,
+        CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_3gram_n,
+        CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+          / CAST(SUM(c) AS BIGINT) AS dup_ratio,
+        (CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+          / CAST(SUM(c) AS BIGINT)) > 0.3 AS repetitive
+      FROM counts GROUP BY doc_id ORDER BY doc_id""",
     "x40_bigram_logppl" -> """
       WITH tk AS (SELECT doc_id,
           regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),

@@ -288,6 +288,19 @@ class EngineSpec extends AnyFunSuite {
     assert(m2 < m1, s"bigram mean $m2 not below unigram mean $m1")
   }
 
+  test("duplicate-3gram fraction conserves gram counts and bounds the ratio") {
+    val out = TrainingData.x41GopherDupNgrams(spark, sf)
+    assert(out.filter(col("dup_ratio") < 0 || col("dup_ratio") > 1).count() == 0)
+    assert(out.filter(col("dup_3gram_n") > col("total_3grams")).count() == 0)
+    // a doc with n tokens has exactly n-2 3-gram slots; <3-token docs absent
+    val bad = out.join(Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.text.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n")), "doc_id")
+      .filter(col("total_3grams") =!= col("n") - 2).count()
+    assert(bad == 0, "total_3grams != n_tok - 2 for some doc")
+  }
+
   test("length histogram conserves docs and tokens per source") {
     val out = TrainingData.x38LengthHistogram(spark, sf)
     val expect = Tables.documents(spark, sf)
