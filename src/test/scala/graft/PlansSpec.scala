@@ -131,6 +131,18 @@ class PlansSpec extends AnyFunSuite {
       s"label predicate should appear in PushedFilters:\n$plan")
   }
 
+  test("x32b never reads text: both staged scans are column-pruned") {
+    // The single-scan calibration's whole point: quality is an ingest
+    // column, so neither the histogram pass nor the filter pass may
+    // read `text` (or re-derive the score) from the staged corpus.
+    val plan = graft.queries.TrainingData.defs("x32b_quality_ingest")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.nonEmpty, s"no parquet scans in plan:\n$plan")
+    assert(scans.forall(!_.contains("text")),
+      s"a staged scan still reads text:\n${scans.mkString("\n")}")
+  }
+
   test("tf-idf broadcasts the vocabulary-sized df side (AQE, no hint)") {
     // no explicit broadcast hint on the df join (a 100 TB vocabulary
     // can exceed broadcast limits) — AQE must still pick broadcast at
