@@ -1123,7 +1123,14 @@ object TrainingData {
     * LN agree only to ~1 ulp, and a probability landing on a
     * quantization boundary would flip a fine-grained floor — 100×
     * fewer boundary events at this granularity, same 4dp contract as
-    * x30). */
+    * x30). The FINAL per-doc mean rounds at INTEGER scale then
+    * divides by 1e4 — never `round(x, 4)` of the tiny quotient:
+    * a .5 at integer scale is exactly representable in binary, so
+    * Spark (which rounds the shortest-decimal repr) and DuckDB
+    * (which rounds the raw double) agree; at 4dp the boundary
+    * 0.00005 is NOT representable and an exact-rational hit like
+    * sum=-1488/n=32 = -0.00465 rounds -0.0047 in Spark but -0.0046
+    * in DuckDB (x42 caught this live at sf0.01). */
   val x39UnigramLogppl: Q = (s, d) => {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
@@ -1138,7 +1145,7 @@ object TrainingData {
         round(-log(col("c").cast("double") / col("n")) * 1e4, 0).cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"),
-        round(sum(col("lp_q")).cast("double") / (count(lit(1)) * 1e4), 4)
+        (round(sum(col("lp_q")).cast("double") / count(lit(1)), 0) / 1e4)
           .as("ppl_proxy"))
       .orderBy(col("doc_id"))
   }
@@ -1171,12 +1178,88 @@ object TrainingData {
         round(-log(col("c2").cast("double") / col("c1")) * 1e4, 0).cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("lp_q")).cast("double") / (count(lit(1)) * 1e4), 4)
+        (round(sum(col("lp_q")).cast("double") / count(lit(1)), 0) / 1e4)
           .as("ppl2_proxy"))
       .orderBy(col("doc_id"))
   }
 
+  /** X42: DSIR-style importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling") —
+    * score every raw document by how much more likely its tokens are
+    * under a TARGET-domain unigram LM (here `lang = 'en'`, the
+    * curation target) than under the raw-corpus LM: per-doc mean of
+    * ln p̂_target(w) − ln p̂_raw(w) with add-1 smoothing over the
+    * shared vocabulary. Positive weight ⇒ the doc "looks like" the
+    * target domain and survives importance resampling; the ranking
+    * is exactly DSIR's (hashed-)n-gram importance estimator at n=1.
+    * Scale shape: both count tables are map-side-combinable
+    * aggregates over one tokenize pass; the per-token log-ratio
+    * lives on the VOCABULARY (≪ corpus, AQE-broadcasts into the
+    * scoring join like x39's); the corpus is scanned twice —
+    * count-then-score, the same inherent two-pass as x32, staged as
+    * an ingest column at 100 TB. Determinism contract as x39/x40:
+    * the ratio is a quotient of exact integer products (< 2⁵³, so
+    * the doubles are exact), ONE ln per vocab row, quantized to
+    * 1e-4 units via ROUND, order-free integer sum per doc. */
+  val x42DsirWeights: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(wsTokens(col("text"))).as("token"))
+    val raw = tok.groupBy(col("token")).agg(count(lit(1)).as("c_r"))
+    val tgt = tok.filter(col("lang") === "en")
+      .groupBy(col("token")).agg(count(lit(1)).as("c_t"))
+    // corpus/target token totals and vocab size — derived from the
+    // count tables (1-row, broadcast), not a re-scan of the corpus
+    val tots = raw.agg(sum(col("c_r")).as("n_r"), count(lit(1)).as("v"))
+      .crossJoin(tgt.agg(sum(col("c_t")).as("n_t")))
+    val vocab = raw.join(tgt, Seq("token"), "left")
+      .crossJoin(broadcast(tots))
+      .withColumn("lp_q", round(log(
+        ((coalesce(col("c_t"), lit(0L)) + 1) * (col("n_r") + col("v"))).cast("double")
+          / ((col("c_r") + 1) * (col("n_t") + col("v")))) * 1e4, 0).cast("long"))
+    tok.join(vocab.select(col("token"), col("lp_q")), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        (round(sum(col("lp_q")).cast("double") / count(lit(1)), 0) / 1e4)
+          .as("dsir_weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X43: int8 scalar quantization of the embedding column — the
+    * standard 4× memory/IO reduction that makes a 100 TB ANN corpus
+    * servable (FAISS's SQ8; per-vector symmetric scale
+    * s = max|xᵢ|/127, qᵢ = round(xᵢ/s) ∈ [−127,127]). Emits the
+    * per-vector scale, the exact integer checksum of the codes
+    * (order-free determinism anchor) and the max absolute
+    * reconstruction error |x − q·s| — the bound a recall SLA is
+    * priced against (≤ s/2 by construction, asserted in the spec).
+    * Scale shape: embarrassingly row-local (one narrow projection,
+    * no shuffle but the final diagnostic sort); at 100 TB this is
+    * the map stage that writes the quantized serving copy, and the
+    * error column is the per-row audit that ships with it.
+    * Determinism: float→double widening is exact, products/quotients
+    * are IEEE-identical cross-engine (the x5/x12 proof), ROUND at
+    * integral/6dp boundaries; the only transcendental-free x-op
+    * oracle. Zero-norm vectors have no scale and drop out (inner
+    * semantics of the WHERE mx > 0 guard, mirrored in the oracle). */
+  val x43EmbedQuantize: Q = (s, d) => {
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("mx") > 0)
+      .withColumn("q", transform(col("v"),
+        x => round(x * 127 / col("mx"), 0).cast("int")))
+      .select(col("vec_id"),
+        round(col("mx"), 6).as("q_scale_x127"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_checksum"),
+        round(array_max(zip_with(col("v"), col("q"),
+          (x, q) => abs(x - q * col("mx") / 127))), 6).as("max_abs_err"))
+      .orderBy(col("vec_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x43_embed_quantize" -> x43EmbedQuantize,
+    "x42_dsir_weights" -> x42DsirWeights,
     "x41_gopher_dup_ngrams" -> x41GopherDupNgrams,
     "x40_bigram_logppl" -> x40BigramLogppl,
     "x39_unigram_logppl" -> x39UnigramLogppl,
@@ -1573,6 +1656,41 @@ object TrainingData {
       UNION ALL SELECT 4, 'dedup_exato', (SELECT COUNT(*) FROM s3)
       UNION ALL SELECT 5, 'amostra', (SELECT COUNT(*) FROM s4)
       ORDER BY ordem""",
+    "x42_dsir_weights" -> """
+      WITH tok AS (
+        SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents),
+      raw AS (SELECT token, COUNT(*) AS c_r FROM tok GROUP BY token),
+      tgt AS (SELECT token, COUNT(*) AS c_t FROM tok WHERE lang = 'en' GROUP BY token),
+      tots AS (SELECT (SELECT SUM(c_r) FROM raw) AS n_r,
+                      (SELECT COUNT(*) FROM raw) AS v,
+                      (SELECT SUM(c_t) FROM tgt) AS n_t),
+      vocab AS (SELECT token,
+          CAST(ROUND(LN(CAST((COALESCE(c_t, 0) + 1) * (n_r + v) AS DOUBLE)
+              / ((c_r + 1) * (n_t + v))) * 1e4, 0) AS BIGINT) AS lp_q
+        FROM raw LEFT JOIN tgt USING (token) CROSS JOIN tots)
+      SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_tok,
+        ROUND(CAST(SUM(lp_q) AS DOUBLE) / COUNT(*), 0) / 1e4 AS dsir_weight
+      FROM tok JOIN vocab USING (token)
+      GROUP BY doc_id
+      ORDER BY doc_id""",
+    "x43_embed_quantize" -> """
+      WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      m AS (SELECT vec_id, v,
+          list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
+      q AS (SELECT vec_id, v, mx,
+          list_transform(v, x -> CAST(ROUND(x * 127 / mx, 0) AS INTEGER)) AS q
+        FROM m WHERE mx > 0)
+      SELECT vec_id,
+        ROUND(mx, 6) AS q_scale_x127,
+        CAST(list_sum(q) AS BIGINT) AS q_checksum,
+        ROUND(list_max(list_transform(list_zip(v, q),
+          p -> abs(p[1] - CAST(p[2] AS DOUBLE) * mx / 127))), 6) AS max_abs_err
+      FROM q
+      ORDER BY vec_id""",
     "x41_gopher_dup_ngrams" -> """
       WITH tk AS (SELECT doc_id,
           regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
@@ -1601,7 +1719,7 @@ object TrainingData {
       SELECT doc_id,
         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         ROUND(CAST(SUM(CAST(ROUND(-LN(CAST(c2 AS DOUBLE) / c1) * 1e4, 0)
-            AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1e4), 4) AS ppl2_proxy
+            AS BIGINT)) AS DOUBLE) / COUNT(*), 0) / 1e4 AS ppl2_proxy
       FROM bi JOIN cnt2 USING (g) JOIN uni USING (w1)
       GROUP BY doc_id
       ORDER BY doc_id""",
@@ -1614,7 +1732,7 @@ object TrainingData {
       SELECT doc_id,
         CAST(COUNT(*) AS BIGINT) AS n_tok,
         ROUND(CAST(SUM(CAST(ROUND(-LN(CAST(c AS DOUBLE) / n) * 1e4, 0) AS BIGINT))
-            AS DOUBLE) / (COUNT(*) * 1e4), 4) AS ppl_proxy
+            AS DOUBLE) / COUNT(*), 0) / 1e4 AS ppl_proxy
       FROM tok JOIN cnt USING (token) CROSS JOIN tot
       GROUP BY doc_id
       ORDER BY doc_id""",

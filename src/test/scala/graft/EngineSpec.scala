@@ -301,6 +301,37 @@ class EngineSpec extends AnyFunSuite {
     assert(bad == 0, "total_3grams != n_tok - 2 for some doc")
   }
 
+  test("DSIR weights rank target-domain docs above the rest on average") {
+    val out = TrainingData.x42DsirWeights(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("lang")), "doc_id")
+    // the target LM is fit ON the en slice, so en docs must score
+    // higher under ln p_target - ln p_raw in expectation
+    val Array(enAvg, restAvg) = Seq("lang = 'en'", "lang <> 'en'").map(p =>
+      out.filter(p).agg(avg(col("dsir_weight"))).collect()(0).getDouble(0)).toArray
+    assert(enAvg > restAvg,
+      s"target-domain mean $enAvg not above off-domain mean $restAvg")
+    // conservation: weights are per-token means over the doc's tokens
+    val bad = out.join(Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.text.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n")), "doc_id")
+      .filter(col("n_tok") =!= col("n")).count()
+    assert(bad == 0, "per-doc token count disagrees with the tokenizer")
+  }
+
+  test("int8 quantization error stays under half a code step") {
+    val out = TrainingData.x43EmbedQuantize(spark, sf)
+    assert(out.count() == Tables.embeddings(spark, sf).count(),
+      "a vector dropped out (zero-norm guard should not fire on the fixture)")
+    // symmetric SQ8: |x - q*s| <= s/2 where the code step s = mx/127;
+    // allow the 6dp output rounding on both columns
+    val bad = out.filter(
+      col("max_abs_err") > col("q_scale_x127") / 127 / 2 + lit(1e-6)).count()
+    assert(bad == 0, "reconstruction error exceeds half a code step")
+    // codes are bounded: the checksum of 64 codes in [-127,127]
+    assert(out.filter(abs(col("q_checksum")) > 127L * 4096).count() == 0)
+  }
+
   test("length histogram conserves docs and tokens per source") {
     val out = TrainingData.x38LengthHistogram(spark, sf)
     val expect = Tables.documents(spark, sf)
