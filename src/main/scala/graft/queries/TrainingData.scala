@@ -1257,7 +1257,85 @@ object TrainingData {
       .orderBy(col("vec_id"))
   }
 
+  /** X44: vocabulary coverage curve — for tokenizer-budget cutoffs
+    * k ∈ {100, 1000, 10000}, the fraction of all corpus token
+    * OCCURRENCES covered by the k most frequent token TYPES (the
+    * Zipf curve a BPE vocab size is priced against). Scale shape:
+    * the token counts are one map-side-combinable pass (x9's
+    * shuffle); the curve is then computed on the COUNT HISTOGRAM
+    * (distinct count values — thousands of rows even at 100 TB, by
+    * Zipf), NOT by a global row_number over the vocabulary, which
+    * would be a single-partition window over maybe 10⁸ rows. All
+    * tokens sharing a count are interchangeable, so a rank cutoff
+    * that lands inside a count-group contributes (k − tokens_before)
+    * × count regardless of tie order — the curve is well-defined and
+    * deterministic with no token-level ordering at all. The window
+    * runs on the histogram (months-sized frame rule,
+    * Windows.scala:9). Determinism: integer masses, one double
+    * quotient, integer-scale round ([[x39UnigramLogppl]] rule). */
+  val x44VocabCoverage: Q = (s, d) => {
+    val cnt = Tables.documents(s, d)
+      .select(explode(wsTokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val hist = cnt.groupBy(col("c"))
+      .agg(count(lit(1)).as("n"), (col("c") * count(lit(1))).as("tok_mass"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc)
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("cum_after", sum(col("n")).over(w))
+      .withColumn("cum_prev", col("cum_after") - col("n"))
+    val tot = hist.agg(sum(col("tok_mass")).as("total_tok"),
+      sum(col("n")).as("total_vocab"))
+    val ks = s.range(1, 2).select(explode(array(lit(100), lit(1000), lit(10000))).as("k"))
+    ks.join(cum, col("cum_prev") < col("k"))
+      .groupBy(col("k"))
+      .agg(sum(when(col("cum_after") <= col("k"), col("tok_mass"))
+        .otherwise((col("k") - col("cum_prev")) * col("c"))).as("covered_tok"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"),
+        least(col("k").cast("long"), col("total_vocab")).as("vocab_k"),
+        col("covered_tok").cast("long").as("covered_tok"),
+        (round(col("covered_tok").cast("double") * 1e4
+          / col("total_tok").cast("double"), 0) / 1e4).as("coverage"))
+      .orderBy(col("k"))
+  }
+
+  /** X45: per-cluster embedding diversity — for each `label` (the
+    * cluster id on the embeddings fixture), the mean pairwise
+    * squared L2 distance between member vectors, via the identity
+    * Σᵢⱼ‖xᵢ−xⱼ‖²/n² = 2·Σ_d (n·Σᵢq²ᵢd − (Σᵢqᵢd)²)/n² — a
+    * cluster-compactness audit that prices SemDeDup cell sizes and
+    * flags collapsed (near-duplicate) clusters without materializing
+    * any pair. Scale shape: posexplode to (label, dim) partial sums
+    * — one map-side-combinable shuffle on a key space of
+    * |labels|×dim; NO pairwise join anywhere, so a 10⁹-vector
+    * cluster costs the same two aggregations as a 10³ one.
+    * Determinism: components quantized to integers at 1e-6
+    * (float→double widening exact, one IEEE multiply, integer-scale
+    * round); all sums are int64 (exact, order-free); the one final
+    * int64→double conversion rounds identically in both engines;
+    * integer-scale round at 1e-6 on the output. */
+  val x45ClusterDiversity: Q = (s, d) => {
+    val q = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("q", round(col("x").cast("double") * 1e6, 0).cast("long"))
+    val perDim = q.groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+        sum(col("q") * col("q")).as("ss"))
+    perDim.groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        sum(col("n") * col("ss") - col("s") * col("s")).as("m2"))
+      .select(col("label"), col("n_vecs"),
+        (round(col("m2").cast("double") * 2e6
+          / (col("n_vecs") * col("n_vecs")).cast("double") / 1e12, 0) / 1e6)
+          .as("mean_pair_sqdist"))
+      .orderBy(col("label"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x45_cluster_diversity" -> x45ClusterDiversity,
+    "x44_vocab_coverage" -> x44VocabCoverage,
     "x43_embed_quantize" -> x43EmbedQuantize,
     "x42_dsir_weights" -> x42DsirWeights,
     "x41_gopher_dup_ngrams" -> x41GopherDupNgrams,
@@ -1656,6 +1734,51 @@ object TrainingData {
       UNION ALL SELECT 4, 'dedup_exato', (SELECT COUNT(*) FROM s3)
       UNION ALL SELECT 5, 'amostra', (SELECT COUNT(*) FROM s4)
       ORDER BY ordem""",
+    "x44_vocab_coverage" -> """
+      WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents),
+      cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+      hist AS (SELECT c, COUNT(*) AS n, c * COUNT(*) AS tok_mass
+        FROM cnt GROUP BY c),
+      cum AS (SELECT c, n, tok_mass,
+          SUM(n) OVER (ORDER BY c DESC
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_after,
+          SUM(n) OVER (ORDER BY c DESC
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS cum_prev
+        FROM hist),
+      tot AS (SELECT CAST(SUM(tok_mass) AS BIGINT) AS total_tok,
+        CAST(SUM(n) AS BIGINT) AS total_vocab FROM hist),
+      ks AS (SELECT * FROM (VALUES (100), (1000), (10000)) t(k))
+      SELECT k,
+        LEAST(CAST(k AS BIGINT), (SELECT total_vocab FROM tot)) AS vocab_k,
+        CAST(SUM(CASE WHEN cum_after <= k THEN tok_mass
+          ELSE (k - cum_prev) * c END) AS BIGINT) AS covered_tok,
+        ROUND(CAST(SUM(CASE WHEN cum_after <= k THEN tok_mass
+            ELSE (k - cum_prev) * c END) AS DOUBLE) * 1e4
+          / CAST((SELECT total_tok FROM tot) AS DOUBLE), 0) / 1e4 AS coverage
+      FROM ks JOIN cum ON cum_prev < k
+      GROUP BY k
+      ORDER BY k""",
+    "x45_cluster_diversity" -> """
+      WITH q AS (
+        SELECT label,
+          unnest(range(1, len(embedding) + 1)) AS dim,
+          unnest(embedding) AS x
+        FROM embeddings),
+      qq AS (SELECT label, dim,
+          CAST(ROUND(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT) AS q FROM q),
+      per_dim AS (SELECT label, dim, COUNT(*) AS n,
+          SUM(q) AS s, SUM(q * q) AS ss
+        FROM qq GROUP BY label, dim),
+      agg AS (SELECT label, MAX(n) AS n_vecs,
+          SUM(n * ss - s * s) AS m2
+        FROM per_dim GROUP BY label)
+      SELECT label, n_vecs,
+        ROUND(CAST(m2 AS DOUBLE) * 2e6
+          / CAST(n_vecs * n_vecs AS DOUBLE) / 1e12, 0) / 1e6 AS mean_pair_sqdist
+      FROM agg
+      ORDER BY label""",
     "x42_dsir_weights" -> """
       WITH tok AS (
         SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS token

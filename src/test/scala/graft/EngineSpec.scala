@@ -435,6 +435,50 @@ class EngineSpec extends AnyFunSuite {
     assert(!inverted)
   }
 
+  test("vocab coverage curve is monotone and conserves token mass") {
+    val rows = TrainingData.x44VocabCoverage(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(100, 1000, 10000))
+    val totalTok = Tables.documents(spark, sf)
+      .select(explode(graft.text.TextFunctions.wsTokens(col("text"))))
+      .count()
+    // coverage rises with k; covered mass never exceeds the corpus
+    assert(rows.map(_.getDouble(3)).sliding(2).forall(p => p(0) <= p(1)))
+    assert(rows.forall(r => r.getLong(2) <= totalTok))
+    // a cutoff at/above the whole vocabulary covers every occurrence
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(graft.text.TextFunctions.wsTokens(col("text"))).as("t"))
+      .distinct().count()
+    rows.filter(_.getInt(0) >= vocab)
+      .foreach(r => assert(r.getLong(2) == totalTok && r.getDouble(3) == 1.0))
+    // partial-group interpolation: vocab_k tokens can't cover more
+    // than vocab_k * max_count occurrences
+    val maxC = Tables.documents(spark, sf)
+      .select(explode(graft.text.TextFunctions.wsTokens(col("text"))).as("t"))
+      .groupBy("t").count().agg(max("count")).collect()(0).getLong(0)
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1) * maxC))
+  }
+
+  test("cluster diversity matches the brute-force pairwise mean") {
+    val out = TrainingData.x45ClusterDiversity(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for ((label, xs) <- vecs) {
+      val n = xs.length
+      // mean over ALL ordered pairs incl. self (the n² identity form)
+      val brute = (for (a <- xs; b <- xs) yield
+        a.zip(b).map { case (u, v) => (u - v) * (u - v) }.sum).sum / (n.toDouble * n)
+      val (nOut, div) = out(label)
+      assert(nOut == n)
+      // 1e-6 component quantization perturbs a squared distance of
+      // O(1) by O(1e-5); output rounding adds 1e-6
+      assert(math.abs(div - brute) < 5e-4,
+        s"label $label: query $div vs brute-force $brute")
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

@@ -148,12 +148,24 @@ class PlansSpec extends AnyFunSuite {
     // can exceed broadcast limits) — AQE must still pick broadcast at
     // fixture scale from runtime stats, so execute first, then read
     // the finalized adaptive plan
-    for (name <- Seq("x30_tfidf_topk", "x39_unigram_logppl")) {
+    for (name <- Seq("x30_tfidf_topk", "x39_unigram_logppl", "x42_dsir_weights")) {
       val q = graft.queries.TrainingData.defs(name)(spark, sf)
       q.count()
       val plan = q.queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
         s"$name vocabulary join should broadcast:\n$plan")
     }
+  }
+
+  test("int8 quantization is row-local: only the final sort exchanges") {
+    // x43 is the map stage that writes the quantized serving copy at
+    // 100 TB — any shuffle beyond the diagnostic output sort would
+    // mean the quantizer itself doesn't scale embarrassingly
+    val q = graft.queries.TrainingData.defs("x43_embed_quantize")(spark, sf)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"x43 should shuffle only for the output sort:\n${exchanges.mkString("\n")}")
   }
 }
