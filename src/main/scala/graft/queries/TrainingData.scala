@@ -1333,7 +1333,55 @@ object TrainingData {
       .orderBy(col("label"))
   }
 
+  /** X46: embedding covariance matrix — the d×d (upper-triangle)
+    * sample covariance of the corpus embeddings via the one-pass
+    * Gram identity Cov_ij = (n·Σq_iq_j − S_iS_j)/n², the precursor
+    * every PCA / whitening / mahalanobis-outlier stage needs before
+    * touching 100 TB of vectors. Scale shape: NO self-join — the
+    * pair space is generated row-locally by chaining two posexplodes
+    * (each exploded row carries the parent array), so the only
+    * shuffle is the map-side-combinable groupBy on (i, j) — a key
+    * space of d(d+1)/2 = 2080 cells at d=64 regardless of corpus
+    * size. The per-dim sums S_i are d rows — computed by a cheap
+    * single-explode pass and PINNED as a driver-local relation (the
+    * [[graft.ml.IvfIndex]] centroid pattern): Spark re-executes a
+    * lazy plan per reference, so joining the d²-explode aggregate to
+    * filtered views of ITSELF would run the expensive pass three
+    * times; pinning makes it run exactly once (plan-asserted: one
+    * embeddings scan). Determinism: [[x45ClusterDiversity]]
+    * contract — 1e-6 integer quantization, exact int64 sums (n·P and
+    * S_iS_j peak ~7e18 at sf0.1, inside int64; a 100 TB run promotes
+    * the accumulators to decimal(38,0)), one int64→double conversion,
+    * mirrored division order, integer-scale round at 1e-8. */
+  val x46EmbedCovariance: Q = (s, d) => {
+    import scala.jdk.CollectionConverters._
+    val n = Tables.embeddings(s, d).count()
+    // d rows after a d-explode (not d²) pass — collect + re-create as
+    // a local relation so the big pass below is the plan's only scan.
+    val sumsDf = Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("i", "xi")))
+      .withColumn("qi", round(col("xi").cast("double") * 1e6, 0).cast("long"))
+      .groupBy(col("i")).agg(sum(col("qi")).as("s_"))
+    val sums = s.createDataFrame(sumsDf.collect().toSeq.asJava, sumsDf.schema)
+    val pairs = Tables.embeddings(s, d)
+      .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
+      .withColumn("qi", round(col("xi").cast("double") * 1e6, 0).cast("long"))
+      .select(col("i"), col("qi"), posexplode(col("embedding")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .withColumn("qj", round(col("xj").cast("double") * 1e6, 0).cast("long"))
+    pairs.groupBy(col("i"), col("j"))
+      .agg(sum(col("qi") * col("qj")).as("p"))
+      .join(broadcast(sums.select(col("i"), col("s_").as("s_i"))), "i")
+      .join(broadcast(sums.select(col("i").as("j"), col("s_").as("s_j"))), "j")
+      .select(col("i"), col("j"),
+        (round((lit(n) * col("p") - col("s_i") * col("s_j")).cast("double") * 1e8
+          / lit(n).cast("double") / lit(n).cast("double") / 1e12, 0) / 1e8)
+          .as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x46_embed_covariance" -> x46EmbedCovariance,
     "x45_cluster_diversity" -> x45ClusterDiversity,
     "x44_vocab_coverage" -> x44VocabCoverage,
     "x43_embed_quantize" -> x43EmbedQuantize,
@@ -1760,6 +1808,33 @@ object TrainingData {
       FROM ks JOIN cum ON cum_prev < k
       GROUP BY k
       ORDER BY k""",
+    "x46_embed_covariance" -> """
+      WITH d1 AS (SELECT vec_id, embedding,
+          unnest(range(0, len(embedding))) AS i,
+          unnest(embedding) AS xi
+        FROM embeddings),
+      q1 AS (SELECT vec_id, embedding, i,
+          CAST(ROUND(CAST(xi AS DOUBLE) * 1e6, 0) AS BIGINT) AS qi FROM d1),
+      d2 AS (SELECT i, qi,
+          unnest(range(0, len(embedding))) AS j,
+          unnest(embedding) AS xj
+        FROM q1),
+      p2 AS (SELECT i, j, qi,
+          CAST(ROUND(CAST(xj AS DOUBLE) * 1e6, 0) AS BIGINT) AS qj
+        FROM d2 WHERE j >= i),
+      cells AS (SELECT i, j, CAST(SUM(qi * qj) AS BIGINT) AS p,
+          CAST(SUM(CASE WHEN j = i THEN qi END) AS BIGINT) AS s_diag
+        FROM p2 GROUP BY i, j),
+      nn AS (SELECT COUNT(*) AS n FROM embeddings),
+      sums AS (SELECT i AS d_, s_diag AS s_ FROM cells WHERE j = i)
+      SELECT cells.i, cells.j,
+        ROUND(CAST(nn.n * p - si.s_ * sj.s_ AS DOUBLE) * 1e8
+          / CAST(nn.n AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1e12, 0) / 1e8 AS cov
+      FROM cells
+      JOIN sums si ON si.d_ = cells.i
+      JOIN sums sj ON sj.d_ = cells.j
+      CROSS JOIN nn
+      ORDER BY cells.i, cells.j""",
     "x45_cluster_diversity" -> """
       WITH q AS (
         SELECT label,

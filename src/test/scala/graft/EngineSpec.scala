@@ -479,6 +479,27 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding covariance matches the brute-force matrix") {
+    val out = TrainingData.x46EmbedCovariance(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val xs = Tables.embeddings(spark, sf).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = xs.length
+    val dims = xs.head.length
+    assert(out.size == dims * (dims + 1) / 2, "upper triangle incomplete")
+    val mean = Array.tabulate(dims)(i => xs.map(_(i)).sum / n)
+    for (i <- 0 until dims; j <- i until dims) {
+      // biased (1/n) sample covariance, the n·P−S² identity's form
+      val brute = xs.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n
+      // 1e-6 quantization of components bounds the cov perturbation
+      // by ~2·max|x|·5e-7 per term; output rounds at 1e-8
+      assert(math.abs(out((i, j)) - brute) < 2e-6,
+        s"cov($i,$j): query ${out((i, j))} vs brute-force $brute")
+    }
+    // diagonal is a variance: never negative
+    assert((0 until dims).forall(i => out((i, i)) >= 0))
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

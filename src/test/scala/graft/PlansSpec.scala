@@ -168,4 +168,18 @@ class PlansSpec extends AnyFunSuite {
     assert(exchanges.forall(_.contains("rangepartitioning")),
       s"x43 should shuffle only for the output sort:\n${exchanges.mkString("\n")}")
   }
+
+  test("covariance generates pairs row-locally: no shuffle joins, one scan") {
+    // x46's pair space comes from chained generators, never a
+    // self-join of the exploded corpus; the d²-cell sums join only
+    // pinned driver-local sides — so the expensive d²-explode pass
+    // is the plan's ONLY corpus scan (the S_i sums are pre-collected)
+    val q = graft.queries.TrainingData.defs("x46_embed_covariance")(spark, sf)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"x46 should not shuffle-join:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"x46 should scan the corpus exactly once, saw $scans:\n$plan")
+  }
 }
