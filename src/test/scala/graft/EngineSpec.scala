@@ -500,6 +500,48 @@ class EngineSpec extends AnyFunSuite {
     assert((0 until dims).forall(i => out((i, i)) >= 0))
   }
 
+  test("source overlap: duplicate source reads 1.0, disjoint source reads low") {
+    import spark.implicits._
+    // B carries exactly A's texts (same shingle union ⇒ identical
+    // signature); C shares no token with either
+    val docs = ((0 until 10).map(i =>
+        (i.toLong, s"alpha beta gamma delta epsilon tok$i zeta eta", "srcA")) ++
+      (0 until 10).map(i =>
+        (100L + i, s"alpha beta gamma delta epsilon tok$i zeta eta", "srcB")) ++
+      (0 until 10).map(i =>
+        (200L + i, s"qa$i wb$i ec$i rd$i te$i yf$i ug$i ih$i", "srcC")))
+      .toDF("doc_id", "text", "source")
+    val out = graft.dedup.NearDup.sourceMinhashOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.size == 3)
+    assert(out(("srcA", "srcB")) == (16L, 1.0), "identical shingle unions must agree on every slot")
+    assert(out(("srcA", "srcC"))._2 < 0.5, "token-disjoint sources should rarely collide")
+    assert(out.values.forall { case (m, e) => m >= 0 && m <= 16 && e == m / 16.0 })
+  }
+
+  test("source overlap estimate tracks the exact shingle Jaccard on the fixture") {
+    val out = TrainingData.x47SourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val sets = Tables.documents(spark, sf).select(col("source"), col("text")).collect()
+      .groupBy(_.getString(0))
+      .map { case (src, rows) =>
+        src -> rows.flatMap(_.getString(1).trim.split("\\s+").toSeq
+          .sliding(3).filter(_.size == 3).map(_.mkString(" "))).toSet }
+      .filter(_._2.nonEmpty)
+    val srcs = sets.keys.toSeq.sorted
+    assert(out.size == srcs.size * (srcs.size - 1) / 2, "one row per source pair")
+    val devs = for (i <- srcs.indices; j <- i + 1 until srcs.size) yield {
+      val (sa, sb) = (sets(srcs(i)), sets(srcs(j)))
+      val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      math.abs(out((srcs(i), srcs(j))) - exact)
+    }
+    // k=16 slots ⇒ per-pair std ≈ 0.125; the fixture is deterministic
+    // so these are regression pins, sized fixture-robust (ADVICE r5)
+    assert(devs.max <= 0.6, s"worst pair deviates ${devs.max}")
+    assert(devs.sum / devs.size <= 0.2, s"mean deviation ${devs.sum / devs.size}")
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

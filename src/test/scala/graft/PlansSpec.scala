@@ -182,4 +182,18 @@ class PlansSpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(plan).length
     assert(scans == 1, s"x46 should scan the corpus exactly once, saw $scans:\n$plan")
   }
+
+  test("source overlap pairwise joins only pinned signatures") {
+    // x47 reduces the corpus to |sources|×k signature cells in one
+    // map-side-combinable pass, pins them driver-local, and the
+    // pairwise compare never touches data: the final plan has no
+    // parquet scan and no shuffle join at all
+    val q = graft.queries.TrainingData.defs("x47_source_overlap")(spark, sf)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"),
+      s"x47's pairwise stage should run on pinned signatures, not rescan the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"x47 should not shuffle-join:\n$plan")
+  }
 }
