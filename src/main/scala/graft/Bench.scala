@@ -172,7 +172,9 @@ object Bench {
       "x36_train_split", "x37_funnel_by_source", "x38_length_histogram",
       "x39_unigram_logppl", "x32b_quality_ingest", "x35b_semdedup_nprobe2",
       "a20b_percentiles_approx", "x40_bigram_logppl",
-      "x41_gopher_dup_ngrams", "x42_dsir_weights", "x43_embed_quantize")
+      "x41_gopher_dup_ngrams", "x42_dsir_weights", "x43_embed_quantize",
+      "x44_vocab_coverage", "x45_cluster_diversity", "x46_embed_covariance",
+      "x47_source_overlap", "x48_embed_correlation", "x49_pca_project")
     val qmap = perQuery.toMap
     // Sentinel block appended to both the file and the contract line:
     // "protocol" names the measurement (min over `repeat` timed passes

@@ -1385,7 +1385,7 @@ object TrainingData {
     * signatures ([[graft.dedup.NearDup.sourceMinhashOverlap]] — the
     * reusable facade carries the logic so the oracle covers library
     * code). The signature is ONE map-side-combinable aggregation
-    * (min-of-mins over per-row array folds) onto |sources|×k cells;
+    * (min of codegen-hashed shingles) onto |sources|×k cells;
     * the pairwise compare runs on the pinned driver-local signature
     * table, so corpus size only prices the single scan. Integer
     * hashes end-to-end + a power-of-two k make the estimate
@@ -1394,7 +1394,92 @@ object TrainingData {
     graft.dedup.NearDup.sourceMinhashOverlap(
       spread(s, Tables.documents(s, d)))
 
+  /** X48: embedding correlation matrix — Pearson corr_ij on the
+    * same one-pass Gram shape as [[x46EmbedCovariance]]:
+    * corr = (n·ΣQ_iQ_j − S_iS_j) / √((n·ΣQ_i² − S_i²)(n·ΣQ_j² − S_j²)),
+    * every moment an exact int64 from the 1e-6-quantized components.
+    * The d-row diagonal moments (S_i, ΣQ_i²) come from the cheap
+    * single-explode pass and are pinned driver-local, so — like
+    * x46 — the d²-explode is the plan's only corpus scan and the
+    * only shuffle is the (i,j) groupBy onto d(d+1)/2 cells.
+    * Determinism: numerator and variances are integer-exact; the
+    * one double step (quotient + IEEE-exact sqrt) is written
+    * identically in both engines (bit-identical per the m1
+    * piecewise-trend precedent), then rounded at 6dp. The diagonal
+    * is exactly 1 (√ of a perfect square); zero-variance dims yield
+    * NULL via nullif. */
+  val x48EmbedCorrelation: Q = (s, d) => {
+    import scala.jdk.CollectionConverters._
+    val n = Tables.embeddings(s, d).count()
+    val diagDf = Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("i", "xi")))
+      .withColumn("qi", round(col("xi").cast("double") * 1e6, 0).cast("long"))
+      .groupBy(col("i"))
+      .agg(sum(col("qi")).as("s_"), sum(col("qi") * col("qi")).as("p2"))
+      .select(col("i"), col("s_"), (lit(n) * col("p2") - col("s_") * col("s_")).as("v_"))
+    val diag = s.createDataFrame(diagDf.collect().toSeq.asJava, diagDf.schema)
+    val pairs = Tables.embeddings(s, d)
+      .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
+      .withColumn("qi", round(col("xi").cast("double") * 1e6, 0).cast("long"))
+      .select(col("i"), col("qi"), posexplode(col("embedding")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .withColumn("qj", round(col("xj").cast("double") * 1e6, 0).cast("long"))
+    pairs.groupBy(col("i"), col("j"))
+      .agg(sum(col("qi") * col("qj")).as("p"))
+      .join(broadcast(diag.select(col("i"), col("s_").as("s_i"), col("v_").as("v_i"))), "i")
+      .join(broadcast(diag.select(col("i").as("j"), col("s_").as("s_j"), col("v_").as("v_j"))), "j")
+      .select(col("i"), col("j"),
+        round((lit(n) * col("p") - col("s_i") * col("s_j")).cast("double")
+          / sqrt(nullif(col("v_i"), lit(0L)).cast("double")
+            * nullif(col("v_j"), lit(0L)).cast("double")), 6).as("corr"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** X49: PCA top-component projection — every vector's score along
+    * the corpus's first principal direction, the axis a whitening /
+    * outlier-trim / visualization stage needs. Factorization follows
+    * the k-means split ([[graft.ml.IvfIndex]]): the d×d covariance
+    * ([[x46EmbedCovariance]]'s plan, one d²-explode pass) collapses
+    * to the DRIVER, the eigensolve is 50 rounds of power iteration
+    * on 64×64 doubles (trivially driver-sized at ANY corpus scale —
+    * that's the point of the Gram identity), and only the embarrass-
+    * ingly-parallel projection runs distributed: a row-local ordered
+    * fold against the broadcast-literal eigenvector, no shuffle but
+    * the output sort. Oracle determinism: the covariance doubles are
+    * hash-proven identical cross-engine (x46), power iteration is
+    * +,×,÷,abs,max in the same order on both sides (bit-identical
+    * IEEE, the m1 precedent — max-abs normalization each round, so
+    * no transcendental until one final IEEE-exact sqrt), and the
+    * projection fold mirrors list_sum's left-to-right accumulation
+    * (the x5/x12 cosSql contract). */
+  val x49PcaProject: Q = (s, d) => {
+    val covRows = x46EmbedCovariance(s, d).collect()
+    val dims = covRows.iterator.map(_.getInt(1)).max + 1
+    val m = Array.ofDim[Double](dims, dims)
+    covRows.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      m(i)(j) = c; m(j)(i) = c
+    }
+    var v = Array.fill(dims)(1.0)
+    for (_ <- 0 until 50) {
+      val w = Array.tabulate(dims)(i =>
+        m(i).zip(v).map { case (a, b) => a * b }.sum)
+      val mx = w.map(math.abs).max
+      v = w.map(_ / mx)
+    }
+    val u = { val s2 = v.map(x => x * x).sum; v.map(_ / math.sqrt(s2)) }
+    val ulit = array(u.map(lit): _*)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        round(aggregate(
+          zip_with(col("embedding"), ulit, (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, x) => acc + x), 6).as("pc1_score"))
+      .orderBy(col("vec_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x49_pca_project" -> x49PcaProject,
+    "x48_embed_correlation" -> x48EmbedCorrelation,
     "x47_source_overlap" -> x47SourceOverlap,
     "x46_embed_covariance" -> x46EmbedCovariance,
     "x45_cluster_diversity" -> x45ClusterDiversity,
@@ -1823,6 +1908,86 @@ object TrainingData {
       FROM ks JOIN cum ON cum_prev < k
       GROUP BY k
       ORDER BY k""",
+    "x49_pca_project" -> """
+      WITH RECURSIVE d1 AS (SELECT vec_id, embedding,
+          unnest(range(0, len(embedding))) AS i,
+          unnest(embedding) AS xi
+        FROM embeddings),
+      q1 AS (SELECT vec_id, embedding, i,
+          CAST(ROUND(CAST(xi AS DOUBLE) * 1e6, 0) AS BIGINT) AS qi FROM d1),
+      d2 AS (SELECT i, qi,
+          unnest(range(0, len(embedding))) AS j,
+          unnest(embedding) AS xj
+        FROM q1),
+      p2 AS (SELECT i, j, qi,
+          CAST(ROUND(CAST(xj AS DOUBLE) * 1e6, 0) AS BIGINT) AS qj
+        FROM d2 WHERE j >= i),
+      cells AS (SELECT i, j, CAST(SUM(qi * qj) AS BIGINT) AS p,
+          CAST(SUM(CASE WHEN j = i THEN qi END) AS BIGINT) AS s_diag
+        FROM p2 GROUP BY i, j),
+      nn AS (SELECT COUNT(*) AS n FROM embeddings),
+      sums AS (SELECT i AS d_, s_diag AS s_ FROM cells WHERE j = i),
+      covq AS (SELECT cells.i, cells.j,
+          ROUND(CAST(nn.n * p - si.s_ * sj.s_ AS DOUBLE) * 1e8
+            / CAST(nn.n AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1e12, 0) / 1e8 AS cov
+        FROM cells
+        JOIN sums si ON si.d_ = cells.i
+        JOIN sums sj ON sj.d_ = cells.j
+        CROSS JOIN nn),
+      full_m AS (SELECT i, j, cov FROM covq
+        UNION ALL SELECT j AS i, i AS j, cov FROM covq WHERE i < j),
+      rows_m AS (SELECT i, list(cov ORDER BY j) AS r FROM full_m GROUP BY i),
+      mat AS (SELECT list(r ORDER BY i) AS m FROM rows_m),
+      it(k, v) AS (
+        -- CAST: a bare 1.0 literal is DECIMAL in DuckDB and would
+        -- run the whole iteration in decimal arithmetic
+        SELECT 0, list_transform(m[1], x -> CAST(1.0 AS DOUBLE)) FROM mat
+        UNION ALL
+        SELECT k + 1,
+          list_transform(w, x ->
+            x / list_max(list_transform(w, y -> abs(y))))
+        FROM (SELECT k,
+            list_transform(range(1, len(m) + 1), i ->
+              list_sum(list_transform(list_zip(m[i], v), p -> p[1] * p[2]))) AS w
+          FROM it, mat WHERE k < 50)),
+      fin AS (SELECT v FROM it WHERE k = 50),
+      uvec AS (SELECT list_transform(v, x ->
+          x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u FROM fin)
+      SELECT e.vec_id,
+        ROUND(list_sum(list_transform(list_zip(e.embedding, u.u),
+          p -> CAST(p[1] AS DOUBLE) * p[2])), 6) AS pc1_score
+      FROM embeddings e, uvec u
+      ORDER BY e.vec_id""",
+    "x48_embed_correlation" -> """
+      WITH d1 AS (SELECT vec_id, embedding,
+          unnest(range(0, len(embedding))) AS i,
+          unnest(embedding) AS xi
+        FROM embeddings),
+      q1 AS (SELECT vec_id, embedding, i,
+          CAST(ROUND(CAST(xi AS DOUBLE) * 1e6, 0) AS BIGINT) AS qi FROM d1),
+      nn AS (SELECT COUNT(*) AS n FROM embeddings),
+      diag AS (SELECT i, CAST(SUM(qi) AS BIGINT) AS s_,
+          nn.n * CAST(SUM(qi * qi) AS BIGINT)
+            - CAST(SUM(qi) AS BIGINT) * CAST(SUM(qi) AS BIGINT) AS v_
+        FROM q1 CROSS JOIN nn GROUP BY i, nn.n),
+      d2 AS (SELECT i, qi,
+          unnest(range(0, len(embedding))) AS j,
+          unnest(embedding) AS xj
+        FROM q1),
+      p2 AS (SELECT i, j, qi,
+          CAST(ROUND(CAST(xj AS DOUBLE) * 1e6, 0) AS BIGINT) AS qj
+        FROM d2 WHERE j >= i),
+      cells AS (SELECT i, j, CAST(SUM(qi * qj) AS BIGINT) AS p
+        FROM p2 GROUP BY i, j)
+      SELECT cells.i, cells.j,
+        ROUND(CAST(nn.n * p - di.s_ * dj.s_ AS DOUBLE)
+          / sqrt(CAST(NULLIF(di.v_, 0) AS DOUBLE)
+            * CAST(NULLIF(dj.v_, 0) AS DOUBLE)), 6) AS corr
+      FROM cells
+      JOIN diag di ON di.i = cells.i
+      JOIN diag dj ON dj.i = cells.j
+      CROSS JOIN nn
+      ORDER BY cells.i, cells.j""",
     "x47_source_overlap" -> {
       val params = graft.dedup.NearDup.minhashParams(16).zipWithIndex
         .map { case ((a, b), j) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }

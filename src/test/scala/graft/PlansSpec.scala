@@ -183,6 +183,30 @@ class PlansSpec extends AnyFunSuite {
     assert(scans == 1, s"x46 should scan the corpus exactly once, saw $scans:\n$plan")
   }
 
+  test("correlation shares covariance's shape: one scan, no shuffle joins") {
+    // x48's diagonal moments are pinned driver-local like x46's sums
+    val q = graft.queries.TrainingData.defs("x48_embed_correlation")(spark, sf)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"x48 should not shuffle-join:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"x48 should scan the corpus exactly once, saw $scans:\n$plan")
+  }
+
+  test("pca projection is a row-local fold: no joins, sort-only exchange") {
+    // the eigensolve happened on the driver; the distributed part is
+    // scan → project(ordered fold vs literal eigenvector) → sort
+    val q = graft.queries.TrainingData.defs("x49_pca_project")(spark, sf)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"x49 should not join:\n$plan")
+    val exchanges = plan.split("\n").filter(_.contains("Exchange"))
+      .filterNot(_.contains("BroadcastExchange"))
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"x49 should shuffle only for the output sort:\n${exchanges.mkString("\n")}")
+  }
+
   test("source overlap pairwise joins only pinned signatures") {
     // x47 reduces the corpus to |sources|×k signature cells in one
     // map-side-combinable pass, pins them driver-local, and the
