@@ -1477,7 +1477,69 @@ object TrainingData {
       .orderBy(col("vec_id"))
   }
 
+  /** X50: temperature-scaled source mixture weights — the UniMax /
+    * multilingual-sampling recipe: p_s ∝ tok_s^α with α = 1/2, plus
+    * the expected epochs each source runs at a one-epoch-equivalent
+    * token budget (epochs > 1 ⇒ the source repeats; the overfitting
+    * signal data schedulers balance against). One map-side-combinable
+    * count pass onto |sources| rows; the denominator Σ√tok_s is a
+    * DETERMINISTIC ordered fold over the pinned per-source table
+    * (sorted by source — a groupBy-sum of doubles would be partition-
+    * order-nondeterministic; the oracle mirrors with
+    * `list_sum(list(... ORDER BY source))`). √ is IEEE-exact, tokens
+    * are int64-exact, the two quotients are written identically in
+    * both engines. */
+  val x50MixtureWeights: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .groupBy(col("source")).agg(sum(tokenCount(col("text"))).as("tok"))
+    val rows = toks.collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val denom = rows.foldLeft(0.0)((acc, r) => acc + math.sqrt(r._2.toDouble))
+    val budget = rows.map(_._2).sum
+    import s.implicits._
+    rows.toSeq.toDF("source", "tok")
+      .select(col("source"), col("tok"),
+        round(sqrt(col("tok").cast("double")) / lit(denom), 6).as("p_sample"),
+        round(lit(budget).cast("double")
+          * (sqrt(col("tok").cast("double")) / lit(denom))
+          / col("tok").cast("double"), 6).as("epochs"))
+      .orderBy(col("source"))
+  }
+
+  /** X51: per-dimension embedding standardization — the z-scored
+    * serving copy every whitening / outlier-trim / calibrated-ANN
+    * stage wants, exploded to (vec_id, dim, z). In q-space the score
+    * is all-integer until one division: z = (n·q − S_i)/√(n·ΣQ_i²
+    * − S_i²) — the same pinned diagonal moments as
+    * [[x48EmbedCorrelation]], attached via broadcast-literal arrays
+    * (`element_at`, no join at all), so the plan is scan → explode →
+    * project → sort: row-local, shuffle only for the output sort.
+    * Zero-variance dims yield NULL via nullif. */
+  val x51EmbedStandardize: Q = (s, d) => {
+    val n = Tables.embeddings(s, d).count()
+    val diagDf = Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("i", "xi")))
+      .withColumn("qi", round(col("xi").cast("double") * 1e6, 0).cast("long"))
+      .groupBy(col("i"))
+      .agg(sum(col("qi")).as("s_"),
+        (lit(n) * sum(col("qi") * col("qi")) - sum(col("qi")) * sum(col("qi"))).as("v_"))
+    val diag = diagDf.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val sArr = array(diag.map(t => lit(t._2)): _*)
+    val vArr = array(diag.map(t => lit(t._3)): _*)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xi")))
+      .withColumn("qi", round(col("xi").cast("double") * 1e6, 0).cast("long"))
+      .select(col("vec_id"), col("i"),
+        round((lit(n) * col("qi") - element_at(sArr, col("i") + 1)).cast("double")
+          / sqrt(nullif(element_at(vArr, col("i") + 1), lit(0L)).cast("double")), 6)
+          .as("z"))
+      .orderBy(col("vec_id"), col("i"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x51_embed_standardize" -> x51EmbedStandardize,
+    "x50_mixture_weights" -> x50MixtureWeights,
     "x49_pca_project" -> x49PcaProject,
     "x48_embed_correlation" -> x48EmbedCorrelation,
     "x47_source_overlap" -> x47SourceOverlap,
@@ -1908,6 +1970,34 @@ object TrainingData {
       FROM ks JOIN cum ON cum_prev < k
       GROUP BY k
       ORDER BY k""",
+    "x50_mixture_weights" -> """
+      WITH toks AS (SELECT source,
+          CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tok
+        FROM documents GROUP BY source),
+      den AS (SELECT list_sum(list(sqrt(CAST(tok AS DOUBLE)) ORDER BY source)) AS dn,
+          CAST(SUM(tok) AS BIGINT) AS bt FROM toks)
+      SELECT source, tok,
+        ROUND(sqrt(CAST(tok AS DOUBLE)) / dn, 6) AS p_sample,
+        ROUND(CAST(bt AS DOUBLE) * (sqrt(CAST(tok AS DOUBLE)) / dn)
+          / CAST(tok AS DOUBLE), 6) AS epochs
+      FROM toks CROSS JOIN den ORDER BY source""",
+    "x51_embed_standardize" -> """
+      WITH d1 AS (SELECT vec_id,
+          unnest(range(0, len(embedding))) AS i,
+          unnest(embedding) AS xi
+        FROM embeddings),
+      q1 AS (SELECT vec_id, i,
+          CAST(ROUND(CAST(xi AS DOUBLE) * 1e6, 0) AS BIGINT) AS qi FROM d1),
+      nn AS (SELECT COUNT(*) AS n FROM embeddings),
+      diag AS (SELECT i, CAST(SUM(qi) AS BIGINT) AS s_,
+          nn.n * CAST(SUM(qi * qi) AS BIGINT)
+            - CAST(SUM(qi) AS BIGINT) * CAST(SUM(qi) AS BIGINT) AS v_
+        FROM q1 CROSS JOIN nn GROUP BY i, nn.n)
+      SELECT q1.vec_id, q1.i,
+        ROUND(CAST(nn.n * qi - dg.s_ AS DOUBLE)
+          / sqrt(CAST(NULLIF(dg.v_, 0) AS DOUBLE)), 6) AS z
+      FROM q1 JOIN diag dg ON dg.i = q1.i CROSS JOIN nn
+      ORDER BY q1.vec_id, q1.i""",
     "x49_pca_project" -> """
       WITH RECURSIVE d1 AS (SELECT vec_id, embedding,
           unnest(range(0, len(embedding))) AS i,

@@ -560,6 +560,40 @@ class EngineSpec extends AnyFunSuite {
       s"PC1 variance $sVar should beat the average coordinate variance $avgCoordVar")
   }
 
+  test("mixture weights: probabilities sum to 1, epochs conserve the budget") {
+    val out = TrainingData.x50MixtureWeights(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-4, "p_sample should sum to 1")
+    // temperature α=1/2 flattens: every source's epochs stays within
+    // the min/max ratio the α-power law predicts, and Σ tok_s·epochs_s
+    // conserves the one-epoch-equivalent budget
+    val budget = out.map(_._2).sum.toDouble
+    val spent = out.map(t => t._2 * t._4).sum
+    assert(math.abs(spent - budget) / budget < 1e-4,
+      s"token-weighted epochs $spent should equal the budget $budget")
+    // α<1 ⇒ smaller sources repeat more: epochs ordering is the
+    // reverse of token ordering
+    val sorted = out.sortBy(_._2)
+    assert(sorted.map(_._4).zip(sorted.map(_._4).drop(1)).forall { case (a, b) => a >= b },
+      "epochs must be non-increasing in source size under α=1/2")
+  }
+
+  test("embedding standardization: z-scores have zero mean and unit variance per dim") {
+    val rows = TrainingData.x51EmbedStandardize(spark, sf).collect()
+      .map(r => (r.getInt(1), r.getDouble(2)))
+    val byDim = rows.groupBy(_._1).map { case (i, zs) => i -> zs.map(_._2) }
+    assert(byDim.nonEmpty)
+    byDim.foreach { case (i, zs) =>
+      val n = zs.length
+      val mean = zs.sum / n
+      val varr = zs.map(z => (z - mean) * (z - mean)).sum / n
+      // z uses the biased (1/n) sigma, so sample variance of z is 1
+      assert(math.abs(mean) < 1e-4, s"dim $i mean $mean")
+      assert(math.abs(varr - 1.0) < 1e-3, s"dim $i variance $varr")
+    }
+  }
+
   test("source overlap: duplicate source reads 1.0, disjoint source reads low") {
     import spark.implicits._
     // B carries exactly A's texts (same shingle union ⇒ identical

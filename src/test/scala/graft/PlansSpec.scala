@@ -207,6 +207,19 @@ class PlansSpec extends AnyFunSuite {
       s"x49 should shuffle only for the output sort:\n${exchanges.mkString("\n")}")
   }
 
+  test("standardization attaches moments as literals: no join, sort-only exchange") {
+    // x51's per-dim moments ride broadcast-literal arrays via
+    // element_at — the scoring plan is scan → explode → project → sort
+    val q = graft.queries.TrainingData.defs("x51_embed_standardize")(spark, sf)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"x51 should not join:\n$plan")
+    val exchanges = plan.split("\n").filter(_.contains("Exchange"))
+      .filterNot(_.contains("BroadcastExchange"))
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"x51 should shuffle only for the output sort:\n${exchanges.mkString("\n")}")
+  }
+
   test("source overlap pairwise joins only pinned signatures") {
     // x47 reduces the corpus to |sources|×k signature cells in one
     // map-side-combinable pass, pins them driver-local, and the
