@@ -1537,7 +1537,40 @@ object TrainingData {
       .orderBy(col("vec_id"), col("i"))
   }
 
+  /** X52: cross-document n-gram novelty — per doc, the fraction of
+    * its distinct 3-grams that occur in NO other document
+    * (document frequency 1). Low novelty flags templated /
+    * boilerplate-heavy docs — the cross-corpus complement of x41's
+    * within-doc repetition (Gopher prices a doc against itself;
+    * this prices it against the corpus). Shape: a df-1 shingle has
+    * exactly ONE owning doc, so `min(doc_id)` inside the df
+    * aggregation attributes uniqueness without ever joining back on
+    * the shingle key — both shuffles land on doc-keyed tables and
+    * the final join is doc-sized (a shingle-keyed join-back would
+    * re-shuffle the full posting set, the thing to avoid at 100 TB).
+    * Docs shorter than n tokens have no shingles and drop out
+    * (documented; both engines agree). */
+  val x52NgramNovelty: Q = (s, d) => {
+    val sh = spread(s, Tables.documents(s, d))
+      .select(col("doc_id"),
+        explode(shinglesOfToks(wsTokens(col("text")), 3)).as("sh"))
+    val perDoc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val uniq = sh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
+      .filter(col("df") === 1)
+      .groupBy(col("owner")).agg(count(lit(1)).as("n_unique"))
+    perDoc.join(uniq, perDoc("doc_id") === uniq("owner"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        round(coalesce(col("n_unique"), lit(0L)).cast("double")
+          / col("n_grams").cast("double"), 4).as("novelty"),
+        (round(coalesce(col("n_unique"), lit(0L)).cast("double")
+          / col("n_grams").cast("double"), 4) < 0.2).as("templated"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x52_ngram_novelty" -> x52NgramNovelty,
     "x51_embed_standardize" -> x51EmbedStandardize,
     "x50_mixture_weights" -> x50MixtureWeights,
     "x49_pca_project" -> x49PcaProject,
@@ -1970,6 +2003,28 @@ object TrainingData {
       FROM ks JOIN cum ON cum_prev < k
       GROUP BY k
       ORDER BY k""",
+    "x52_ngram_novelty" -> """
+      WITH docs AS (
+        SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(toks) - 2, 0) + 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents)),
+      sh AS (SELECT doc_id, unnest(shs) AS sh FROM docs),
+      per_doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM sh GROUP BY doc_id),
+      uniq AS (SELECT owner, CAST(COUNT(*) AS BIGINT) AS n_unique
+        FROM (SELECT sh, COUNT(*) AS df, MIN(doc_id) AS owner
+              FROM sh GROUP BY sh)
+        WHERE df = 1 GROUP BY owner)
+      SELECT p.doc_id, p.n_grams,
+        COALESCE(u.n_unique, 0) AS n_unique,
+        ROUND(CAST(COALESCE(u.n_unique, 0) AS DOUBLE)
+          / CAST(p.n_grams AS DOUBLE), 4) AS novelty,
+        ROUND(CAST(COALESCE(u.n_unique, 0) AS DOUBLE)
+          / CAST(p.n_grams AS DOUBLE), 4) < 0.2 AS templated
+      FROM per_doc p LEFT JOIN uniq u ON u.owner = p.doc_id
+      ORDER BY p.doc_id""",
     "x50_mixture_weights" -> """
       WITH toks AS (SELECT source,
           CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tok

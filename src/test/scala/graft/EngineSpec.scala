@@ -594,6 +594,23 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram novelty matches a brute-force document-frequency count") {
+    val out = TrainingData.x52NgramNovelty(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq
+        .sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet)
+      .filter(_._2.nonEmpty)
+    val dfCount = docs.flatMap(_._2).groupBy(identity).map { case (g, o) => g -> o.length }
+    assert(out.size == docs.length, "one row per shingled doc")
+    docs.foreach { case (id, shs) =>
+      val uniq = shs.count(g => dfCount(g) == 1)
+      val (ng, nu, nov) = out(id)
+      assert(ng == shs.size && nu == uniq, s"doc $id: ($ng,$nu) vs (${shs.size},$uniq)")
+      assert(math.abs(nov - uniq.toDouble / shs.size) < 1e-3)
+    }
+  }
+
   test("source overlap: duplicate source reads 1.0, disjoint source reads low") {
     import spark.implicits._
     // B carries exactly A's texts (same shingle union ⇒ identical
