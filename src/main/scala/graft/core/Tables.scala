@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Parquet table loaders over a scale-factor directory
   * (`/root/testdata/sf*` layout, see TESTDATA.md).
@@ -43,17 +44,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long (legacy conf, evaluated at scan
-    * time) and truncate to a microsecond timestamp — same truncation
-    * DuckDB applies when casting ns→µs. */
+  /** `events.ts` has shipped in two physical encodings across fixture
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader rejects, so it is read as a long and truncated to µs (the
+    * same truncation DuckDB applies casting ns→µs) — and plain
+    * TIMESTAMP(MICROS) without UTC adjustment, which Spark surfaces as
+    * TIMESTAMP_NTZ. Branch on the scanned type so both read as a
+    * session-zone µs timestamp with identical values (the session zone
+    * is pinned to UTC everywhere, so NTZ→TZ is a relabel, not a shift). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integral `div`, NOT floor(x/1000): `/` promotes to double, which
-    // cannot represent epoch-nanos exactly (~1e18 > 2^53) and rounds
-    // the microsecond up for some rows
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integral `div`, NOT floor(x/1000): `/` promotes to double,
+        // which cannot represent epoch-nanos exactly (~1e18 > 2^53)
+        // and rounds the microsecond up for some rows
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", expr("cast(ts as timestamp)"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
