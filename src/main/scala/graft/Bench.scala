@@ -174,7 +174,9 @@ object Bench {
       "a20b_percentiles_approx", "x40_bigram_logppl",
       "x41_gopher_dup_ngrams", "x42_dsir_weights", "x43_embed_quantize",
       "x44_vocab_coverage", "x45_cluster_diversity", "x46_embed_covariance",
-      "x47_source_overlap", "x48_embed_correlation", "x49_pca_project")
+      "x47_source_overlap", "x48_embed_correlation", "x49_pca_project",
+      "x53_char_entropy", "x54_token_fertility", "x55_lang_divergence",
+      "x56_chunk_documents", "x57_embed_outliers")
     val qmap = perQuery.toMap
     // Sentinel block appended to both the file and the contract line:
     // "protocol" names the measurement (min over `repeat` timed passes

@@ -1569,7 +1569,200 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** X53: per-doc character-entropy quality signal — Shannon entropy
+    * in bits over the document's character distribution. Near-zero
+    * entropy flags degenerate / repeated-char docs, abnormally high
+    * entropy flags binary-ish payloads — both standard cheap
+    * pre-filters ahead of the expensive dedup / LM-scoring stages.
+    * Shape: explode to (doc_id, char) and count — that shuffle is
+    * map-side combinable and lands doc-keyed; the per-doc total then
+    * rides a doc-partitioned window, and the final entropy
+    * aggregation groups on the SAME key, so Catalyst reuses one
+    * hash partitioning for all three stages (plan-asserted: a single
+    * doc_id exchange). The exchange moves the PRE-explode doc rows —
+    * hash(doc_id) partitioning on doc_id alone satisfies the
+    * (doc_id, ch) clustering, the doc_id window, AND the final doc_id
+    * group, so the per-char rows never shuffle: one text-sized
+    * exchange instead of a (doc × distinct-char) partial-agg shuffle.
+    * Determinism: the ln(c/n) term is quantized to
+    * 1e-4 units via ROUND (the x39 logp recipe) so the per-doc sum
+    * is an order-free integer sum; ln2 is pinned as a literal double
+    * in BOTH engines and the final bits value rounds at integer
+    * scale (PLANS.md determinism note). */
+  val x53CharEntropy: Q = (s, d) => {
+    val ln2 = 0.6931471805599453
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("doc_id")))
+      .withColumn("tq",
+        round(log(col("c").cast("double") / col("n").cast("double")) * 1e4, 0)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("tq")).as("hq"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+        (round(-col("hq").cast("double")
+          / (col("n_chars").cast("double") * 1e4 * lit(ln2)) * 1e4, 0) / 1e4)
+          .as("entropy_bits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X54: tokenizer-fertility audit per source — subword-ish tokens
+    * per word and bytes per token, the two numbers a tokenizer choice
+    * and a token-budget plan are built on (a source whose fertility
+    * runs hot eats budget without adding text). Single corpus scan,
+    * all-integer map-side-combinable sums onto |sources| rows; the
+    * two ratios round at integer scale. At 100 TB this is the same
+    * one-pass shape: the shuffle moves |sources| rows, never text. */
+  val x54TokenFertility: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text")).cast("long")).as("n_words"),
+        sum(bpeishCount(col("text")).cast("long")).as("n_bpeish"),
+        sum(octet_length(col("text")).cast("long")).as("n_bytes"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_bpeish"), col("n_bytes"),
+        (round(col("n_bpeish").cast("double") / col("n_words").cast("double")
+          * 1e4, 0) / 1e4).as("fertility"),
+        (round(col("n_bytes").cast("double") / col("n_bpeish").cast("double")
+          * 1e4, 0) / 1e4).as("bytes_per_tok"))
+      .orderBy(col("source"))
+
+  /** X55: per-source language drift — Jensen–Shannon divergence (in
+    * bits) between each source's language distribution and the
+    * corpus-wide one. The mixture-balancing counterpart of x47's
+    * content overlap: a source whose JSD spikes is feeding the
+    * training mix a different language profile than the corpus it is
+    * supposed to extend. Shape: ONE corpus scan onto the
+    * |sources|×|langs| count grid, pinned driver-local; every
+    * downstream table (source totals, corpus language mass, the
+    * zero-filled grid) derives from that tiny local relation, so the
+    * joins are broadcast-sized at any corpus scale and the returned
+    * plan scans no parquet at all. Determinism: both KL halves are expanded to
+    * integer-count × quantized-log form — Σ p·ln(p/m) =
+    * (1/ns)·Σ c·round(ln(p/m)·1e6) — so the per-source sums are
+    * order-free integer sums; p=0 terms vanish exactly, q>0 always
+    * (every language exists corpus-wide by construction). */
+  val x55LangDivergence: Q = (s, d) => {
+    val ln2 = 0.6931471805599453
+    // pin the count grid driver-local (x50 pattern): it is referenced
+    // four times below and a DataFrame re-executes its plan per
+    // reference — pinning makes this ONE corpus scan, and the final
+    // plan reads only local relations (plan-asserted)
+    val cnts = {
+      val c = Tables.documents(s, d)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(c.collect().toSeq.asJava, c.schema)
+    }
+    val srcTot = cnts.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val langTot = cnts.groupBy(col("lang")).agg(sum(col("c")).as("cq"))
+    val tot = cnts.agg(sum(col("c")).as("n"))
+    val p = col("c").cast("double") / col("ns").cast("double")
+    val q = col("cq").cast("double") / col("n").cast("double")
+    val m = (p + q) / lit(2)
+    srcTot.crossJoin(broadcast(langTot)).crossJoin(broadcast(tot))
+      .join(cnts, Seq("source", "lang"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("tp",
+        when(col("c") > 0, round(log(p / m) * 1e6, 0).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("tqq", round(log(q / m) * 1e6, 0).cast("long"))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_docs"), max(col("n")).as("n"),
+        sum(col("c") * col("tp")).as("hp"),
+        sum(col("cq") * col("tqq")).as("hq"))
+      .select(col("source"), col("n_docs"),
+        (round((col("hp").cast("double") / col("n_docs").cast("double")
+          + col("hq").cast("double") / col("n").cast("double"))
+          / (lit(2.0) * 1e6 * lit(ln2)) * 1e4, 0) / 1e4).as("jsd_bits"))
+      .orderBy(col("source"))
+  }
+
+  /** X56: context-window chunking — split each document into
+    * tokenizer-budget windows of 128 tokens with a 32-token overlap
+    * (stride 96), the inverse of [[x25PackSequences]]: packing fills
+    * short docs up to the context length, chunking cuts long docs
+    * down to it. Emits (doc_id, chunk_id, tok_start, n_chunk_tok,
+    * md5-of-chunk fp) — the fp stands in for shipping chunk text so
+    * the result stays audit-sized. Shape: row-local throughout (the
+    * token array is projected ONCE, then sliced per chunk under
+    * whole-stage codegen); the only exchange is the output sort —
+    * plan-asserted, the same no-join contract as x51. A 100 TB corpus
+    * chunks in a single map pass. */
+  val x56ChunkDocuments: Q = (s, d) => {
+    val C = 128; val stride = 96
+    spread(s, Tables.documents(s, d))
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("n_chunks",
+        (ceil(greatest(col("n_tok") - C, lit(0)).cast("double") / stride) + 1)
+          .cast("int"))
+      .select(col("doc_id"), col("toks"), col("n_tok"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+      .withColumn("tok_start", col("chunk_id") * stride)
+      .withColumn("n_chunk_tok", least(col("n_tok") - col("tok_start"), lit(C)))
+      .select(col("doc_id"), col("chunk_id"), col("tok_start"),
+        col("n_chunk_tok"),
+        md5(array_join(
+          slice(col("toks"), col("tok_start") + 1, col("n_chunk_tok")), " "))
+          .as("fp"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** X57: embedding-space outlier trim — per-vector RMS z-score
+    * against the corpus per-dimension moments, the cheap Mahalanobis
+    * stand-in (diagonal covariance) that catches corrupt / off-
+    * distribution embeddings before they poison ANN neighborhoods and
+    * centroid training. Reuses [[x51EmbedStandardize]]'s pinned
+    * diagonal moments (broadcast-literal arrays via element_at — no
+    * join); the per-dim squared residual num²/V_i is quantized to
+    * integer 1e-6 units so the per-vector sum is order-free, then
+    * one √ and an integer-scale round. Shape: scan → explode →
+    * row-local score → map-side-combinable vec-keyed groupBy; no
+    * data-sized join at any scale. */
+  val x57EmbedOutliers: Q = (s, d) => {
+    val n = Tables.embeddings(s, d).count()
+    val diag = Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("i", "xi")))
+      .withColumn("qi", round(col("xi").cast("double") * 1e6, 0).cast("long"))
+      .groupBy(col("i"))
+      .agg(sum(col("qi")).as("s_"),
+        (lit(n) * sum(col("qi") * col("qi"))
+          - sum(col("qi")) * sum(col("qi"))).as("v_"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val sArr = array(diag.map(t => lit(t._2)): _*)
+    val vArr = array(diag.map(t => lit(t._3)): _*)
+    val dims = diag.length
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "xi")))
+      .withColumn("qi", round(col("xi").cast("double") * 1e6, 0).cast("long"))
+      .withColumn("num", lit(n) * col("qi") - element_at(sArr, col("i") + 1))
+      .withColumn("z2q",
+        round(col("num").cast("double") * col("num").cast("double")
+          / element_at(vArr, col("i") + 1).cast("double") * 1e6, 0)
+          .cast("long"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("z2q")).as("sz"))
+      .select(col("vec_id"), col("label"),
+        (round(sqrt(col("sz").cast("double") / (lit(dims) * 1e6)) * 1e4, 0)
+          / 1e4).as("rms_z"))
+      .withColumn("is_outlier", col("rms_z") > 1.2)
+      .orderBy(col("vec_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x57_embed_outliers" -> x57EmbedOutliers,
+    "x56_chunk_documents" -> x56ChunkDocuments,
+    "x55_lang_divergence" -> x55LangDivergence,
+    "x54_token_fertility" -> x54TokenFertility,
+    "x53_char_entropy" -> x53CharEntropy,
     "x52_ngram_novelty" -> x52NgramNovelty,
     "x51_embed_standardize" -> x51EmbedStandardize,
     "x50_mixture_weights" -> x50MixtureWeights,
@@ -1853,6 +2046,107 @@ object TrainingData {
       ORDER BY s.source, s.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "x53_char_entropy" -> """
+      WITH cs AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        FROM documents),
+      counts AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+        FROM cs GROUP BY doc_id, ch),
+      wn AS (SELECT doc_id, c,
+        CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM counts),
+      tq AS (SELECT doc_id, c, n,
+        CAST(ROUND(LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e4, 0)
+          AS BIGINT) AS tq FROM wn)
+      SELECT doc_id, MAX(n) AS n_chars,
+        CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        ROUND(-CAST(SUM(c * tq) AS DOUBLE)
+          / (CAST(MAX(n) AS DOUBLE) * 1e4 * 0.6931471805599453) * 1e4, 0) / 1e4
+          AS entropy_bits
+      FROM tq GROUP BY doc_id ORDER BY doc_id""",
+    "x54_token_fertility" -> """
+      WITH t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+          AS n_words,
+        CAST(SUM(len(regexp_extract_all(text,
+          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_bpeish,
+        CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes
+        FROM documents GROUP BY source)
+      SELECT source, n_docs, n_words, n_bpeish, n_bytes,
+        ROUND(CAST(n_bpeish AS DOUBLE) / CAST(n_words AS DOUBLE) * 1e4, 0)
+          / 1e4 AS fertility,
+        ROUND(CAST(n_bytes AS DOUBLE) / CAST(n_bpeish AS DOUBLE) * 1e4, 0)
+          / 1e4 AS bytes_per_tok
+      FROM t ORDER BY source""",
+    "x55_lang_divergence" -> """
+      WITH cnts AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, lang),
+      st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns
+        FROM cnts GROUP BY source),
+      lt AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS cq
+        FROM cnts GROUP BY lang),
+      tt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnts),
+      grid AS (SELECT s.source, s.ns, l.lang, l.cq, t.n,
+          COALESCE(c.c, 0) AS c
+        FROM st s CROSS JOIN lt l CROSS JOIN tt t
+        LEFT JOIN cnts c ON c.source = s.source AND c.lang = l.lang),
+      terms AS (SELECT source, ns, n, c, cq,
+        CASE WHEN c > 0 THEN CAST(ROUND(LN(
+            (CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))
+            / ((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE)
+              + CAST(cq AS DOUBLE) / CAST(n AS DOUBLE)) / 2)) * 1e6, 0)
+          AS BIGINT) ELSE 0 END AS tp,
+        CAST(ROUND(LN(
+            (CAST(cq AS DOUBLE) / CAST(n AS DOUBLE))
+            / ((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE)
+              + CAST(cq AS DOUBLE) / CAST(n AS DOUBLE)) / 2)) * 1e6, 0)
+          AS BIGINT) AS tqq
+        FROM grid)
+      SELECT source, MAX(ns) AS n_docs,
+        ROUND((CAST(SUM(c * tp) AS DOUBLE) / CAST(MAX(ns) AS DOUBLE)
+          + CAST(SUM(cq * tqq) AS DOUBLE) / CAST(MAX(n) AS DOUBLE))
+          / (2.0 * 1e6 * 0.6931471805599453) * 1e4, 0) / 1e4 AS jsd_bits
+      FROM terms GROUP BY source ORDER BY source""",
+    "x56_chunk_documents" -> """
+      WITH t AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      base AS (SELECT doc_id, toks, len(toks) AS n_tok,
+        CAST(ceil(CAST(greatest(len(toks) - 128, 0) AS DOUBLE) / 96.0)
+          AS BIGINT) + 1 AS n_chunks FROM t),
+      ch AS (SELECT doc_id, toks, n_tok,
+        unnest(range(0, n_chunks)) AS chunk_id FROM base)
+      SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        CAST(chunk_id * 96 AS INT) AS tok_start,
+        CAST(LEAST(n_tok - chunk_id * 96, 128) AS INT) AS n_chunk_tok,
+        md5(array_to_string(list_slice(toks, chunk_id * 96 + 1,
+          chunk_id * 96 + LEAST(n_tok - chunk_id * 96, 128)), ' ')) AS fp
+      FROM ch ORDER BY doc_id, chunk_id""",
+    "x57_embed_outliers" -> """
+      WITH d1 AS (SELECT vec_id, label,
+          unnest(range(0, len(embedding))) AS i,
+          unnest(embedding) AS xi
+        FROM embeddings),
+      q1 AS (SELECT vec_id, label, i,
+          CAST(ROUND(CAST(xi AS DOUBLE) * 1e6, 0) AS BIGINT) AS qi FROM d1),
+      nn AS (SELECT COUNT(*) AS n FROM embeddings),
+      dims AS (SELECT COUNT(DISTINCT i) AS d FROM q1),
+      diag AS (SELECT i, CAST(SUM(qi) AS BIGINT) AS s_,
+          nn.n * CAST(SUM(qi * qi) AS BIGINT)
+            - CAST(SUM(qi) AS BIGINT) * CAST(SUM(qi) AS BIGINT) AS v_
+        FROM q1 CROSS JOIN nn GROUP BY i, nn.n),
+      z2 AS (SELECT q1.vec_id, q1.label,
+          CAST(ROUND(CAST(nn.n * qi - dg.s_ AS DOUBLE)
+            * CAST(nn.n * qi - dg.s_ AS DOUBLE)
+            / CAST(dg.v_ AS DOUBLE) * 1e6, 0) AS BIGINT) AS z2q
+        FROM q1 JOIN diag dg ON dg.i = q1.i CROSS JOIN nn),
+      agg AS (SELECT vec_id, label,
+          CAST(SUM(z2q) AS BIGINT) AS sz FROM z2 GROUP BY vec_id, label)
+      SELECT vec_id, label,
+        ROUND(sqrt(CAST(sz AS DOUBLE)
+          / (CAST((SELECT d FROM dims) AS DOUBLE) * 1e6)) * 1e4, 0) / 1e4
+          AS rms_z,
+        ROUND(sqrt(CAST(sz AS DOUBLE)
+          / (CAST((SELECT d FROM dims) AS DOUBLE) * 1e6)) * 1e4, 0) / 1e4
+          > 1.2 AS is_outlier
+      FROM agg ORDER BY vec_id""",
     "x25_pack_sequences" -> """
       WITH d AS (
         SELECT doc_id, source,

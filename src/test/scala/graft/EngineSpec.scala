@@ -653,6 +653,113 @@ class EngineSpec extends AnyFunSuite {
     assert(devs.sum / devs.size <= 0.2, s"mean deviation ${devs.sum / devs.size}")
   }
 
+  test("char entropy matches a per-doc Shannon recomputation") {
+    val out = TrainingData.x53CharEntropy(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(out.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val counts = text.groupBy(identity).view.mapValues(_.length)
+      val n = text.length.toDouble
+      val h = -counts.values.map { c =>
+        c / n * math.log(c / n) / math.log(2)
+      }.sum
+      val (nc, nd, bits) = out(id)
+      assert(nc == text.length && nd == counts.size, s"doc $id counts")
+      // 1e-4 log quantization bounds the drift well under 1e-3 bits
+      assert(math.abs(bits - h) < 1e-3, s"doc $id: $bits vs $h")
+    }
+  }
+
+  test("token fertility recomputes from raw per-source sums") {
+    val out = TrainingData.x54TokenFertility(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).groupBy(_._1)
+    assert(out.size == docs.size)
+    val bpeish = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]".r
+    docs.foreach { case (src, rows) =>
+      val texts = rows.map(_._2)
+      val words = texts.map(_.trim.split("\\s+").length.toLong).sum
+      val bp = texts.map(t => bpeish.findAllIn(t).length.toLong).sum
+      val bytes = texts.map(_.getBytes("UTF-8").length.toLong).sum
+      val (nDocs, nWords, nBp, nBytes, fert, bpt) = out(src)
+      assert(nDocs == texts.length && nWords == words
+        && nBp == bp && nBytes == bytes, s"source $src sums")
+      assert(math.abs(fert - bp.toDouble / words) < 1e-3)
+      assert(math.abs(bpt - bytes.toDouble / bp) < 1e-3)
+    }
+  }
+
+  test("language divergence matches an exact JSD recomputation, in [0,1]") {
+    val out = TrainingData.x55LangDivergence(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val rows = Tables.documents(spark, sf)
+      .select(col("source"), col("lang")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySrc = rows.groupBy(_._1)
+    val corpus = rows.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val n = rows.length.toDouble
+    assert(out.size == bySrc.size)
+    bySrc.foreach { case (src, rs) =>
+      val ns = rs.length.toDouble
+      val pSrc = rs.groupBy(_._2).view.mapValues(_.length / ns).toMap
+      val jsd = corpus.keys.map { l =>
+        val p = pSrc.getOrElse(l, 0.0)
+        val q = corpus(l) / n
+        val m = (p + q) / 2
+        (if (p > 0) p * math.log(p / m) else 0.0) + q * math.log(q / m)
+      }.sum / 2 / math.log(2)
+      val (nDocs, bits) = out(src)
+      assert(nDocs == rs.length)
+      assert(bits >= 0.0 && bits <= 1.0, s"JSD out of range: $bits")
+      assert(math.abs(bits - jsd) < 2e-3, s"source $src: $bits vs $jsd")
+    }
+  }
+
+  test("chunking covers every token with the declared stride and overlap") {
+    val out = TrainingData.x56ChunkDocuments(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.keySet == docs.keySet)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    byDoc.foreach { case (id, chunks) =>
+      val toks = docs(id); val n = toks.length
+      val expected = (0 until (math.ceil(math.max(n - 128, 0) / 96.0).toInt + 1))
+        .map(k => (k, k * 96, math.min(n - k * 96, 128)))
+      assert(chunks.sortBy(_._2).map(c => (c._2, c._3, c._4)).toSeq == expected,
+        s"doc $id chunk grid")
+      // every token index is covered, consecutive chunks overlap by 32
+      // (except a shorter final chunk), and the fp really is the md5
+      // of the space-joined slice
+      val covered = expected.flatMap { case (_, st, len) => st until (st + len) }.toSet
+      assert(covered == (0 until n).toSet, s"doc $id coverage")
+      chunks.sortBy(_._2).foreach { case (_, _, st, len, fp) =>
+        val hex = md.digest(toks.slice(st, st + len).mkString(" ")
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(fp == hex, s"doc $id chunk at $st fp")
+      }
+    }
+  }
+
+  test("embedding outlier scores: mean squared RMS-z is 1 by construction") {
+    val out = TrainingData.x57EmbedOutliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    // Σ_v Σ_i z_vi² = n·d for biased-variance z-scores, so the mean of
+    // rms_z² over vectors is exactly 1 (up to the 1e-6 quantization)
+    val meanSq = out.map(t => t._3 * t._3).sum / out.length
+    assert(math.abs(meanSq - 1.0) < 1e-3, s"mean rms_z^2 $meanSq")
+    out.foreach { case (_, _, z, flag) => assert(flag == (z > 1.2)) }
+    assert(out.map(_._1).distinct.length == out.length, "one row per vector")
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

@@ -233,4 +233,64 @@ class PlansSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"x47 should not shuffle-join:\n$plan")
   }
+
+  test("char entropy shuffles the doc rows once: a single doc_id hash exchange") {
+    // x53 repartitions the PRE-explode doc rows on doc_id; that one
+    // partitioning satisfies the (doc_id, ch) group, the doc_id
+    // window, and the final doc_id group, so the per-char rows never
+    // cross the wire — one text-sized exchange plus the output sort
+    val q = graft.queries.TrainingData.defs("x53_char_entropy")(spark, sf)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"x53 should not join:\n$plan")
+    val hashEx = plan.split("\n")
+      .filter(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx.length == 1 && hashEx.head.contains("doc_id"),
+      s"x53 should hash-exchange exactly once, on doc_id:\n${hashEx.mkString("\n")}")
+  }
+
+  test("token fertility is one scan onto |sources| rows") {
+    val q = graft.queries.TrainingData.defs("x54_token_fertility")(spark, sf)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"x54 should not join:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"x54 should scan the corpus exactly once, saw $scans:\n$plan")
+  }
+
+  test("language divergence derives everything from the pinned count grid") {
+    // the |sources|×|langs| counts are collected once; the JSD plan
+    // itself reads only local relations — no parquet, no shuffle join
+    val q = graft.queries.TrainingData.defs("x55_lang_divergence")(spark, sf)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"),
+      s"x55 should run on the pinned count grid, not rescan the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"x55 should not shuffle-join:\n$plan")
+  }
+
+  test("chunking is row-local: no join, no hash exchange") {
+    // x56 is scan → project(token array) → explode(chunk grid) →
+    // slice/md5 → sort; the only exchanges are the parallelism spread
+    // and the output sort
+    val q = graft.queries.TrainingData.defs("x56_chunk_documents")(spark, sf)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"x56 should not join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"x56 should not hash-shuffle:\n$plan")
+  }
+
+  test("embedding outliers score row-locally against literal moments") {
+    // x57's diagonal moments are pinned driver-local (x51 pattern);
+    // the scoring plan is one scan → explode → project → vec-keyed
+    // map-side-combinable groupBy — no join of any kind
+    val q = graft.queries.TrainingData.defs("x57_embed_outliers")(spark, sf)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"x57 should not join:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"x57 should scan embeddings exactly once, saw $scans:\n$plan")
+  }
 }
