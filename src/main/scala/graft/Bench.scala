@@ -118,14 +118,17 @@ object Bench {
     val raw = (1 to repeat).flatMap { _ =>
       interPassGc()
       selected.zipWithIndex.map { case ((name, fn), i) =>
-        // Periodic IN-pass GC, outside the timed region: a ~190-query
+        // Periodic IN-pass GC, outside the timed region: a ~200-query
         // pass accumulates enough broadcast/shuffle garbage that a
         // full-heap collection fires mid-pass and lands inside
         // whichever timed query allocates next (measured: x31 reads
         // ~2.5s in the full suite vs 0.45-0.67s in any ≤42-query
-        // subset, same code, same JVM settings). Draining every 24
-        // queries keeps collections in the gaps between timers.
-        if (i > 0 && i % 24 == 0) interPassGc()
+        // subset, same code, same JVM settings). Draining every 12
+        // queries keeps collections in the gaps between timers; at 24
+        // the drain cadence left a long-enough GC-free stretch that
+        // the artifact re-appeared on whichever heavy query followed
+        // it (x31 read 2.84 in the 205-query suite, 0.56 isolated).
+        if (i > 0 && i % 12 == 0) interPassGc()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
