@@ -73,6 +73,38 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric n-gram containment pairs: C = |S_A ∩ S_B| /
+    * min(|S_A|, |S_B|) — catches quote / expansion / truncation
+    * duplicates where the smaller doc sits inside the larger one but
+    * symmetric Jaccard stays low (for A ⊂ B, J = |A|/|B| shrinks with
+    * the size gap while C stays 1). The Jaccard is reported alongside
+    * so the caller can see exactly which pairs the symmetric
+    * threshold would have missed. Same inverted-index shape as
+    * [[ngramJaccardPairs]]: quadratic only within shingle postings,
+    * never across the corpus. */
+  def containmentPairs(docs: DataFrame, shingleN: Int = 3,
+      threshold: Double = 0.9): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(shinglesOfToks(col("toks"), shingleN)).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"), Seq("sh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("containment",
+        round(col("inter").cast("double") / least(col("na"), col("nb")), 4))
+      .withColumn("jaccard",
+        round(col("inter").cast("double")
+          / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"), col("jaccard"))
+  }
+
   private[graft] val minhashPrime = 4294967311L // smallest prime > 2^32
 
   /** Affine minwise-permutation family h_j(x) = (a_j·x + b_j) mod p

@@ -1757,7 +1757,61 @@ object TrainingData {
       .orderBy(col("vec_id"))
   }
 
+  /** X58: containment dedup — asymmetric n-gram containment pairs
+    * ([[graft.dedup.NearDup.containmentPairs]], C ≥ 0.9) over the
+    * dedup corpus EXTENDED with 12-token-prefix truncations (+3M
+    * ids): a truncated quote has containment 1.0 but Jaccard ≈
+    * prefix/full — the duplicate family x4's symmetric threshold
+    * structurally misses (for A ⊂ B, J = |A|/|B| shrinks with the
+    * size gap while C stays 1). Reported Jaccard alongside makes the
+    * miss visible pair-by-pair. Same posting-list shape as x4 —
+    * quadratic only within shingle postings at any corpus size. */
+  val x58ContainmentDedup: Q = (s, d) => {
+    val base = corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200)
+    val trunc = Tables.documents(s, d)
+      .filter(col("doc_id") % 1000000 < 200)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        array_join(slice(wsTokens(col("text")), 1, 12), " ").as("text"))
+    graft.dedup.NearDup.containmentPairs(
+      spread(s, base.unionByName(trunc)))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** X59: dedup yield audit — per-source document and token mass
+    * retained by the end-to-end near-dup dedup (x24's survivor set):
+    * the acceptance report a data lead reads before signing off a
+    * corpus drop ("how much of each source did dedup cost?"). Shape:
+    * the CC labels are doc-keyed; copies attribute back to their base
+    * doc (doc_id % 1e6) and the source attach is a doc-keyed join AQE
+    * sizes itself (no hint, the x30 precedent); the final aggregation
+    * is map-side combinable onto |sources| rows. */
+  val x59DedupMass: Q = (s, d) => {
+    val corpus = corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200)
+    val kept = graft.dedup.NearDup
+      .survivors(corpus, ngramJaccardPairs(s, d))
+      .select(col("doc_id"), lit(1).as("kept"))
+    corpus
+      .select(col("doc_id"), (col("doc_id") % 1000000L).as("base_id"),
+        tokenCount(col("text")).cast("long").as("tok"))
+      .join(kept, Seq("doc_id"), "left")
+      .join(Tables.documents(s, d)
+        .select(col("doc_id").as("base_id"), col("source")), Seq("base_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("kept"), lit(0))).as("n_kept"),
+        sum(col("tok")).as("tok_total"),
+        sum(when(col("kept").isNotNull, col("tok")).otherwise(lit(0L)))
+          .as("tok_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("tok_total"), col("tok_kept"),
+        (round(col("tok_kept").cast("double") / col("tok_total").cast("double")
+          * 1e4, 0) / 1e4).as("kept_frac"))
+      .orderBy(col("source"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x59_dedup_mass" -> x59DedupMass,
+    "x58_containment_dedup" -> x58ContainmentDedup,
     "x57_embed_outliers" -> x57EmbedOutliers,
     "x56_chunk_documents" -> x56ChunkDocuments,
     "x55_lang_divergence" -> x55LangDivergence,
@@ -2046,6 +2100,51 @@ object TrainingData {
       ORDER BY s.source, s.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "x58_containment_dedup" -> s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM $corpusSql WHERE doc_id % 1000000 < 200
+        UNION ALL
+        SELECT doc_id + 3000000,
+          array_to_string(list_slice(
+            regexp_split_to_array(trim(text), '\\s+'), 1, 12), ' ')
+        FROM documents WHERE doc_id % 1000000 < 200),
+      sh AS (
+        SELECT doc_id, unnest($sqlShingles3) AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM corpus)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+        ROUND(CAST(inter AS DOUBLE) / LEAST(na, nb), 4) AS containment,
+        ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+      FROM inter
+      JOIN (SELECT doc_id AS id_a, n AS na FROM sizes) USING (id_a)
+      JOIN (SELECT doc_id AS id_b, n AS nb FROM sizes) USING (id_b)
+      WHERE ROUND(CAST(inter AS DOUBLE) / LEAST(na, nb), 4) >= 0.9
+      ORDER BY id_a, id_b""",
+    "x59_dedup_mass" -> s"""
+      $dedupClusterCtes,
+      toks AS (SELECT c.doc_id, c.doc_id % 1000000 AS base_id,
+        len(regexp_split_to_array(trim(c.text), '\\s+')) AS tok
+        FROM corpus c),
+      kept AS (SELECT doc_id FROM labels WHERE doc_id = canonico)
+      SELECT d.source,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept,
+        CAST(SUM(t.tok) AS BIGINT) AS tok_total,
+        CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN t.tok ELSE 0 END)
+          AS BIGINT) AS tok_kept,
+        ROUND(CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN t.tok ELSE 0 END)
+            AS DOUBLE) / CAST(SUM(t.tok) AS DOUBLE) * 1e4, 0) / 1e4
+          AS kept_frac
+      FROM toks t
+      LEFT JOIN kept k ON k.doc_id = t.doc_id
+      JOIN documents d ON d.doc_id = t.base_id
+      GROUP BY d.source ORDER BY d.source""",
     "x53_char_entropy" -> """
       WITH cs AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
         FROM documents),

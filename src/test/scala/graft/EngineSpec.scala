@@ -760,6 +760,64 @@ class EngineSpec extends AnyFunSuite {
     assert(out.map(_._1).distinct.length == out.length, "one row per vector")
   }
 
+  test("containment pairs: truncations read 1.0 and expose the Jaccard miss") {
+    val out = TrainingData.x58ContainmentDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    def shingles(t: String) = t.trim.split("\\s+").toSeq
+      .sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    val base = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 1000000 < 200)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // every truncation (+3M) pairs with its base doc at containment 1.0
+    val pairKeys = out.map(p => (p._1, p._2)).toSet
+    base.foreach { case (id, _) =>
+      assert(pairKeys.contains((id, id + 3000000L)), s"trunc pair for doc $id")
+    }
+    // spot-recompute every reported pair against exact sets
+    val texts = (base ++
+      base.map { case (id, t) => (id + 1000000L, t) } ++
+      base.map { case (id, t) => (id + 2000000L, t + " extra") } ++
+      base.map { case (id, t) =>
+        (id + 3000000L, t.trim.split("\\s+").take(12).mkString(" ")) }).toMap
+    out.foreach { case (a, b, c, j) =>
+      val (sa, sb) = (shingles(texts(a)), shingles(texts(b)))
+      val inter = sa.intersect(sb).size.toDouble
+      assert(math.abs(c - inter / math.min(sa.size, sb.size)) < 1e-3,
+        s"pair ($a,$b) containment")
+      assert(math.abs(j - inter / sa.union(sb).size) < 1e-3,
+        s"pair ($a,$b) jaccard")
+    }
+    // the family x4's symmetric threshold misses must actually appear:
+    // full containment, sub-0.5 Jaccard
+    assert(out.exists(p => p._3 >= 0.999 && p._4 < 0.5),
+      "expected contained pairs below the Jaccard threshold")
+  }
+
+  test("dedup mass audit: per-source totals reconcile with the survivor set") {
+    val out = TrainingData.x59DedupMass(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    val srcOf = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 1000000 < 200)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // corpus = base + exact copy + near copy per base doc
+    assert(out.values.map(_._1).sum == 3L * srcOf.size, "corpus size")
+    // survivor count from the end-to-end operator must match n_kept
+    val survivors = TrainingData.x24DedupSurvivors(spark, sf).collect()
+      .map(_.getLong(0))
+    val keptBySrc = survivors.groupBy(id => srcOf(id % 1000000L))
+      .view.mapValues(_.length.toLong).toMap
+    out.foreach { case (src, (nDocs, nKept, tokTot, tokKept, frac)) =>
+      assert(nKept == keptBySrc.getOrElse(src, 0L), s"$src n_kept")
+      assert(nKept <= nDocs && tokKept <= tokTot, s"$src bounds")
+      assert(math.abs(frac - tokKept.toDouble / tokTot) < 1e-3, s"$src frac")
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
