@@ -180,7 +180,8 @@ object Bench {
       "x47_source_overlap", "x48_embed_correlation", "x49_pca_project",
       "x53_char_entropy", "x54_token_fertility", "x55_lang_divergence",
       "x56_chunk_documents", "x57_embed_outliers", "x58_containment_dedup",
-      "x59_dedup_mass")
+      "x59_dedup_mass", "x60_signature_store", "x61_quality_sampling",
+      "x62_lsh_eval")
     val qmap = perQuery.toMap
     // Sentinel block appended to both the file and the contract line:
     // "protocol" names the measurement (min over `repeat` timed passes

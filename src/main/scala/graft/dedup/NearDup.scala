@@ -121,6 +121,41 @@ object NearDup {
       ((h32("a") >> 4) | 1L, h32("b") % minhashPrime)
     }
 
+  /** Per-doc MinHash signature table: (doc_id, shs, n, h0..h{k-1}) —
+    * the shared signature builder behind [[minhashLshPairs]] and the
+    * persisted [[saveSignatureStore]]. Per-row array folds only, no
+    * shuffle. */
+  private def sigTable(docs: DataFrame, numHashes: Int,
+      shingleN: Int): DataFrame = {
+    val params = minhashParams(numHashes)
+    val hcols = params.zipWithIndex.map { case ((a, b), j) =>
+      array_min(transform(col("hs"),
+        h => (h * lit(a) + lit(b)) % lit(minhashPrime))).as(s"h$j")
+    }
+    docs
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesOfToks(col("toks"), shingleN).as("shs"))
+      .withColumn("hs", transform(col("shs"), x => md5Hash32(x)))
+      .select(col("doc_id") +: col("shs") +: size(col("shs")).as("n") +: hcols: _*)
+  }
+
+  /** Explode a signature table to its LSH band rows (doc_id,
+    * [carry...,] band, key). `carry` columns ride through for callers
+    * that verify inside the bucket join (the self-join path). */
+  private def bandTable(sig: DataFrame, numHashes: Int, bandRows: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val bandCols = (0 until numHashes / bandRows).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until bandRows).map(r => col(s"h${b * bandRows + r}")): _*)
+          .as("key"))
+    }
+    sig
+      .select((col("doc_id") +: carry.map(col)) :+
+        explode(array(bandCols: _*)).as("bk"): _*)
+      .select((col("doc_id") +: carry.map(col)) :+
+        col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
+  }
+
   /** MinHash+LSH near-dup pairs: shingle → k minhashes (per-row array
     * fold, no shuffle) → bands → bucket self-join → exact Jaccard
     * verify INSIDE buckets only. Threshold-tuning: the S-curve
@@ -129,26 +164,8 @@ object NearDup {
       bandRows: Int = 4, shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bandRows == 0, "numHashes must divide into bands")
-    val params = minhashParams(numHashes)
-    val hcols = params.zipWithIndex.map { case ((a, b), j) =>
-      array_min(transform(col("hs"),
-        h => (h * lit(a) + lit(b)) % lit(minhashPrime))).as(s"h$j")
-    }
-    val sig = docs
-      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
-      .select(col("doc_id"), shinglesOfToks(col("toks"), shingleN).as("shs"))
-      .withColumn("hs", transform(col("shs"), x => md5Hash32(x)))
-      .select(col("doc_id") +: col("shs") +: size(col("shs")).as("n") +: hcols: _*)
-    val bandCols = (0 until numHashes / bandRows).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("_", (0 until bandRows).map(r => col(s"h${b * bandRows + r}")): _*)
-          .as("key"))
-    }
-    val buckets = sig
-      .select(col("doc_id"), col("shs"), col("n"),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("shs"), col("n"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+    val sig = sigTable(docs, numHashes, shingleN)
+    val buckets = bandTable(sig, numHashes, bandRows, Seq("shs", "n"))
     buckets.as("a").join(buckets.as("b"), Seq("band", "key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -160,6 +177,55 @@ object NearDup {
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Persist a MinHash signature store for incremental near-dup
+    * checks: `path/bands` = (doc_id, band, key) — the LSH candidate
+    * index, the ONLY table a new batch's band join touches — and
+    * `path/sigs` = (doc_id, n, shs) — the verification payload,
+    * fetched doc-keyed for the candidate sliver alone. This is the
+    * near-dup analog of the exact fingerprint store (x22/x29) and of
+    * [[graft.ml.IvfIndex]]'s build-once/probe-many contract: at
+    * 100 TB the corpus signatures are computed once at ingest, and a
+    * daily batch pays bands(batch) ⋈ bands(store) — key-sized rows —
+    * plus shingle verification on only the colliding pairs, never a
+    * corpus rescan. */
+  def saveSignatureStore(docs: DataFrame, path: String,
+      numHashes: Int = 16, bandRows: Int = 4, shingleN: Int = 3): Unit = {
+    val sig = sigTable(docs, numHashes, shingleN)
+    sig.select(col("doc_id"), col("n"), col("shs"))
+      .write.mode("overwrite").parquet(s"$path/sigs")
+    bandTable(sig, numHashes, bandRows)
+      .write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** Near-dup pairs of a NEW batch against a persisted
+    * [[saveSignatureStore]] — batch signatures are computed fresh
+    * (per-row folds), candidates come from the batch-bands ⋈
+    * store-bands join, and the exact-Jaccard verify joins each side's
+    * shingles DOC-KEYED (the candidate sliver only). The store is
+    * never rebuilt and the old corpus never rescanned. Same
+    * (numHashes, bandRows, shingleN) must be used as at store build
+    * time — the band keys are raw minhash concatenations. */
+  def incrementalNearDupPairs(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, numHashes: Int = 16,
+      bandRows: Int = 4, shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val bsig = sigTable(batch, numHashes, shingleN)
+    val cand = bandTable(bsig, numHashes, bandRows).as("n")
+      .join(spark.read.parquet(s"$path/bands").as("o"), Seq("band", "key"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+      .dropDuplicates("new_id", "old_id")
+    cand
+      .join(bsig.select(col("doc_id").as("new_id"),
+        col("shs").as("sa"), col("n").as("na")), Seq("new_id"))
+      .join(spark.read.parquet(s"$path/sigs").select(col("doc_id").as("old_id"),
+        col("shs").as("sb"), col("n").as("nb")), Seq("old_id"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("old_id"), col("jaccard"))
   }
 
   /** Cluster near-dup pairs into components and pick the canonical

@@ -1809,7 +1809,116 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  /** Build-and-save the MinHash signature store once per sf-dir
+    * (same cache contract as [[ensureIvfIndex]]: params + fixture
+    * fingerprint in the path, first caller pays). The store covers
+    * the BASE docs (doc_id < 200 slice); batches are checked against
+    * it incrementally. */
+  private def ensureSigStore(s: SparkSession, d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val path =
+      s"target/sig_store_${tag}_k16b4s3_${fixtureFp(d, "documents")}"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path/bands/_SUCCESS")))
+      graft.dedup.NearDup.saveSignatureStore(
+        spread(s, Tables.documents(s, d)
+          .filter(col("doc_id") % 1000000 < 200)
+          .select(col("doc_id"), col("text"))), path)
+    path
+  }
+
+  /** X60: incremental near-dup against a persisted signature store —
+    * the production shape of x2: corpus signatures are computed once
+    * at ingest ([[graft.dedup.NearDup.saveSignatureStore]]); a new
+    * batch (here the exact +1M and near +2M copies) pays only its own
+    * signatures, a key-sized band join against the store, and exact
+    * verification on the colliding sliver. The near-dup analog of the
+    * x22/x29 fingerprint store and of x31's IVF probe-vs-build
+    * amortization. The oracle recomputes the full band join from
+    * scratch — proving the store path is bit-identical to a fresh
+    * two-sided LSH run. */
+  val x60SignatureStore: Q = (s, d) => {
+    val batch = corpusWithDupes(s, d)
+      .filter(col("doc_id") % 1000000 < 200 && col("doc_id") >= 1000000L)
+    graft.dedup.NearDup.incrementalNearDupPairs(
+      s, ensureSigStore(s, d), spread(s, batch))
+      .orderBy(col("new_id"), col("old_id"))
+  }
+
+  /** X61: quality-weighted sampling — keep each doc with probability
+    * quality² (β=2 sharpens toward high quality), decided by
+    * deterministic hash thresholding: u = md5₃₂(doc_id)/2³² < q².
+    * The scale idiom for importance sampling (DSIR/quality-mix
+    * recipes): no RNG state, no shuffle, reproducible across reruns
+    * and engines — u is an exact dyadic rational (integer / 2³²) and
+    * q² one IEEE product, so the comparison is bit-identical
+    * everywhere. Row-local scan → project; the only exchange is the
+    * output sort. */
+  val x61QualitySampling: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        qualityScore(col("text"), stopwords).as("quality"))
+      .withColumn("u",
+        graft.dedup.NearDup.md5Hash32(col("doc_id").cast("string"))
+          .cast("double") / lit(4294967296.0))
+      .withColumn("p_keep", col("quality") * col("quality"))
+      .withColumn("selected", col("u") < col("p_keep"))
+      .orderBy(col("doc_id"))
+
+  /** X62: LSH recall audit — the knob-tuning table for the x2
+    * pipeline: exact-Jaccard truth pairs (x4, J ≥ 0.5) bucketed into
+    * 0.1-wide similarity bands, with the fraction the MinHash+LSH
+    * path actually caught next to the S-curve prediction
+    * 1−(1−j⁴)⁴ at the band midpoint (16 hashes, 4 bands × 4 rows).
+    * LSH verification recomputes exact Jaccard on the same shingle
+    * sets, so detected ⊆ truth and the gap is pure band-collision
+    * recall — the number that says whether to add hashes before a
+    * production run, measured on data instead of trusted from the
+    * formula. Both sides run at threshold 0.3 (below x2's production
+    * 0.5) and the corpus adds 50%- and 75%-prefix copies (+3M/+4M
+    * ids): a frac-prefix of an n-token doc has Jaccard ≈
+    * (frac·n−2)/(n−2) against its base and the prefixes pair with
+    * each other at ≈ 0.6, so the mid bands where the S-curve actually
+    * falls off are populated — the fixture's own dup pairs all sit in
+    * the top band, where every curve reads 1.0. Model arithmetic is
+    * explicit products (no pow), so both engines evaluate it
+    * bit-identically. */
+  val x62LshEval: Q = (s, d) => {
+    def prefixCopy(off: Long, frac: Double) = Tables.documents(s, d)
+      .filter(col("doc_id") % 1000000 < 200)
+      .select((col("doc_id") + off).as("doc_id"),
+        array_join(slice(wsTokens(col("text")), lit(1),
+          floor(size(wsTokens(col("text"))).cast("double") * frac)
+            .cast("int")), " ").as("text"))
+    val corpus = spread(s,
+      corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200)
+        .unionByName(prefixCopy(3000000L, 0.5))
+        .unionByName(prefixCopy(4000000L, 0.75)))
+    val truth = graft.dedup.NearDup
+      .ngramJaccardPairs(corpus, threshold = 0.3)
+    val lsh = graft.dedup.NearDup
+      .minhashLshPairs(corpus, threshold = 0.3)
+      .select(col("id_a"), col("id_b"), lit(1).as("hit"))
+    val m = col("band") + lit(0.05)
+    val m2 = m * m; val m4 = m2 * m2
+    val miss1 = lit(1.0) - m4
+    val miss2 = miss1 * miss1
+    truth.join(lsh, Seq("id_a", "id_b"), "left")
+      .withColumn("band", least(floor(col("jaccard") * 10) / 10, lit(0.9)))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0))).as("n_found"))
+      .select(col("band"), col("n_truth"), col("n_found"),
+        (round(col("n_found").cast("double") / col("n_truth").cast("double")
+          * 1e4, 0) / 1e4).as("recall"),
+        (round((lit(1.0) - miss2 * miss2) * 1e4, 0) / 1e4).as("recall_model"))
+      .orderBy(col("band"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x62_lsh_eval" -> x62LshEval,
+    "x61_quality_sampling" -> x61QualitySampling,
+    "x60_signature_store" -> x60SignatureStore,
     "x59_dedup_mass" -> x59DedupMass,
     "x58_containment_dedup" -> x58ContainmentDedup,
     "x57_embed_outliers" -> x57EmbedOutliers,
@@ -2100,6 +2209,144 @@ object TrainingData {
       ORDER BY s.source, s.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "x60_signature_store" -> {
+      val params = graft.dedup.NearDup.minhashParams(16).zipWithIndex
+        .map { case ((a, b), j) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")
+      s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 1000000 < 200
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents
+        WHERE doc_id % 1000000 < 200
+        UNION ALL
+        SELECT doc_id + 2000000, text || ' extra' FROM documents
+        WHERE doc_id % 1000000 < 200),
+      docs AS (
+        SELECT doc_id, $sqlShingles3 AS shs
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM corpus)),
+      sh AS (SELECT doc_id, unnest(shs) AS sh FROM docs),
+      hs AS (SELECT doc_id, ${md5Hash32Sql("sh")} AS h FROM sh),
+      minh AS (
+        SELECT doc_id, params.j,
+          MIN((h * params.a + params.b) % ${graft.dedup.NearDup.minhashPrime}) AS mh
+        FROM hs, (VALUES $params) AS params(j, a, b)
+        GROUP BY doc_id, params.j),
+      bands AS (
+        SELECT doc_id, j // 4 AS band,
+          string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
+        FROM minh GROUP BY doc_id, j // 4),
+      cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        FROM bands n JOIN bands o ON n.band = o.band AND n.key = o.key
+        WHERE n.doc_id >= 1000000 AND o.doc_id < 1000000),
+      sizes AS (SELECT doc_id, len(shs) AS n FROM docs),
+      inter AS (
+        SELECT a.doc_id AS new_id, b.doc_id AS old_id, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh
+        WHERE a.doc_id >= 1000000 AND b.doc_id < 1000000
+        GROUP BY 1, 2)
+      SELECT c.new_id, c.old_id,
+        ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.nb - i.inter), 4) AS jaccard
+      FROM cand c
+      JOIN inter i USING (new_id, old_id)
+      JOIN (SELECT doc_id AS new_id, n FROM sizes) sa USING (new_id)
+      JOIN (SELECT doc_id AS old_id, n AS nb FROM sizes) sb USING (old_id)
+      WHERE ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.nb - i.inter), 4) >= 0.5
+      ORDER BY new_id, old_id"""
+    },
+    "x61_quality_sampling" -> s"""
+      SELECT doc_id, source, quality,
+        CAST(h AS DOUBLE) / 4294967296.0 AS u,
+        quality * quality AS p_keep,
+        (CAST(h AS DOUBLE) / 4294967296.0) < (quality * quality) AS selected
+      FROM (
+        SELECT doc_id, source,
+          ROUND(LEAST(n_tok / 50.0, 1.0) * 0.4
+            + (1.0 - LEAST(punct_ratio * 5.0, 1.0)) * 0.3
+            + LEAST(stop_ratio * 10.0, 1.0) * 0.3, 4) AS quality,
+          ${md5Hash32Sql("CAST(doc_id AS VARCHAR)")} AS h
+        FROM (
+          SELECT doc_id, source, len(toks) AS n_tok,
+            CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
+              AS DOUBLE) / GREATEST(length(text), 1) AS punct_ratio,
+            CAST(len(list_filter(toks, t -> t IN ('the','a','of','and'))) AS DOUBLE)
+              / GREATEST(len(toks), 1) AS stop_ratio
+          FROM (SELECT doc_id, source, text,
+                  regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents)))
+      ORDER BY doc_id""",
+    "x62_lsh_eval" -> {
+      val params = graft.dedup.NearDup.minhashParams(16).zipWithIndex
+        .map { case ((a, b), j) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")
+      s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM $corpusSql WHERE doc_id % 1000000 < 200
+        UNION ALL
+        SELECT doc_id + 3000000,
+          array_to_string(list_slice(toks, 1,
+            CAST(FLOOR(len(toks) * 0.5) AS BIGINT)), ' ')
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE doc_id % 1000000 < 200)
+        UNION ALL
+        SELECT doc_id + 4000000,
+          array_to_string(list_slice(toks, 1,
+            CAST(FLOOR(len(toks) * 0.75) AS BIGINT)), ' ')
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE doc_id % 1000000 < 200)),
+      docs AS (
+        SELECT doc_id, $sqlShingles3 AS shs
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM corpus)),
+      sh AS (SELECT doc_id, unnest(shs) AS sh FROM docs),
+      sizes AS (SELECT doc_id, len(shs) AS n FROM docs),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      truth AS (
+        SELECT id_a, id_b,
+          ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+        FROM inter
+        JOIN (SELECT doc_id AS id_a, n AS na FROM sizes) USING (id_a)
+        JOIN (SELECT doc_id AS id_b, n AS nb FROM sizes) USING (id_b)
+        WHERE ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.3),
+      hs AS (SELECT doc_id, ${md5Hash32Sql("sh")} AS h FROM sh),
+      minh AS (
+        SELECT doc_id, params.j,
+          MIN((h * params.a + params.b) % ${graft.dedup.NearDup.minhashPrime}) AS mh
+        FROM hs, (VALUES $params) AS params(j, a, b)
+        GROUP BY doc_id, params.j),
+      bands AS (
+        SELECT doc_id, j // 4 AS band,
+          string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
+        FROM minh GROUP BY doc_id, j // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id),
+      det AS (
+        SELECT t.jaccard,
+          CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM truth t LEFT JOIN cand c USING (id_a, id_b)),
+      g AS (
+        SELECT LEAST(FLOOR(jaccard * 10) / 10, 0.9) AS band,
+          CAST(COUNT(*) AS BIGINT) AS n_truth,
+          CAST(SUM(hit) AS BIGINT) AS n_found
+        FROM det GROUP BY 1),
+      mm AS (SELECT band, n_truth, n_found,
+        (band + 0.05) * (band + 0.05) AS m2 FROM g),
+      m4t AS (SELECT band, n_truth, n_found, m2 * m2 AS m4 FROM mm),
+      ms AS (SELECT band, n_truth, n_found,
+        (1.0 - m4) * (1.0 - m4) AS miss2 FROM m4t)
+      SELECT band, n_truth, n_found,
+        ROUND(CAST(n_found AS DOUBLE) / CAST(n_truth AS DOUBLE) * 1e4, 0) / 1e4
+          AS recall,
+        ROUND((1.0 - miss2 * miss2) * 1e4, 0) / 1e4 AS recall_model
+      FROM ms ORDER BY band"""
+    },
     "x58_containment_dedup" -> s"""
       WITH corpus AS (
         SELECT doc_id, text FROM $corpusSql WHERE doc_id % 1000000 < 200

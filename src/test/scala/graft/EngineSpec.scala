@@ -818,6 +818,56 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("signature store: incremental pairs equal a fresh two-sided LSH run") {
+    val inc = TrainingData.x60SignatureStore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // fresh run over old ∪ batch: cross pairs are exactly (old, new)
+    // because old ids < 1M <= new ids and pairs are emitted id_a < id_b
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 1000000 < 200).select(col("doc_id"), col("text"))
+    val batch = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(docs.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text")))
+    val fresh = graft.dedup.NearDup
+      .minhashLshPairs(docs.unionByName(batch)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a < 1000000L && b >= 1000000L }
+      .map { case (a, b, j) => (b, a, j) }.toSet
+    assert(inc == fresh, "store path must be bit-identical to a fresh run")
+    assert(inc.nonEmpty)
+  }
+
+  test("quality sampling is pure hash thresholding, reproducible per doc") {
+    val out = TrainingData.x61QualitySampling(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getBoolean(5)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    out.foreach { case (id, q, u, p, sel) =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val expU = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+      assert(u == expU, s"doc $id u")
+      assert(p == q * q && sel == (u < p), s"doc $id decision")
+    }
+    val kept = out.count(_._5)
+    assert(kept > 0 && kept < out.length, "sampling must be non-degenerate")
+  }
+
+  test("lsh recall audit: bounded, and tracks the S-curve direction") {
+    val rows = TrainingData.x62LshEval(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.length >= 4, "prefix copies should populate several bands")
+    rows.foreach { case (band, nt, nf, rec, model) =>
+      assert(nf <= nt && rec >= 0.0 && rec <= 1.0 && model >= 0.0 && model <= 1.0,
+        s"band $band bounds")
+    }
+    val byBand = rows.map(t => t._1 -> t._4).toMap
+    assert(byBand(0.9) > 0.95, "top band must be nearly fully recalled")
+    assert(byBand(0.9) > byBand.getOrElse(0.3, 0.0),
+      "recall must fall with similarity, as the S-curve predicts")
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

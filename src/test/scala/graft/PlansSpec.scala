@@ -282,6 +282,28 @@ class PlansSpec extends AnyFunSuite {
       s"x56 should not hash-shuffle:\n$plan")
   }
 
+  test("incremental near-dup reads the persisted store, not the old corpus") {
+    // x60's plan must scan the signature store's bands/sigs parquet;
+    // the old corpus contributes NO fresh signature computation (its
+    // md5/minhash folds happened once, at store build time)
+    val q = graft.queries.TrainingData.defs("x60_signature_store")(spark, sf)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("sig_store"),
+      s"x60 should read the persisted signature store:\n$plan")
+  }
+
+  test("quality sampling is row-local: no join, sort-only exchange") {
+    val q = graft.queries.TrainingData.defs("x61_quality_sampling")(spark, sf)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"x61 should not join:\n$plan")
+    val exchanges = plan.split("\n").filter(_.contains("Exchange"))
+      .filterNot(_.contains("BroadcastExchange"))
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"x61 should shuffle only for the output sort:\n${exchanges.mkString("\n")}")
+  }
+
   test("embedding outliers score row-locally against literal moments") {
     // x57's diagonal moments are pinned driver-local (x51 pattern);
     // the scoring plan is one scan → explode → project → vec-keyed
