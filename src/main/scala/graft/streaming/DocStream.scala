@@ -80,4 +80,31 @@ object DocStream {
       .withColumn("n_tok", tokenCount(col("text")))
       .withColumn("quality", round(qualityScore(col("text"), stopwords), 4))
       .filter(col("quality") >= minQuality)
+
+  /** NEAR-dup admission for one micro-batch against a persisted
+    * [[graft.dedup.NearDup.saveSignatureStore]]: the batch pays its
+    * own MinHash signatures (row-local folds), a key-sized probe of
+    * the store's band index, exact-Jaccard verification on the
+    * colliding sliver, and a left-anti on the matched ids — docs with
+    * a near-dup already in the corpus are dropped, everything else
+    * rides through untouched.
+    *
+    * This is the [[incrementalDedup]] contract one level up: exact
+    * fingerprints catch byte-identical re-crawls; the signature store
+    * catches the boilerplate-edit near-misses. In a stream, wire it
+    * through `foreachBatch` — candidate banding anti-joins the batch
+    * against ITSELF via the pair table, which Structured Streaming's
+    * stateless operator set can't express, and `foreachBatch` gives
+    * each micro-batch exact batch semantics with zero cross-batch
+    * state (the store, batch-refreshed, IS the state — same cadence
+    * contract as the fingerprint set). StreamingSpec proves the
+    * stream path admits exactly the batch-run survivors. */
+  def admitNearDups(spark: SparkSession, batch: DataFrame,
+      storePath: String, threshold: Double = 0.5): DataFrame =
+    batch.join(
+      graft.dedup.NearDup
+        .incrementalNearDupPairs(spark, storePath, batch,
+          threshold = threshold)
+        .select(col("new_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
 }

@@ -125,6 +125,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.columns.contains("text"))
   }
 
+  test("near-dup admission: stream via foreachBatch equals the batch run") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val corpusDocs = docs.filter(col("doc_id") < 300)
+    val store = java.nio.file.Files.createTempDirectory("sig_store").toString
+    graft.dedup.NearDup.saveSignatureStore(corpusDocs, store)
+    // arriving batch: near-copies of corpus docs (suffix edit → J≈0.9,
+    // NOT byte-identical, so the exact-fp path would admit them) and
+    // genuinely new docs
+    val nearCopies = corpusDocs.filter(col("doc_id") < 150)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text"))
+    val fresh = docs.filter(col("doc_id") >= 300)
+    val tmp = java.nio.file.Files.createTempDirectory("docs_neardup").toString
+    nearCopies.unionByName(fresh).write.mode("overwrite").parquet(tmp)
+    val outDir = java.nio.file.Files.createTempDirectory("neardup_out").toString
+    val q = graft.streaming.DocStream.readDocStream(spark, tmp)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.DocStream.admitNearDups(spark, b, store)
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", outDir + "_chk")
+      .start()
+    q.awaitTermination(120000L); q.stop()
+    val out = spark.read.parquet(outDir)
+    val batch = graft.streaming.DocStream.admitNearDups(
+      spark, spark.read.parquet(tmp), store)
+    assert(out.count() == batch.count())
+    assert(out.exceptAll(batch).count() == 0)
+    assert(out.filter(col("doc_id") >= 5000000L).count() == 0,
+      "near-copies must be rejected by the signature store")
+    // the raw fixture contains a handful of intrinsic near-dups across
+    // the corpus boundary (legitimately rejected — the batch oracle
+    // rejects the same ones); the bulk of genuinely new docs admits
+    assert(out.count() >= fresh.count() * 9 / 10, "bulk of fresh docs admitted")
+  }
+
   test("stateless curation runs unchanged on a stream (quality + redaction)") {
     val stop = Seq("the", "a", "of", "and")
     // inject PII into some docs so redaction is exercised on-stream
