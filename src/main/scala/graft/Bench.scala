@@ -181,7 +181,7 @@ object Bench {
       "x53_char_entropy", "x54_token_fertility", "x55_lang_divergence",
       "x56_chunk_documents", "x57_embed_outliers", "x58_containment_dedup",
       "x59_dedup_mass", "x60_signature_store", "x61_quality_sampling",
-      "x62_lsh_eval")
+      "x62_lsh_eval", "x63_pmi_cooccurrence")
     val qmap = perQuery.toMap
     // Sentinel block appended to both the file and the contract line:
     // "protocol" names the measurement (min over `repeat` timed passes

@@ -1915,7 +1915,60 @@ object TrainingData {
       .orderBy(col("band"))
   }
 
+  /** X63: windowed PMI co-occurrence — top word pairs by pointwise
+    * mutual information within a 5-token window (offsets 1..4), the
+    * corpus statistic behind phrase detection, tokenizer merge rules,
+    * and collocation-aware augmentation. Shape: the pair space is
+    * generated ROW-LOCALLY by chained generators (position × offset —
+    * the x46 pattern, never a self-join of the exploded corpus), the
+    * (w1,w2) and unigram counts are map-side-combinable vocabulary-
+    * sized aggregates, the two unigram attachments AQE-broadcast
+    * (x30/x39 precedent), and the top-k is TakeOrdered over the
+    * bounded pair table — no full-sort shuffle. Determinism: counts
+    * are exact integers, PMI = round(ln(c·N·M²-ratio)·1e4) on the
+    * quantized-log recipe, and the (pmi_q desc, w1, w2) total order
+    * makes the limit-100 cut exact in both engines. Pairs are
+    * unordered (least/greatest normalization) and self-pairs
+    * (repeated word in window) are kept — they signal repetition. */
+  val x63PmiCooccurrence: Q = (s, d) => {
+    val toks = spread(s, Tables.documents(s, d))
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+    val pairs = toks
+      .select(col("toks"), col("n"),
+        explode(sequence(lit(1), col("n"))).as("i"))
+      .select(col("toks"), col("n"), col("i"),
+        explode(sequence(lit(1), lit(4))).as("k"))
+      .filter(col("i") + col("k") <= col("n"))
+      .select(
+        least(element_at(col("toks"), col("i")),
+          element_at(col("toks"), col("i") + col("k"))).as("w1"),
+        greatest(element_at(col("toks"), col("i")),
+          element_at(col("toks"), col("i") + col("k"))).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_pair"))
+    val uni = toks
+      .select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val nPairs = pairs.agg(sum(col("c_pair")).as("n_pairs"))
+    val mToks = uni.agg(sum(col("c_w")).as("m_toks"))
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c_w").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(nPairs)).crossJoin(broadcast(mToks))
+      .filter(col("c_pair") >= 5)
+      .withColumn("pmi_q",
+        round(log((col("c_pair").cast("double") / col("n_pairs").cast("double"))
+          / ((col("c1").cast("double") / col("m_toks").cast("double"))
+            * (col("c2").cast("double") / col("m_toks").cast("double"))))
+          * 1e4, 0).cast("long"))
+      .select(col("w1"), col("w2"), col("c_pair"),
+        (col("pmi_q").cast("double") / 1e4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
   val defs: Map[String, Q] = Map(
+    "x63_pmi_cooccurrence" -> x63PmiCooccurrence,
     "x62_lsh_eval" -> x62LshEval,
     "x61_quality_sampling" -> x61QualitySampling,
     "x60_signature_store" -> x60SignatureStore,
@@ -2209,6 +2262,36 @@ object TrainingData {
       ORDER BY s.source, s.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "x63_pmi_cooccurrence" -> """
+      WITH toks AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS toks,
+          len(regexp_split_to_array(trim(text), '\s+')) AS n
+        FROM documents),
+      pos AS (SELECT toks, n, unnest(range(1, n + 1)) AS i FROM toks),
+      pk AS (SELECT toks, n, i, unnest(range(1, 5)) AS k FROM pos),
+      pairs AS (
+        SELECT LEAST(toks[i], toks[i + k]) AS w1,
+          GREATEST(toks[i], toks[i + k]) AS w2
+        FROM pk WHERE i + k <= n),
+      pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_pair
+        FROM pairs GROUP BY w1, w2),
+      uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w
+        FROM (SELECT unnest(toks) AS w FROM toks) GROUP BY w),
+      np AS (SELECT CAST(SUM(c_pair) AS BIGINT) AS n_pairs FROM pc),
+      mt AS (SELECT CAST(SUM(c_w) AS BIGINT) AS m_toks FROM uni)
+      SELECT w1, w2, c_pair,
+        CAST(CAST(ROUND(LN(
+          (CAST(c_pair AS DOUBLE) / CAST(n_pairs AS DOUBLE))
+          / ((CAST(u1.c_w AS DOUBLE) / CAST(m_toks AS DOUBLE))
+            * (CAST(u2.c_w AS DOUBLE) / CAST(m_toks AS DOUBLE)))) * 1e4, 0)
+          AS BIGINT) AS DOUBLE) / 1e4 AS pmi
+      FROM pc
+      JOIN uni u1 ON u1.w = pc.w1
+      JOIN uni u2 ON u2.w = pc.w2
+      CROSS JOIN np CROSS JOIN mt
+      WHERE c_pair >= 5
+      ORDER BY pmi DESC, w1, w2
+      LIMIT 100""",
     "x60_signature_store" -> {
       val params = graft.dedup.NearDup.minhashParams(16).zipWithIndex
         .map { case ((a, b), j) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }

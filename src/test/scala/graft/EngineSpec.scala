@@ -868,6 +868,39 @@ class EngineSpec extends AnyFunSuite {
       "recall must fall with similarity, as the S-curve predicts")
   }
 
+  test("pmi co-occurrence matches a brute-force window count") {
+    val out = TrainingData.x63PmiCooccurrence(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 100)
+    val docs = Tables.documents(spark, sf).select(col("text")).collect()
+      .map(_.getString(0).trim.split("\\s+").toSeq)
+    val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+    var m = 0L
+    docs.foreach { toks =>
+      m += toks.length
+      for (i <- toks.indices; k <- 1 to 4 if i + k < toks.length) {
+        val (a, b) = (toks(i), toks(i + k))
+        val key = if (a <= b) (a, b) else (b, a)
+        pairCounts(key) = pairCounts.getOrElse(key, 0L) + 1
+      }
+    }
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = pairCounts.values.sum.toDouble
+    out.foreach { case (w1, w2, c, pmi) =>
+      assert(pairCounts((w1, w2)) == c, s"($w1,$w2) count")
+      val expected = math.log((c / n)
+        / ((uni(w1) / m.toDouble) * (uni(w2) / m.toDouble)))
+      assert(math.abs(pmi - expected) < 1e-3, s"($w1,$w2): $pmi vs $expected")
+    }
+    // the cut is the global top by PMI: nothing below the reported
+    // minimum should beat it among eligible pairs
+    val minReported = out.map(_._4).min
+    val best = pairCounts.filter(_._2 >= 5).map { case ((a, b), c) =>
+      math.log((c / n) / ((uni(a) / m.toDouble) * (uni(b) / m.toDouble)))
+    }.toSeq.sorted(Ordering[Double].reverse).take(100).last
+    assert(minReported >= best - 1e-3, "top-100 cut must be the true top")
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

@@ -148,7 +148,8 @@ class PlansSpec extends AnyFunSuite {
     // can exceed broadcast limits) — AQE must still pick broadcast at
     // fixture scale from runtime stats, so execute first, then read
     // the finalized adaptive plan
-    for (name <- Seq("x30_tfidf_topk", "x39_unigram_logppl", "x42_dsir_weights")) {
+    for (name <- Seq("x30_tfidf_topk", "x39_unigram_logppl", "x42_dsir_weights",
+        "x63_pmi_cooccurrence")) {
       val q = graft.queries.TrainingData.defs(name)(spark, sf)
       q.count()
       val plan = q.queryExecution.executedPlan.toString
@@ -280,6 +281,17 @@ class PlansSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"x56 should not join:\n$plan")
     assert(!plan.contains("Exchange hashpartitioning"),
       s"x56 should not hash-shuffle:\n$plan")
+  }
+
+  test("pmi top-k is TakeOrdered, not a global sort") {
+    // the limit-100 cut must ride TakeOrderedAndProject over the
+    // bounded pair table — a full orderBy shuffle of the vocabulary
+    // pair space would be the anti-shape at web-corpus vocabulary
+    val q = graft.queries.TrainingData.defs("x63_pmi_cooccurrence")(spark, sf)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"),
+      s"x63 should TakeOrdered the top-k:\n$plan")
   }
 
   test("incremental near-dup reads the persisted store, not the old corpus") {

@@ -288,6 +288,39 @@ class PropertySpec extends AnyFunSuite {
     assert(out.keys.forall { case (a, b) => a < b })
   }
 
+  test("property: signature-store incremental pairs equal a fresh run on random corpora") {
+    // random word-soup docs over a small vocabulary: band collisions
+    // arise naturally at many similarity levels. The persisted-store
+    // path must produce EXACTLY the cross pairs of a fresh two-sided
+    // LSH run — same candidates, same verified Jaccard — on every
+    // corpus, not just the fixture.
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val doc = Gen.listOfN(12, Gen.choose(0, vocab.size - 1))
+      .map(_.map(vocab).mkString(" "))
+    val oldRows = Gen.listOfN(30, doc).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    // batch: mutated copies of old docs (one word appended) + fresh docs
+    val batchRows = oldRows.take(15)
+      .map { case (id, t) => (id + 1000L, t + " omega") } ++
+      Gen.listOfN(15, doc).sample.get.zipWithIndex
+        .map { case (t, i) => (2000L + i, t) }
+    val oldDf = oldRows.toDF("doc_id", "text")
+    val batchDf = batchRows.toDF("doc_id", "text")
+    val store = java.nio.file.Files.createTempDirectory("sig_prop").toString
+    graft.dedup.NearDup.saveSignatureStore(oldDf, store)
+    val inc = graft.dedup.NearDup
+      .incrementalNearDupPairs(spark, store, batchDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fresh = graft.dedup.NearDup
+      .minhashLshPairs(oldDf.unionByName(batchDf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a < 1000L && b >= 1000L }
+      .map { case (a, b, j) => (b, a, j) }.toSet
+    assert(inc == fresh, s"store ${inc.size} pairs vs fresh ${fresh.size}")
+    assert(inc.nonEmpty, "mutated copies must produce near-dup hits")
+  }
+
   /** JVM-side replay of TrainingData.subShard for test bookkeeping. */
   private def subShardOf(docId: Long, n: Int): Int = {
     val hex = java.security.MessageDigest.getInstance("MD5")
