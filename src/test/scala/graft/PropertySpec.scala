@@ -321,6 +321,33 @@ class PropertySpec extends AnyFunSuite {
     assert(inc.nonEmpty, "mutated copies must produce near-dup hits")
   }
 
+  test("property: intRoundHalfAway == BigDecimal HALF_UP with no double .5") {
+    import graft.queries.TrainingData.intRoundHalfAway
+    // the round-6 judge's live boundary docs (exact-.5 means in x42 at
+    // sf0.01: −254.5, 4.5, 20.5, …) plus a random sweep including every
+    // s ≡ n/2 (mod n) boundary the generator can hit
+    val boundary = Seq((-509L, 2L), (9L, 2L), (41L, 2L), (-2545L, 10L),
+      (45L, 10L), (205L, 10L), (0L, 7L), (Long.MinValue / 4, 3L))
+    val rand = {
+      val g = for {
+        n <- Gen.choose(1L, 1000000L)
+        s <- Gen.choose(-1000000000L, 1000000000L)
+      } yield (s, n)
+      Gen.listOfN(500, g).sample.get
+    }
+    val cases = (boundary ++ rand).distinct
+    val df = cases.toDF("s", "n")
+      .withColumn("got", intRoundHalfAway(col("s"), col("n")))
+    val bad = df.collect().filter { r =>
+      val (s, n, got) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val want = BigDecimal(s)
+        .bigDecimal.divide(java.math.BigDecimal.valueOf(n), 0,
+          java.math.RoundingMode.HALF_UP).longValueExact()
+      got != want
+    }
+    assert(bad.isEmpty, s"half-away mismatch: ${bad.take(3).mkString(",")}")
+  }
+
   /** JVM-side replay of TrainingData.subShard for test bookkeeping. */
   private def subShardOf(docId: Long, n: Int): Int = {
     val hex = java.security.MessageDigest.getInstance("MD5")
