@@ -1319,8 +1319,8 @@ object TrainingData {
       .select(col("k"),
         least(col("k").cast("long"), col("total_vocab")).as("vocab_k"),
         col("covered_tok").cast("long").as("covered_tok"),
-        (round(col("covered_tok").cast("double") * 1e4
-          / col("total_tok").cast("double"), 0) / 1e4).as("coverage"))
+        (intRoundHalfAway(col("covered_tok").cast("long") * 10000L,
+          col("total_tok")).cast("double") / 1e4).as("coverage"))
       .orderBy(col("k"))
   }
 
@@ -1350,8 +1350,8 @@ object TrainingData {
       .agg(max(col("n")).as("n_vecs"),
         sum(col("n") * col("ss") - col("s") * col("s")).as("m2"))
       .select(col("label"), col("n_vecs"),
-        (round(col("m2").cast("double") * 2e6
-          / (col("n_vecs") * col("n_vecs")).cast("double") / 1e12, 0) / 1e6)
+        (intRoundHalfAway(col("m2") * 2L,
+          col("n_vecs") * col("n_vecs") * 1000000L).cast("double") / 1e6)
           .as("mean_pair_sqdist"))
       .orderBy(col("label"))
   }
@@ -1397,9 +1397,8 @@ object TrainingData {
       .join(broadcast(sums.select(col("i"), col("s_").as("s_i"))), "i")
       .join(broadcast(sums.select(col("i").as("j"), col("s_").as("s_j"))), "j")
       .select(col("i"), col("j"),
-        (round((lit(n) * col("p") - col("s_i") * col("s_j")).cast("double") * 1e8
-          / lit(n).cast("double") / lit(n).cast("double") / 1e12, 0) / 1e8)
-          .as("cov"))
+        (intRoundHalfAway(lit(n) * col("p") - col("s_i") * col("s_j"),
+          lit(n * n * 10000L)).cast("double") / 1e8).as("cov"))
       .orderBy(col("i"), col("j"))
   }
 
@@ -1582,13 +1581,13 @@ object TrainingData {
       .agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
       .filter(col("df") === 1)
       .groupBy(col("owner")).agg(count(lit(1)).as("n_unique"))
+    val nov = intRoundHalfAway(coalesce(col("n_unique"), lit(0L)) * 10000L,
+      col("n_grams")).cast("double") / 1e4
     perDoc.join(uniq, perDoc("doc_id") === uniq("owner"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_unique"), lit(0L)).as("n_unique"),
-        round(coalesce(col("n_unique"), lit(0L)).cast("double")
-          / col("n_grams").cast("double"), 4).as("novelty"),
-        (round(coalesce(col("n_unique"), lit(0L)).cast("double")
-          / col("n_grams").cast("double"), 4) < 0.2).as("templated"))
+        nov.as("novelty"),
+        (nov < 0.2).as("templated"))
       .orderBy(col("doc_id"))
   }
 
@@ -1652,10 +1651,10 @@ object TrainingData {
         sum(octet_length(col("text")).cast("long")).as("n_bytes"))
       .select(col("source"), col("n_docs"), col("n_words"),
         col("n_bpeish"), col("n_bytes"),
-        (round(col("n_bpeish").cast("double") / col("n_words").cast("double")
-          * 1e4, 0) / 1e4).as("fertility"),
-        (round(col("n_bytes").cast("double") / col("n_bpeish").cast("double")
-          * 1e4, 0) / 1e4).as("bytes_per_tok"))
+        (intRoundHalfAway(col("n_bpeish") * 10000L, col("n_words"))
+          .cast("double") / 1e4).as("fertility"),
+        (intRoundHalfAway(col("n_bytes") * 10000L, col("n_bpeish"))
+          .cast("double") / 1e4).as("bytes_per_tok"))
       .orderBy(col("source"))
 
   /** X55: per-source language drift — Jensen–Shannon divergence (in
@@ -1850,8 +1849,8 @@ object TrainingData {
           .as("tok_kept"))
       .select(col("source"), col("n_docs"), col("n_kept"),
         col("tok_total"), col("tok_kept"),
-        (round(col("tok_kept").cast("double") / col("tok_total").cast("double")
-          * 1e4, 0) / 1e4).as("kept_frac"))
+        (intRoundHalfAway(col("tok_kept") * 10000L, col("tok_total"))
+          .cast("double") / 1e4).as("kept_frac"))
       .orderBy(col("source"))
   }
 
@@ -1955,8 +1954,8 @@ object TrainingData {
       .agg(count(lit(1)).as("n_truth"),
         sum(coalesce(col("hit"), lit(0))).as("n_found"))
       .select(col("band"), col("n_truth"), col("n_found"),
-        (round(col("n_found").cast("double") / col("n_truth").cast("double")
-          * 1e4, 0) / 1e4).as("recall"),
+        (intRoundHalfAway(col("n_found") * 10000L, col("n_truth"))
+          .cast("double") / 1e4).as("recall"),
         (round((lit(1.0) - miss2 * miss2) * 1e4, 0) / 1e4).as("recall_model"))
       .orderBy(col("band"))
   }
@@ -2471,8 +2470,8 @@ object TrainingData {
       ms AS (SELECT band, n_truth, n_found,
         (1.0 - m4) * (1.0 - m4) AS miss2 FROM m4t)
       SELECT band, n_truth, n_found,
-        ROUND(CAST(n_found AS DOUBLE) / CAST(n_truth AS DOUBLE) * 1e4, 0) / 1e4
-          AS recall,
+        CAST((2 * abs(n_found * 10000) + n_truth) // (2 * n_truth)
+          AS DOUBLE) / 1e4 AS recall,
         ROUND((1.0 - miss2 * miss2) * 1e4, 0) / 1e4 AS recall_model
       FROM ms ORDER BY band"""
     },
@@ -2514,8 +2513,9 @@ object TrainingData {
         CAST(SUM(t.tok) AS BIGINT) AS tok_total,
         CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN t.tok ELSE 0 END)
           AS BIGINT) AS tok_kept,
-        ROUND(CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN t.tok ELSE 0 END)
-            AS DOUBLE) / CAST(SUM(t.tok) AS DOUBLE) * 1e4, 0) / 1e4
+        CAST((2 * abs(CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN t.tok
+              ELSE 0 END) AS BIGINT) * 10000) + CAST(SUM(t.tok) AS BIGINT))
+            // (2 * CAST(SUM(t.tok) AS BIGINT)) AS DOUBLE) / 1e4
           AS kept_frac
       FROM toks t
       LEFT JOIN kept k ON k.doc_id = t.doc_id
@@ -2549,10 +2549,10 @@ object TrainingData {
         CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes
         FROM documents GROUP BY source)
       SELECT source, n_docs, n_words, n_bpeish, n_bytes,
-        ROUND(CAST(n_bpeish AS DOUBLE) / CAST(n_words AS DOUBLE) * 1e4, 0)
-          / 1e4 AS fertility,
-        ROUND(CAST(n_bytes AS DOUBLE) / CAST(n_bpeish AS DOUBLE) * 1e4, 0)
-          / 1e4 AS bytes_per_tok
+        CAST((2 * abs(n_bpeish * 10000) + n_words) // (2 * n_words)
+          AS DOUBLE) / 1e4 AS fertility,
+        CAST((2 * abs(n_bytes * 10000) + n_bpeish) // (2 * n_bpeish)
+          AS DOUBLE) / 1e4 AS bytes_per_tok
       FROM t ORDER BY source""",
     "x55_lang_divergence" -> """
       WITH cnts AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
@@ -2780,9 +2780,10 @@ object TrainingData {
         LEAST(CAST(k AS BIGINT), (SELECT total_vocab FROM tot)) AS vocab_k,
         CAST(SUM(CASE WHEN cum_after <= k THEN tok_mass
           ELSE (k - cum_prev) * c END) AS BIGINT) AS covered_tok,
-        ROUND(CAST(SUM(CASE WHEN cum_after <= k THEN tok_mass
-            ELSE (k - cum_prev) * c END) AS DOUBLE) * 1e4
-          / CAST((SELECT total_tok FROM tot) AS DOUBLE), 0) / 1e4 AS coverage
+        CAST((2 * abs(CAST(SUM(CASE WHEN cum_after <= k THEN tok_mass
+              ELSE (k - cum_prev) * c END) AS BIGINT) * 10000)
+            + (SELECT total_tok FROM tot))
+          // (2 * (SELECT total_tok FROM tot)) AS DOUBLE) / 1e4 AS coverage
       FROM ks JOIN cum ON cum_prev < k
       GROUP BY k
       ORDER BY k""",
@@ -2802,10 +2803,10 @@ object TrainingData {
         WHERE df = 1 GROUP BY owner)
       SELECT p.doc_id, p.n_grams,
         COALESCE(u.n_unique, 0) AS n_unique,
-        ROUND(CAST(COALESCE(u.n_unique, 0) AS DOUBLE)
-          / CAST(p.n_grams AS DOUBLE), 4) AS novelty,
-        ROUND(CAST(COALESCE(u.n_unique, 0) AS DOUBLE)
-          / CAST(p.n_grams AS DOUBLE), 4) < 0.2 AS templated
+        CAST((2 * abs(COALESCE(u.n_unique, 0) * 10000) + p.n_grams)
+          // (2 * p.n_grams) AS DOUBLE) / 1e4 AS novelty,
+        CAST((2 * abs(COALESCE(u.n_unique, 0) * 10000) + p.n_grams)
+          // (2 * p.n_grams) AS DOUBLE) / 1e4 < 0.2 AS templated
       FROM per_doc p LEFT JOIN uniq u ON u.owner = p.doc_id
       ORDER BY p.doc_id""",
     "x50_mixture_weights" -> """
@@ -2856,8 +2857,9 @@ object TrainingData {
       nn AS (SELECT COUNT(*) AS n FROM embeddings),
       sums AS (SELECT i AS d_, s_diag AS s_ FROM cells WHERE j = i),
       covq AS (SELECT cells.i, cells.j,
-          ROUND(CAST(nn.n * p - si.s_ * sj.s_ AS DOUBLE) * 1e8
-            / CAST(nn.n AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1e12, 0) / 1e8 AS cov
+          CAST((CASE WHEN nn.n * p - si.s_ * sj.s_ < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(nn.n * p - si.s_ * sj.s_) + nn.n * nn.n * 10000)
+              // (2 * (nn.n * nn.n * 10000))) AS DOUBLE) / 1e8 AS cov
         FROM cells
         JOIN sums si ON si.d_ = cells.i
         JOIN sums sj ON sj.d_ = cells.j
@@ -2961,8 +2963,9 @@ object TrainingData {
       nn AS (SELECT COUNT(*) AS n FROM embeddings),
       sums AS (SELECT i AS d_, s_diag AS s_ FROM cells WHERE j = i)
       SELECT cells.i, cells.j,
-        ROUND(CAST(nn.n * p - si.s_ * sj.s_ AS DOUBLE) * 1e8
-          / CAST(nn.n AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1e12, 0) / 1e8 AS cov
+        CAST((CASE WHEN nn.n * p - si.s_ * sj.s_ < 0 THEN -1 ELSE 1 END)
+          * ((2 * abs(nn.n * p - si.s_ * sj.s_) + nn.n * nn.n * 10000)
+            // (2 * (nn.n * nn.n * 10000))) AS DOUBLE) / 1e8 AS cov
       FROM cells
       JOIN sums si ON si.d_ = cells.i
       JOIN sums sj ON sj.d_ = cells.j
@@ -2983,8 +2986,9 @@ object TrainingData {
           SUM(n * ss - s * s) AS m2
         FROM per_dim GROUP BY label)
       SELECT label, n_vecs,
-        ROUND(CAST(m2 AS DOUBLE) * 2e6
-          / CAST(n_vecs * n_vecs AS DOUBLE) / 1e12, 0) / 1e6 AS mean_pair_sqdist
+        CAST((2 * abs(m2 * 2) + n_vecs * n_vecs * 1000000)
+          // (2 * (n_vecs * n_vecs * 1000000)) AS DOUBLE) / 1e6
+          AS mean_pair_sqdist
       FROM agg
       ORDER BY label""",
     "x42_dsir_weights" -> """
