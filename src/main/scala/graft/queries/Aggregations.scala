@@ -274,20 +274,45 @@ object Aggregations {
     * sorts every group's values; `percentile_approx` is a bounded-
     * memory quantile sketch and `approx_count_distinct` an HLL++ —
     * both map-side-combinable single-shuffle aggregates whose memory
-    * is O(sketch), not O(group). Sketch internals are engine-specific
-    * (DuckDB's approx functions use different sketches), so there is
-    * deliberately NO oracleSql entry: the driver records the weaker
-    * rows-only check and AggregationsSpec pins the error bounds
-    * against the exact a20 instead — bound-checked, not hash-matched.
-    * accuracy=10000 ⇒ rank error ≤ 1/10000 of the group. */
+    * is O(sketch), not O(group). Sketch INTERNALS are engine-specific
+    * (DuckDB's approx functions use different sketches), so the raw
+    * sketch outputs can never hash-match a DuckDB oracle — but the
+    * sketch CONTRACT can: the carrier emits the exact percentiles and
+    * exact distinct count (oracle-reproducible) plus `within_bound`,
+    * computed Spark-side in the SAME single-shuffle aggregate — each
+    * approx percentile must land inside the interpolated
+    * [P(q−0.02), P(q+0.02)] window (accuracy=10000 ⇒ rank error
+    * ≤ 1e-4·n, two orders of magnitude inside) and the HLL count
+    * within 4 published standard errors (rsd = 0.05, the ApproxSpec
+    * bound). The oracle recomputes the exact columns and pins
+    * within_bound ≡ TRUE, so the driver's hash compare IS the bound
+    * assertion (r6 VERDICT item 2 — no eternal `no_oracle` row). */
   val a20bPercentilesApprox: Q = (s, d) =>
     Tables.orders(s, d)
       .groupBy(col("o_orderstatus"))
       .agg(
-        percentile_approx(col("o_totalprice"), lit(0.25), lit(10000)).as("p25"),
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50"),
-        percentile_approx(col("o_totalprice"), lit(0.75), lit(10000)).as("p75"),
-        approx_count_distinct(col("o_custkey")).as("clientes_aprox"))
+        percentile(col("o_totalprice"), lit(0.25)).as("p25"),
+        percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+        percentile(col("o_totalprice"), lit(0.75)).as("p75"),
+        percentile(col("o_totalprice"), lit(0.23)).as("lo25"),
+        percentile(col("o_totalprice"), lit(0.27)).as("hi25"),
+        percentile(col("o_totalprice"), lit(0.48)).as("lo50"),
+        percentile(col("o_totalprice"), lit(0.52)).as("hi50"),
+        percentile(col("o_totalprice"), lit(0.73)).as("lo75"),
+        percentile(col("o_totalprice"), lit(0.77)).as("hi75"),
+        percentile_approx(col("o_totalprice"), lit(0.25), lit(10000)).as("a25"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("a50"),
+        percentile_approx(col("o_totalprice"), lit(0.75), lit(10000)).as("a75"),
+        count_distinct(col("o_custkey")).as("clientes"),
+        approx_count_distinct(col("o_custkey")).as("ca"))
+      .select(col("o_orderstatus"), col("p25"), col("p50"), col("p75"),
+        col("clientes"),
+        (col("a25").between(col("lo25"), col("hi25"))
+          && col("a50").between(col("lo50"), col("hi50"))
+          && col("a75").between(col("lo75"), col("hi75"))
+          && (abs(col("ca") - col("clientes")).cast("double")
+            <= greatest(col("clientes").cast("double") * 0.2, lit(2.0))))
+          .as("within_bound"))
       .orderBy(col("o_orderstatus"))
 
   val defs: Map[String, Q] = Map(
@@ -335,6 +360,14 @@ object Aggregations {
         quantile_cont(o_totalprice, 0.25) AS p25,
         quantile_cont(o_totalprice, 0.5) AS p50,
         quantile_cont(o_totalprice, 0.75) AS p75
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "a20b_percentiles_approx" -> """
+      SELECT o_orderstatus,
+        quantile_cont(o_totalprice, 0.25) AS p25,
+        quantile_cont(o_totalprice, 0.5) AS p50,
+        quantile_cont(o_totalprice, 0.75) AS p75,
+        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS clientes,
+        TRUE AS within_bound
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q1_agg" -> q1AggSql,
     "a2_count_distinct" -> """

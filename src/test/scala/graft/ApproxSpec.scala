@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, percentile_approx, approx_count_distinct}
 
 /** Sketch twins (the 100 TB path) are bound-checked against their
   * exact counterparts, not hash-matched: sketch internals are
@@ -16,7 +16,15 @@ class ApproxSpec extends AnyFunSuite {
   test("a20b approx percentiles land within the sketch's rank-error bound") {
     val exact = graft.queries.Aggregations.a20Percentiles(spark, sf)
       .collect().map(r => r.getString(0) -> Seq(1, 2, 3).map(r.getDouble)).toMap
-    val approx = graft.queries.Aggregations.a20bPercentilesApprox(spark, sf)
+    // raw sketch outputs (the a20b carrier now folds them into its
+    // within_bound boolean — this pins the sketch itself, independently)
+    val approx = graft.core.Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.25), lit(10000)).as("p25"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("o_totalprice"), lit(0.75), lit(10000)).as("p75"))
+      .orderBy(col("o_orderstatus"))
       .collect()
     assert(approx.nonEmpty)
     // accuracy=10000 ⇒ the sketch returns a value whose RANK is within
@@ -47,8 +55,9 @@ class ApproxSpec extends AnyFunSuite {
       .groupBy(col("o_orderstatus"))
       .agg(org.apache.spark.sql.functions.countDistinct(col("o_custkey")).as("d"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    graft.queries.Aggregations.a20bPercentilesApprox(spark, sf)
-      .select(col("o_orderstatus"), col("clientes_aprox"))
+    graft.core.Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus"))
+      .agg(approx_count_distinct(col("o_custkey")).as("clientes_aprox"))
       .collect().foreach { r =>
         val (status, approx) = (r.getString(0), r.getLong(1))
         val ex = exact(status).toDouble
@@ -56,6 +65,14 @@ class ApproxSpec extends AnyFunSuite {
         assert(math.abs(approx - ex) <= math.max(4 * 0.05 * ex, 2.0),
           s"$status: approx $approx vs exact $ex")
       }
+  }
+
+  test("a20b carrier reports within_bound = true for every group") {
+    val rows = graft.queries.Aggregations.a20bPercentilesApprox(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(5),
+      s"${r.getString(0)}: sketch outside its published bound"))
   }
 
   test("Profiler approx mode stays within HLL error of the exact profile") {
