@@ -62,6 +62,14 @@ object Tables {
         // and rounds the microsecond up for some rows
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
+        // the NTZ→TZ cast interprets wall time in the SESSION zone, so
+        // it is a value-preserving relabel ONLY under UTC — fail fast
+        // for a library consumer running another zone instead of
+        // silently shifting every event timestamp (ADVICE r6)
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+          s"Tables.events needs spark.sql.session.timeZone=UTC (got " +
+            s"'${s.conf.get("spark.sql.session.timeZone")}'): the " +
+            "TIMESTAMP_NTZ relabel would shift values in any other zone")
         raw.withColumn("ts", expr("cast(ts as timestamp)"))
       case _ => raw
     }

@@ -1858,17 +1858,25 @@ object TrainingData {
     * (same cache contract as [[ensureIvfIndex]]: params + fixture
     * fingerprint in the path, first caller pays). The store covers
     * the BASE docs (doc_id < 200 slice); batches are checked against
-    * it incrementally. */
+    * it incrementally. The cache tag derives from the SAME
+    * (numHashes, bandRows, shingleN) values passed to the store
+    * build — and [[x60SignatureStore]] passes the identical values to
+    * the incremental probe — so a parameter drift can never silently
+    * reuse a store whose band keys were cut with other params
+    * (ADVICE r6). */
+  private val sigStoreParams = (16, 4, 3) // (numHashes, bandRows, shingleN)
   private def ensureSigStore(s: SparkSession, d: String): String = {
     val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val (k, b, sh) = sigStoreParams
     val path =
-      s"target/sig_store_${tag}_k16b4s3_${fixtureFp(d, "documents")}"
+      s"target/sig_store_${tag}_k${k}b${b}s${sh}_${fixtureFp(d, "documents")}"
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$path/bands/_SUCCESS")))
       graft.dedup.NearDup.saveSignatureStore(
         spread(s, Tables.documents(s, d)
           .filter(col("doc_id") % 1000000 < 200)
-          .select(col("doc_id"), col("text"))), path)
+          .select(col("doc_id"), col("text"))), path,
+        numHashes = k, bandRows = b, shingleN = sh)
     path
   }
 
@@ -1885,8 +1893,10 @@ object TrainingData {
   val x60SignatureStore: Q = (s, d) => {
     val batch = corpusWithDupes(s, d)
       .filter(col("doc_id") % 1000000 < 200 && col("doc_id") >= 1000000L)
+    val (k, b, sh) = sigStoreParams
     graft.dedup.NearDup.incrementalNearDupPairs(
-      s, ensureSigStore(s, d), spread(s, batch))
+      s, ensureSigStore(s, d), spread(s, batch),
+      numHashes = k, bandRows = b, shingleN = sh)
       .orderBy(col("new_id"), col("old_id"))
   }
 
