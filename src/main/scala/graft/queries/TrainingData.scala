@@ -2022,7 +2022,94 @@ object TrainingData {
       .limit(100)
   }
 
+  /** Core of [[x64BackoffLogppl]], factored over explicit (docs,
+    * train) relations so EngineSpec can pin branch semantics on a
+    * crafted micro-corpus: stupid-backoff trigram scoring (Brants et
+    * al. 2007, "Large Language Models in Machine Translation") —
+    * S(wᵢ|wᵢ₋₂wᵢ₋₁) = c₃/c₂ if the trigram was seen in `train`, else
+    * 0.4·c₂'/c₁ if the (wᵢ₋₁,wᵢ) bigram was, else 0.4²·add-1 unigram.
+    * Every branch CONDITION is an integer null-check and every branch
+    * VALUE an exact-integer ratio (0.4 = 2/5, 0.16 = 4/25 — rational,
+    * so no double constant enters the quotient), which is what makes
+    * a cross-engine oracle possible for a backoff LM: one ln per
+    * step, quantized at 1e-4 (x39 recipe), order-free integer sum,
+    * pure-BIGINT mean rounding. */
+  private[graft] def backoffTrigramScores(
+      docs: DataFrame, train: DataFrame): DataFrame = {
+    val tk = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+    val ttk = train.select(wsTokens(col("text")).as("toks"))
+    val uni = ttk.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val tot = uni.agg(sum(col("c1")).as("nt"), count(lit(1)).as("v"))
+    val big = ttk.select(explode(allShinglesOfToks(col("toks"), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val tri = ttk.select(explode(allShinglesOfToks(col("toks"), 3)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c3"))
+    val steps = tk.filter(col("n") >= 3)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(3), col("n"))).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", element_at(col("toks"), col("i") - 2),
+          element_at(col("toks"), col("i") - 1),
+          element_at(col("toks"), col("i"))).as("g3"),
+        concat_ws(" ", element_at(col("toks"), col("i") - 2),
+          element_at(col("toks"), col("i") - 1)).as("g2ctx"),
+        concat_ws(" ", element_at(col("toks"), col("i") - 1),
+          element_at(col("toks"), col("i"))).as("g2"),
+        element_at(col("toks"), col("i") - 1).as("wctx"),
+        element_at(col("toks"), col("i")).as("w"))
+    steps
+      .join(tri.select(col("g").as("g3"), col("c3")), Seq("g3"), "left")
+      .join(big.select(col("g").as("g2ctx"), col("c2").as("c2ctx")),
+        Seq("g2ctx"), "left")
+      .join(big.select(col("g").as("g2"), col("c2").as("c2b")),
+        Seq("g2"), "left")
+      .join(uni.select(col("w").as("wctx"), col("c1").as("c1ctx")),
+        Seq("wctx"), "left")
+      .join(uni.select(col("w"), col("c1").as("c1w")), Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      // a seen trigram implies its context bigram was seen (c2ctx ≥
+      // c3 ≥ 1), a seen backoff bigram implies its context unigram
+      // was (c1ctx ≥ c2b ≥ 1) — so no branch ever divides by null/0;
+      // fully-unknown words take the add-1 smoothed unigram floor
+      .withColumn("lp_q", round(-log(
+        when(col("c3").isNotNull,
+          col("c3").cast("double") / col("c2ctx"))
+          .when(col("c2b").isNotNull,
+            (col("c2b") * 2).cast("double") / (col("c1ctx") * 5))
+          .otherwise(((coalesce(col("c1w"), lit(0L)) + 1) * 4).cast("double")
+            / ((col("nt") + col("v")) * 25))) * 1e4, 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_steps"), sum(col("lp_q")).as("s_lp"))
+      .select(col("doc_id"), col("n_steps"),
+        (intRoundHalfAway(col("s_lp"), col("n_steps")).cast("double") / 1e4)
+          .as("ppl3_proxy"))
+  }
+
+  /** X64: stupid-backoff TRIGRAM log-perplexity — closes the r6
+    * "proxy LM" gap one more order toward CCNet's KenLM: unlike
+    * x39/x40 (whose same-corpus MLE counts make every step a SEEN
+    * event), the LM here trains on the `lang = 'en'` slice (the
+    * curation target, the x42 convention) and scores EVERY doc, so
+    * the backoff branches fire for real on out-of-domain text and
+    * the score separates en from non-en — the actual CCNet filter
+    * shape (train on target domain, threshold the scored corpus).
+    * Scale shape: the trigram table is the largest relation after the
+    * corpus itself (≈ unique-trigram count) — its join, like the two
+    * bigram attachments, is a shuffle hash join on the gram with both
+    * sides partial-aggregated; the unigram table AQE-broadcasts
+    * (x39/x40 precedent); step generation is row-local chained
+    * generators (x63 pattern). Docs with <3 tokens have no trigram
+    * step and drop out (inner semantics, as x40). */
+  val x64BackoffLogppl: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    backoffTrigramScores(docs, docs.filter(col("lang") === "en"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x64_backoff_logppl" -> x64BackoffLogppl,
     "x63_pmi_cooccurrence" -> x63PmiCooccurrence,
     "x62_lsh_eval" -> x62LshEval,
     "x61_quality_sampling" -> x61QualitySampling,
@@ -2317,6 +2404,55 @@ object TrainingData {
       ORDER BY s.source, s.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "x64_backoff_logppl" -> """
+      WITH tk AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      ttk AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents WHERE lang = 'en'),
+      uni AS (SELECT w, COUNT(*) AS c1
+        FROM (SELECT unnest(toks) AS w FROM ttk) GROUP BY w),
+      tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS nt,
+        CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+      big AS (SELECT g, COUNT(*) AS c2
+        FROM (SELECT unnest(list_transform(
+            range(1, greatest(len(toks) - 1, 0) + 1),
+            i -> toks[i] || ' ' || toks[i+1])) AS g FROM ttk) GROUP BY g),
+      tri AS (SELECT g, COUNT(*) AS c3
+        FROM (SELECT unnest(list_transform(
+            range(1, greatest(len(toks) - 2, 0) + 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+          FROM ttk) GROUP BY g),
+      steps AS (SELECT doc_id, toks, unnest(range(3, len(toks) + 1)) AS i
+        FROM tk WHERE len(toks) >= 3),
+      flat AS (SELECT doc_id,
+          toks[i-2] || ' ' || toks[i-1] || ' ' || toks[i] AS g3,
+          toks[i-2] || ' ' || toks[i-1] AS g2ctx,
+          toks[i-1] || ' ' || toks[i] AS g2,
+          toks[i-1] AS wctx, toks[i] AS w
+        FROM steps),
+      sc AS (SELECT doc_id,
+          CAST(ROUND(-LN(
+            CASE WHEN t.c3 IS NOT NULL
+                THEN CAST(t.c3 AS DOUBLE) / b1.c2
+              WHEN b2.c2 IS NOT NULL
+                THEN CAST(b2.c2 * 2 AS DOUBLE) / (u1.c1 * 5)
+              ELSE CAST((COALESCE(u2.c1, 0) + 1) * 4 AS DOUBLE)
+                / ((tot.nt + tot.v) * 25) END) * 1e4, 0) AS BIGINT) AS lp_q
+        FROM flat
+        LEFT JOIN tri t ON t.g = flat.g3
+        LEFT JOIN big b1 ON b1.g = flat.g2ctx
+        LEFT JOIN big b2 ON b2.g = flat.g2
+        LEFT JOIN uni u1 ON u1.w = flat.wctx
+        LEFT JOIN uni u2 ON u2.w = flat.w
+        CROSS JOIN tot),
+      agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_steps,
+          CAST(SUM(lp_q) AS BIGINT) AS s_lp
+        FROM sc GROUP BY doc_id)
+      SELECT doc_id, n_steps,
+        CAST((CASE WHEN s_lp < 0 THEN -1 ELSE 1 END)
+          * ((2 * abs(s_lp) + n_steps) // (2 * n_steps)) AS DOUBLE) / 1e4
+          AS ppl3_proxy
+      FROM agg ORDER BY doc_id""",
     "x63_pmi_cooccurrence" -> """
       WITH toks AS (SELECT doc_id,
           regexp_split_to_array(trim(text), '\s+') AS toks,

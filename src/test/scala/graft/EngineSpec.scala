@@ -901,6 +901,41 @@ class EngineSpec extends AnyFunSuite {
     assert(minReported >= best - 1e-3, "top-100 cut must be the true top")
   }
 
+  test("x64 stupid-backoff hits all three branches with the right scores") {
+    import spark.implicits._
+    // train: "a b c d" ×3 → c1: a/b/c/d = 3 each (N=12, V=4);
+    // bigrams ab/bc/cd = 3 each; trigrams abc/bcd = 3 each
+    val train = Seq((100L, "a b c d"), (101L, "a b c d"), (102L, "a b c d"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, "a b c"),   // trigram abc seen → branch 1: S = 3/3 = 1
+      (2L, "x b c"),   // trigram unseen, bigram bc seen → 0.4·3/3 = 0.4
+      (3L, "a b d"),   // tri+bigram(bd) unseen, d seen → 0.16·(3+1)/16
+      (4L, "a b zz"))  // zz unknown → 0.16·(0+1)/16 = 0.01
+      .toDF("doc_id", "text")
+    val got = TrainingData.backoffTrigramScores(probe, train)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def q(s: Double) = BigDecimal(-math.log(s) * 1e4)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e4
+    assert(got(1L) == q(1.0))
+    assert(got(2L) == q(0.4))
+    assert(got(3L) == q(0.16 * 4 / 16))
+    assert(got(4L) == q(0.16 * 1.0 / 16))
+    // backoff depth orders the surprise: seen < bigram < unigram < unk
+    assert(got(1L) < got(2L) && got(2L) < got(3L) && got(3L) < got(4L))
+  }
+
+  test("x64 en-trained LM separates en docs from the rest (CCNet shape)") {
+    val rows = TrainingData.defs("x64_backoff_logppl")(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .groupBy(col("lang") === "en")
+      .agg(avg(col("ppl3_proxy")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(rows(true) < rows(false),
+      s"en mean ${rows(true)} should beat non-en ${rows(false)}")
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
