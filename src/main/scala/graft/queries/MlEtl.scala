@@ -18,74 +18,18 @@ object MlEtl {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** M1: seasonality-fitting forecast — the faithful port of the
-    * reference's multiplicative-yearly-seasonality model
-    * (`Modelo de Previsão de Vendas.py:69-93`, Prophet with
-    * `seasonality_mode='multiplicative'`), expressed as classical
-    * decomposition: (1) PIECEWISE-linear trend with one SSE-chosen
-    * changepoint — Prophet's trend is continuous piecewise linear
-    * over candidate changepoints in the first `changepoint_range=0.8`
-    * of history; the deterministic analog scans every candidate knot
-    * c in that range, solves the 3-parameter OLS basis
-    * `(1, t, max(0, t−c))` in closed form (Cramer) from EXACT
-    * integer-cent moments, and keeps the best-fit knot (ties →
-    * earliest). Argmin trick: SSE = Σy² − (b0·Σy + b1·Σty + b2·Σhy)
-    * and Σy² is knot-independent, so maximizing the explained term
-    * needs no 128-bit Σy². The knot scan is months × months rows —
-    * trivially small at any corpus scale because it runs over the
-    * already-aggregated monthly series; (2) per-calendar-month
-    * multiplicative index = mean of `actual / trend`, with the
-    * per-row ratios scaled to integer nano-units so the cross-month
-    * mean is an ORDER-FREE integer sum (a raw double mean would
-    * differ between engines in the last ulp); (3) fitted value =
-    * trend × index. The previous seasonal-naive (lag-12 × trailing-
-    * year growth) is kept as `previsao_naive` — the fallback when
-    * fewer than two years of history exist; (4) 80% uncertainty band
-    * (Prophet's default `interval_width=0.8`, the reference's
-    * `yhat_lower`/`yhat_upper`) as residual quantiles around the
-    * fit: residuals in exact integer cents, nearest-rank p10/p90
-    * (pure integer rank selection — no interpolation, so both
-    * engines pick the identical cent value), added back onto each
-    * fitted point. Remaining fidelity delta vs Prophet: one knot
-    * instead of L1-regularized many, and no MAP smoothing. */
-  val m1Forecast: Q = (s, d) => {
-    // The monthly series is referenced by four downstream stages
-    // (bounds, candidate knots, per-knot moments, the fit) and a
-    // DataFrame re-executes its whole plan per reference — four scans
-    // of orders for an ≤O(100)-row series. Pin it as a driver-local
-    // relation (the IvfIndex.pin pattern for provably tiny frames):
-    // ONE orders aggregate, then every stage reads local rows.
-    val monthly = {
-      val m = Tables.orders(s, d)
-        .groupBy(year(col("o_orderdate")).as("ano"), month(col("o_orderdate")).as("mes"))
-        .agg(sum(dec2(col("o_totalprice"))).as("total_dec"))
-        .withColumn("t", (col("ano") - 1995) * 12 + col("mes") - 1)
-        .withColumn("yc", (col("total_dec") * 100).cast("long"))
-      import scala.jdk.CollectionConverters._
-      s.createDataFrame(m.collect().toSeq.asJava, m.schema)
-    }
+  /** Closed-form argmax over candidate hinge knots: given per-candidate
+    * exact moments `(c, n, sx, sxx, sh, shh, sth, sy, sxy, shy)` for
+    * the basis `(1, t, max(0, t−c))`, solve the 3-parameter OLS by
+    * Cramer and keep the best-fit knot (max explained term — SSE argmin
+    * without Σy², which is knot-independent; ties → earliest c). Shared
+    * by both greedy trend stages of [[m1Forecast]]; y-free minors and
+    * det stay in exact long arithmetic, terms mixing y-moments are
+    * computed in double with an identical expression shape on both
+    * engines (IEEE ops on identical inputs are bit-identical). */
+  private def hingeKnot(mom: DataFrame): DataFrame = {
     def d2(c: Column) = c.cast("double")
-    val bounds = monthly.agg(min(col("t")).as("tmin"), max(col("t")).as("tmax"))
-    val cands = monthly.select(col("t").as("c")).crossJoin(broadcast(bounds))
-      .filter(col("c") >= col("tmin") + 1 &&
-        col("c") <= col("tmin") + floor((col("tmax") - col("tmin")) * 0.8))
-      .select(col("c"))
-    // Per-candidate exact moments (all integer/long, order-free).
-    // y-free minors and det stay in exact long arithmetic (≤ ~3e13);
-    // terms mixing y-moments are computed in double with an identical
-    // expression shape on both engines (IEEE ops on identical inputs
-    // are bit-identical — only aggregation ORDER is hazardous, and
-    // every sum here is exact-integer).
-    val mom = monthly.crossJoin(broadcast(cands))
-      .withColumn("h", greatest(col("t") - col("c"), lit(0)))
-      .groupBy(col("c")).agg(
-        count(lit(1)).as("n"),
-        sum(col("t")).as("sx"), sum(col("t") * col("t")).as("sxx"),
-        sum(col("h")).as("sh"), sum(col("h") * col("h")).as("shh"),
-        sum(col("t") * col("h")).as("sth"),
-        sum(col("yc")).as("sy"), sum(col("t") * col("yc")).as("sxy"),
-        sum(col("h") * col("yc")).as("shy"))
-    val knot = mom
+    mom
       .withColumn("det",
         col("n") * (col("sxx") * col("shh") - col("sth") * col("sth"))
           - col("sx") * (col("sx") * col("shh") - col("sth") * col("sh"))
@@ -118,10 +62,101 @@ object MlEtl {
       .orderBy(col("expl").desc, col("c"))
       .limit(1)
       .select(col("c"), col("b0"), col("b1"), col("b2"))
-    val based = monthly.crossJoin(broadcast(knot))
+  }
+
+  /** M1: seasonality-fitting forecast — the faithful port of the
+    * reference's multiplicative-yearly-seasonality model
+    * (`Modelo de Previsão de Vendas.py:69-93`, Prophet with
+    * `seasonality_mode='multiplicative'`), expressed as classical
+    * decomposition: (1) PIECEWISE-linear trend with TWO SSE-chosen
+    * changepoints selected greedily — Prophet's trend is continuous
+    * piecewise linear over candidate changepoints in the first
+    * `changepoint_range=0.8` of history; the deterministic analog
+    * scans every candidate knot c in that range, solves the
+    * 3-parameter OLS basis `(1, t, max(0, t−c))` in closed form
+    * (Cramer, [[hingeKnot]]) from EXACT integer-cent moments, keeps
+    * the best-fit knot (ties → earliest), then repeats the identical
+    * scan on the FLOOR-quantized integer-cent residuals (greedy
+    * forward selection — the deterministic analog of Prophet's
+    * L1-driven changepoint sparsity; each stage strictly reduces
+    * SSE). Argmin trick: SSE = Σy² − (b0·Σy + b1·Σty + b2·Σhy)
+    * and Σy² is knot-independent, so maximizing the explained term
+    * needs no 128-bit Σy². Each knot scan is months × months rows —
+    * trivially small at any corpus scale because it runs over the
+    * already-aggregated monthly series; (2) per-calendar-month
+    * multiplicative index = mean of `actual / trend`, with the
+    * per-row ratios scaled to integer nano-units so the cross-month
+    * mean is an ORDER-FREE integer sum (a raw double mean would
+    * differ between engines in the last ulp); (3) fitted value =
+    * trend × index. The previous seasonal-naive (lag-12 × trailing-
+    * year growth) is kept as `previsao_naive` — the fallback when
+    * fewer than two years of history exist; (4) 80% uncertainty band
+    * (Prophet's default `interval_width=0.8`, the reference's
+    * `yhat_lower`/`yhat_upper`) as residual quantiles around the
+    * fit: residuals in exact integer cents, nearest-rank p10/p90
+    * (pure integer rank selection — no interpolation, so both
+    * engines pick the identical cent value), added back onto each
+    * fitted point. Remaining fidelity delta vs Prophet: greedy K=2
+    * knots instead of L1-regularized many, and no MAP smoothing. */
+  val m1Forecast: Q = (s, d) => {
+    // The monthly series is referenced by four downstream stages
+    // (bounds, candidate knots, per-knot moments, the fit) and a
+    // DataFrame re-executes its whole plan per reference — four scans
+    // of orders for an ≤O(100)-row series. Pin it as a driver-local
+    // relation (the IvfIndex.pin pattern for provably tiny frames):
+    // ONE orders aggregate, then every stage reads local rows.
+    val monthly = {
+      val m = Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("ano"), month(col("o_orderdate")).as("mes"))
+        .agg(sum(dec2(col("o_totalprice"))).as("total_dec"))
+        .withColumn("t", (col("ano") - 1995) * 12 + col("mes") - 1)
+        .withColumn("yc", (col("total_dec") * 100).cast("long"))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(m.collect().toSeq.asJava, m.schema)
+    }
+    val bounds = monthly.agg(min(col("t")).as("tmin"), max(col("t")).as("tmax"))
+    val cands = monthly.select(col("t").as("c")).crossJoin(broadcast(bounds))
+      .filter(col("c") >= col("tmin") + 1 &&
+        col("c") <= col("tmin") + floor((col("tmax") - col("tmin")) * 0.8))
+      .select(col("c"))
+    // Per-candidate exact moments (all integer/long, order-free).
+    // y-free minors and det stay in exact long arithmetic (≤ ~3e13);
+    // terms mixing y-moments are computed in double with an identical
+    // expression shape on both engines (IEEE ops on identical inputs
+    // are bit-identical — only aggregation ORDER is hazardous, and
+    // every sum here is exact-integer).
+    def hingeMoments(series: DataFrame, yCol: String): DataFrame =
+      series.crossJoin(broadcast(cands))
+        .withColumn("h", greatest(col("t") - col("c"), lit(0)))
+        .groupBy(col("c")).agg(
+          count(lit(1)).as("n"),
+          sum(col("t")).as("sx"), sum(col("t") * col("t")).as("sxx"),
+          sum(col("h")).as("sh"), sum(col("h") * col("h")).as("shh"),
+          sum(col("t") * col("h")).as("sth"),
+          sum(col(yCol)).as("sy"), sum(col("t") * col(yCol)).as("sxy"),
+          sum(col("h") * col(yCol)).as("shy"))
+    val knot = hingeKnot(hingeMoments(monthly, "yc"))
+    // Stage 2 — greedy forward selection of a SECOND changepoint
+    // (Prophet's multi-changepoint analog): quantize the stage-1
+    // residuals to exact integer cents via FLOOR (no .5 tie, so the
+    // quantization is engine-exact), rescan the same candidate set
+    // with the same (1, t, hinge) basis on the residual series, and
+    // add the correction onto the stage-1 trend. Each greedy stage
+    // strictly reduces SSE; the scan stays months × months rows.
+    val resid2 = monthly.crossJoin(broadcast(knot))
+      .withColumn("rc",
+        col("yc") - floor(col("b0") + col("b1") * col("t")
+          + col("b2") * greatest(col("t") - col("c"), lit(0))).cast("long"))
+      .select(col("t"), col("rc"))
+    val knot2 = hingeKnot(hingeMoments(resid2, "rc"))
+      .select(col("c").as("c2"), col("b0").as("g0"),
+        col("b1").as("g1"), col("b2").as("g2"))
+    val based = monthly.crossJoin(broadcast(knot)).crossJoin(broadcast(knot2))
       .withColumn("trend_t",
         (col("b0") + col("b1") * col("t")
-          + col("b2") * greatest(col("t") - col("c"), lit(0))) / 100.0)
+          + col("b2") * greatest(col("t") - col("c"), lit(0))
+          + col("g0") + col("g1") * col("t")
+          + col("g2") * greatest(col("t") - col("c2"), lit(0))) / 100.0)
       .withColumn("ratio_scaled",
         when(col("trend_t") > 0,
           floor(col("total_dec").cast("double") / col("trend_t") * 1e9)))
@@ -437,6 +472,56 @@ object MlEtl {
         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec
         FROM orders GROUP BY 1, 2)"""
 
+  /** DuckDB mirror of the [[m1Forecast]] per-candidate hinge moments:
+    * exact integer sums over `seriesCte × cands` for the basis
+    * `(1, t, max(0, t−c))` with response column `yCol`. */
+  private def hingeMomSql(seriesCte: String, yCol: String): String = s"""
+        SELECT c, COUNT(*) AS n,
+          CAST(SUM(t) AS BIGINT) AS sx, CAST(SUM(t*t) AS BIGINT) AS sxx,
+          CAST(SUM(h) AS BIGINT) AS sh, CAST(SUM(h*h) AS BIGINT) AS shh,
+          CAST(SUM(t*h) AS BIGINT) AS sth,
+          CAST(SUM($yCol) AS BIGINT) AS sy,
+          CAST(SUM(t*$yCol) AS BIGINT) AS sxy,
+          CAST(SUM(h*$yCol) AS BIGINT) AS shy
+        FROM (SELECT c, t, $yCol, GREATEST(t - c, 0) AS h
+              FROM $seriesCte, cands)
+        GROUP BY c"""
+
+  /** DuckDB mirror of [[hingeKnot]] — Cramer solve + explained-term
+    * argmax over the moments CTE `momCte`, expression shape written
+    * identically to the Spark side. */
+  private def hingeKnotSql(momCte: String): String = s"""
+        SELECT c, b0, b1, b2 FROM (
+          SELECT c, b0, b1, b2,
+            b0 * CAST(sy AS DOUBLE) + b1 * CAST(sxy AS DOUBLE)
+              + b2 * CAST(shy AS DOUBLE) AS expl
+          FROM (
+            SELECT c, sy, sxy, shy,
+              (CAST(sy AS DOUBLE) * CAST(sxx*shh - sth*sth AS DOUBLE)
+               - CAST(sx AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(shh AS DOUBLE)
+                   - CAST(sth AS DOUBLE) * CAST(shy AS DOUBLE))
+               + CAST(sh AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(sth AS DOUBLE)
+                   - CAST(sxx AS DOUBLE) * CAST(shy AS DOUBLE)))
+                / CAST(det AS DOUBLE) AS b0,
+              (CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(shh AS DOUBLE)
+                   - CAST(sth AS DOUBLE) * CAST(shy AS DOUBLE))
+               - CAST(sy AS DOUBLE) * CAST(sx*shh - sth*sh AS DOUBLE)
+               + CAST(sh AS DOUBLE) * (CAST(sx AS DOUBLE) * CAST(shy AS DOUBLE)
+                   - CAST(sxy AS DOUBLE) * CAST(sh AS DOUBLE)))
+                / CAST(det AS DOUBLE) AS b1,
+              (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) * CAST(shy AS DOUBLE)
+                   - CAST(sxy AS DOUBLE) * CAST(sth AS DOUBLE))
+               - CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) * CAST(shy AS DOUBLE)
+                   - CAST(sxy AS DOUBLE) * CAST(sh AS DOUBLE))
+               + CAST(sy AS DOUBLE) * CAST(sx*sth - sxx*sh AS DOUBLE))
+                / CAST(det AS DOUBLE) AS b2
+            FROM (SELECT *,
+                n * (sxx*shh - sth*sth) - sx * (sx*shh - sth*sh)
+                  + sh * (sx*sth - sxx*sh) AS det
+              FROM $momCte)
+            WHERE det <> 0))
+        ORDER BY expl DESC, c LIMIT 1"""
+
   /** One pr3 oracle branch per table (same audit arithmetic as
     * [[graft.profiling.TableHealth]]). */
   private def healthBranchSql(
@@ -499,54 +584,26 @@ object MlEtl {
         SELECT t AS c FROM monthly, bounds
         WHERE t >= tmin + 1
           AND t <= tmin + CAST(FLOOR((tmax - tmin) * 0.8) AS BIGINT)),
-      mom AS (
-        SELECT c, COUNT(*) AS n,
-          CAST(SUM(t) AS BIGINT) AS sx, CAST(SUM(t*t) AS BIGINT) AS sxx,
-          CAST(SUM(h) AS BIGINT) AS sh, CAST(SUM(h*h) AS BIGINT) AS shh,
-          CAST(SUM(t*h) AS BIGINT) AS sth,
-          CAST(SUM(yc) AS BIGINT) AS sy, CAST(SUM(t*yc) AS BIGINT) AS sxy,
-          CAST(SUM(h*yc) AS BIGINT) AS shy
-        FROM (SELECT c, t, yc, GREATEST(t - c, 0) AS h FROM monthly, cands)
-        GROUP BY c),
-      knot AS (
-        SELECT c, b0, b1, b2 FROM (
-          SELECT c, b0, b1, b2,
-            b0 * CAST(sy AS DOUBLE) + b1 * CAST(sxy AS DOUBLE)
-              + b2 * CAST(shy AS DOUBLE) AS expl
-          FROM (
-            SELECT c, sy, sxy, shy,
-              (CAST(sy AS DOUBLE) * CAST(sxx*shh - sth*sth AS DOUBLE)
-               - CAST(sx AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(shh AS DOUBLE)
-                   - CAST(sth AS DOUBLE) * CAST(shy AS DOUBLE))
-               + CAST(sh AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(sth AS DOUBLE)
-                   - CAST(sxx AS DOUBLE) * CAST(shy AS DOUBLE)))
-                / CAST(det AS DOUBLE) AS b0,
-              (CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(shh AS DOUBLE)
-                   - CAST(sth AS DOUBLE) * CAST(shy AS DOUBLE))
-               - CAST(sy AS DOUBLE) * CAST(sx*shh - sth*sh AS DOUBLE)
-               + CAST(sh AS DOUBLE) * (CAST(sx AS DOUBLE) * CAST(shy AS DOUBLE)
-                   - CAST(sxy AS DOUBLE) * CAST(sh AS DOUBLE)))
-                / CAST(det AS DOUBLE) AS b1,
-              (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) * CAST(shy AS DOUBLE)
-                   - CAST(sxy AS DOUBLE) * CAST(sth AS DOUBLE))
-               - CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) * CAST(shy AS DOUBLE)
-                   - CAST(sxy AS DOUBLE) * CAST(sh AS DOUBLE))
-               + CAST(sy AS DOUBLE) * CAST(sx*sth - sxx*sh AS DOUBLE))
-                / CAST(det AS DOUBLE) AS b2
-            FROM (SELECT *,
-                n * (sxx*shh - sth*sth) - sx * (sx*shh - sth*sh)
-                  + sh * (sx*sth - sxx*sh) AS det
-              FROM mom)
-            WHERE det <> 0))
-        ORDER BY expl DESC, c LIMIT 1),
+      mom AS (${hingeMomSql("monthly", "yc")}),
+      knot AS (${hingeKnotSql("mom")}),
+      resid2 AS (
+        SELECT t, yc - CAST(FLOOR(b0 + b1 * t + b2 * GREATEST(t - c, 0))
+            AS BIGINT) AS rc
+        FROM monthly, knot),
+      mom2 AS (${hingeMomSql("resid2", "rc")}),
+      knot2 AS (SELECT c AS c2, b0 AS g0, b1 AS g1, b2 AS g2
+        FROM (${hingeKnotSql("mom2")})),
       based AS (
         SELECT ano, mes, total_dec, t,
-          (b0 + b1 * t + b2 * GREATEST(t - c, 0)) / 100.0 AS trend_t,
-          CASE WHEN (b0 + b1 * t + b2 * GREATEST(t - c, 0)) / 100.0 > 0
+          (b0 + b1 * t + b2 * GREATEST(t - c, 0)
+            + g0 + g1 * t + g2 * GREATEST(t - c2, 0)) / 100.0 AS trend_t,
+          CASE WHEN (b0 + b1 * t + b2 * GREATEST(t - c, 0)
+            + g0 + g1 * t + g2 * GREATEST(t - c2, 0)) / 100.0 > 0
             THEN CAST(FLOOR(CAST(total_dec AS DOUBLE)
-                   / ((b0 + b1 * t + b2 * GREATEST(t - c, 0)) / 100.0) * 1e9)
+                   / ((b0 + b1 * t + b2 * GREATEST(t - c, 0)
+                     + g0 + g1 * t + g2 * GREATEST(t - c2, 0)) / 100.0) * 1e9)
                  AS BIGINT) END AS ratio_scaled
-        FROM monthly, knot),
+        FROM monthly, knot, knot2),
       seasonal AS (
         SELECT mes AS mes_s, CAST(SUM(ratio_scaled) AS BIGINT) AS rs_sum,
           COUNT(ratio_scaled) AS rs_n
