@@ -2108,7 +2108,88 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** X65: PCA whitening onto the top-2 eigenbasis — the standard
+    * pre-ANN / SemDeDup conditioning transform (decorrelate, then
+    * scale each retained direction to unit variance): w_c =
+    * (x·u_c − μ·u_c)/√λ_c for the top-2 eigenpairs of the corpus
+    * covariance. Composes [[x46EmbedCovariance]]'s one-pass Gram
+    * moments with [[x49PcaProject]]'s driver eigensolve, extended by
+    * Hotelling deflation (M₂ = M − λ₁u₁u₁ᵀ) for the second
+    * component — the textbook repeated-power-iteration-with-deflation
+    * top-k factorization. Scale shape: THREE corpus scans for the
+    * moments (count, d-row sums, d(d+1)/2 Gram cells — all collapsing
+    * to driver-sized relations; the d×d eigensolve + deflation is
+    * 64×64 doubles, corpus-size-free), then ONE distributed row-local
+    * projection against broadcast-literal eigenvectors — no join, no
+    * shuffle but the output sort (plan-asserted). Determinism: the
+    * covariance cells reuse x46's exact integer arithmetic (the
+    * driver-side intRound replica of intRoundHalfAway), power
+    * iteration / Rayleigh quotient / deflation are +,×,÷,abs,max
+    * folds written in the same left-to-right order on both engines
+    * (the x49 precedent), and the projection mirrors list_sum's
+    * accumulation (the x5/x12 cosSql contract). Non-positive
+    * eigenvalues (a collapsed residual spectrum) yield NULL scores
+    * on both sides. */
+  val x65EmbedWhiten: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val n = emb.count()
+    val sums = emb
+      .select(posexplode(col("embedding")).as(Seq("i", "xi")))
+      .withColumn("qi", round(col("xi").cast("double") * 1e6, 0).cast("long"))
+      .groupBy(col("i")).agg(sum(col("qi")).as("s_"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).map(_._2)
+    val dims = sums.length
+    val pair = emb
+      .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
+      .withColumn("qi", round(col("xi").cast("double") * 1e6, 0).cast("long"))
+      .select(col("i"), col("qi"), posexplode(col("embedding")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .withColumn("qj", round(col("xj").cast("double") * 1e6, 0).cast("long"))
+      .groupBy(col("i"), col("j")).agg(sum(col("qi") * col("qj")).as("p"))
+      .collect()
+    // driver replica of intRoundHalfAway: sign(s)·((2|s|+n) div (2n))
+    def intRound(sv: Long, nv: Long): Long = {
+      val sign = if (sv < 0) -1L else 1L
+      sign * ((2L * math.abs(sv) + nv) / (2L * nv))
+    }
+    val m = Array.ofDim[Double](dims, dims)
+    pair.foreach { r =>
+      val (i, j, p) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      val c = intRound(n * p - sums(i) * sums(j), n * n * 10000L).toDouble / 1e8
+      m(i)(j) = c; m(j)(i) = c
+    }
+    // x49's 50-round max-abs power iteration + the Rayleigh quotient
+    def topEig(mm: Array[Array[Double]]): (Array[Double], Double) = {
+      var v = Array.fill(dims)(1.0)
+      for (_ <- 0 until 50) {
+        val w = Array.tabulate(dims)(i => mm(i).zip(v).map { case (a, b) => a * b }.sum)
+        val mx = w.map(math.abs).max
+        v = w.map(_ / mx)
+      }
+      val u = { val s2 = v.map(x => x * x).sum; v.map(_ / math.sqrt(s2)) }
+      val w = Array.tabulate(dims)(i => mm(i).zip(u).map { case (a, b) => a * b }.sum)
+      (u, u.zip(w).map { case (a, b) => a * b }.sum)
+    }
+    val (u1, lam1) = topEig(m)
+    val m2 = Array.tabulate(dims, dims)((i, j) => m(i)(j) - lam1 * u1(i) * u1(j))
+    val (u2, lam2) = topEig(m2)
+    def mdot(u: Array[Double]): Double =
+      sums.zip(u).map { case (a, b) => a.toDouble * b }.sum / (n.toDouble * 1e6)
+    def score(u: Array[Double], md: Double, lam: Double): Column =
+      if (lam > 0)
+        round((aggregate(
+          zip_with(col("embedding"), array(u.map(lit).toSeq: _*),
+            (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, x) => acc + x) - lit(md)) / lit(math.sqrt(lam)), 6)
+      else lit(null).cast("double")
+    emb.select(col("vec_id"),
+      score(u1, mdot(u1), lam1).as("w1"),
+      score(u2, mdot(u2), lam2).as("w2"))
+      .orderBy(col("vec_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x65_embed_whiten" -> x65EmbedWhiten,
     "x64_backoff_logppl" -> x64BackoffLogppl,
     "x63_pmi_cooccurrence" -> x63PmiCooccurrence,
     "x62_lsh_eval" -> x62LshEval,
@@ -2983,6 +3064,97 @@ object TrainingData {
           / sqrt(CAST(NULLIF(dg.v_, 0) AS DOUBLE)), 6) AS z
       FROM q1 JOIN diag dg ON dg.i = q1.i CROSS JOIN nn
       ORDER BY q1.vec_id, q1.i""",
+    "x65_embed_whiten" -> """
+      WITH RECURSIVE d1 AS (SELECT vec_id, embedding,
+          unnest(range(0, len(embedding))) AS i,
+          unnest(embedding) AS xi
+        FROM embeddings),
+      q1 AS (SELECT vec_id, embedding, i,
+          CAST(ROUND(CAST(xi AS DOUBLE) * 1e6, 0) AS BIGINT) AS qi FROM d1),
+      d2 AS (SELECT i, qi,
+          unnest(range(0, len(embedding))) AS j,
+          unnest(embedding) AS xj
+        FROM q1),
+      p2 AS (SELECT i, j, qi,
+          CAST(ROUND(CAST(xj AS DOUBLE) * 1e6, 0) AS BIGINT) AS qj
+        FROM d2 WHERE j >= i),
+      cells AS MATERIALIZED (SELECT i, j, CAST(SUM(qi * qj) AS BIGINT) AS p,
+          CAST(SUM(CASE WHEN j = i THEN qi END) AS BIGINT) AS s_diag
+        FROM p2 GROUP BY i, j),
+      nn AS (SELECT COUNT(*) AS n FROM embeddings),
+      sums AS (SELECT i AS d_, s_diag AS s_ FROM cells WHERE j = i),
+      covq AS (SELECT cells.i, cells.j,
+          CAST((CASE WHEN nn.n * p - si.s_ * sj.s_ < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(nn.n * p - si.s_ * sj.s_) + nn.n * nn.n * 10000)
+              // (2 * (nn.n * nn.n * 10000))) AS DOUBLE) / 1e8 AS cov
+        FROM cells
+        JOIN sums si ON si.d_ = cells.i
+        JOIN sums sj ON sj.d_ = cells.j
+        CROSS JOIN nn),
+      full_m AS (SELECT i, j, cov FROM covq
+        UNION ALL SELECT j AS i, i AS j, cov FROM covq WHERE i < j),
+      rows_m AS (SELECT i, list(cov ORDER BY j) AS r FROM full_m GROUP BY i),
+      mat AS MATERIALIZED (SELECT list(r ORDER BY i) AS m FROM rows_m),
+      svt AS MATERIALIZED (SELECT list(s_ ORDER BY d_) AS sv FROM sums),
+      it1(k, v) AS (
+        SELECT 0, list_transform(m[1], x -> CAST(1.0 AS DOUBLE)) FROM mat
+        UNION ALL
+        SELECT k + 1,
+          list_transform(w, x ->
+            x / list_max(list_transform(w, y -> abs(y))))
+        FROM (SELECT k,
+            list_transform(range(1, len(m) + 1), i ->
+              list_sum(list_transform(list_zip(m[i], v), p -> p[1] * p[2]))) AS w
+          FROM it1, mat WHERE k < 50)),
+      uvec1 AS MATERIALIZED (SELECT list_transform(v, x ->
+          x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+        FROM it1 WHERE k = 50),
+      lamt1 AS MATERIALIZED (SELECT
+          list_sum(list_transform(list_zip(u, w), p -> p[1] * p[2])) AS lam
+        FROM (SELECT u,
+            list_transform(range(1, len(m) + 1), i ->
+              list_sum(list_transform(list_zip(m[i], u), p -> p[1] * p[2]))) AS w
+          FROM uvec1, mat)),
+      mat2 AS MATERIALIZED (SELECT list_transform(range(1, len(m) + 1), i ->
+            list_transform(range(1, len(m) + 1), j ->
+              m[i][j] - lam * u[i] * u[j])) AS m
+        FROM mat, uvec1, lamt1),
+      it2(k, v) AS (
+        SELECT 0, list_transform(m[1], x -> CAST(1.0 AS DOUBLE)) FROM mat2
+        UNION ALL
+        SELECT k + 1,
+          list_transform(w, x ->
+            x / list_max(list_transform(w, y -> abs(y))))
+        FROM (SELECT k,
+            list_transform(range(1, len(m) + 1), i ->
+              list_sum(list_transform(list_zip(m[i], v), p -> p[1] * p[2]))) AS w
+          FROM it2, mat2 WHERE k < 50)),
+      uvec2 AS MATERIALIZED (SELECT list_transform(v, x ->
+          x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+        FROM it2 WHERE k = 50),
+      lamt2 AS MATERIALIZED (SELECT
+          list_sum(list_transform(list_zip(u, w), p -> p[1] * p[2])) AS lam
+        FROM (SELECT u,
+            list_transform(range(1, len(m) + 1), i ->
+              list_sum(list_transform(list_zip(m[i], u), p -> p[1] * p[2]))) AS w
+          FROM uvec2, mat2)),
+      md AS MATERIALIZED (SELECT
+          list_sum(list_transform(list_zip(svt.sv, uvec1.u),
+            p -> CAST(p[1] AS DOUBLE) * p[2])) / (CAST(nn.n AS DOUBLE) * 1e6) AS md1,
+          list_sum(list_transform(list_zip(svt.sv, uvec2.u),
+            p -> CAST(p[1] AS DOUBLE) * p[2])) / (CAST(nn.n AS DOUBLE) * 1e6) AS md2
+        FROM svt, uvec1, uvec2, nn)
+      SELECT e.vec_id,
+        CASE WHEN l1.lam > 0 THEN
+          ROUND((list_sum(list_transform(list_zip(e.embedding, uvec1.u),
+            p -> CAST(p[1] AS DOUBLE) * p[2])) - md.md1) / sqrt(l1.lam), 6)
+        END AS w1,
+        CASE WHEN l2.lam > 0 THEN
+          ROUND((list_sum(list_transform(list_zip(e.embedding, uvec2.u),
+            p -> CAST(p[1] AS DOUBLE) * p[2])) - md.md2) / sqrt(l2.lam), 6)
+        END AS w2
+      FROM embeddings e, uvec1, uvec2, lamt1 l1, lamt2 l2, md
+      ORDER BY e.vec_id""",
     "x49_pca_project" -> """
       WITH RECURSIVE d1 AS (SELECT vec_id, embedding,
           unnest(range(0, len(embedding))) AS i,
@@ -3013,7 +3185,7 @@ object TrainingData {
       full_m AS (SELECT i, j, cov FROM covq
         UNION ALL SELECT j AS i, i AS j, cov FROM covq WHERE i < j),
       rows_m AS (SELECT i, list(cov ORDER BY j) AS r FROM full_m GROUP BY i),
-      mat AS (SELECT list(r ORDER BY i) AS m FROM rows_m),
+      mat AS MATERIALIZED (SELECT list(r ORDER BY i) AS m FROM rows_m),
       it(k, v) AS (
         -- CAST: a bare 1.0 literal is DECIMAL in DuckDB and would
         -- run the whole iteration in decimal arithmetic

@@ -560,6 +560,30 @@ class EngineSpec extends AnyFunSuite {
       s"PC1 variance $sVar should beat the average coordinate variance $avgCoordVar")
   }
 
+  test("whitening: unit variance, centered, decorrelated components") {
+    // the whitening contract itself: each retained direction has
+    // empirical variance 1 (exact by the Rayleigh-quotient scaling,
+    // up to the 1e-6/1e-8 quantization), mean 0 (the μ·u offset), and
+    // the two components decorrelate (deflation orthogonality)
+    val out = TrainingData.defs("x65_embed_whiten")(spark, sf).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    val n = out.length
+    assert(n > 0)
+    def stats(xs: Array[Double]): (Double, Double) = {
+      val mu = xs.sum / n
+      (mu, xs.map(x => (x - mu) * (x - mu)).sum / n)
+    }
+    val (m1, v1) = stats(out.map(_._1))
+    val (m2, v2) = stats(out.map(_._2))
+    assert(math.abs(v1 - 1.0) < 1e-2, s"w1 variance $v1 should be 1")
+    assert(math.abs(v2 - 1.0) < 1e-2, s"w2 variance $v2 should be 1")
+    assert(math.abs(m1) < 1e-3 && math.abs(m2) < 1e-3,
+      s"whitened means should be 0, got $m1 / $m2")
+    val cov12 = out.map { case (a, b) => (a - m1) * (b - m2) }.sum / n
+    assert(math.abs(cov12 / math.sqrt(v1 * v2)) < 0.1,
+      s"whitened components should decorrelate, corr=${cov12 / math.sqrt(v1 * v2)}")
+  }
+
   test("mixture weights: probabilities sum to 1, epochs conserve the budget") {
     val out = TrainingData.x50MixtureWeights(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))

@@ -208,6 +208,20 @@ class PlansSpec extends AnyFunSuite {
       s"x49 should shuffle only for the output sort:\n${exchanges.mkString("\n")}")
   }
 
+  test("whitening projection is a row-local fold: no joins, sort-only exchange") {
+    // x65's covariance + deflated eigensolve collapse to the driver;
+    // the distributed part is scan → project(two ordered folds vs
+    // literal eigenvectors) → sort — exactly x49's serving shape
+    val q = graft.queries.TrainingData.defs("x65_embed_whiten")(spark, sf)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"x65 should not join:\n$plan")
+    val exchanges = plan.split("\n").filter(_.contains("Exchange"))
+      .filterNot(_.contains("BroadcastExchange"))
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"x65 should shuffle only for the output sort:\n${exchanges.mkString("\n")}")
+  }
+
   test("standardization attaches moments as literals: no join, sort-only exchange") {
     // x51's per-dim moments ride broadcast-literal arrays via
     // element_at — the scoring plan is scan → explode → project → sort
