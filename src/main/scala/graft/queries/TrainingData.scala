@@ -2188,7 +2188,232 @@ object TrainingData {
       .orderBy(col("vec_id"))
   }
 
+  /** X66: boilerplate-segment detection — the line-level dedup of
+    * CCNet / RefinedWeb re-expressed for a corpus whose documents
+    * carry no newlines: split each doc into fixed 8-token segments,
+    * count each segment's document frequency corpus-wide, and score
+    * each doc by the fraction of its segments that are boilerplate
+    * (df ≥ 3). The fixture prepends a per-source banner ("portal
+    * <src> official mirror terms of service …") so the shared
+    * template every site stamps on its pages exists to be caught —
+    * the first 8-token segment of every doc of a source is
+    * byte-identical, the second mixes banner tail with document text
+    * and stays unique. Shape: one corpus scan → row-local segment
+    * explode (md5 fingerprints, never text, cross the wire) →
+    * fp-keyed df count (partial-aggregated shuffle) → fp-keyed join
+    * back → doc-keyed aggregation. The same two-shuffle budget as
+    * exact dedup (x1) at any corpus size; the df table is
+    * unique-segment-sized, exactly the CCNet paragraph-hash table. */
+  val x66BoilerplateSegments: Q = (s, d) => {
+    val seg = spread(s, Tables.documents(s, d))
+      .select(col("doc_id"),
+        wsTokens(concat(lit("portal "), col("source"),
+          lit(" official mirror terms of service apply"
+            + " all rights reserved contact webmaster "),
+          col("text"))).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L),
+          call_function("div", size(col("toks")).cast("long") + 7L, lit(8L))
+            - 1)).as("g"))
+      .select(col("doc_id"),
+        md5(array_join(
+          slice(col("toks"), (col("g") * 8 + 1).cast("int"), lit(8)),
+          " ")).as("fp"))
+    val df = seg.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    seg.join(df, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_seg"), col("n_boiler"),
+        (intRoundHalfAway(col("n_boiler") * 10000L, col("n_seg"))
+          .cast("double") / 1e4).as("boiler_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X67: vocabulary-growth (Heaps-law) curve — new distinct token
+    * types per decile of the ingestion order vs token mass processed,
+    * the curve a data lead reads to decide whether more of the same
+    * source still buys vocabulary (steep tail) or only repeats it
+    * (flat tail). Attribution is classic first-occurrence: a type
+    * belongs to the decile of its min(doc_id). Shape: one corpus
+    * scan → token explode → token-keyed min/count aggregation
+    * (partial-aggregated, the x39 vocabulary shuffle) collapsing onto
+    * a 10-row bucket grid; the cumulative window runs on those 10
+    * rows with no partition — safe because the frame is
+    * decile-sized, never corpus-sized. All-integer throughout: no
+    * rounding hazard exists anywhere in the query. */
+  val x67VocabGrowth: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val width = maxId / 10 + 1
+    val tok = spread(s, docs)
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("w"))
+    val arrivals = tok
+      .groupBy(call_function("div", col("doc_id"), lit(width)).as("bucket"))
+      .agg(count(lit(1)).as("n_tok"))
+    val fresh = tok.groupBy(col("w")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(call_function("div", col("first_doc"), lit(width)).as("bucket"))
+      .agg(count(lit(1)).as("n_new_types"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    arrivals.join(fresh, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_new_types"))
+      .select(col("bucket"), col("n_tok"), col("n_new_types"),
+        sum(col("n_tok")).over(w).as("cum_tok"),
+        sum(col("n_new_types")).over(w).as("cum_types"))
+      .orderBy(col("bucket"))
+  }
+
+  /** X68: quality-distribution drift (PSI) — the population-stability
+    * index between the quality-score histograms of the early and late
+    * corpus halves, the monitoring number a production ingest alarms
+    * on ("did the crawl's quality profile shift since the last
+    * snapshot?"). Bins are fixed quality deciles taken on the
+    * integer-1e4 quality representation (q4 div 1000 — pure integer
+    * binning, so no doc can land on a bin edge differently per
+    * engine); both halves are Laplace-(+1)-smoothed over the explicit
+    * 10-bin grid so empty bins contribute finitely. Determinism: the
+    * ln argument is an exact integer ratio (c+1 counts and n+10
+    * totals), quantized at 1e6 ([[x39UnigramLogppl]] recipe); each
+    * bin's (p−q)·ln term is then quantized to an integer so the
+    * PSI total is an order-free integer sum. Shape: ONE corpus scan
+    * collapsing onto a 10-row grid; everything downstream is
+    * grid-local. */
+  val x68QualityPsi: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val split = (maxId + 1) / 2
+    val counts = docs
+      .select(
+        least(call_function("div",
+          round(qualityScore(col("text"), stopwords) * 1e4, 0).cast("long"),
+          lit(1000L)), lit(9L)).as("bin"),
+        when(col("doc_id") < split, 1L).otherwise(0L).as("early"))
+      .groupBy(col("bin"))
+      .agg(sum(col("early")).as("c_early"),
+        sum(lit(1L) - col("early")).as("c_late"))
+    val grid = s.range(0, 10).select(col("id").as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .na.fill(0L, Seq("c_early", "c_late"))
+      .crossJoin(broadcast(docs.agg(
+        sum(when(col("doc_id") < split, 1L).otherwise(0L)).as("n_early"),
+        sum(when(col("doc_id") >= split, 1L).otherwise(0L)).as("n_late"))))
+    val p = (col("c_early") + 1).cast("double") / (col("n_early") + 10).cast("double")
+    val q = (col("c_late") + 1).cast("double") / (col("n_late") + 10).cast("double")
+    val lnrQ = round(log(
+      ((col("c_early") + 1) * (col("n_late") + 10)).cast("double")
+        / ((col("c_late") + 1) * (col("n_early") + 10)).cast("double")) * 1e6, 0)
+      .cast("long")
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    grid
+      .withColumn("contrib_q",
+        round((p - q) * lnrQ.cast("double") * 1e2, 0).cast("long"))
+      .select(col("bin"), col("c_early"), col("c_late"),
+        (col("contrib_q").cast("double") / 1e8).as("contrib"),
+        (sum(col("contrib_q")).over(wAll).cast("double") / 1e8).as("psi"))
+      .orderBy(col("bin"))
+  }
+
+  /** X69: centroid prototypicality — cosine of every embedding to its
+    * own label centroid, ranked within the label: the SemDeDup
+    * "keep the prototype / inspect the fringe" score, and the triage
+    * table a curation run reads to pick per-cluster exemplars and
+    * spot mislabeled outliers (the serving-side twin of x57's
+    * corpus-level z-trim). Determinism: vectors quantize to integer
+    * 1e-6 units, the centroid is the UNNORMALIZED per-label sum
+    * vector (cosine is scale-invariant, so Σq/n and Σq give the same
+    * angle — and the sum stays integer-exact); every inner product
+    * accumulates in decimal(38,0) (DuckDB's HUGEINT twin) so no
+    * order-dependent double sum and no 64-bit overflow exists at any
+    * corpus size, with ONE double division + sqrt at the end. Shape:
+    * explode → (label,dim)-keyed centroid aggregation (|labels|×d
+    * rows, pinned driver-local — the x55 pin, so the corpus is
+    * scanned ONCE more for scoring, not once per reference) →
+    * broadcast join back → vec-keyed aggregation. The ranking window
+    * partitions by label — at production scale the top-k selection
+    * would run on [[graft.plans.TopK.perGroup]] instead; the full
+    * ranking is the audit-sized output here. */
+  val x69Prototypicality: Q = (s, d) => {
+    val qq = spread(s, Tables.embeddings(s, d))
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "xi")))
+      .withColumn("qi", round(col("xi").cast("double") * 1e6, 0).cast("long"))
+    val cent = {
+      val c = qq.groupBy(col("label"), col("i")).agg(sum(col("qi")).as("s_li"))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(c.collect().toSeq.asJava, c.schema)
+    }
+    val cn = cent.groupBy(col("label"))
+      .agg(sum(col("s_li").cast("decimal(38,0)") * col("s_li")).as("n2"))
+      .select(col("label"), col("n2").cast("double").as("n2"))
+    val pv = qq.join(broadcast(cent), Seq("label", "i"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("qi").cast("decimal(38,0)") * col("s_li")).as("num"),
+        sum(col("qi").cast("decimal(38,0)") * col("qi")).as("qn2"))
+      .select(col("vec_id"), col("label"), col("num").cast("double").as("num"),
+        col("qn2").cast("double").as("qn2"))
+    val cosRaw = col("num") / (sqrt(col("qn2")) * sqrt(col("n2")))
+    pv.join(broadcast(cn), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(cosRaw, 6).as("cos_centroid"),
+        row_number().over(Window.partitionBy(col("label"))
+          .orderBy(cosRaw.desc, col("vec_id"))).as("rank_in_label"))
+      .orderBy(col("label"), col("rank_in_label"))
+  }
+
+  /** X70: mixture-realized sampling — materialize the UniMax-α=½
+    * mixture ([[x50MixtureWeights]]'s sqrt-share epochs) into an
+    * actual sampled corpus via deterministic hash thresholding
+    * (u = md5₃₂/2³² < min(rate, 1), the x61 selector), and report per
+    * source what the realized sample holds vs the target. This is the
+    * operator that turns a mixture DESIGN into a training corpus —
+    * downsampled sources keep a rate-sized slice, upsampled ones
+    * (rate ≥ 1, which x50 expresses as epochs > 1) keep everything
+    * and the epoch remainder is a repeat-factor downstream, not a
+    * selection. Determinism: sqrt quantizes to integer 1e-6 units
+    * before the denominator sum (order-free — x50's raw double fold
+    * is driver-side and ordered; here the sum must be engine-exact),
+    * and the rate arithmetic is the same parenthesized IEEE ops on
+    * exact integers in both engines; u < rate is then bit-exact.
+    * Shape: one |sources|-row stats aggregation, a broadcast of the
+    * rate table, one row-local selection scan — nothing
+    * corpus-sized shuffles. */
+  val x70MixtureSample: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val stats = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text")).cast("long")).as("tok"))
+      .withColumn("sqq",
+        round(sqrt(col("tok").cast("double")) * 1e6, 0).cast("long"))
+    val rates = stats
+      .crossJoin(broadcast(stats.agg(sum(col("sqq")).as("denomq"),
+        sum(col("tok")).as("budget"))))
+      .select(col("source"), col("n_docs"), col("tok"),
+        least(col("budget").cast("double")
+          * (col("sqq").cast("double") / col("denomq").cast("double"))
+          / col("tok").cast("double"), lit(1.0)).as("rate"))
+    docs
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("sel",
+        graft.dedup.NearDup.md5Hash32(col("doc_id").cast("string"))
+          .cast("double") / lit(4294967296.0) < col("rate"))
+      .groupBy(col("source"), col("n_docs"), col("tok"), col("rate"))
+      .agg(sum(when(col("sel"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("sel"), tokenCount(col("text")).cast("long"))
+          .otherwise(0L)).as("tok_kept"))
+      .select(col("source"), col("n_docs"), col("tok"),
+        round(col("rate"), 6).as("rate"), col("n_kept"), col("tok_kept"))
+      .orderBy(col("source"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x70_mixture_sample" -> x70MixtureSample,
+    "x69_prototypicality" -> x69Prototypicality,
+    "x68_quality_psi" -> x68QualityPsi,
+    "x67_vocab_growth" -> x67VocabGrowth,
+    "x66_boilerplate_segments" -> x66BoilerplateSegments,
     "x65_embed_whiten" -> x65EmbedWhiten,
     "x64_backoff_logppl" -> x64BackoffLogppl,
     "x63_pmi_cooccurrence" -> x63PmiCooccurrence,
@@ -2485,6 +2710,130 @@ object TrainingData {
       ORDER BY s.source, s.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "x66_boilerplate_segments" -> """
+      WITH t AS (SELECT doc_id,
+          regexp_split_to_array(trim('portal ' || source
+            || ' official mirror terms of service apply'
+            || ' all rights reserved contact webmaster ' || text),
+            '\s+') AS toks
+        FROM documents),
+      b AS (SELECT doc_id, toks,
+          unnest(range(0, (len(toks) + 7) // 8)) AS g FROM t),
+      seg AS (SELECT doc_id,
+          md5(array_to_string(list_slice(toks, g * 8 + 1, g * 8 + 8), ' '))
+            AS fp
+        FROM b),
+      df AS (SELECT fp, COUNT(DISTINCT doc_id) AS df FROM seg GROUP BY fp),
+      agg AS (SELECT doc_id, COUNT(*) AS n_seg,
+          SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS n_boiler
+        FROM seg JOIN df USING (fp) GROUP BY doc_id)
+      SELECT doc_id, CAST(n_seg AS BIGINT) AS n_seg,
+        CAST(n_boiler AS BIGINT) AS n_boiler,
+        CAST((2 * n_boiler * 10000 + n_seg) // (2 * n_seg) AS DOUBLE) / 1e4
+          AS boiler_frac
+      FROM agg ORDER BY doc_id""",
+    "x67_vocab_growth" -> """
+      WITH mx AS (SELECT MAX(doc_id) // 10 + 1 AS width FROM documents),
+      tok AS (SELECT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents),
+      arrivals AS (SELECT doc_id // (SELECT width FROM mx) AS bucket,
+          COUNT(*) AS n_tok FROM tok GROUP BY 1),
+      firsts AS (SELECT w, MIN(doc_id) AS first_doc FROM tok GROUP BY w),
+      fresh AS (SELECT first_doc // (SELECT width FROM mx) AS bucket,
+          COUNT(*) AS n_new_types FROM firsts GROUP BY 1)
+      SELECT a.bucket, CAST(a.n_tok AS BIGINT) AS n_tok,
+        CAST(COALESCE(f.n_new_types, 0) AS BIGINT) AS n_new_types,
+        CAST(SUM(a.n_tok) OVER (ORDER BY a.bucket) AS BIGINT) AS cum_tok,
+        CAST(SUM(COALESCE(f.n_new_types, 0)) OVER (ORDER BY a.bucket)
+          AS BIGINT) AS cum_types
+      FROM arrivals a LEFT JOIN fresh f USING (bucket)
+      ORDER BY bucket""",
+    "x68_quality_psi" -> """
+      WITH sp AS (SELECT (MAX(doc_id) + 1) // 2 AS split FROM documents),
+      qual AS (SELECT doc_id,
+          ROUND(LEAST(len(toks) / 50.0, 1.0) * 0.4
+            + (1.0 - LEAST((CAST(length(text) - length(regexp_replace(text,
+                  '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                / GREATEST(length(text), 1)) * 5.0, 1.0)) * 0.3
+            + LEAST((CAST(len(list_filter(toks,
+                  t -> t IN ('the','a','of','and'))) AS DOUBLE)
+                / GREATEST(len(toks), 1)) * 10.0, 1.0) * 0.3, 4) AS quality
+        FROM (SELECT doc_id, text,
+                regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents)),
+      binned AS (SELECT
+          LEAST(CAST(ROUND(quality * 1e4, 0) AS BIGINT) // 1000, 9) AS bin,
+          CASE WHEN doc_id < (SELECT split FROM sp) THEN 1 ELSE 0 END AS early
+        FROM qual),
+      counts AS (SELECT bin, SUM(early) AS c_early,
+          SUM(1 - early) AS c_late FROM binned GROUP BY bin),
+      tot AS (SELECT SUM(early) AS n_early,
+          SUM(1 - early) AS n_late FROM binned),
+      grid AS (SELECT g.bin, COALESCE(c.c_early, 0) AS c_early,
+          COALESCE(c.c_late, 0) AS c_late, t.n_early, t.n_late
+        FROM (SELECT unnest(range(0, 10)) AS bin) g
+        LEFT JOIN counts c USING (bin) CROSS JOIN tot t),
+      contrib AS (SELECT bin, c_early, c_late,
+          CAST(ROUND((((c_early + 1) / CAST(n_early + 10 AS DOUBLE))
+              - ((c_late + 1) / CAST(n_late + 10 AS DOUBLE)))
+            * CAST(CAST(ROUND(LN(CAST((c_early + 1) * (n_late + 10) AS DOUBLE)
+                / CAST((c_late + 1) * (n_early + 10) AS DOUBLE)) * 1e6, 0)
+              AS BIGINT) AS DOUBLE) * 1e2, 0) AS BIGINT) AS contrib_q
+        FROM grid)
+      SELECT bin, CAST(c_early AS BIGINT) AS c_early,
+        CAST(c_late AS BIGINT) AS c_late,
+        CAST(contrib_q AS DOUBLE) / 1e8 AS contrib,
+        CAST(SUM(contrib_q) OVER () AS DOUBLE) / 1e8 AS psi
+      FROM contrib ORDER BY bin""",
+    "x69_prototypicality" -> """
+      WITH q AS (SELECT vec_id, label,
+          unnest(range(1, len(embedding) + 1)) AS i,
+          unnest(embedding) AS x
+        FROM embeddings),
+      qq AS (SELECT vec_id, label, i,
+          CAST(ROUND(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT) AS qi FROM q),
+      cent AS (SELECT label, i, SUM(qi) AS s_li FROM qq GROUP BY label, i),
+      cn AS (SELECT label,
+          CAST(SUM(CAST(s_li AS HUGEINT) * s_li) AS DOUBLE) AS n2
+        FROM cent GROUP BY label),
+      pv AS (SELECT vec_id, qq.label,
+          CAST(SUM(CAST(qi AS HUGEINT) * s_li) AS DOUBLE) AS num,
+          CAST(SUM(CAST(qi AS HUGEINT) * qi) AS DOUBLE) AS qn2
+        FROM qq JOIN cent ON qq.label = cent.label AND qq.i = cent.i
+        GROUP BY vec_id, qq.label),
+      sc AS (SELECT vec_id, pv.label,
+          num / (sqrt(qn2) * sqrt(n2)) AS cosc
+        FROM pv JOIN cn ON pv.label = cn.label)
+      SELECT vec_id, label, ROUND(cosc, 6) AS cos_centroid,
+        CAST(ROW_NUMBER() OVER (PARTITION BY label
+          ORDER BY cosc DESC, vec_id) AS INT) AS rank_in_label
+      FROM sc ORDER BY label, rank_in_label""",
+    "x70_mixture_sample" -> s"""
+      WITH stats AS (SELECT source, COUNT(*) AS n_docs,
+          SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+        FROM documents GROUP BY source),
+      sq AS (SELECT source, n_docs, tok,
+          CAST(ROUND(sqrt(CAST(tok AS DOUBLE)) * 1e6, 0) AS BIGINT) AS sqq
+        FROM stats),
+      tot AS (SELECT SUM(sqq) AS denomq, SUM(tok) AS budget FROM sq),
+      rates AS (SELECT source, n_docs, tok,
+          LEAST(CAST(budget AS DOUBLE)
+            * (CAST(sqq AS DOUBLE) / CAST(denomq AS DOUBLE))
+            / CAST(tok AS DOUBLE), 1.0) AS rate
+        FROM sq CROSS JOIN tot),
+      sel AS (SELECT d.source,
+          len(regexp_split_to_array(trim(d.text), '\\s+')) AS n_tok,
+          (CAST(${md5Hash32Sql("CAST(d.doc_id AS VARCHAR)")} AS DOUBLE)
+            / 4294967296.0) < r.rate AS s
+        FROM documents d JOIN rates r ON d.source = r.source)
+      SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs,
+        CAST(r.tok AS BIGINT) AS tok, ROUND(r.rate, 6) AS rate,
+        CAST(SUM(CASE WHEN s.s THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN s.s THEN s.n_tok ELSE 0 END) AS BIGINT) AS tok_kept
+      FROM rates r JOIN sel s ON r.source = s.source
+      GROUP BY r.source, r.n_docs, r.tok, r.rate
+      ORDER BY r.source""",
     "x64_backoff_logppl" -> """
       WITH tk AS (SELECT doc_id,
           regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),

@@ -960,6 +960,109 @@ class EngineSpec extends AnyFunSuite {
       s"en mean ${rows(true)} should beat non-en ${rows(false)}")
   }
 
+  test("x66 boilerplate: the shared source banner is caught, bodies are not") {
+    val docs = Tables.documents(spark, sf)
+    val srcOf = docs.select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val srcCnt = srcOf.values.groupBy(identity).view.mapValues(_.size).toMap
+    val out = TrainingData.defs("x66_boilerplate_segments")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == srcOf.size)
+    out.foreach { case (id, nSeg, nBoil, frac) =>
+      assert(nBoil <= nSeg && frac >= 0.0 && frac <= 1.0, s"doc $id bounds")
+      // the banner's first 8-token segment is shared by every doc of
+      // the source, so any doc of a df-eligible source flags it
+      if (srcCnt(srcOf(id)) >= 3) assert(nBoil >= 1, s"doc $id banner missed")
+    }
+    // boilerplate must stay the template slice, not swallow the bodies
+    val meanFrac = out.map(_._4).sum / out.length
+    assert(meanFrac < 0.5, s"bodies flagged as boilerplate: $meanFrac")
+  }
+
+  test("x67 vocab growth conserves type and token mass, cumulatives run") {
+    val out = TrainingData.defs("x67_vocab_growth")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.nonEmpty && out.length <= 10)
+    var (ct, cy) = (0L, 0L)
+    out.foreach { case (_, nTok, nNew, cumTok, cumTypes) =>
+      ct += nTok; cy += nNew
+      assert(cumTok == ct && cumTypes == cy, "cumulative columns must run")
+    }
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+    assert(out.last._4 == toks.count(), "token mass conservation")
+    assert(out.last._5 == toks.distinct().count(), "type mass conservation")
+    // Heaps law: the tail decile mints no more types than the head
+    assert(out.last._3 <= out.head._3, "vocabulary growth should flatten")
+  }
+
+  test("x68 PSI: nonnegative per-bin contributions summing to the total") {
+    val out = TrainingData.defs("x68_quality_psi")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.length == 10, "explicit decile grid")
+    out.foreach { case (bin, _, _, contrib, _) =>
+      assert(contrib >= 0.0, s"bin $bin: (p-q)ln(p/q) is nonnegative")
+    }
+    val totalQ = out.map(t => math.round(t._4 * 1e8)).sum
+    out.foreach { case (_, _, _, _, psi) =>
+      assert(math.round(psi * 1e8) == totalQ, "psi = sum of contributions")
+    }
+    // the two halves come from the same generator: no drift alarm
+    assert(out.head._5 < 0.5, s"same-corpus halves should not alarm")
+  }
+
+  test("x69 prototypicality: dense in-label ranks ordered by cosine") {
+    val out = TrainingData.defs("x69_prototypicality")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3)))
+    assert(out.map(_._1).distinct.length == out.length, "one row per vector")
+    out.foreach { case (id, _, c, _) =>
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"vec $id cosine bounds")
+    }
+    out.groupBy(_._2).foreach { case (label, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length),
+        s"label $label ranks not dense")
+      val byRank = rows.sortBy(_._4).map(_._3)
+      byRank.zip(byRank.tail).foreach { case (a, b) =>
+        assert(a >= b - 1e-9, s"label $label rank order vs cosine order")
+      }
+    }
+    // spot-check the winner against a double-precision centroid cosine
+    val emb = Tables.embeddings(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val top = out.filter(_._4 == 1).head
+    val mine = emb.filter(_._2 == top._2).map(_._3)
+    val centroid = mine.transpose.map(_.sum)
+    val v = emb.find(_._1 == top._1).get._3
+    val cos = v.zip(centroid).map { case (a, b) => a * b }.sum /
+      (math.sqrt(v.map(x => x * x).sum) *
+        math.sqrt(centroid.map(x => x * x).sum))
+    assert(math.abs(cos - top._3) < 1e-3,
+      s"quantized cosine ${top._3} vs exact $cos")
+  }
+
+  test("x70 mixture sampling: rate capped at 1, capped sources kept whole") {
+    val out = TrainingData.defs("x70_mixture_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (s0, nDocs, tok, rate, nKept, tokKept) =>
+      assert(rate > 0.0 && rate <= 1.0, s"$s0 rate bounds")
+      assert(nKept <= nDocs && tokKept <= tok, s"$s0 sample bounds")
+      if (rate == 1.0)
+        assert(nKept == nDocs && tokKept == tok, s"$s0 must be kept whole")
+    }
+    // UniMax flattening: the keep-rate is B/(denom·√tok) until the cap,
+    // so sorted by token mass the rates are nonincreasing
+    val byTok = out.sortBy(_._3).map(_._4)
+    byTok.zip(byTok.tail).foreach { case (a, b) =>
+      assert(a >= b - 1e-12, "sqrt-share rate must flatten with size")
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

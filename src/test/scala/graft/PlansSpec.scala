@@ -341,4 +341,38 @@ class PlansSpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(plan).length
     assert(scans == 1, s"x57 should scan embeddings exactly once, saw $scans:\n$plan")
   }
+
+  test("x69 prototypicality joins only broadcast-sized relations") {
+    // the centroid table is |labels|×d and its norm table |labels| —
+    // both must attach as BroadcastHashJoin; a SortMergeJoin here
+    // would mean a corpus-sized shuffle on the label key
+    val q = graft.queries.TrainingData.defs("x69_prototypicality")(spark, sf)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"x69 must not shuffle-join the corpus:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"x69 centroid attach should broadcast:\n$plan")
+  }
+
+  test("x70 mixture sampling: stats grid broadcasts, corpus never shuffle-joins") {
+    val q = graft.queries.TrainingData.defs("x70_mixture_sample")(spark, sf)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"x70 rate attach must broadcast, not shuffle:\n$plan")
+  }
+
+  test("x66 boilerplate shuffles fingerprints, never document text") {
+    // the df count and the join back are fp-keyed; text is consumed
+    // row-locally into md5 segments before any exchange, so no
+    // exchange in the plan may carry the text column
+    val q = graft.queries.TrainingData
+      .defs("x66_boilerplate_segments")(spark, sf)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .foreach(l => assert(!l.contains("text"),
+        s"exchange carries raw text:\n$l"))
+  }
 }
