@@ -172,16 +172,19 @@ object Bench {
       "x27_domain_mixture", "x28_label_centroids", "x29_bloom_dedup",
       "x30_tfidf_topk", "x31_ivf_query", "x32_quality_calibration",
       "x33_substring_dedup", "x34_filtered_ann", "x35_semantic_dedup",
-      "x36_train_split", "x37_funnel_by_source", "x38_length_histogram",
       "x39_unigram_logppl", "x32b_quality_ingest", "x35b_semdedup_nprobe2",
       "a20b_percentiles_approx", "x40_bigram_logppl",
-      "x41_gopher_dup_ngrams", "x42_dsir_weights", "x43_embed_quantize",
-      "x44_vocab_coverage", "x45_cluster_diversity", "x46_embed_covariance",
-      "x47_source_overlap", "x48_embed_correlation", "x49_pca_project",
-      "x53_char_entropy", "x54_token_fertility", "x55_lang_divergence",
-      "x56_chunk_documents", "x57_embed_outliers", "x58_containment_dedup",
-      "x59_dedup_mass", "x60_signature_store", "x61_quality_sampling",
-      "x62_lsh_eval", "x63_pmi_cooccurrence")
+      "x41_gopher_dup_ngrams", "x42_dsir_weights",
+      "x45_cluster_diversity", "x46_embed_covariance",
+      "x48_embed_correlation", "x49_pca_project",
+      "x53_char_entropy", "x55_lang_divergence",
+      "x57_embed_outliers", "x58_containment_dedup",
+      "x59_dedup_mass", "x60_signature_store",
+      "x62_lsh_eval", "x63_pmi_cooccurrence",
+      "x64_backoff_logppl", "x65_embed_whiten",
+      "x66_boilerplate_segments", "x67_vocab_growth", "x68_quality_psi",
+      "x69_prototypicality", "x70_mixture_sample", "x71_split_leakage",
+      "x72_edit_verify")
     val qmap = perQuery.toMap
     // Sentinel block appended to both the file and the contract line:
     // "protocol" names the measurement (min over `repeat` timed passes

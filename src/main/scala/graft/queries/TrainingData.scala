@@ -2408,7 +2408,84 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  /** X71: split-leakage audit — near-duplicate pairs that STRADDLE
+    * the deterministic train/val/test split (x36's hash buckets):
+    * an eval doc with a train near-dup is contamination that
+    * silently inflates every benchmark run on the split, which is
+    * why Lee et al. (dedup) and the GPT-3/PaLM appendices all report
+    * exactly this table before training. The dupe fixture makes the
+    * leak real: copies hash to independent buckets, so ~10% of each
+    * doc's copies land across the split boundary. Shape: pair
+    * generation is the x4 inverted-index primitive (at production
+    * scale the x2 banded-LSH candidates slot in unchanged — the
+    * audit only consumes (id_a, id_b) pairs); split attach is a
+    * doc-keyed join AQE sizes (pairs are a sliver of the corpus);
+    * the report collapses onto 3 rows. */
+  val x71SplitLeakage: Q = (s, d) => {
+    val corpus = corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200)
+    val balde = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long"), lit(100L))
+    val splits = corpus.select(col("doc_id"),
+      when(balde < 90, "train").when(balde < 95, "val")
+        .otherwise("test").as("split"))
+    val pairs = graft.dedup.NearDup.ngramJaccardPairs(spread(s, corpus))
+    val cross = pairs
+      .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")),
+        Seq("id_a"))
+      .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")),
+        Seq("id_b"))
+      .filter(col("split_a") =!= col("split_b"))
+    val leaked = cross
+      .select(col("id_a").as("doc_id"), col("split_a").as("split"))
+      .unionByName(cross
+        .select(col("id_b").as("doc_id"), col("split_b").as("split")))
+      .distinct()
+      .groupBy(col("split")).agg(count(lit(1)).as("n_leaked"))
+    splits.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      .join(leaked, Seq("split"), "left")
+      .na.fill(0L, Seq("n_leaked"))
+      .select(col("split"), col("n_docs"), col("n_leaked"),
+        (intRoundHalfAway(col("n_leaked") * 10000L, col("n_docs"))
+          .cast("double") / 1e4).as("leak_frac"))
+      .orderBy(col("split"))
+  }
+
+  /** X72: edit-distance verification of near-dup candidates — the
+    * second-opinion metric a production dedup run applies before
+    * destructive removal: n-gram Jaccard (set semantics) can be
+    * fooled by shuffled or lightly-reordered text, while relative
+    * Levenshtein (sequence semantics) prices every insert / delete /
+    * substitute. Candidates come in at a permissive J ≥ 0.3 and are
+    * confirmed iff lev / max(len) ≤ 0.2. Shape: candidate generation
+    * is the inverted-index primitive (the x2 banded-LSH path slots in
+    * at scale); text attaches only to the CANDIDATE SLIVER via two
+    * doc-keyed joins, so the O(len²) dynamic program — Spark's
+    * codegen'd levenshtein — runs per colliding pair, never per
+    * corpus pair. Determinism: lev and lengths are integers; the
+    * relative distance rounds in pure BIGINT. */
+  val x72EditVerify: Q = (s, d) => {
+    val corpus = corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200)
+    graft.dedup.NearDup
+      .ngramJaccardPairs(spread(s, corpus), threshold = 0.3)
+      .join(corpus.select(col("doc_id").as("id_a"), col("text").as("text_a")),
+        Seq("id_a"))
+      .join(corpus.select(col("doc_id").as("id_b"), col("text").as("text_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("lev"),
+        greatest(length(col("text_a")), length(col("text_b")))
+          .cast("long").as("max_len"))
+      .withColumn("rel_edit",
+        intRoundHalfAway(col("lev") * 10000L, col("max_len"))
+          .cast("double") / 1e4)
+      .withColumn("confirmed", col("rel_edit") <= 0.2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x72_edit_verify" -> x72EditVerify,
+    "x71_split_leakage" -> x71SplitLeakage,
     "x70_mixture_sample" -> x70MixtureSample,
     "x69_prototypicality" -> x69Prototypicality,
     "x68_quality_psi" -> x68QualityPsi,
@@ -2710,6 +2787,82 @@ object TrainingData {
       ORDER BY s.source, s.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "x71_split_leakage" -> s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM $corpusSql WHERE doc_id % 1000000 < 200),
+      splits AS (SELECT doc_id,
+          CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+            ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+              % 100 AS b
+          FROM corpus)),
+      sh AS (
+        SELECT doc_id, unnest($sqlShingles3) AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM corpus)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      p AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN (SELECT doc_id AS id_a, n AS na FROM sizes) USING (id_a)
+        JOIN (SELECT doc_id AS id_b, n AS nb FROM sizes) USING (id_b)
+        WHERE ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5),
+      cross_p AS (
+        SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b
+        FROM p
+        JOIN splits sa ON p.id_a = sa.doc_id
+        JOIN splits sb ON p.id_b = sb.doc_id
+        WHERE sa.split <> sb.split),
+      leaked AS (SELECT split, COUNT(*) AS n_leaked FROM (
+          SELECT DISTINCT doc_id, split FROM (
+            SELECT id_a AS doc_id, split_a AS split FROM cross_p
+            UNION ALL SELECT id_b, split_b FROM cross_p))
+        GROUP BY split),
+      tot AS (SELECT split, COUNT(*) AS n_docs FROM splits GROUP BY split)
+      SELECT t.split, CAST(t.n_docs AS BIGINT) AS n_docs,
+        CAST(COALESCE(l.n_leaked, 0) AS BIGINT) AS n_leaked,
+        CAST((2 * COALESCE(l.n_leaked, 0) * 10000 + t.n_docs)
+          // (2 * t.n_docs) AS DOUBLE) / 1e4 AS leak_frac
+      FROM tot t LEFT JOIN leaked l USING (split)
+      ORDER BY t.split""",
+    "x72_edit_verify" -> s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM $corpusSql WHERE doc_id % 1000000 < 200),
+      sh AS (
+        SELECT doc_id, unnest($sqlShingles3) AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM corpus)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      p AS (
+        SELECT id_a, id_b,
+          ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+        FROM inter
+        JOIN (SELECT doc_id AS id_a, n AS na FROM sizes) USING (id_a)
+        JOIN (SELECT doc_id AS id_b, n AS nb FROM sizes) USING (id_b)
+        WHERE ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.3),
+      v AS (
+        SELECT p.id_a, p.id_b, p.jaccard,
+          CAST(levenshtein(ca.text, cb.text) AS BIGINT) AS lev,
+          CAST(GREATEST(length(ca.text), length(cb.text)) AS BIGINT)
+            AS max_len
+        FROM p
+        JOIN corpus ca ON p.id_a = ca.doc_id
+        JOIN corpus cb ON p.id_b = cb.doc_id)
+      SELECT id_a, id_b, jaccard, lev, max_len,
+        CAST((2 * lev * 10000 + max_len) // (2 * max_len) AS DOUBLE) / 1e4
+          AS rel_edit,
+        (CAST((2 * lev * 10000 + max_len) // (2 * max_len) AS DOUBLE) / 1e4)
+          <= 0.2 AS confirmed
+      FROM v ORDER BY id_a, id_b""",
     "x66_boilerplate_segments" -> """
       WITH t AS (SELECT doc_id,
           regexp_split_to_array(trim('portal ' || source

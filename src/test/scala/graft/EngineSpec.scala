@@ -1063,6 +1063,45 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("x71 split leakage: splits partition the corpus, copies leak") {
+    val out = TrainingData.defs("x71_split_leakage")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).sorted.toSeq == Seq("test", "train", "val"))
+    val corpusN = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 1000000 < 200).count() * 3
+    assert(out.map(_._2).sum == corpusN, "splits must partition the corpus")
+    out.foreach { case (sp, nDocs, nLeaked, frac) =>
+      assert(nLeaked <= nDocs && frac >= 0.0 && frac <= 1.0, s"$sp bounds")
+    }
+    // each doc has two same-text copies hashed to independent buckets:
+    // the eval splits are ~fully contaminated in this fixture
+    val eval_ = out.filter(t => t._1 != "train")
+    assert(eval_.map(_._3).sum > 0, "cross-split copies must be caught")
+  }
+
+  test("x72 edit verification confirms the copy families with exact lev") {
+    val out = TrainingData.defs("x72_edit_verify")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getBoolean(6)))
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, j, lev, maxLen, rel, conf) =>
+      assert(a < b && j >= 0.3, s"($a,$b) candidate contract")
+      assert(lev >= 0 && lev <= maxLen && rel >= 0.0 && rel <= 1.0,
+        s"($a,$b) metric bounds")
+      assert(conf == (rel <= 0.2), s"($a,$b) verdict")
+    }
+    val byPair = out.map(t => (t._1, t._2) -> t).toMap
+    Tables.documents(spark, sf).filter(col("doc_id") % 1000000 < 200)
+      .select(col("doc_id")).collect().map(_.getLong(0)).take(20)
+      .foreach { id =>
+        // exact copy: identical text, lev 0; near copy: " extra" = +6
+        val ex = byPair((id, id + 1000000L))
+        assert(ex._3 == 1.0 && ex._4 == 0L && ex._7, s"doc $id exact copy")
+        val nr = byPair((id, id + 2000000L))
+        assert(nr._4 == 6L && nr._7, s"doc $id near copy lev")
+      }
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
