@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+  // 48g default: the bench/verify JVM is the only tenant of a 128 GiB
+  // box; at 20g a 220-query bench pass ran the heap to its ceiling and
+  // full collections landed inside timed queries (12.8s artifacts on
+  // 3.3s queries). Tests fork their own JVM with the same setting.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -117,18 +117,36 @@ object Bench {
     val loadBefore = loadAvg(); val jvmsBefore = otherJvms()
     val raw = (1 to repeat).flatMap { _ =>
       interPassGc()
+      var gcFloor = 0.0
       selected.zipWithIndex.map { case ((name, fn), i) =>
-        // Periodic IN-pass GC, outside the timed region: a ~200-query
-        // pass accumulates enough broadcast/shuffle garbage that a
-        // full-heap collection fires mid-pass and lands inside
+        // HEAP-CONDITIONAL in-pass GC, outside the timed region: a
+        // ~200-query pass accumulates enough broadcast/shuffle garbage
+        // that a full-heap collection fires mid-pass and lands inside
         // whichever timed query allocates next (measured: x31 reads
         // ~2.5s in the full suite vs 0.45-0.67s in any ≤42-query
-        // subset, same code, same JVM settings). Draining every 12
-        // queries keeps collections in the gaps between timers; at 24
-        // the drain cadence left a long-enough GC-free stretch that
-        // the artifact re-appeared on whichever heavy query followed
-        // it (x31 read 2.84 in the 205-query suite, 0.56 isolated).
-        if (i > 0 && i % 12 == 0) interPassGc()
+        // subset, same code, same JVM settings). A FIXED every-12
+        // cadence stopped scaling with the suite: at 220 queries the
+        // GC-free stretches between drains grew long enough that the
+        // artifact re-appeared (x52 in-suite 6.74s vs 1.02s isolated;
+        // x31 3.08 vs 0.48 — round-7 measurement, exactly the failure
+        // the round-6 verdict told this cadence to watch for). The
+        // drain now triggers on measured heap pressure at EVERY query
+        // boundary — it adapts to suite size and allocation mix
+        // instead of assuming a garbage rate, and when pressure is
+        // low it costs one Runtime arithmetic check.
+        def heapFrac: Double = {
+          val rt = Runtime.getRuntime
+          (rt.totalMemory() - rt.freeMemory()).toDouble / rt.maxMemory()
+        }
+        // Hysteresis: if a drain cannot push usage below the trigger
+        // (long-lived broadcast/cache state sets a floor), draining
+        // again next query would churn full GCs into the timed region
+        // — only re-drain once usage rises meaningfully above the
+        // post-GC floor.
+        if (i > 0) {
+          val f = heapFrac
+          if (f > 0.5 && f > gcFloor + 0.15) { interPassGc(); gcFloor = heapFrac }
+        }
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9

@@ -135,7 +135,20 @@ object MlEtl {
           sum(col("t") * col("h")).as("sth"),
           sum(col(yCol)).as("sy"), sum(col("t") * col(yCol)).as("sxy"),
           sum(col("h") * col(yCol)).as("shy"))
-    val knot = hingeKnot(hingeMoments(monthly, "yc"))
+    // Each knot is ONE row, but as a lazy frame its b0/b1/b2 carry the
+    // full Cramer expression trees — and stage 2 re-embeds them inside
+    // its own moments and Cramer solve, then the fit references both.
+    // Left lazy, Catalyst re-analyzes/optimizes that compounded tree on
+    // every reference and the QUERY COMPILATION (not execution) cost
+    // dominated: m1 v5 read 3.96 s isolated, ~2 s over v4. Pinning each
+    // solved knot as four DRIVER LITERALS (the monthly-pin pattern —
+    // the values are identical IEEE doubles, now computed once)
+    // collapses the downstream tree to literal arithmetic: 1.2 s.
+    def pinKnot(k: DataFrame): (Int, Double, Double, Double) = {
+      val r = k.head()
+      (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    }
+    val (c1, b0, b1, b2) = pinKnot(hingeKnot(hingeMoments(monthly, "yc")))
     // Stage 2 — greedy forward selection of a SECOND changepoint
     // (Prophet's multi-changepoint analog): quantize the stage-1
     // residuals to exact integer cents via FLOOR (no .5 tie, so the
@@ -143,20 +156,18 @@ object MlEtl {
     // with the same (1, t, hinge) basis on the residual series, and
     // add the correction onto the stage-1 trend. Each greedy stage
     // strictly reduces SSE; the scan stays months × months rows.
-    val resid2 = monthly.crossJoin(broadcast(knot))
+    val resid2 = monthly
       .withColumn("rc",
-        col("yc") - floor(col("b0") + col("b1") * col("t")
-          + col("b2") * greatest(col("t") - col("c"), lit(0))).cast("long"))
+        col("yc") - floor(lit(b0) + lit(b1) * col("t")
+          + lit(b2) * greatest(col("t") - lit(c1), lit(0))).cast("long"))
       .select(col("t"), col("rc"))
-    val knot2 = hingeKnot(hingeMoments(resid2, "rc"))
-      .select(col("c").as("c2"), col("b0").as("g0"),
-        col("b1").as("g1"), col("b2").as("g2"))
-    val based = monthly.crossJoin(broadcast(knot)).crossJoin(broadcast(knot2))
+    val (c2, g0, g1, g2) = pinKnot(hingeKnot(hingeMoments(resid2, "rc")))
+    val based = monthly
       .withColumn("trend_t",
-        (col("b0") + col("b1") * col("t")
-          + col("b2") * greatest(col("t") - col("c"), lit(0))
-          + col("g0") + col("g1") * col("t")
-          + col("g2") * greatest(col("t") - col("c2"), lit(0))) / 100.0)
+        (lit(b0) + lit(b1) * col("t")
+          + lit(b2) * greatest(col("t") - lit(c1), lit(0))
+          + lit(g0) + lit(g1) * col("t")
+          + lit(g2) * greatest(col("t") - lit(c2), lit(0))) / 100.0)
       .withColumn("ratio_scaled",
         when(col("trend_t") > 0,
           floor(col("total_dec").cast("double") / col("trend_t") * 1e9)))
@@ -187,7 +198,11 @@ object MlEtl {
     // inherently tiny no matter the corpus), nearest-rank p10/p90
     val resid = fit.filter(col("previsao").isNotNull)
       .select(((col("total_dec") * 100).cast("long") - col("prev_cents")).as("rc"))
-    val qs = resid
+    // qs is a 1-row (q_lo, q_hi) frame whose plan embeds the whole
+    // fit (windows included) — left lazy it crossJoins back into fit
+    // and Catalyst compiles the fit tree twice. Pin the two longs as
+    // literals (same knot-pin rationale; exact integer cents).
+    val qRow = resid
       .withColumn("rn", row_number().over(Window.orderBy(col("rc"))))
       .withColumn("nr", count(lit(1)).over(
         Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
@@ -195,11 +210,12 @@ object MlEtl {
         min(when(col("rn") === greatest(ceil(col("nr") * 0.1), lit(1L)),
           col("rc"))).as("q_lo"),
         min(when(col("rn") === ceil(col("nr") * 0.9), col("rc"))).as("q_hi"))
-    fit.crossJoin(broadcast(qs))
+      .head()
+    fit
       .withColumn("previsao_inferior",
-        round((col("prev_cents") + col("q_lo")) / 100.0, 2))
+        round((col("prev_cents") + lit(qRow.getLong(0))) / 100.0, 2))
       .withColumn("previsao_superior",
-        round((col("prev_cents") + col("q_hi")) / 100.0, 2))
+        round((col("prev_cents") + lit(qRow.getLong(1))) / 100.0, 2))
       .select(col("ano"), col("mes"), col("total"), col("previsao"),
         col("previsao_inferior"), col("previsao_superior"),
         col("sazonalidade"), col("previsao_naive"))
