@@ -107,4 +107,72 @@ object DocStream {
           threshold = threshold)
         .select(col("new_id").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
+
+  /** Quality decile on the integer-1e4 score representation — the
+    * x68 binning (pure integer: no engine or batch/stream replay can
+    * disagree on a bin edge). */
+  def qualityBin(text: org.apache.spark.sql.Column,
+      stopwords: Seq[String]): org.apache.spark.sql.Column =
+    least(call_function("div",
+      round(qualityScore(text, stopwords) * 1e4, 0).cast("long"),
+      lit(1000L)), lit(9L))
+
+  /** Streaming half of the quality-drift monitor: per-event-time-
+    * window quality-decile counts — ONE watermarked windowed
+    * aggregation, the only stateful operator, with state bounded by
+    * windows-in-flight × 10 bins regardless of throughput. The same
+    * code runs on a batch frame (the watermark node is eliminated in
+    * batch plans), which is what the spec uses as the oracle. */
+  def windowedQualityCounts(docs: DataFrame, tsCol: String,
+      windowDur: String, watermark: String,
+      stopwords: Seq[String]): DataFrame =
+    docs
+      .withColumn("bin", qualityBin(col("text"), stopwords))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col("bin"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Scoring half: PSI of each window's quality histogram against a
+    * REFERENCE histogram (the corpus snapshot the mix was designed
+    * on) — the alarm number x68 computes corpus-vs-corpus, here
+    * window-vs-reference so a production ingest can page on "this
+    * hour's crawl quality shifted". Runs downstream of
+    * [[windowedQualityCounts]] — in a stream, inside `foreachBatch`
+    * (chained streaming aggregations are not expressible in a single
+    * continuous plan; the per-window counts ARE the bounded handoff).
+    * Laplace-(+1) over the explicit 10-bin grid, per-bin terms
+    * quantized to integers (x68 recipe) so the sum is replay-stable. */
+  def qualityPsi(binCounts: DataFrame, refHist: Seq[(Long, Long)]): DataFrame = {
+    val spark = binCounts.sparkSession
+    import spark.implicits._
+    val nRef = refHist.map(_._2).sum
+    val ref = refHist.toDF("bin", "rc")
+    val grid = spark.range(0, 10).select(col("id").as("bin"))
+    // binCounts is POST-aggregation — bounded by windows-in-flight ×
+    // 10 bins, never corpus-sized — and it is referenced twice below
+    // (totals + the grid fill). Pin it driver-local (the x55 pattern):
+    // one evaluation, and the self-reference cannot trip attribute
+    // dedup on exotic sources (the memory-sink view in the spec hits
+    // exactly that).
+    val bc = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(binCounts.collect().toSeq.asJava, binCounts.schema)
+    }
+    val full = bc.groupBy(col("window")).agg(sum(col("c")).as("n"))
+      .crossJoin(broadcast(grid))
+      .join(bc, Seq("window", "bin"), "left").na.fill(0L, Seq("c"))
+      .join(broadcast(ref), Seq("bin"), "left").na.fill(0L, Seq("rc"))
+    val p = (col("c") + 1).cast("double") / (col("n") + 10).cast("double")
+    val q = (col("rc") + 1).cast("double") / lit((nRef + 10).toDouble)
+    val lnrQ = round(log(
+      ((col("c") + 1) * lit(nRef + 10)).cast("double")
+        / ((col("rc") + 1) * (col("n") + 10)).cast("double")) * 1e6, 0)
+      .cast("long")
+    full
+      .withColumn("contrib_q",
+        round((p - q) * lnrQ.cast("double") * 1e2, 0).cast("long"))
+      .groupBy(col("window"))
+      .agg(max(col("n")).as("n_docs"),
+        (sum(col("contrib_q")).cast("double") / 1e8).as("psi"))
+  }
 }

@@ -205,4 +205,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() == fresh.count(), "one admission per fingerprint")
     assert(out.select("fp").distinct().count() == out.count())
   }
+
+  test("streaming quality drift: windowed PSI equals the batch computation") {
+    import graft.streaming.DocStream
+    val stop = Seq("the", "a", "of", "and")
+    // synthetic event time: one doc per minute → "1 hour" windows of
+    // 60 docs each; deterministic, replay-stable
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .withColumn("ts", (col("doc_id") * 60).cast("timestamp"))
+    val tmp = java.nio.file.Files.createTempDirectory("docs_drift").toString
+    docs.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "2").parquet(tmp)
+    val streamCounts = EventStream.runToMemory(spark,
+      DocStream.windowedQualityCounts(stream, "ts", "1 hour", "30 minutes",
+        stop), "drift_counts", OutputMode.Complete)
+    // identical code on the batch frame (watermark node eliminated)
+    val batchCounts = DocStream.windowedQualityCounts(
+      spark.read.parquet(tmp), "ts", "1 hour", "30 minutes", stop)
+    assert(streamCounts.count() == batchCounts.count())
+    assert(streamCounts.exceptAll(batchCounts).count() == 0)
+    // reference histogram = the corpus snapshot's own bins; PSI of the
+    // corpus windows against their own corpus stays calm
+    val ref = docs.select(DocStream.qualityBin(col("text"), stop).as("bin"))
+      .groupBy("bin").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val psiStream = DocStream.qualityPsi(streamCounts, ref)
+      .orderBy(col("window")).collect()
+    val psiBatch = DocStream.qualityPsi(batchCounts, ref)
+      .orderBy(col("window")).collect()
+    assert(psiStream.toSeq == psiBatch.toSeq, "stream PSI must equal batch")
+    assert(psiStream.nonEmpty)
+    psiStream.foreach { r =>
+      val psi = r.getDouble(2)
+      assert(psi >= 0.0 && psi < 1.0,
+        s"window vs own corpus should not alarm: $psi")
+    }
+  }
 }
