@@ -2483,7 +2483,50 @@ object TrainingData {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** X73: dup-graph diagnostics — the degree histogram of the
+    * near-dup pair graph plus the size histogram of its connected
+    * components: the "dup landscape" report read before committing to
+    * a dedup threshold (a fat degree tail means hub documents —
+    * boilerplate-heavy pages pairing with everything, where dropping
+    * the threshold explodes candidate verification cost; component
+    * sizes separate pairwise re-uploads from viral copy families,
+    * which decide whether keep-one-per-component loses real mass).
+    * Shape: degrees are a doc-keyed aggregation of the pair SLIVER
+    * (never the corpus), both histograms collapse onto k-keyed
+    * handfuls of rows, and components reuse the x14 CC machinery
+    * (O(log diameter) rounds). */
+  val x73DupGraphStats: Q = (s, d) => {
+    // dup corpus EXTENDED with 60%-prefix truncations (+3M ids): a
+    // prefix of an n-token doc has J = (0.6n−2)/(n−2) against its
+    // base — straddling the 0.5 threshold with document length, so
+    // degrees and component sizes actually vary (the all-copies
+    // corpus alone yields one uniform family shape). The prefix cut
+    // is integer arithmetic (3n div 5) so both engines cut the same
+    // token.
+    val base = corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200)
+    val trunc = Tables.documents(s, d)
+      .filter(col("doc_id") % 1000000 < 200)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        array_join(slice(wsTokens(col("text")), lit(1),
+          call_function("div", size(wsTokens(col("text"))).cast("long") * 3,
+            lit(5L)).cast("int")), " ").as("text"))
+    val corpus = spread(s, base.unionByName(trunc))
+    val pairs = graft.dedup.NearDup.ngramJaccardPairs(corpus)
+    val deg = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .select(lit("degree").as("stat"), col("k"), col("n"))
+    val comp = graft.dedup.NearDup.clusters(corpus, pairs)
+      .groupBy(col("canonico")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz") >= 2)
+      .groupBy(col("sz")).agg(count(lit(1)).as("n"))
+      .select(lit("component").as("stat"), col("sz").as("k"), col("n"))
+    deg.unionByName(comp).orderBy(col("stat"), col("k"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x73_dup_graph_stats" -> x73DupGraphStats,
     "x72_edit_verify" -> x72EditVerify,
     "x71_split_leakage" -> x71SplitLeakage,
     "x70_mixture_sample" -> x70MixtureSample,
@@ -2787,6 +2830,52 @@ object TrainingData {
       ORDER BY s.source, s.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "x73_dup_graph_stats" -> s"""
+      WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM $corpusSql WHERE doc_id % 1000000 < 200
+        UNION ALL
+        SELECT doc_id + 3000000,
+          array_to_string(list_slice(toks, 1, (3 * len(toks)) // 5), ' ')
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE doc_id % 1000000 < 200)),
+      sh AS (
+        SELECT doc_id, unnest($sqlShingles3) AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM corpus)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      p AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN (SELECT doc_id AS id_a, n AS na FROM sizes) USING (id_a)
+        JOIN (SELECT doc_id AS id_b, n AS nb FROM sizes) USING (id_b)
+        WHERE ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5),
+      edges2 AS (
+        SELECT id_a AS a, id_b AS b FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+      reach(a, b) AS (
+        SELECT a, b FROM edges2
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges2 e ON r.b = e.a),
+      labels AS (
+        SELECT c.doc_id,
+          LEAST(c.doc_id, COALESCE(m.mn, c.doc_id)) AS canonico
+        FROM corpus c
+        LEFT JOIN (SELECT a, MIN(b) AS mn FROM reach GROUP BY a) m
+          ON c.doc_id = m.a),
+      deg AS (SELECT doc_id, COUNT(*) AS k FROM (
+          SELECT id_a AS doc_id FROM p
+          UNION ALL SELECT id_b FROM p) GROUP BY doc_id),
+      dh AS (SELECT 'degree' AS stat, k, COUNT(*) AS n FROM deg GROUP BY k),
+      cs AS (SELECT canonico, COUNT(*) AS sz FROM labels GROUP BY canonico),
+      ch AS (SELECT 'component' AS stat, sz AS k, COUNT(*) AS n
+        FROM cs WHERE sz >= 2 GROUP BY sz)
+      SELECT stat, CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n
+      FROM (SELECT * FROM dh UNION ALL SELECT * FROM ch)
+      ORDER BY stat, k""",
     "x71_split_leakage" -> s"""
       WITH corpus AS (
         SELECT doc_id, text FROM $corpusSql WHERE doc_id % 1000000 < 200),

@@ -1102,6 +1102,25 @@ class EngineSpec extends AnyFunSuite {
       }
   }
 
+  test("x73 dup-graph stats conserve edge and doc mass vs the pair list") {
+    val out = TrainingData.defs("x73_dup_graph_stats")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val deg = out.filter(_._1 == "degree")
+    val comp = out.filter(_._1 == "component")
+    assert(deg.nonEmpty && comp.nonEmpty)
+    // handshake lemma: Σ k·n(k) = 2·|pairs|; component docs ≤ graph docs
+    val edgeEnds = deg.map(t => t._2 * t._3).sum
+    assert(edgeEnds % 2 == 0, "degree mass must be even")
+    val graphDocs = deg.map(_._3).sum
+    val compDocs = comp.map(t => t._2 * t._3).sum
+    // every doc in a ≥2-component has degree ≥ 1; isolated docs are in
+    // neither histogram — the two doc masses must agree exactly (a CC
+    // component IS a connected subgraph of the pair graph)
+    assert(compDocs == graphDocs, s"component docs $compDocs vs graph $graphDocs")
+    // the prefix fixture must produce non-uniform structure
+    assert(deg.length >= 2 && comp.length >= 2, "histograms should have a tail")
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
