@@ -2525,7 +2525,86 @@ object TrainingData {
     deg.unionByName(comp).orderBy(col("stat"), col("k"))
   }
 
+  /** X74: SQ8 serving-quality audit — recall@10 of int8-quantized
+    * cosine top-k against the full-precision ranking, per query: the
+    * acceptance test run before an x43-quantized copy replaces the
+    * float index in serving (FAISS's standard SQ8 evaluation). Both
+    * rankings come off ONE scored sliver (queries broadcast, the
+    * x5 shape); the quantized score's numerator/norms are exact
+    * integer folds (|q| ≤ 127, d=64 ⇒ ≤ 2²⁰ per term — no overflow
+    * at any dimension that fits a vector register), so the only
+    * doubles are the final quotient, mirrored op-for-op in the
+    * oracle. Recall is an integer intersection count. At 100 TB the
+    * same audit runs on a stratified query sample — the scored side
+    * stays (queries × corpus)-sliver-sized, never corpus². */
+  val x74Sq8Recall: Q = (s, d) => {
+    val qv = spread(s, Tables.embeddings(s, d))
+      .withColumn("mx",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .filter(col("mx") > 0)
+      .withColumn("q", transform(col("embedding"),
+        x => round(x.cast("double") * 127 / col("mx"), 0).cast("long")))
+      .withColumn("qn",
+        aggregate(col("q"), lit(0L), (a, x) => a + x * x))
+      .select(col("vec_id"), col("embedding"), col("q"), col("qn"))
+    val queries = qv.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("q").as("qq"), col("qn").as("qqn"))
+    val scored = qv
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("q").as("nq"), col("qn").as("nqn"))
+      .crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("score_f", round(cosineSim(col("qe"), col("ne")), 4))
+      .withColumn("num", aggregate(zip_with(col("qq"), col("nq"),
+        (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+      .withColumn("score_q", col("num").cast("double")
+        / (sqrt(col("qqn").cast("double")) * sqrt(col("nqn").cast("double"))))
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(col("score_f").desc, col("nid"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("score_q").desc, col("nid"))
+    val ranked = scored
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rq", row_number().over(wq))
+    ranked
+      .groupBy(col("qid"))
+      .agg(sum(when(col("rf") <= 10 && col("rq") <= 10, 1L).otherwise(0L))
+        .as("n_match"))
+      .select(col("qid"), col("n_match"),
+        (col("n_match").cast("double") / 10).as("recall_at_10"))
+      .orderBy(col("qid"))
+  }
+
+  /** X75: IVF cell-balance audit — per-cell population share and the
+    * imbalance factor max/mean after the x13 Lloyd training: the
+    * nlist-tuning report (a cell holding 10× its share makes every
+    * probe touching it pay 10× verification — the knob a production
+    * ANN deployment watches next to x62's recall table). The cell
+    * census is ONE map-side-combinable aggregation onto nCells rows,
+    * pinned driver-local; every ratio is an exact integer rational
+    * rounded in BIGINT. */
+  val x75IvfBalance: Q = (s, d) => {
+    val counts = {
+      val c = ivfCells(s, d, lloydIters = 2)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(c.collect().toSeq.asJava, c.schema)
+    }
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("n_vecs")).as("total"),
+        max(col("n_vecs")).as("mx"), count(lit(1)).as("nc"))))
+      .select(col("cell"), col("n_vecs"),
+        (intRoundHalfAway(col("n_vecs") * 10000L, col("total"))
+          .cast("double") / 1e4).as("share"),
+        (intRoundHalfAway(col("mx") * col("nc") * 10000L, col("total"))
+          .cast("double") / 1e4).as("imbalance"))
+      .orderBy(col("cell"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x75_ivf_balance" -> x75IvfBalance,
+    "x74_sq8_recall" -> x74Sq8Recall,
     "x73_dup_graph_stats" -> x73DupGraphStats,
     "x72_edit_verify" -> x72EditVerify,
     "x71_split_leakage" -> x71SplitLeakage,
@@ -2830,6 +2909,49 @@ object TrainingData {
       ORDER BY s.source, s.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "x74_sq8_recall" -> s"""
+      WITH qv AS (SELECT vec_id, embedding,
+          list_transform(embedding,
+            x -> CAST(ROUND(CAST(x AS DOUBLE) * 127 / mx, 0) AS BIGINT)) AS q
+        FROM (SELECT vec_id, embedding,
+            list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+              AS mx
+          FROM embeddings)
+        WHERE mx > 0),
+      qn AS (SELECT vec_id, embedding, q,
+          list_sum(list_transform(q, x -> x * x)) AS qn FROM qv),
+      sc AS (SELECT qq.vec_id AS qid, nn.vec_id AS nid,
+          ROUND(${cosSql("qq.embedding", "nn.embedding")}, 4) AS score_f,
+          CAST(list_sum(list_transform(list_zip(qq.q, nn.q),
+              p -> p[1] * p[2])) AS DOUBLE)
+            / (sqrt(CAST(qq.qn AS DOUBLE)) * sqrt(CAST(nn.qn AS DOUBLE)))
+            AS score_q
+        FROM qn qq JOIN qn nn
+          ON qq.vec_id < 5 AND nn.vec_id <> qq.vec_id),
+      rk AS (SELECT qid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_f DESC, nid)
+            AS rf,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_q DESC, nid)
+            AS rq
+        FROM sc)
+      SELECT qid,
+        CAST(SUM(CASE WHEN rf <= 10 AND rq <= 10 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_match,
+        CAST(SUM(CASE WHEN rf <= 10 AND rq <= 10 THEN 1 ELSE 0 END)
+          AS DOUBLE) / 10 AS recall_at_10
+      FROM rk GROUP BY qid ORDER BY qid""",
+    "x75_ivf_balance" -> s"""
+      WITH $ivfAssignedCtes,
+      counts AS (SELECT cell, COUNT(*) AS n_vecs FROM assigned
+        GROUP BY cell),
+      tot AS (SELECT SUM(n_vecs) AS total, MAX(n_vecs) AS mx,
+          COUNT(*) AS nc FROM counts)
+      SELECT cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+        CAST((2 * n_vecs * 10000 + total) // (2 * total) AS DOUBLE) / 1e4
+          AS share,
+        CAST((2 * mx * nc * 10000 + total) // (2 * total) AS DOUBLE) / 1e4
+          AS imbalance
+      FROM counts CROSS JOIN tot ORDER BY cell""",
     "x73_dup_graph_stats" -> s"""
       WITH RECURSIVE corpus AS (
         SELECT doc_id, text FROM $corpusSql WHERE doc_id % 1000000 < 200

@@ -1121,6 +1121,59 @@ class EngineSpec extends AnyFunSuite {
     assert(deg.length >= 2 && comp.length >= 2, "histograms should have a tail")
   }
 
+  test("x74 SQ8 recall matches a driver-side brute-force recomputation") {
+    val out = TrainingData.defs("x74_sq8_recall")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 5)
+    out.foreach { case (q, m, rec) =>
+      assert(m >= 0 && m <= 10 && rec == m.toDouble / 10, s"query $q contract")
+    }
+    // brute-force both rankings on the driver for one query
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    def cos(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    def quant(v: Array[Double]): Array[Long] = {
+      val mx = v.map(math.abs).max
+      v.map(x => math.round(x * 127 / mx))
+    }
+    val (qid, qv) = emb.find(_._1 == 0L).get
+    def top10(score: ((Long, Array[Double])) => Double) =
+      emb.filter(_._1 != qid)
+        .map(n => (n._1, score(n)))
+        .sortBy { case (nid, sc) => (-sc, nid) }.take(10).map(_._1).toSet
+    val fTop = top10 { case (_, nv) =>
+      BigDecimal(cos(qv, nv)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    val qq = quant(qv)
+    val qTop = top10 { case (_, nv) =>
+      val nq = quant(nv)
+      qq.zip(nq).map { case (a, b) => a * b }.sum.toDouble /
+        (math.sqrt(qq.map(x => x * x).sum.toDouble)
+          * math.sqrt(nq.map(x => x * x).sum.toDouble))
+    }
+    assert(out.find(_._1 == 0L).get._2 == (fTop & qTop).size,
+      "engine n_match must equal the brute-force intersection")
+  }
+
+  test("x75 IVF balance: shares and imbalance reconcile with the census") {
+    val out = TrainingData.defs("x75_ivf_balance")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.nonEmpty && out.length <= 16)
+    val total = out.map(_._2).sum
+    assert(total == Tables.embeddings(spark, sf).count(),
+      "every vector must land in exactly one cell")
+    assert(math.abs(out.map(_._3).sum - 1.0) < out.length * 1e-4,
+      "shares must sum to ~1")
+    val expImb = out.map(_._2).max.toDouble * out.length / total
+    out.foreach { case (_, _, _, imb) =>
+      assert(math.abs(imb - expImb) < 1e-3, "imbalance = max/mean")
+      assert(imb >= 1.0 - 1e-9, "max cannot be below the mean")
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
