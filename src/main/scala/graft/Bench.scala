@@ -178,7 +178,7 @@ object Bench {
     // to a file, and the single printed contract line carries a
     // headline subset chosen to stay well under the capture window.
     val headline = Seq(
-      "q1_agg", "a8_rollup", "a20_percentiles", "j6_star_join", "j15_asof",
+      "q1_agg", "a8_rollup", "j6_star_join", "j15_asof",
       "w4_topn_per_group", "o8_topk_physical", "e1_tumbling_window",
       "etl1_staging", "r1_cenario_faturamento", "r5_painel_sdr",
       "m2_group_regression", "s12_partition_refresh", "x2_dedup_minhash",
@@ -189,7 +189,7 @@ object Bench {
       "m1_forecast", "x25_pack_sequences", "x26_pii_redaction",
       "x27_domain_mixture", "x28_label_centroids", "x29_bloom_dedup",
       "x30_tfidf_topk", "x31_ivf_query", "x32_quality_calibration",
-      "x33_substring_dedup", "x34_filtered_ann", "x35_semantic_dedup",
+      "x33_substring_dedup", "x35_semantic_dedup",
       "x39_unigram_logppl", "x32b_quality_ingest", "x35b_semdedup_nprobe2",
       "a20b_percentiles_approx", "x40_bigram_logppl",
       "x41_gopher_dup_ngrams", "x42_dsir_weights",
@@ -202,7 +202,8 @@ object Bench {
       "x64_backoff_logppl", "x65_embed_whiten",
       "x66_boilerplate_segments", "x67_vocab_growth", "x68_quality_psi",
       "x69_prototypicality", "x70_mixture_sample", "x71_split_leakage",
-      "x72_edit_verify")
+      "x72_edit_verify", "x73_dup_graph_stats", "x74_sq8_recall",
+      "x75_ivf_balance")
     val qmap = perQuery.toMap
     // Sentinel block appended to both the file and the contract line:
     // "protocol" names the measurement (min over `repeat` timed passes
