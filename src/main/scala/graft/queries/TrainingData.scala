@@ -2614,7 +2614,33 @@ object TrainingData {
       .orderBy(col("cell"))
   }
 
+  /** X76: sketched vocabulary census — per-source token mass, EXACT
+    * distinct-type count, and the HyperLogLog estimate next to it
+    * with a Spark-side `within_bound` check (the a20b sketch-twin
+    * contract: internals are engine-specific, so the oracle pins the
+    * exact side and the bound, never sketch bits). This is the scale
+    * path for every type-counting operator (x44/x67): an exact
+    * distinct shuffles the full token set — at a 10⁸-type corpus
+    * vocabulary that is the bottleneck — while the HLL sketch is a
+    * fixed 2ᵖ-register relation with map-side combine, one per
+    * source, at any corpus size. The 0.2 bound is generous against
+    * the default 5% rsd; a production census would also fuse this
+    * into the x54 fertility scan (same grouping). */
+  val x76VocabSketch: Q = (s, d) =>
+    spread(s, Tables.documents(s, d))
+      .select(col("source"), explode(wsTokens(col("text"))).as("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tok"),
+        count_distinct(col("w")).as("n_types"),
+        approx_count_distinct(col("w")).as("approx_types"))
+      .select(col("source"), col("n_tok"), col("n_types"),
+        (abs(col("approx_types") - col("n_types")).cast("double")
+          <= greatest(col("n_types").cast("double") * 0.2, lit(4.0)))
+          .as("within_bound"))
+      .orderBy(col("source"))
+
   val defs: Map[String, Q] = Map(
+    "x76_vocab_sketch" -> x76VocabSketch,
     "x75_ivf_balance" -> x75IvfBalance,
     "x74_sq8_recall" -> x74Sq8Recall,
     "x73_dup_graph_stats" -> x73DupGraphStats,
@@ -2921,6 +2947,15 @@ object TrainingData {
       ORDER BY s.source, s.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "x76_vocab_sketch" -> """
+      SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS n_tok,
+        CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types,
+        TRUE AS within_bound
+      FROM (SELECT source,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents)
+      GROUP BY source ORDER BY source""",
     "x74_sq8_recall" -> s"""
       WITH qv AS (SELECT vec_id, embedding,
           list_transform(embedding,

@@ -1174,6 +1174,16 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("x76 vocab sketch: HLL estimate honors its bound on every source") {
+    val out = TrainingData.defs("x76_vocab_sketch")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (src, nTok, nTypes, ok) =>
+      assert(nTypes <= nTok, s"$src: types cannot exceed tokens")
+      assert(ok, s"$src: sketch estimate outside the 20% bound")
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
