@@ -2639,7 +2639,31 @@ object TrainingData {
           .as("within_bound"))
       .orderBy(col("source"))
 
+  /** X77: soft dedup — one survivor per near-dup component, carrying
+    * its family's multiplicity as a training weight: the alternative
+    * to hard removal when duplication frequency IS signal (a page
+    * re-uploaded 40× is evidence of importance a plain keep-one
+    * discards; weighting the survivor by count — or log-count, a
+    * downstream choice — preserves it without re-paying 40 forward
+    * passes on identical text). Composes the x14 CC labels with a
+    * component-size aggregation: both sides are doc-keyed, the size
+    * table is component-keyed and AQE-sizes its join; nothing beyond
+    * the x24 survivor machinery is scanned. */
+  val x77SoftDedupWeights: Q = (s, d) => {
+    val labels = graft.dedup.NearDup.clusters(
+      corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200),
+      ngramJaccardPairs(s, d))
+    val sizes = labels.groupBy(col("canonico")).agg(count(lit(1)).as("peso"))
+    labels.filter(col("doc_id") === col("canonico"))
+      .join(sizes, Seq("canonico"))
+      .select(col("doc_id"), col("peso"),
+        (round(log(col("peso").cast("double") + 1) * 1e6, 0).cast("double")
+          / 1e6).as("log_peso"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x77_soft_dedup_weights" -> x77SoftDedupWeights,
     "x76_vocab_sketch" -> x76VocabSketch,
     "x75_ivf_balance" -> x75IvfBalance,
     "x74_sq8_recall" -> x74Sq8Recall,
@@ -2947,6 +2971,16 @@ object TrainingData {
       ORDER BY s.source, s.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "x77_soft_dedup_weights" -> s"""
+      $dedupClusterCtes,
+      fam AS (SELECT canonico, COUNT(*) AS peso FROM labels
+        GROUP BY canonico)
+      SELECT l.doc_id, CAST(s.peso AS BIGINT) AS peso,
+        CAST(ROUND(LN(CAST(s.peso AS DOUBLE) + 1) * 1e6, 0) AS DOUBLE) / 1e6
+          AS log_peso
+      FROM labels l JOIN fam s ON l.canonico = s.canonico
+      WHERE l.doc_id = l.canonico
+      ORDER BY l.doc_id""",
     "x76_vocab_sketch" -> """
       SELECT source,
         CAST(COUNT(*) AS BIGINT) AS n_tok,

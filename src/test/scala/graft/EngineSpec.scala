@@ -1184,6 +1184,24 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("x77 soft dedup conserves corpus mass through the weights") {
+    val out = TrainingData.defs("x77_soft_dedup_weights")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val corpusN = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 1000000 < 200).count() * 3
+    // weights must re-total to the pre-dedup corpus: nothing lost,
+    // duplication frequency preserved as multiplicity
+    assert(out.map(_._2).sum == corpusN, "Σ peso = corpus size")
+    out.foreach { case (id, w, lw) =>
+      assert(w >= 1, s"doc $id weight")
+      assert(math.abs(lw - math.log(w.toDouble + 1)) < 1e-5, s"doc $id log")
+    }
+    // survivors are exactly the x24 survivor set
+    val survivors = TrainingData.defs("x24_dedup_survivors")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet == survivors, "one weighted row per survivor")
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
