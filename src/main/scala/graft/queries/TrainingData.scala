@@ -2662,7 +2662,79 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** X78: Gopher document-rule bundle — the remaining Rae et al.
+    * Table-A1 document filters not already carried by x19/x41
+    * (repetition): word-count bounds [50, 100k], mean word length
+    * [3, 10], ≥ 80% of words containing an alphabetic character,
+    * symbol-to-word ratio ≤ 0.1, and ≥ 2 distinct stopwords present.
+    * Every PREDICATE is evaluated in pure integer cross-multiplied
+    * form (n_alpha·5 ≥ n_words·4, n_chars between 3·n and 10·n) so no
+    * ratio ever rounds before a comparison; the reported ratios round
+    * via the BIGINT helper. Row-local single scan — the whole bundle
+    * runs at parquet-scan speed at any corpus size, the same contract
+    * as x8/x26. */
+  val x78GopherRules: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        aggregate(transform(col("toks"), t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x).as("n_chars"),
+        size(filter(col("toks"), t => t.rlike("[A-Za-z]")))
+          .cast("long").as("n_alpha"),
+        size(filter(col("toks"), t => t.rlike("[#…]")))
+          .cast("long").as("n_sym"),
+        size(array_intersect(array_distinct(col("toks")),
+          array(stopwords.map(lit): _*))).cast("long").as("n_stop"))
+      .withColumn("nw", greatest(col("n_words"), lit(1L)))
+      .select(col("doc_id"), col("n_words"),
+        (intRoundHalfAway(col("n_chars") * 10000L, col("nw"))
+          .cast("double") / 1e4).as("mean_word_len"),
+        (intRoundHalfAway(col("n_alpha") * 10000L, col("nw"))
+          .cast("double") / 1e4).as("alpha_frac"),
+        col("n_stop"),
+        (col("n_words").between(50L, 100000L)
+          && col("n_chars") >= col("nw") * 3
+          && col("n_chars") <= col("nw") * 10
+          && col("n_alpha") * 5 >= col("nw") * 4
+          && col("n_sym") * 10 <= col("nw")
+          && col("n_stop") >= 2).as("passes"))
+      .orderBy(col("doc_id"))
+
+  /** X79: language-ID confidence margin — x7's marker-score decision
+    * with the TOP-1 − TOP-2 margin and an ambiguity flag, the
+    * fastText-style confidence gate a curation run thresholds on
+    * before trusting a language route. All marker scores share the
+    * SAME denominator (the doc's token count), so best/second/margin
+    * are pure integer comparisons and one BIGINT-rounded ratio — no
+    * double ever decides a route. Row-local scan, x7's plan. */
+  val x79LangMargin: Q = (s, d) => {
+    val toksL = wsTokens(lower(col("text")))
+    val counts = markerSets.map { case (lang, ms) =>
+      size(filter(toksL, t => t.isin(ms.map(x => x: Any): _*)))
+        .cast("long").as(s"c_$lang")
+    }
+    val cs = markerSets.map { case (lang, _) => col(s"c_$lang") }
+    val best = cs.reduce(greatest(_, _))
+    val worst = cs.reduce(least(_, _))
+    val second = cs.reduce(_ + _) - best - worst
+    Tables.documents(s, d)
+      .select(col("doc_id") +: size(wsTokens(col("text"))).cast("long")
+        .as("n") +: counts: _*)
+      .select(col("doc_id"),
+        markerSets.foldRight(lit("und"): Column) { case ((lang, _), acc) =>
+          when(col(s"c_$lang") === best && col(s"c_$lang") > 0, lit(lang))
+            .otherwise(acc)
+        }.as("lang_detectada"),
+        (intRoundHalfAway((best - second) * 10000L,
+          greatest(col("n"), lit(1L))).cast("double") / 1e4).as("margin"),
+        (best === second || best === 0L).as("ambiguous"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x79_lang_margin" -> x79LangMargin,
+    "x78_gopher_rules" -> x78GopherRules,
     "x77_soft_dedup_weights" -> x77SoftDedupWeights,
     "x76_vocab_sketch" -> x76VocabSketch,
     "x75_ivf_balance" -> x75IvfBalance,
@@ -2971,6 +3043,60 @@ object TrainingData {
       ORDER BY s.source, s.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "x78_gopher_rules" -> """
+      WITH t AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      c AS (SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_words,
+          CAST(GREATEST(len(toks), 1) AS BIGINT) AS nw,
+          CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)
+            AS BIGINT) AS nch,
+          CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+            AS BIGINT) AS na,
+          CAST(len(list_filter(toks, t -> regexp_matches(t, '[#…]')))
+            AS BIGINT) AS ns,
+          CAST(len(list_intersect(list_distinct(toks),
+            ['the', 'a', 'of', 'and'])) AS BIGINT) AS nst
+        FROM t)
+      SELECT doc_id, n_words,
+        CAST((2 * nch * 10000 + nw) // (2 * nw) AS DOUBLE) / 1e4
+          AS mean_word_len,
+        CAST((2 * na * 10000 + nw) // (2 * nw) AS DOUBLE) / 1e4
+          AS alpha_frac,
+        nst AS n_stop,
+        (n_words BETWEEN 50 AND 100000
+          AND nch >= nw * 3 AND nch <= nw * 10
+          AND na * 5 >= nw * 4
+          AND ns * 10 <= nw
+          AND nst >= 2) AS passes
+      FROM c ORDER BY doc_id""",
+    "x79_lang_margin" -> """
+      WITH t AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS toks,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS tl
+        FROM documents),
+      c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+          CAST(len(list_filter(tl, x -> x IN ('the', 'a', 'and', 'of')))
+            AS BIGINT) AS c_en,
+          CAST(len(list_filter(tl, x -> x IN ('de', 'o', 'da', 'em')))
+            AS BIGINT) AS c_pt,
+          CAST(len(list_filter(tl, x -> x IN ('der', 'die', 'das', 'und')))
+            AS BIGINT) AS c_de
+        FROM t),
+      m AS (SELECT doc_id, GREATEST(n, 1) AS nw, c_en, c_pt, c_de,
+          GREATEST(c_en, c_pt, c_de) AS best,
+          c_en + c_pt + c_de - GREATEST(c_en, c_pt, c_de)
+            - LEAST(c_en, c_pt, c_de) AS second
+        FROM c)
+      SELECT doc_id,
+        CASE WHEN c_en = best AND c_en > 0 THEN 'en'
+             WHEN c_pt = best AND c_pt > 0 THEN 'pt'
+             WHEN c_de = best AND c_de > 0 THEN 'de'
+             ELSE 'und' END AS lang_detectada,
+        CAST((2 * (best - second) * 10000 + nw) // (2 * nw) AS DOUBLE) / 1e4
+          AS margin,
+        (best = second OR best = 0) AS ambiguous
+      FROM m ORDER BY doc_id""",
     "x77_soft_dedup_weights" -> s"""
       $dedupClusterCtes,
       fam AS (SELECT canonico, COUNT(*) AS peso FROM labels

@@ -1202,6 +1202,51 @@ class EngineSpec extends AnyFunSuite {
     assert(out.map(_._1).toSet == survivors, "one weighted row per survivor")
   }
 
+  test("x78 Gopher rules discriminate and reconcile with a recomputation") {
+    val out = TrainingData.defs("x78_gopher_rules")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, nw, ml, af, _, _) =>
+      assert(nw > 0 && ml > 0 && af >= 0.0 && af <= 1.0, s"doc $id bounds")
+    }
+    // the bundle must actually separate docs on this corpus
+    assert(out.exists(_._6) && out.exists(!_._6), "pass/fail mix expected")
+    // recompute every predicate for a sample of docs
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.take(25).foreach { case (id, nw, _, _, nStop, passes) =>
+      val toks = docs(id).trim.split("\\s+")
+      assert(nw == toks.length, s"doc $id word count")
+      val nch = toks.map(_.length.toLong).sum
+      // mirror the engine's ASCII-letter class exactly (not isLetter)
+      val na = toks.count(_.exists(c =>
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toLong
+      val ns = toks.count(_.exists(c => c == '#' || c == '…')).toLong
+      val stops = toks.distinct.count(Set("the", "a", "of", "and")).toLong
+      assert(nStop == stops, s"doc $id stopword count")
+      val exp = toks.length >= 50 && toks.length <= 100000 &&
+        nch >= 3L * toks.length && nch <= 10L * toks.length &&
+        na * 5 >= 4L * toks.length && ns * 10 <= toks.length &&
+        stops >= 2
+      assert(passes == exp, s"doc $id verdict")
+    }
+  }
+
+  test("x79 lang margin agrees with x7's decision, flags ambiguity") {
+    val out = TrainingData.defs("x79_lang_margin")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
+    val x7 = TrainingData.defs("x7_lang_id")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, lang, margin, amb) =>
+      assert(lang == x7(id), s"doc $id: route must equal x7's decision")
+      assert(margin >= 0.0, s"doc $id margin sign")
+      assert(amb == (margin == 0.0), s"doc $id ambiguity flag")
+    }
+    assert(out.exists(!_._4), "confident routes must exist")
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
