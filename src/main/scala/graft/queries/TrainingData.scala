@@ -2732,7 +2732,41 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** X80: per-source quality trend — the OLS slope of quality over
+    * ingestion order, per source: the monitoring number that says a
+    * feed is DEGRADING (template drift, spam creep) before its mean
+    * quality visibly moves. Quality quantizes to integer 1e-4 units
+    * and the slope comes from exact integer moments
+    * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) — the m2 recipe: order-free sums,
+    * one BIGINT-rounded ratio, no engine-specific streaming regr_*
+    * accumulation. One scan onto |sources| rows, map-side
+    * combinable. doc_id is the ingestion-order proxy here; at
+    * production id widths the x-moments would use the within-source
+    * ordinal (or decimal(38,0) sums) to keep Σx² exact. */
+  val x80QualityTrend: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id").as("x"),
+        round(qualityScore(col("text"), stopwords) * 1e4, 0)
+          .cast("long").as("q4"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("q4")).as("sy"),
+        sum(col("x") * col("q4")).as("sxy"))
+      .withColumn("num", col("n_docs") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n_docs") * col("sxx") - col("sx") * col("sx"))
+      .select(col("source"), col("n_docs"),
+        (intRoundHalfAway(col("sy") * 100L, col("n_docs"))
+          .cast("double") / 1e6).as("mean_quality"),
+        (intRoundHalfAway(col("num") * 100L, col("den"))
+          .cast("double") / 1e3).as("trend_per_1k"),
+        (intRoundHalfAway(col("num") * 100L, col("den")) < -10L)
+          .as("degrading"))
+      .orderBy(col("source"))
+
   val defs: Map[String, Q] = Map(
+    "x80_quality_trend" -> x80QualityTrend,
     "x79_lang_margin" -> x79LangMargin,
     "x78_gopher_rules" -> x78GopherRules,
     "x77_soft_dedup_weights" -> x77SoftDedupWeights,
@@ -3043,6 +3077,33 @@ object TrainingData {
       ORDER BY s.source, s.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "x80_quality_trend" -> """
+      WITH q AS (SELECT source, doc_id AS x,
+          CAST(ROUND(ROUND(LEAST(len(toks) / 50.0, 1.0) * 0.4
+            + (1.0 - LEAST((CAST(length(text) - length(regexp_replace(text,
+                  '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                / GREATEST(length(text), 1)) * 5.0, 1.0)) * 0.3
+            + LEAST((CAST(len(list_filter(toks,
+                  t -> t IN ('the','a','of','and'))) AS DOUBLE)
+                / GREATEST(len(toks), 1)) * 10.0, 1.0) * 0.3, 4) * 1e4, 0)
+            AS BIGINT) AS q4
+        FROM (SELECT source, doc_id, text,
+                regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents)),
+      m AS (SELECT source, COUNT(*) AS n, SUM(x) AS sx,
+          SUM(x * x) AS sxx, SUM(q4) AS sy, SUM(x * q4) AS sxy
+        FROM q GROUP BY source),
+      r AS (SELECT source, n,
+          n * sxy - sx * sy AS num, n * sxx - sx * sx AS den, sy
+        FROM m)
+      SELECT source, CAST(n AS BIGINT) AS n_docs,
+        CAST((2 * sy * 100 + n) // (2 * n) AS DOUBLE) / 1e6 AS mean_quality,
+        CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+          * ((2 * abs(num * 100) + den) // (2 * den)) AS DOUBLE) / 1e3
+          AS trend_per_1k,
+        ((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+          * ((2 * abs(num * 100) + den) // (2 * den))) < -10 AS degrading
+      FROM r ORDER BY source""",
     "x78_gopher_rules" -> """
       WITH t AS (SELECT doc_id,
           regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),

@@ -1247,6 +1247,34 @@ class EngineSpec extends AnyFunSuite {
     assert(out.exists(!_._4), "confident routes must exist")
   }
 
+  test("x80 quality trend matches a driver-side exact-moment OLS") {
+    val out = TrainingData.defs("x80_quality_trend")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(out.nonEmpty)
+    val docs = TrainingData.defs("x8_quality_score")(spark, sf)
+      .join(Tables.documents(spark, sf).select("doc_id", "source"), Seq("doc_id"))
+      .select("source", "doc_id", "quality").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    out.take(5).foreach { case (src, n, mq, trend, deg) =>
+      assert(mq >= 0.0 && mq <= 1.0, s"$src mean bounds")
+      val rows = docs.filter(_._1 == src)
+        .map(t => (BigInt(t._2), BigInt(math.round(t._3 * 1e4))))
+      assert(rows.length == n, s"$src doc count")
+      val (sx, sxx) = (rows.map(_._1).sum, rows.map(t => t._1 * t._1).sum)
+      val (sy, sxy) = (rows.map(_._2).sum, rows.map(t => t._1 * t._2).sum)
+      val num = BigInt(n) * sxy - sx * sy
+      val den = BigInt(n) * sxx - sx * sx
+      val trendQ = {
+        val a = num * 100
+        val s0 = if (a < 0) -1 else 1
+        s0 * ((2 * a.abs + den) / (2 * den))
+      }
+      assert(math.abs(trend - trendQ.toDouble / 1e3) < 1e-9, s"$src slope")
+      assert(deg == (trendQ < -10), s"$src flag")
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
