@@ -2765,7 +2765,52 @@ object TrainingData {
           .as("degrading"))
       .orderBy(col("source"))
 
+  /** X81: per-source corpus data card — the one-table datasheet
+    * shipped with a corpus drop (Gebru et al.'s "Datasheets for
+    * Datasets" reduced to the numbers a training run consumes):
+    * volume (docs / tokens / bytes), mean quality, within-source
+    * exact-dup rate, language-mix Shannon entropy (bits), and an
+    * ORDER-FREE content checksum (Σ md5₃₂ of the doc fingerprints —
+    * reproducible across reruns, partitionings, and engines, so two
+    * pipelines can assert they read the same corpus without sorting
+    * it). Composes only established recipes: integer BIGINT ratios,
+    * the x55 quantized-log entropy, the x1 fingerprint. Shape: one
+    * corpus scan onto |sources| rows plus the |sources|×|langs| grid
+    * — everything map-side combinable. */
+  val x81CorpusCard: Q = (s, d) => {
+    val ln2 = 0.6931471805599453
+    val docs = Tables.documents(s, d)
+    val base = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCount(col("text")).cast("long")).as("n_tok"),
+      sum(octet_length(col("text")).cast("long")).as("n_bytes"),
+      sum(round(qualityScore(col("text"), stopwords) * 1e4, 0).cast("long"))
+        .as("sq4"),
+      countDistinct(fingerprint(col("text"))).as("n_unique"),
+      sum(graft.dedup.NearDup.md5Hash32(fingerprint(col("text"))))
+        .as("content_checksum"))
+    val langH = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
+      .withColumn("t", col("c") *
+        round(log(col("c").cast("double") / col("n").cast("double")) * 1e6, 0)
+          .cast("long"))
+      .groupBy(col("source")).agg(sum(col("t")).as("sH"), max(col("n")).as("n"))
+      .select(col("source"),
+        (intRoundHalfAway(-col("sH"), col("n")).cast("double") / 1e6
+          / lit(ln2)).as("lang_entropy_bits"))
+    base.join(langH, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tok"), col("n_bytes"),
+        (intRoundHalfAway(col("sq4") * 100L, col("n_docs"))
+          .cast("double") / 1e6).as("mean_quality"),
+        (intRoundHalfAway((col("n_docs") - col("n_unique")) * 10000L,
+          col("n_docs")).cast("double") / 1e4).as("dup_rate"),
+        col("lang_entropy_bits"), col("content_checksum"))
+      .orderBy(col("source"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x81_corpus_card" -> x81CorpusCard,
     "x80_quality_trend" -> x80QualityTrend,
     "x79_lang_margin" -> x79LangMargin,
     "x78_gopher_rules" -> x78GopherRules,
@@ -3077,6 +3122,48 @@ object TrainingData {
       ORDER BY s.source, s.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "x81_corpus_card" -> s"""
+      WITH q AS (SELECT source, lang, text,
+          md5(lower(trim(text))) AS f,
+          regexp_split_to_array(trim(text), '\\s+') AS toks,
+          CAST(ROUND(ROUND(LEAST(len(regexp_split_to_array(trim(text),
+                '\\s+')) / 50.0, 1.0) * 0.4
+            + (1.0 - LEAST((CAST(length(text) - length(regexp_replace(text,
+                  '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                / GREATEST(length(text), 1)) * 5.0, 1.0)) * 0.3
+            + LEAST((CAST(len(list_filter(regexp_split_to_array(trim(text),
+                  '\\s+'), t -> t IN ('the','a','of','and'))) AS DOUBLE)
+                / GREATEST(len(regexp_split_to_array(trim(text), '\\s+')), 1))
+              * 10.0, 1.0) * 0.3, 4) * 1e4, 0) AS BIGINT) AS q4
+        FROM documents),
+      base AS (SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(len(toks)) AS BIGINT) AS n_tok,
+          CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+          CAST(SUM(q4) AS BIGINT) AS sq4,
+          COUNT(DISTINCT f) AS n_unique,
+          CAST(SUM(${md5Hash32Sql("f")}) AS BIGINT) AS content_checksum
+        FROM q GROUP BY source),
+      lc AS (SELECT source, lang, COUNT(*) AS c FROM q GROUP BY source, lang),
+      lt AS (SELECT source, SUM(c) AS n FROM lc GROUP BY source),
+      lh AS (SELECT lc.source,
+          SUM(lc.c * CAST(ROUND(LN(CAST(lc.c AS DOUBLE)
+            / CAST(lt.n AS DOUBLE)) * 1e6, 0) AS BIGINT)) AS sh,
+          MAX(lt.n) AS n
+        FROM lc JOIN lt ON lc.source = lt.source GROUP BY lc.source),
+      ent AS (SELECT source,
+          CAST((CASE WHEN -sh < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(-sh) + n) // (2 * n)) AS DOUBLE) / 1e6
+            / 0.6931471805599453 AS lang_entropy_bits
+        FROM lh)
+      SELECT b.source, CAST(b.n_docs AS BIGINT) AS n_docs, b.n_tok,
+        b.n_bytes,
+        CAST((2 * b.sq4 * 100 + b.n_docs) // (2 * b.n_docs) AS DOUBLE) / 1e6
+          AS mean_quality,
+        CAST((2 * (b.n_docs - b.n_unique) * 10000 + b.n_docs)
+          // (2 * b.n_docs) AS DOUBLE) / 1e4 AS dup_rate,
+        e.lang_entropy_bits, b.content_checksum
+      FROM base b JOIN ent e ON b.source = e.source
+      ORDER BY b.source""",
     "x80_quality_trend" -> """
       WITH q AS (SELECT source, doc_id AS x,
           CAST(ROUND(ROUND(LEAST(len(toks) / 50.0, 1.0) * 0.4

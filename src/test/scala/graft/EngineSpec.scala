@@ -1275,6 +1275,34 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("x81 corpus card: checksum is order-free, entropy bounded, mass exact") {
+    val out = TrainingData.defs("x81_corpus_card")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getLong(7)))
+    assert(out.nonEmpty)
+    val nLangs = Tables.documents(spark, sf).select("lang").distinct().count()
+    out.foreach { case (src, nDocs, nTok, nBytes, mq, dup, ent, _) =>
+      assert(nDocs > 0 && nTok > 0 && nBytes >= nTok, s"$src volume sanity")
+      assert(mq >= 0.0 && mq <= 1.0 && dup >= 0.0 && dup <= 1.0, s"$src rates")
+      assert(ent >= 0.0 && ent <= math.log(nLangs.toDouble) / math.log(2.0)
+        + 1e-6, s"$src entropy ≤ log2(|langs|)")
+    }
+    // recompute one source's checksum on the driver in a DIFFERENT
+    // order — the order-free contract is what makes it a corpus id
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(s0: String): Long = {
+      val hex = md.digest(s0.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val src0 = out.head._1
+    val fps = Tables.documents(spark, sf).filter(col("source") === src0)
+      .select(lower(trim(col("text"))).as("t")).collect()
+      .map(r => h32(md.digest(r.getString(0).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString))
+    assert(fps.sorted.sum == out.head._8, s"$src0 checksum")
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
