@@ -363,6 +363,15 @@ class PlansSpec extends AnyFunSuite {
       s"x70 rate attach must broadcast, not shuffle:\n$plan")
   }
 
+  test("x80 quality trend is one pruned scan, no join") {
+    val q = graft.queries.TrainingData.defs("x80_quality_trend")(spark, sf)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"x80 should not join:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"x80 should scan documents exactly once:\n$plan")
+  }
+
   test("x66 boilerplate shuffles fingerprints, never document text") {
     // the df count and the join back are fp-keyed; text is consumed
     // row-locally into md5 segments before any exchange, so no
