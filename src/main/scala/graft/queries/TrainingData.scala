@@ -2809,7 +2809,30 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  /** X82: per-source quality percentile — quality normalized to its
+    * source's own distribution (percent_rank within source): the
+    * standard fix before a GLOBAL quality threshold, because sources
+    * score on different scales (a boilerplate-heavy portal's best doc
+    * can score below a clean source's median — x32's per-source
+    * cutoff solved this with per-source thresholds; the percentile
+    * makes docs comparable ACROSS sources so one global knob works).
+    * Determinism: percent_rank = (rank−1)/(n−1) where rank counts
+    * ties identically in both engines (SQL semantics) and the one
+    * division has identical integer operands — no rounding step
+    * exists at all. Shape: one scan, one source-partitioned window
+    * (each partition is a source's docs — the x25 sub-shard pattern
+    * applies if a single source outgrows a task at 100 TB). */
+  val x82QualityPercentile: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        qualityScore(col("text"), stopwords).as("quality"))
+      .withColumn("pct_rank", percent_rank().over(
+        Window.partitionBy(col("source")).orderBy(col("quality"))))
+      .withColumn("keep_global_p25", col("pct_rank") >= 0.25)
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, Q] = Map(
+    "x82_quality_percentile" -> x82QualityPercentile,
     "x81_corpus_card" -> x81CorpusCard,
     "x80_quality_trend" -> x80QualityTrend,
     "x79_lang_margin" -> x79LangMargin,
@@ -3122,6 +3145,24 @@ object TrainingData {
       ORDER BY s.source, s.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "x82_quality_percentile" -> """
+      WITH q AS (SELECT doc_id, source,
+          ROUND(LEAST(len(toks) / 50.0, 1.0) * 0.4
+            + (1.0 - LEAST((CAST(length(text) - length(regexp_replace(text,
+                  '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                / GREATEST(length(text), 1)) * 5.0, 1.0)) * 0.3
+            + LEAST((CAST(len(list_filter(toks,
+                  t -> t IN ('the','a','of','and'))) AS DOUBLE)
+                / GREATEST(len(toks), 1)) * 10.0, 1.0) * 0.3, 4) AS quality
+        FROM (SELECT doc_id, source, text,
+                regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents))
+      SELECT doc_id, source, quality,
+        PERCENT_RANK() OVER (PARTITION BY source ORDER BY quality)
+          AS pct_rank,
+        PERCENT_RANK() OVER (PARTITION BY source ORDER BY quality) >= 0.25
+          AS keep_global_p25
+      FROM q ORDER BY doc_id""",
     "x81_corpus_card" -> s"""
       WITH q AS (SELECT source, lang, text,
           md5(lower(trim(text))) AS f,

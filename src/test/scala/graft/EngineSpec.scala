@@ -1303,6 +1303,33 @@ class EngineSpec extends AnyFunSuite {
     assert(fps.sorted.sum == out.head._8, s"$src0 checksum")
   }
 
+  test("x82 percentile normalizes quality within each source") {
+    val out = TrainingData.defs("x82_quality_percentile")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      rows.foreach { case (id, _, _, p, keep) =>
+        assert(p >= 0.0 && p <= 1.0 && keep == (p >= 0.25), s"doc $id")
+      }
+      // the source's worst doc sits at 0; the top GROUP sits at
+      // (first-index-of-max)/(n−1) — 1.0 exactly when the max is
+      // unique, lower when tied (SQL percent_rank tie semantics)
+      val byQ = rows.sortBy(_._3)
+      val topStart = byQ.indexWhere(_._3 == byQ.last._3)
+      assert(byQ.head._4 == 0.0, s"$src floor")
+      assert(byQ.last._4 == topStart.toDouble / (rows.length - 1),
+        s"$src top-group rank")
+      byQ.zip(byQ.tail).foreach { case (a, b) =>
+        assert(a._4 <= b._4 + 1e-12, s"$src monotone")
+        if (a._3 == b._3) assert(a._4 == b._4, s"$src ties share a rank")
+      }
+      // ~75% of each source survives the global p25 knob
+      val kept = rows.count(_._5).toDouble / rows.length
+      assert(kept >= 0.6 && kept <= 0.9, s"$src keep fraction $kept")
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
