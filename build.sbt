@@ -27,12 +27,26 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Forked-JVM heap. 48g on the bench box: the bench/verify JVM is the
+// only tenant of a 128 GiB machine; at 20g a 220-query bench pass ran
+// the heap to its ceiling and full collections landed inside timed
+// queries (12.8s artifacts on 3.3s queries). But hardcoding 48g broke
+// portability — on a laptop or cgroup-limited container the forked
+// test JVMs would fail at startup or trip the OOM killer — so the
+// default now derives from the machine's RAM (48g only when >=96 GiB
+// is present, ~40% of RAM otherwise) and SPARK_DRIVER_MEM overrides.
+val forkedHeap: String = sys.env.getOrElse("SPARK_DRIVER_MEM", {
+  val memGib =
+    try scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .collectFirst { case l if l.startsWith("MemTotal:") =>
+        l.trim.split("\\s+")(1).toLong / 1048576 }.getOrElse(0L)
+    catch { case _: Throwable => 0L }
+  if (memGib >= 96) "48g"
+  else if (memGib > 0) s"${math.max(4L, memGib * 2 / 5)}g"
+  else "8g"
+})
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 48g default: the bench/verify JVM is the only tenant of a 128 GiB
-  // box; at 20g a 220-query bench pass ran the heap to its ceiling and
-  // full collections landed inside timed queries (12.8s artifacts on
-  // 3.3s queries). Tests fork their own JVM with the same setting.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx$forkedHeap",
 )

@@ -148,6 +148,59 @@ object Multimodal {
       }
   }
 
+  /** 64-bit perceptual hash row. */
+  final case class DHash(doc_id: Long, dhash: Long)
+
+  /** 64-bit difference hash (dHash — Krawetz's gradient hash, the
+    * standard cheap perceptual image fingerprint): downscale to a
+    * 9×8 grayscale, then bit i·8+j = [px(i,j) > px(i,j+1)] — each bit
+    * records a horizontal luminance gradient, which survives rescale/
+    * recompress in a real decoder.
+    *
+    * The DECODE is the stubbed part (this container has no image
+    * codecs, per the [[FakeCodec]] contract): the 9×8 grayscale here
+    * is derived deterministically from the payload — row i's nine
+    * pixels are the first nine bytes of md5(payload ∥ ":" ∥ i) — so
+    * both engines can rebuild it byte-exactly (the x17 md5-nibble
+    * oracle precedent). Consequence worth stating: md5 is avalanche,
+    * so on the fake pixels only EXACT payload copies land within a
+    * small Hamming radius; with a real decoder, near-identical images
+    * (resized, re-encoded) differ in a few gradient bits and the SAME
+    * downstream banding catches them. The Spark-side shape is the
+    * real one either way: row-local mapPartitions (one digest init
+    * per partition, the codec-batch shape), 8 bytes out per asset,
+    * blobs never shuffle.
+    *
+    * Bit assembly matches the simhash64 convention: bits 0..62 OR
+    * positively, bit 63 lands the long's sign bit — the same signed
+    * value the oracle's two's-complement assembly builds. */
+  def dHash64(spark: SparkSession, withPayload: DataFrame): Dataset[DHash] = {
+    import spark.implicits._
+    withPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          var h = 0L
+          var i = 0
+          while (i < 8) {
+            md.reset()
+            md.update(bytes)
+            md.update(s":$i".getBytes("US-ASCII"))
+            val row = md.digest()
+            var j = 0
+            while (j < 8) {
+              if ((row(j) & 0xff) > (row(j + 1) & 0xff))
+                h |= 1L << (i * 8 + j)
+              j += 1
+            }
+            i += 1
+          }
+          DHash(id, h)
+        }
+      }
+  }
+
   /** One sampled frame of a (fake) video payload. */
   final case class Frame(doc_id: Long, frame_no: Int, frame_checksum: String)
 

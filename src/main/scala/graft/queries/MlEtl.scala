@@ -61,25 +61,26 @@ object MlEtl {
           + col("b2") * d2(col("shy")))
       .orderBy(col("expl").desc, col("c"))
       .limit(1)
-      .select(col("c"), col("b0"), col("b1"), col("b2"))
+      .select(col("c"), col("b0"), col("b1"), col("b2"), col("expl"))
   }
 
   /** M1: seasonality-fitting forecast — the faithful port of the
     * reference's multiplicative-yearly-seasonality model
     * (`Modelo de Previsão de Vendas.py:69-93`, Prophet with
     * `seasonality_mode='multiplicative'`), expressed as classical
-    * decomposition: (1) PIECEWISE-linear trend with TWO SSE-chosen
-    * changepoints selected greedily — Prophet's trend is continuous
+    * decomposition: (1) PIECEWISE-linear trend with AUTO-K greedily
+    * selected changepoints (v6) — Prophet's trend is continuous
     * piecewise linear over candidate changepoints in the first
     * `changepoint_range=0.8` of history; the deterministic analog
     * scans every candidate knot c in that range, solves the
     * 3-parameter OLS basis `(1, t, max(0, t−c))` in closed form
     * (Cramer, [[hingeKnot]]) from EXACT integer-cent moments, keeps
     * the best-fit knot (ties → earliest), then repeats the identical
-    * scan on the FLOOR-quantized integer-cent residuals (greedy
-    * forward selection — the deterministic analog of Prophet's
-    * L1-driven changepoint sparsity; each stage strictly reduces
-    * SSE). Argmin trick: SSE = Σy² − (b0·Σy + b1·Σty + b2·Σhy)
+    * scan on the FLOOR-quantized integer-cent residuals, STOPPING
+    * when a stage's explained term falls below 5% of the remaining
+    * SSE (up to K=4 — the data decides K, the deterministic analog
+    * of Prophet's L1-driven changepoint sparsity; each accepted
+    * stage strictly reduces SSE by its explained term). Argmin trick: SSE = Σy² − (b0·Σy + b1·Σty + b2·Σhy)
     * and Σy² is knot-independent, so maximizing the explained term
     * needs no 128-bit Σy². Each knot scan is months × months rows —
     * trivially small at any corpus scale because it runs over the
@@ -96,8 +97,9 @@ object MlEtl {
     * fit: residuals in exact integer cents, nearest-rank p10/p90
     * (pure integer rank selection — no interpolation, so both
     * engines pick the identical cent value), added back onto each
-    * fitted point. Remaining fidelity delta vs Prophet: greedy K=2
-    * knots instead of L1-regularized many, and no MAP smoothing. */
+    * fitted point. Remaining fidelity delta vs Prophet: greedy
+    * threshold-stopped selection instead of L1 regularization, and no
+    * MAP smoothing. */
   val m1Forecast: Q = (s, d) => {
     // The monthly series is referenced by four downstream stages
     // (bounds, candidate knots, per-knot moments, the fit) and a
@@ -115,10 +117,16 @@ object MlEtl {
       s.createDataFrame(m.collect().toSeq.asJava, m.schema)
     }
     val bounds = monthly.agg(min(col("t")).as("tmin"), max(col("t")).as("tmax"))
-    val cands = monthly.select(col("t").as("c")).crossJoin(broadcast(bounds))
-      .filter(col("c") >= col("tmin") + 1 &&
-        col("c") <= col("tmin") + floor((col("tmax") - col("tmin")) * 0.8))
-      .select(col("c"))
+    // candidate knots are referenced by all four stage scans — pin
+    // them driver-local once (months-sized), like the series itself
+    val cands = {
+      val c = monthly.select(col("t").as("c")).crossJoin(broadcast(bounds))
+        .filter(col("c") >= col("tmin") + 1 &&
+          col("c") <= col("tmin") + floor((col("tmax") - col("tmin")) * 0.8))
+        .select(col("c"))
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(c.collect().toSeq.asJava, c.schema)
+    }
     // Per-candidate exact moments (all integer/long, order-free).
     // y-free minors and det stay in exact long arithmetic (≤ ~3e13);
     // terms mixing y-moments are computed in double with an identical
@@ -144,30 +152,70 @@ object MlEtl {
     // solved knot as four DRIVER LITERALS (the monthly-pin pattern —
     // the values are identical IEEE doubles, now computed once)
     // collapses the downstream tree to literal arithmetic: 1.2 s.
-    def pinKnot(k: DataFrame): (Int, Double, Double, Double) = {
-      val r = k.head()
-      (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    // Degenerate-input guard (ADVICE r7): on a tiny series every
+    // candidate can fail the det≠0 filter and hingeKnot comes back
+    // EMPTY — head() would throw where the pre-pin lazy plan degraded
+    // to empty output. A zero knot keeps the pipeline total:
+    // trend_t = 0 → the when(trend_t > 0) guard nulls every ratio →
+    // previsao is null on every row, the same graceful null forecast
+    // the lazy plan produced.
+    def pinKnot(k: DataFrame): (Int, Double, Double, Double, Double) =
+      k.collect().headOption match {
+        case Some(r) =>
+          (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+            r.getDouble(4))
+        case None => (0, 0.0, 0.0, 0.0, 0.0)
+      }
+    val (c1, b0, b1, b2, _) = pinKnot(hingeKnot(hingeMoments(monthly, "yc")))
+    // Stages 2..4 — greedy forward selection with an SSE-improvement
+    // STOPPING RULE (m1 v6, r7 verdict item 6; previously a fixed
+    // K=2): each stage quantizes the running residuals to exact
+    // integer cents via FLOOR (no .5 tie — engine-exact), rescans the
+    // same candidate set with the same (1, t, hinge) basis, and is
+    // APPLIED only if its OLS explained term covers ≥ 5% of the
+    // remaining SSE (Σrc², exact integer; the OLS identity
+    // SSE_new = Σrc² − expl makes expl the exact improvement).
+    // A rejected stage leaves the residuals unchanged, so every later
+    // stage re-derives the same sub-threshold knot and is rejected
+    // too — gating each unrolled stage ≡ greedy stopping, which is
+    // what lets the fixed-depth DuckDB oracle mirror a data-dependent
+    // K. Residual series are months-sized and evolve DRIVER-SIDE
+    // (same IEEE expression order as both engines' plans), so each
+    // stage's moment scan reads a local relation — the knot-pin
+    // pattern, now per stage.
+    val monthRows = monthly.select(col("t"), col("yc")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    var residRows: Array[(Int, Long)] = monthRows.map { case (t, yc) =>
+      val tr = b0 + b1 * t + b2 * math.max(t - c1, 0)
+      (t, yc - math.floor(tr).toLong)
     }
-    val (c1, b0, b1, b2) = pinKnot(hingeKnot(hingeMoments(monthly, "yc")))
-    // Stage 2 — greedy forward selection of a SECOND changepoint
-    // (Prophet's multi-changepoint analog): quantize the stage-1
-    // residuals to exact integer cents via FLOOR (no .5 tie, so the
-    // quantization is engine-exact), rescan the same candidate set
-    // with the same (1, t, hinge) basis on the residual series, and
-    // add the correction onto the stage-1 trend. Each greedy stage
-    // strictly reduces SSE; the scan stays months × months rows.
-    val resid2 = monthly
-      .withColumn("rc",
-        col("yc") - floor(lit(b0) + lit(b1) * col("t")
-          + lit(b2) * greatest(col("t") - lit(c1), lit(0))).cast("long"))
-      .select(col("t"), col("rc"))
-    val (c2, g0, g1, g2) = pinKnot(hingeKnot(hingeMoments(resid2, "rc")))
+    // gated stage coefficients, zeroed when rejected — the trend sum
+    // and residual update apply them unconditionally (0-contribution)
+    val gated = Array.newBuilder[(Int, Double, Double, Double)]
+    for (_ <- 2 to 4) {
+      val sse = residRows.iterator
+        .map { case (_, rc) => BigInt(rc) * BigInt(rc) }.sum
+      val residDf = {
+        import s.implicits._
+        residRows.toSeq.toDF("t", "rc")
+      }
+      val (ck, g0k, g1k, g2k, expl) =
+        pinKnot(hingeKnot(hingeMoments(residDf, "rc")))
+      val on = expl >= 0.05 * sse.toDouble
+      val (gc, g0, g1, g2) =
+        if (on) (ck, g0k, g1k, g2k) else (0, 0.0, 0.0, 0.0)
+      gated += ((gc, g0, g1, g2))
+      residRows = residRows.map { case (t, rc) =>
+        (t, rc - math.floor(g0 + g1 * t + g2 * math.max(t - gc, 0)).toLong)
+      }
+    }
+    val stages = (c1, b0, b1, b2) +: gated.result()
+    val trendCents = stages.map { case (c, s0, s1, s2) =>
+      lit(s0) + lit(s1) * col("t") +
+        lit(s2) * greatest(col("t") - lit(c), lit(0))
+    }.reduce(_ + _)
     val based = monthly
-      .withColumn("trend_t",
-        (lit(b0) + lit(b1) * col("t")
-          + lit(b2) * greatest(col("t") - lit(c1), lit(0))
-          + lit(g0) + lit(g1) * col("t")
-          + lit(g2) * greatest(col("t") - lit(c2), lit(0))) / 100.0)
+      .withColumn("trend_t", trendCents / 100.0)
       .withColumn("ratio_scaled",
         when(col("trend_t") > 0,
           floor(col("total_dec").cast("double") / col("trend_t") * 1e9)))
@@ -211,11 +259,17 @@ object MlEtl {
           col("rc"))).as("q_lo"),
         min(when(col("rn") === ceil(col("nr") * 0.9), col("rc"))).as("q_hi"))
       .head()
+    // A global agg always yields exactly one row, but over an EMPTY
+    // residual set (all-null previsao on a degenerate series) both
+    // quantiles are null — getLong would NPE. Null bounds propagate a
+    // null band instead (ADVICE r7).
+    def qlit(i: Int): Column =
+      if (qRow.isNullAt(i)) lit(null).cast("long") else lit(qRow.getLong(i))
     fit
       .withColumn("previsao_inferior",
-        round((col("prev_cents") + lit(qRow.getLong(0))) / 100.0, 2))
+        round((col("prev_cents") + qlit(0)) / 100.0, 2))
       .withColumn("previsao_superior",
-        round((col("prev_cents") + lit(qRow.getLong(1))) / 100.0, 2))
+        round((col("prev_cents") + qlit(1)) / 100.0, 2))
       .select(col("ano"), col("mes"), col("total"), col("previsao"),
         col("previsao_inferior"), col("previsao_superior"),
         col("sazonalidade"), col("previsao_naive"))
@@ -507,7 +561,7 @@ object MlEtl {
     * argmax over the moments CTE `momCte`, expression shape written
     * identically to the Spark side. */
   private def hingeKnotSql(momCte: String): String = s"""
-        SELECT c, b0, b1, b2 FROM (
+        SELECT c, b0, b1, b2, expl FROM (
           SELECT c, b0, b1, b2,
             b0 * CAST(sy AS DOUBLE) + b1 * CAST(sxy AS DOUBLE)
               + b2 * CAST(shy AS DOUBLE) AS expl
@@ -606,20 +660,61 @@ object MlEtl {
         SELECT t, yc - CAST(FLOOR(b0 + b1 * t + b2 * GREATEST(t - c, 0))
             AS BIGINT) AS rc
         FROM monthly, knot),
+      -- auto-K (m1 v6): stages 2..4 gate on expl >= 5% of remaining
+      -- SSE (exact HUGEINT Σrc²); a rejected stage zeroes its
+      -- coefficients, leaving residuals unchanged — gating each
+      -- unrolled stage is exactly the greedy stopping rule
+      sse2 AS (SELECT SUM(CAST(rc AS HUGEINT) * rc) AS s FROM resid2),
       mom2 AS (${hingeMomSql("resid2", "rc")}),
-      knot2 AS (SELECT c AS c2, b0 AS g0, b1 AS g1, b2 AS g2
-        FROM (${hingeKnotSql("mom2")})),
+      knot2 AS (SELECT
+          CASE WHEN expl >= 0.05 * CAST(s AS DOUBLE) THEN c ELSE 0 END AS c2,
+          CASE WHEN expl >= 0.05 * CAST(s AS DOUBLE) THEN b0 ELSE 0.0 END AS g0,
+          CASE WHEN expl >= 0.05 * CAST(s AS DOUBLE) THEN b1 ELSE 0.0 END AS g1,
+          CASE WHEN expl >= 0.05 * CAST(s AS DOUBLE) THEN b2 ELSE 0.0 END AS g2
+        FROM (${hingeKnotSql("mom2")}), sse2),
+      resid3 AS (
+        SELECT t, rc - CAST(FLOOR(g0 + g1 * t + g2 * GREATEST(t - c2, 0))
+            AS BIGINT) AS rc
+        FROM resid2, knot2),
+      sse3 AS (SELECT SUM(CAST(rc AS HUGEINT) * rc) AS s FROM resid3),
+      mom3 AS (${hingeMomSql("resid3", "rc")}),
+      knot3 AS (SELECT
+          CASE WHEN expl >= 0.05 * CAST(s AS DOUBLE) THEN c ELSE 0 END AS c3,
+          CASE WHEN expl >= 0.05 * CAST(s AS DOUBLE) THEN b0 ELSE 0.0 END AS h0,
+          CASE WHEN expl >= 0.05 * CAST(s AS DOUBLE) THEN b1 ELSE 0.0 END AS h1,
+          CASE WHEN expl >= 0.05 * CAST(s AS DOUBLE) THEN b2 ELSE 0.0 END AS h2
+        FROM (${hingeKnotSql("mom3")}), sse3),
+      resid4 AS (
+        SELECT t, rc - CAST(FLOOR(h0 + h1 * t + h2 * GREATEST(t - c3, 0))
+            AS BIGINT) AS rc
+        FROM resid3, knot3),
+      sse4 AS (SELECT SUM(CAST(rc AS HUGEINT) * rc) AS s FROM resid4),
+      mom4 AS (${hingeMomSql("resid4", "rc")}),
+      knot4 AS (SELECT
+          CASE WHEN expl >= 0.05 * CAST(s AS DOUBLE) THEN c ELSE 0 END AS c4,
+          CASE WHEN expl >= 0.05 * CAST(s AS DOUBLE) THEN b0 ELSE 0.0 END AS i0,
+          CASE WHEN expl >= 0.05 * CAST(s AS DOUBLE) THEN b1 ELSE 0.0 END AS i1,
+          CASE WHEN expl >= 0.05 * CAST(s AS DOUBLE) THEN b2 ELSE 0.0 END AS i2
+        FROM (${hingeKnotSql("mom4")}), sse4),
+      -- per-stage parentheses pin the IEEE association to the Spark
+      -- side's stage-term fold: ((stage1 + stage2) + stage3) + stage4
       based AS (
         SELECT ano, mes, total_dec, t,
-          (b0 + b1 * t + b2 * GREATEST(t - c, 0)
-            + g0 + g1 * t + g2 * GREATEST(t - c2, 0)) / 100.0 AS trend_t,
-          CASE WHEN (b0 + b1 * t + b2 * GREATEST(t - c, 0)
-            + g0 + g1 * t + g2 * GREATEST(t - c2, 0)) / 100.0 > 0
+          ((b0 + b1 * t + b2 * GREATEST(t - c, 0))
+            + (g0 + g1 * t + g2 * GREATEST(t - c2, 0))
+            + (h0 + h1 * t + h2 * GREATEST(t - c3, 0))
+            + (i0 + i1 * t + i2 * GREATEST(t - c4, 0))) / 100.0 AS trend_t,
+          CASE WHEN ((b0 + b1 * t + b2 * GREATEST(t - c, 0))
+            + (g0 + g1 * t + g2 * GREATEST(t - c2, 0))
+            + (h0 + h1 * t + h2 * GREATEST(t - c3, 0))
+            + (i0 + i1 * t + i2 * GREATEST(t - c4, 0))) / 100.0 > 0
             THEN CAST(FLOOR(CAST(total_dec AS DOUBLE)
-                   / ((b0 + b1 * t + b2 * GREATEST(t - c, 0)
-                     + g0 + g1 * t + g2 * GREATEST(t - c2, 0)) / 100.0) * 1e9)
+                   / (((b0 + b1 * t + b2 * GREATEST(t - c, 0))
+                     + (g0 + g1 * t + g2 * GREATEST(t - c2, 0))
+                     + (h0 + h1 * t + h2 * GREATEST(t - c3, 0))
+                     + (i0 + i1 * t + i2 * GREATEST(t - c4, 0))) / 100.0) * 1e9)
                  AS BIGINT) END AS ratio_scaled
-        FROM monthly, knot, knot2),
+        FROM monthly, knot, knot2, knot3, knot4),
       seasonal AS (
         SELECT mes AS mes_s, CAST(SUM(ratio_scaled) AS BIGINT) AS rs_sum,
           COUNT(ratio_scaled) AS rs_n

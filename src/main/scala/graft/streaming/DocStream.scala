@@ -156,7 +156,16 @@ object DocStream {
     // exactly that).
     val bc = {
       import scala.jdk.CollectionConverters._
-      spark.createDataFrame(binCounts.collect().toSeq.asJava, binCounts.schema)
+      // Enforce the bin domain at the door (ADVICE r7): the PSI grid
+      // is pinned to bins 0–9, but a caller whose binning isn't
+      // clamped (e4-style floor bins have no lower clamp; null bins
+      // group separately) would otherwise have out-of-domain rows
+      // counted in each window's total n while their PSI contribution
+      // is silently dropped — skewing every in-domain term. Filtering
+      // HERE keeps n and the contributions consistent: out-of-domain
+      // rows are excluded from both, not half-counted.
+      val inDomain = binCounts.filter(col("bin").between(0, 9))
+      spark.createDataFrame(inDomain.collect().toSeq.asJava, binCounts.schema)
     }
     val full = bc.groupBy(col("window")).agg(sum(col("c")).as("n"))
       .crossJoin(broadcast(grid))

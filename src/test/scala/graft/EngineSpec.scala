@@ -949,6 +949,82 @@ class EngineSpec extends AnyFunSuite {
     assert(got(1L) < got(2L) && got(2L) < got(3L) && got(3L) < got(4L))
   }
 
+  test("x62b tuner: grid complete, hand-checked points, chosen is optimal") {
+    val out = TrainingData.defs("x62b_lsh_tuner")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getBoolean(6)))
+    assert(out.length == TrainingData.lshTunerGrid.size)
+    val byCfg = out.map(t => (t._2, t._3) -> t).toMap
+    // hand-computable S-curve points: b=1 collapses to one band
+    assert(byCfg((1L, 1L))._4 == 0.5)      // 1 − (1 − 0.5) exactly
+    assert(byCfg((1L, 2L))._4 == 0.25)     // 1 − (1 − 0.25)
+    // catch_lo at (1,1): 1.0 − (1.0 − 0.3) = 0.3000000000000000444
+    // in IEEE doubles — ABOVE 0.3, so floor-quantization keeps 0.3
+    // (deterministic; the sf0.01/sf0.1 oracle runs pin DuckDB agrees)
+    assert(byCfg((1L, 1L))._5 == 0.3)
+    // recall is monotone in bands for fixed rows
+    for (r <- 1L to 8L) {
+      val hs = out.filter(_._3 == r).sortBy(_._2).map(_._4)
+      assert(hs.zip(hs.tail).forall { case (a, b) => a <= b }, s"r=$r")
+    }
+    // exactly one chosen, it meets the constraint, and no eligible
+    // config beats it on (catch_lo, cost, rows, bands) — checked from
+    // the emitted table itself, independent of the model arithmetic
+    val chosen = out.filter(_._7)
+    assert(chosen.length == 1)
+    val c = chosen.head
+    assert(c._4 >= 0.9)
+    val eligible = out.filter(_._4 >= 0.9)
+    val key = (t: (Long, Long, Long, Double, Double, Long, Boolean)) =>
+      (t._5, t._6, t._3, t._2)
+    assert(eligible.forall(e => Ordering[(Double, Long, Long, Long)]
+      .lteq(key(c), key(e))), s"chosen $c not optimal")
+  }
+
+  test("x83 Kneser-Ney: discount, continuation counts, and context backoff") {
+    import spark.implicits._
+    // train: "a b c d" ×3 → trigram types abc/bcd (c3=3 each);
+    // continuation tables: ctx3(ab)=(3,1), ctx3(bc)=(3,1);
+    // cc2(b,c)=cc2(c,d)=1; ccm(b)=ccm(c)=1, n1p_v=1;
+    // bigram types ab/bc/cd → cc1(b)=cc1(c)=cc1(d)=1, T=3, V1=3, V=4
+    val train = Seq((100L, "a b c d"), (101L, "a b c d"), (102L, "a b c d"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, "a b c"),   // seen trigram: discounted ML + interpolation
+      (2L, "x b c"),   // unseen context (x,b) → backs off to P2(c|b)
+      (3L, "a b d"),   // seen context, unseen trigram → pure lambda·P2
+      (4L, "a b zz"))  // unknown word → funded by the uniform base
+      .toDF("doc_id", "text")
+    val got = TrainingData.knTrigramScores(probe, train)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // replicate the engine's exact double chain (D=3/4 via max(4c−3,0))
+    def p1(cc1: Long) =
+      (math.max(4 * cc1 - 3, 0L) * 5 + 9).toDouble / (3L * 5 * 4).toDouble
+    def p2(cc2: Long, p1v: Double) =
+      (math.max(4 * cc2 - 3, 0L).toDouble + 3.0 * p1v) / 4.0
+    def p3(c3: Long, p2v: Double) =
+      (math.max(4 * c3 - 3, 0L).toDouble + 3.0 * p2v) / 12.0
+    def q(p: Double) = BigDecimal(-math.log(p) * 1e4)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e4
+    assert(got(1L) == q(p3(3, p2(1, p1(1)))))          // 0.85625
+    assert(got(2L) == q(p2(1, p1(1))))                 // 0.425
+    assert(got(3L) == q(p3(0, p2(0, p1(1)))))          // 0.04375
+    assert(got(4L) == q(p3(0, p2(0, p1(0)))))          // 0.028125
+    // surprise ordering: seen < context-backoff < unseen < unknown
+    assert(got(1L) < got(2L) && got(2L) < got(3L) && got(3L) < got(4L))
+  }
+
+  test("x83 KN en-trained LM separates en docs (CCNet shape)") {
+    val rows = TrainingData.defs("x83_kn_logppl")(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .groupBy(col("lang") === "en")
+      .agg(avg(col("ppl3_kn")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(rows(true) < rows(false),
+      s"en mean ${rows(true)} should beat non-en ${rows(false)}")
+  }
+
   test("x64 en-trained LM separates en docs from the rest (CCNet shape)") {
     val rows = TrainingData.defs("x64_backoff_logppl")(spark, sf)
       .join(Tables.documents(spark, sf).select(col("doc_id"), col("lang")),

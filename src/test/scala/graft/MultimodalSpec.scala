@@ -70,4 +70,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(thumb.thumb_checksum == expect(bytes.take(256)))
     assert(thumb.thumb_len == math.min(bytes.length, 256))
   }
+
+  test("dHash64: bit semantics replay, copies collide, edits avalanche") {
+    import spark.implicits._
+    val docs = Seq((1L, "some image payload"), (2L, "some image payload"),
+      (3L, "some image payload!")).toDF("doc_id", "text")
+    val got = Multimodal.dHash64(spark, Multimodal.withBinaryPayload(docs))
+      .collect().map(h => h.doc_id -> h.dhash).toMap
+    // independent replay of the bit contract: row i's pixels are the
+    // first 9 bytes of md5(payload ++ ":i"); bit i*8+j = px>next
+    def replay(text: String): Long = {
+      val bytes = text.getBytes("UTF-8")
+      var h = 0L
+      for (i <- 0 until 8) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.update(bytes); md.update(s":$i".getBytes("US-ASCII"))
+        val row = md.digest()
+        for (j <- 0 until 8)
+          if ((row(j) & 0xff) > (row(j + 1) & 0xff)) h |= 1L << (i * 8 + j)
+      }
+      h
+    }
+    assert(got(1L) == replay("some image payload"))
+    assert(got(1L) == got(2L), "identical payloads must collide exactly")
+    // stub decode is avalanche: a 1-char edit scatters ~half the bits
+    val ham = java.lang.Long.bitCount(got(1L) ^ got(3L))
+    assert(ham > 3, s"edited payload should exceed the near-dup radius: $ham")
+  }
+
+  test("x85 banded dHash pairs equal the n² Hamming scan (lossless blocking)") {
+    val sigs = Multimodal.dHash64(spark, Multimodal.withBinaryPayload(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text"))))
+      .toDF().select(col("doc_id"), col("dhash").as("simhash"))
+    val banded = graft.queries.TrainingData.simhashBandedPairs(
+      sigs, bandBits = 16, nBands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int"))
+      .filter(col("hamming") <= 3)
+      .select(col("a.doc_id"), col("b.doc_id"), col("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute,
+      s"pigeonhole blocking must be lossless at hamming<=3")
+  }
 }

@@ -114,7 +114,8 @@ class PlansSpec extends AnyFunSuite {
   test("substring and semantic dedup joins never degenerate to cartesians") {
     // both ops self-join on a key (window hash / cell); a dropped key
     // would silently turn them into corpus-squared scans
-    for (q <- Seq("x33_substring_dedup", "x35_semantic_dedup")) {
+    for (q <- Seq("x33_substring_dedup", "x35_semantic_dedup",
+        "x85_dhash_neardup")) {
       val plan = graft.queries.TrainingData.defs(q)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
