@@ -162,7 +162,19 @@ object NearDup {
     * midpoint is ≈ (1/bands)^(1/bandRows). */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 16,
       bandRows: Int = 4, shingleN: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    lshCandidateJaccard(docs, numHashes, bandRows, shingleN)
+      .filter(col("jaccard") >= threshold)
+
+  /** The PRE-threshold view of [[minhashLshPairs]]: every band-join
+    * candidate with its exact verified Jaccard, nothing filtered.
+    * This is the precision/cost side of the tuning loop (x91): the
+    * candidates BELOW the production threshold are pure wasted
+    * verification work, and their volume is what the x62b model's
+    * `catch_lo` prices. Same plan as the thresholded path — bucket
+    * self-join within bands only, shingle verify inline. */
+  def lshCandidateJaccard(docs: DataFrame, numHashes: Int = 16,
+      bandRows: Int = 4, shingleN: Int = 3): DataFrame = {
     require(numHashes % bandRows == 0, "numHashes must divide into bands")
     val sig = sigTable(docs, numHashes, shingleN)
     val buckets = bandTable(sig, numHashes, bandRows, Seq("shs", "n"))
@@ -175,7 +187,6 @@ object NearDup {
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 

@@ -1950,17 +1950,24 @@ object TrainingData {
     * the top band, where every curve reads 1.0. Model arithmetic is
     * explicit products (no pow), so both engines evaluate it
     * bit-identically. */
-  val x62LshEval: Q = (s, d) => {
+  /** The x62/x91 evaluation corpus: the dup fixture plus 50%- and
+    * 75%-prefix copies (+3M/+4M ids) so the mid-similarity bands
+    * where the S-curve actually falls off are populated. */
+  private def lshEvalCorpus(s: SparkSession, d: String): DataFrame = {
     def prefixCopy(off: Long, frac: Double) = Tables.documents(s, d)
       .filter(col("doc_id") % 1000000 < 200)
       .select((col("doc_id") + off).as("doc_id"),
         array_join(slice(wsTokens(col("text")), lit(1),
           floor(size(wsTokens(col("text"))).cast("double") * frac)
             .cast("int")), " ").as("text"))
-    val corpus = spread(s,
+    spread(s,
       corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200)
         .unionByName(prefixCopy(3000000L, 0.5))
         .unionByName(prefixCopy(4000000L, 0.75)))
+  }
+
+  val x62LshEval: Q = (s, d) => {
+    val corpus = lshEvalCorpus(s, d)
     val truth = graft.dedup.NearDup
       .ngramJaccardPairs(corpus, threshold = 0.3)
     val lsh = graft.dedup.NearDup
@@ -2065,6 +2072,141 @@ object TrainingData {
       .withColumn("n_kept", least(col("n_domain"), lit(cap)))
       .orderBy(col("source"), col("rk"))
   }
+
+  /** X87: boilerplate STRIP — the transform x66 only detects: drop
+    * every df-heavy 8-token segment (the CCNet/RefinedWeb repeated-
+    * line removal analog) and re-emit the cleaned document. Segment
+    * fingerprints, the df table, and the df ≥ 3 rule are IDENTICAL to
+    * x66 (one contract, detector and transform can't drift); the
+    * rebuild is a per-doc sort_array(collect_list(struct(g, seg)))
+    * over the KEPT segments — order restored by the segment index, so
+    * the aggregation is deterministic despite collect_list's
+    * partition order. Output carries the cleaned text as md5 +
+    * token count (the x17 checksum convention: hash-compare proves
+    * the rebuilt string byte-exactly without shipping text through
+    * the oracle diff). Scale shape: x66's df-keyed aggregation plus
+    * one segment-keyed groupBy — nothing all-pairs, text leaves the
+    * scan only as 8-token segments. */
+  val x87BoilerplateStrip: Q = (s, d) => {
+    val seg = spread(s, Tables.documents(s, d))
+      .select(col("doc_id"),
+        wsTokens(concat(lit("portal "), col("source"),
+          lit(" official mirror terms of service apply"
+            + " all rights reserved contact webmaster "),
+          col("text"))).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L),
+          call_function("div", size(col("toks")).cast("long") + 7L, lit(8L))
+            - 1)).as("g"))
+      .select(col("doc_id"), col("g"),
+        array_join(slice(col("toks"), (col("g") * 8 + 1).cast("int"),
+          lit(8)), " ").as("segtxt"))
+      .withColumn("fp", md5(col("segtxt")))
+    val df = seg.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val clean = array_join(transform(
+      sort_array(collect_list(when(col("df") < 3,
+        struct(col("g"), col("segtxt"))))),
+      x => x.getField("segtxt")), " ")
+    seg.join(df, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_drop"),
+        md5(clean).as("clean_md5"),
+        when(length(clean) === 0, 0L)
+          .otherwise(size(split(clean, "\\s+")).cast("long"))
+          .as("clean_n_tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X88: quality-aware dedup survivor selection — x14/x24 keep the
+    * MIN-id doc per near-dup family (the cheap canonical); a real
+    * curation run keeps the BEST copy (RefinedWeb keeps longest,
+    * quality-filter pipelines keep highest-scoring — the mirror of a
+    * truncated/mangled duplicate outliving its clean original).
+    * Same CC labels as x14 (one contract), each family ranked by
+    * (quality desc, doc_id): `kept_best` marks the survivor the
+    * quality rule selects. Scale shape: the x14 CC machinery plus ONE
+    * family-keyed rank window over (doc_id, quality) pairs — text
+    * never enters the window exchange. */
+  val x88QualitySurvivors: Q = (s, d) => {
+    val corpus = corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200)
+    val labels = graft.dedup.NearDup.clusters(corpus, ngramJaccardPairs(s, d))
+      .select(col("doc_id"), col("canonico"))
+    val scored = corpus.select(col("doc_id"),
+      qualityScore(col("text"), stopwords).as("quality"))
+    val w = Window.partitionBy(col("canonico"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    labels.join(scored, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("canonico"), col("quality"),
+        (col("rk") === 1).as("kept_best"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X89: language-route confusion matrix — the labeled `lang` column
+    * against x7/x79's marker route, per (label, route) cell with the
+    * within-label share: the monitoring table that says how often the
+    * cheap router disagrees with ground truth BEFORE anyone thresholds
+    * on its margin (the audit x79's `ambiguous` flag feeds). Route
+    * expression is spec-pinned ≡ x7 (same fold, same tie rule).
+    * Row-local route + one |langs|² aggregation; shares via the
+    * pure-BIGINT ratio. */
+  val x89LangConfusion: Q = (s, d) => {
+    val toksL = wsTokens(lower(col("text")))
+    val counts = markerSets.map { case (lang, ms) =>
+      size(filter(toksL, t => t.isin(ms.map(x => x: Any): _*)))
+        .cast("long").as(s"c_$lang")
+    }
+    val best = markerSets.map { case (lang, _) => col(s"c_$lang") }
+      .reduce(greatest(_, _))
+    val route = markerSets.foldRight(lit("und"): Column) {
+      case ((lang, _), acc) =>
+        when(col(s"c_$lang") === best && col(s"c_$lang") > 0, lit(lang))
+          .otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .select(col("lang") +: counts: _*)
+      .select(col("lang"), route.as("lang_detectada"))
+      .groupBy(col("lang"), col("lang_detectada"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_lang",
+        sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("lang_detectada"), col("n"),
+        (intRoundHalfAway(col("n") * 10000L, col("n_lang"))
+          .cast("double") / 1e4).as("share"))
+      .orderBy(col("lang"), col("lang_detectada"))
+  }
+
+  /** X91: LSH candidate-precision audit — the cost side of the
+    * tuning loop x62 (recall side) and x62b (model) leave open: the
+    * per-Jaccard-band distribution of everything the band join PULLS
+    * IN, before any threshold. Candidates below the production
+    * threshold (J < 0.5) are pure wasted verification work — their
+    * measured share is the on-data check of x62b's `catch_lo`
+    * S-curve pricing, on the same prefix-copy corpus x62 uses for
+    * recall. Shape: [[graft.dedup.NearDup.lshCandidateJaccard]]
+    * (band-bucketed join, shingle verify inline on the colliding
+    * sliver only), collapsing to a ≤10-row band grid; the share
+    * window runs on that grid, never the corpus. */
+  val x91LshPrecision: Q = (s, d) =>
+    graft.dedup.NearDup.lshCandidateJaccard(lshEvalCorpus(s, d))
+      // zero-shingle-overlap candidates (possible only via empty
+      // shingle sets or raw hash collision) have NaN Jaccard and no
+      // row in the oracle's intersection join — excluded on both
+      // sides by the same predicate
+      .filter(col("jaccard") > 0)
+      .withColumn("band",
+        least(floor(col("jaccard") * 10) / 10, lit(0.9)))
+      .groupBy(col("band")).agg(count(lit(1)).as("n_cand"))
+      .withColumn("n_total", sum(col("n_cand")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("band"), col("n_cand"),
+        (intRoundHalfAway(col("n_cand") * 10000L, col("n_total"))
+          .cast("double") / 1e4).as("share"),
+        (col("band") < 0.5).as("below_threshold"))
+      .orderBy(col("band"))
 
   /** X63: windowed PMI co-occurrence — top word pairs by pointwise
     * mutual information within a 5-token window (offsets 1..4), the
@@ -3118,6 +3260,10 @@ object TrainingData {
     "x83_kn_logppl" -> x83KnLogppl,
     "x62b_lsh_tuner" -> x62bLshTuner,
     "x86_domain_cap" -> x86DomainCap,
+    "x87_boilerplate_strip" -> x87BoilerplateStrip,
+    "x91_lsh_precision" -> x91LshPrecision,
+    "x88_quality_survivors" -> x88QualitySurvivors,
+    "x89_lang_confusion" -> x89LangConfusion,
     "x84_perceptual_hash" -> x84PerceptualHash,
     "x85_dhash_neardup" -> x85DhashNearDup,
     "x63_pmi_cooccurrence" -> x63PmiCooccurrence,
@@ -4104,6 +4250,65 @@ object TrainingData {
                   regexp_split_to_array(trim(text), '\\s+') AS toks
                 FROM documents)))
       ORDER BY doc_id""",
+    "x91_lsh_precision" -> {
+      val params = graft.dedup.NearDup.minhashParams(16).zipWithIndex
+        .map { case ((a, b), j) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")
+      s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM $corpusSql WHERE doc_id % 1000000 < 200
+        UNION ALL
+        SELECT doc_id + 3000000,
+          array_to_string(list_slice(toks, 1,
+            CAST(FLOOR(len(toks) * 0.5) AS BIGINT)), ' ')
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE doc_id % 1000000 < 200)
+        UNION ALL
+        SELECT doc_id + 4000000,
+          array_to_string(list_slice(toks, 1,
+            CAST(FLOOR(len(toks) * 0.75) AS BIGINT)), ' ')
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE doc_id % 1000000 < 200)),
+      docs AS (
+        SELECT doc_id, $sqlShingles3 AS shs
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM corpus)),
+      sh AS (SELECT doc_id, unnest(shs) AS sh FROM docs),
+      sizes AS (SELECT doc_id, len(shs) AS n FROM docs),
+      hs AS (SELECT doc_id, ${md5Hash32Sql("sh")} AS h FROM sh),
+      minh AS (
+        SELECT doc_id, params.j,
+          MIN((h * params.a + params.b) % ${graft.dedup.NearDup.minhashPrime}) AS mh
+        FROM hs, (VALUES $params) AS params(j, a, b)
+        GROUP BY doc_id, params.j),
+      bands AS (
+        SELECT doc_id, j // 4 AS band,
+          string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
+        FROM minh GROUP BY doc_id, j // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      jc AS (
+        SELECT LEAST(FLOOR(ROUND(CAST(i.inter AS DOUBLE)
+            / (sa.n + sb.nb - i.inter), 4) * 10) / 10, 0.9) AS band
+        FROM cand c
+        JOIN inter i USING (id_a, id_b)
+        JOIN (SELECT doc_id AS id_a, n FROM sizes) sa USING (id_a)
+        JOIN (SELECT doc_id AS id_b, n AS nb FROM sizes) sb USING (id_b)
+        WHERE ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.nb - i.inter), 4) > 0),
+      g AS (SELECT band, COUNT(*) AS n_cand FROM jc GROUP BY band),
+      tot AS (SELECT band, n_cand, SUM(n_cand) OVER () AS n_total FROM g)
+      SELECT band, CAST(n_cand AS BIGINT) AS n_cand,
+        CAST((2 * n_cand * 10000 + n_total) // (2 * n_total) AS DOUBLE) / 1e4
+          AS share,
+        band < 0.5 AS below_threshold
+      FROM tot ORDER BY band"""
+    },
     "x62_lsh_eval" -> {
       val params = graft.dedup.NearDup.minhashParams(16).zipWithIndex
         .map { case ((a, b), j) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }
@@ -4403,6 +4608,80 @@ object TrainingData {
       FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
       GROUP BY label, i
       ORDER BY label, pos""",
+    "x87_boilerplate_strip" -> """
+      WITH t AS (SELECT doc_id,
+          regexp_split_to_array(trim('portal ' || source
+            || ' official mirror terms of service apply'
+            || ' all rights reserved contact webmaster ' || text),
+            '\s+') AS toks
+        FROM documents),
+      b AS (SELECT doc_id, toks,
+          unnest(range(0, (len(toks) + 7) // 8)) AS g FROM t),
+      seg AS (SELECT doc_id, g,
+          array_to_string(list_slice(toks, g * 8 + 1, g * 8 + 8), ' ')
+            AS segtxt
+        FROM b),
+      sf AS (SELECT doc_id, g, segtxt, md5(segtxt) AS fp FROM seg),
+      df AS (SELECT fp, COUNT(DISTINCT doc_id) AS df FROM sf GROUP BY fp),
+      agg AS (SELECT doc_id, COUNT(*) AS n_seg,
+          SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS n_drop,
+          COALESCE(array_to_string(
+            list(segtxt ORDER BY g) FILTER (WHERE df < 3), ' '), '')
+            AS clean
+        FROM sf JOIN df USING (fp) GROUP BY doc_id)
+      SELECT doc_id, CAST(n_seg AS BIGINT) AS n_seg,
+        CAST(n_drop AS BIGINT) AS n_drop,
+        md5(clean) AS clean_md5,
+        CASE WHEN length(clean) = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(len(regexp_split_to_array(clean, '\s+')) AS BIGINT) END
+          AS clean_n_tok
+      FROM agg ORDER BY doc_id""",
+    "x88_quality_survivors" -> s"""
+      $dedupClusterCtes,
+      q AS (
+        SELECT doc_id,
+          ROUND(LEAST(n_tok / 50.0, 1.0) * 0.4
+            + (1.0 - LEAST(punct_ratio * 5.0, 1.0)) * 0.3
+            + LEAST(stop_ratio * 10.0, 1.0) * 0.3, 4) AS quality
+        FROM (
+          SELECT doc_id, len(toks) AS n_tok,
+            CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
+              AS DOUBLE) / GREATEST(length(text), 1) AS punct_ratio,
+            CAST(len(list_filter(toks, t -> t IN ('the','a','of','and'))) AS DOUBLE)
+              / GREATEST(len(toks), 1) AS stop_ratio
+          FROM (SELECT doc_id, text,
+                  regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM corpus))),
+      j AS (SELECT l.doc_id, l.canonico, q.quality,
+          ROW_NUMBER() OVER (PARTITION BY l.canonico
+            ORDER BY q.quality DESC, l.doc_id) AS rk
+        FROM labels l JOIN q ON q.doc_id = l.doc_id)
+      SELECT doc_id, canonico, quality, rk = 1 AS kept_best
+      FROM j ORDER BY doc_id""",
+    "x89_lang_confusion" -> """
+      WITH c AS (SELECT doc_id, lang,
+          CAST(len(list_filter(tl, x -> x IN ('the', 'a', 'and', 'of')))
+            AS BIGINT) AS c_en,
+          CAST(len(list_filter(tl, x -> x IN ('de', 'o', 'da', 'em')))
+            AS BIGINT) AS c_pt,
+          CAST(len(list_filter(tl, x -> x IN ('der', 'die', 'das', 'und')))
+            AS BIGINT) AS c_de
+        FROM (SELECT doc_id, lang,
+            regexp_split_to_array(trim(lower(text)), '\s+') AS tl
+          FROM documents)),
+      r AS (SELECT lang,
+          CASE WHEN c_en = GREATEST(c_en, c_pt, c_de) AND c_en > 0 THEN 'en'
+               WHEN c_pt = GREATEST(c_en, c_pt, c_de) AND c_pt > 0 THEN 'pt'
+               WHEN c_de = GREATEST(c_en, c_pt, c_de) AND c_de > 0 THEN 'de'
+               ELSE 'und' END AS lang_detectada
+        FROM c),
+      g AS (SELECT lang, lang_detectada, COUNT(*) AS n FROM r GROUP BY 1, 2),
+      tot AS (SELECT lang, lang_detectada, n,
+          SUM(n) OVER (PARTITION BY lang) AS n_lang FROM g)
+      SELECT lang, lang_detectada, CAST(n AS BIGINT) AS n,
+        CAST((2 * n * 10000 + n_lang) // (2 * n_lang) AS DOUBLE) / 1e4
+          AS share
+      FROM tot ORDER BY lang, lang_detectada""",
     "x86_domain_cap" -> """
       WITH d AS (
         SELECT source, doc_id,

@@ -1036,6 +1036,59 @@ class EngineSpec extends AnyFunSuite {
       s"en mean ${rows(true)} should beat non-en ${rows(false)}")
   }
 
+  test("x87 strip removes exactly the df-heavy segments x66 detects") {
+    // one contract: per doc, x87's n_drop must equal x66's n_boiler,
+    // and the cleaned token count must equal the un-dropped remainder
+    // in 8-token units (last segment may be short — bound, not equal)
+    val det = TrainingData.defs("x66_boilerplate_segments")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val strip = TrainingData.defs("x87_boilerplate_strip")(spark, sf)
+      .collect()
+    assert(strip.length == det.size)
+    strip.foreach { r =>
+      val (nSeg, nBoiler) = det(r.getLong(0))
+      assert(r.getLong(1) == nSeg && r.getLong(2) == nBoiler,
+        s"doc ${r.getLong(0)} drop/detect drift")
+      val kept = nSeg - nBoiler
+      val cleanTok = r.getLong(4)
+      assert(cleanTok <= kept * 8 && (kept == 0 || cleanTok > (kept - 1) * 8),
+        s"doc ${r.getLong(0)}: $cleanTok tokens vs $kept kept segments")
+      assert(r.getString(3).length == 32)
+    }
+  }
+
+  test("x88 keeps the best-quality doc per dup family, one per family") {
+    val rows = TrainingData.defs("x88_quality_survivors")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val byFam = rows.groupBy(_._2)
+    assert(byFam.forall { case (_, fam) => fam.count(_._4) == 1 },
+      "exactly one kept_best per family")
+    byFam.foreach { case (fam, docs) =>
+      val kept = docs.find(_._4).get
+      assert(docs.forall(d => d._3 < kept._3 ||
+        (d._3 == kept._3 && d._1 >= kept._1)),
+        s"family $fam: kept ${kept._1} not the (quality, id)-best")
+    }
+    // the exact +1M copies score identically to their base → min id
+    // wins; the '+ extra' near copies can differ — spot-check one
+    // known family has its base doc kept over the exact copy
+    val exactFams = byFam.filter { case (_, d) =>
+      d.exists(_._1 >= 1000000L) && d.exists(_._1 < 1000000L) }
+    assert(exactFams.nonEmpty)
+  }
+
+  test("x91 precision audit: shares sum to 1, top band dominated by dups") {
+    val rows = TrainingData.defs("x91_lsh_precision")(spark, sf)
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val shareSum = rows.map(_._3).sum
+    assert(math.abs(shareSum - 1.0) < 1e-2, s"shares sum $shareSum")
+    // exact copies put mass at band 0.9; below_threshold flags agree
+    assert(rows.exists(r => r._1 == 0.9 && r._2 > 0))
+    rows.foreach(r => assert(r._4 == (r._1 < 0.5)))
+  }
+
   test("x66 boilerplate: the shared source banner is caught, bodies are not") {
     val docs = Tables.documents(spark, sf)
     val srcOf = docs.select(col("doc_id"), col("source")).collect()
