@@ -18,50 +18,55 @@ object MlEtl {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Closed-form argmax over candidate hinge knots: given per-candidate
-    * exact moments `(c, n, sx, sxx, sh, shh, sth, sy, sxy, shy)` for
-    * the basis `(1, t, max(0, t−c))`, solve the 3-parameter OLS by
-    * Cramer and keep the best-fit knot (max explained term — SSE argmin
-    * without Σy², which is knot-independent; ties → earliest c). Shared
-    * by both greedy trend stages of [[m1Forecast]]; y-free minors and
-    * det stay in exact long arithmetic, terms mixing y-moments are
-    * computed in double with an identical expression shape on both
-    * engines (IEEE ops on identical inputs are bit-identical). */
-  private def hingeKnot(mom: DataFrame): DataFrame = {
-    def d2(c: Column) = c.cast("double")
-    mom
-      .withColumn("det",
-        col("n") * (col("sxx") * col("shh") - col("sth") * col("sth"))
-          - col("sx") * (col("sx") * col("shh") - col("sth") * col("sh"))
-          + col("sh") * (col("sx") * col("sth") - col("sxx") * col("sh")))
-      .filter(col("det") =!= 0)
-      .withColumn("b0",
-        (d2(col("sy")) * d2(col("sxx") * col("shh") - col("sth") * col("sth"))
-          - d2(col("sx")) * (d2(col("sxy")) * d2(col("shh"))
-            - d2(col("sth")) * d2(col("shy")))
-          + d2(col("sh")) * (d2(col("sxy")) * d2(col("sth"))
-            - d2(col("sxx")) * d2(col("shy"))))
-          / d2(col("det")))
-      .withColumn("b1",
-        (d2(col("n")) * (d2(col("sxy")) * d2(col("shh"))
-            - d2(col("sth")) * d2(col("shy")))
-          - d2(col("sy")) * d2(col("sx") * col("shh") - col("sth") * col("sh"))
-          + d2(col("sh")) * (d2(col("sx")) * d2(col("shy"))
-            - d2(col("sxy")) * d2(col("sh"))))
-          / d2(col("det")))
-      .withColumn("b2",
-        (d2(col("n")) * (d2(col("sxx")) * d2(col("shy"))
-            - d2(col("sxy")) * d2(col("sth")))
-          - d2(col("sx")) * (d2(col("sx")) * d2(col("shy"))
-            - d2(col("sxy")) * d2(col("sh")))
-          + d2(col("sy")) * d2(col("sx") * col("sth") - col("sxx") * col("sh")))
-          / d2(col("det")))
-      .withColumn("expl",
-        col("b0") * d2(col("sy")) + col("b1") * d2(col("sxy"))
-          + col("b2") * d2(col("shy")))
-      .orderBy(col("expl").desc, col("c"))
-      .limit(1)
-      .select(col("c"), col("b0"), col("b1"), col("b2"), col("expl"))
+  /** Closed-form argmax over candidate hinge knots: exact integer
+    * moments `(n, sx, sxx, sh, shh, sth, sy, sxy, shy)` for the basis
+    * `(1, t, max(0, t−c))` per candidate c, 3-parameter OLS by Cramer,
+    * keep the best-fit knot (max explained term — SSE argmin without
+    * Σy², which is knot-independent; ties → earliest c). Runs ON THE
+    * DRIVER over the pinned months-sized series (m1 v6): every stage
+    * of the greedy selection was a separate Spark job on a local
+    * relation whose compute is microseconds — 4 stages cost ~1.1 s of
+    * pure job/compile overhead (measured), so the scan now lives where
+    * the data already is. Engine-equivalence is unchanged: integer
+    * sums are order-free, y-free minors and det stay in exact long
+    * arithmetic, and the double expressions replicate hingeKnotSql's
+    * shape operation-for-operation (IEEE ops on identical inputs are
+    * bit-identical — the oracle still proves it end-to-end). */
+  private[graft] def knotScan(series: Array[(Int, Long)],
+      cands: Seq[Int]): Option[(Int, Double, Double, Double, Double)] = {
+    val sols = cands.flatMap { c =>
+      var n = 0L; var sx = 0L; var sxx = 0L; var sh = 0L; var shh = 0L
+      var sth = 0L; var sy = 0L; var sxy = 0L; var shy = 0L
+      series.foreach { case (t, y) =>
+        val h = math.max(t - c, 0).toLong
+        n += 1; sx += t; sxx += t.toLong * t; sh += h; shh += h * h
+        sth += t * h; sy += y; sxy += t * y; shy += h * y
+      }
+      // y-free minors and det in exact long arithmetic; y-terms in
+      // double — the IDENTICAL expression shape (and therefore the
+      // identical IEEE doubles) as the hingeKnotSql oracle
+      val det = n * (sxx * shh - sth * sth) - sx * (sx * shh - sth * sh) +
+        sh * (sx * sth - sxx * sh)
+      if (det == 0L) None
+      else {
+        def d(x: Long) = x.toDouble
+        val b0 = (d(sy) * d(sxx * shh - sth * sth)
+          - d(sx) * (d(sxy) * d(shh) - d(sth) * d(shy))
+          + d(sh) * (d(sxy) * d(sth) - d(sxx) * d(shy))) / d(det)
+        val b1 = (d(n) * (d(sxy) * d(shh) - d(sth) * d(shy))
+          - d(sy) * d(sx * shh - sth * sh)
+          + d(sh) * (d(sx) * d(shy) - d(sxy) * d(sh))) / d(det)
+        val b2 = (d(n) * (d(sxx) * d(shy) - d(sxy) * d(sth))
+          - d(sx) * (d(sx) * d(shy) - d(sxy) * d(sh))
+          + d(sy) * d(sx * sth - sxx * sh)) / d(det)
+        val expl = b0 * d(sy) + b1 * d(sxy) + b2 * d(shy)
+        Some((c, b0, b1, b2, expl))
+      }
+    }
+    // ORDER BY expl DESC, c LIMIT 1 — keep the strictly better
+    // candidate, ties resolve to the smaller c
+    sols.reduceOption((a, b) =>
+      if (b._5 > a._5 || (b._5 == a._5 && b._1 < a._1)) b else a)
   }
 
   /** M1: seasonality-fitting forecast — the faithful port of the
@@ -116,75 +121,37 @@ object MlEtl {
       import scala.jdk.CollectionConverters._
       s.createDataFrame(m.collect().toSeq.asJava, m.schema)
     }
-    val bounds = monthly.agg(min(col("t")).as("tmin"), max(col("t")).as("tmax"))
-    // candidate knots are referenced by all four stage scans — pin
-    // them driver-local once (months-sized), like the series itself
-    val cands = {
-      val c = monthly.select(col("t").as("c")).crossJoin(broadcast(bounds))
-        .filter(col("c") >= col("tmin") + 1 &&
-          col("c") <= col("tmin") + floor((col("tmax") - col("tmin")) * 0.8))
-        .select(col("c"))
-      import scala.jdk.CollectionConverters._
-      s.createDataFrame(c.collect().toSeq.asJava, c.schema)
+    // The whole greedy changepoint selection runs ON THE DRIVER over
+    // the pinned rows ([[knotScan]] — m1 v6): candidates, per-stage
+    // moments, Cramer solves, SSE gates, residual updates. Every
+    // double replicates the oracle's expression order; the FLOOR
+    // residual quantization has no .5 tie, so it is engine-exact.
+    val monthRows = monthly.select(col("t"), col("yc")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val candSeq: Seq[Int] = if (monthRows.isEmpty) Nil else {
+      val ts = monthRows.map(_._1)
+      val tmin = ts.min; val tmax = ts.max
+      ts.toSeq.filter(c =>
+        c >= tmin + 1 && c <= tmin + math.floor((tmax - tmin) * 0.8))
     }
-    // Per-candidate exact moments (all integer/long, order-free).
-    // y-free minors and det stay in exact long arithmetic (≤ ~3e13);
-    // terms mixing y-moments are computed in double with an identical
-    // expression shape on both engines (IEEE ops on identical inputs
-    // are bit-identical — only aggregation ORDER is hazardous, and
-    // every sum here is exact-integer).
-    def hingeMoments(series: DataFrame, yCol: String): DataFrame =
-      series.crossJoin(broadcast(cands))
-        .withColumn("h", greatest(col("t") - col("c"), lit(0)))
-        .groupBy(col("c")).agg(
-          count(lit(1)).as("n"),
-          sum(col("t")).as("sx"), sum(col("t") * col("t")).as("sxx"),
-          sum(col("h")).as("sh"), sum(col("h") * col("h")).as("shh"),
-          sum(col("t") * col("h")).as("sth"),
-          sum(col(yCol)).as("sy"), sum(col("t") * col(yCol)).as("sxy"),
-          sum(col("h") * col(yCol)).as("shy"))
-    // Each knot is ONE row, but as a lazy frame its b0/b1/b2 carry the
-    // full Cramer expression trees — and stage 2 re-embeds them inside
-    // its own moments and Cramer solve, then the fit references both.
-    // Left lazy, Catalyst re-analyzes/optimizes that compounded tree on
-    // every reference and the QUERY COMPILATION (not execution) cost
-    // dominated: m1 v5 read 3.96 s isolated, ~2 s over v4. Pinning each
-    // solved knot as four DRIVER LITERALS (the monthly-pin pattern —
-    // the values are identical IEEE doubles, now computed once)
-    // collapses the downstream tree to literal arithmetic: 1.2 s.
-    // Degenerate-input guard (ADVICE r7): on a tiny series every
-    // candidate can fail the det≠0 filter and hingeKnot comes back
-    // EMPTY — head() would throw where the pre-pin lazy plan degraded
-    // to empty output. A zero knot keeps the pipeline total:
-    // trend_t = 0 → the when(trend_t > 0) guard nulls every ratio →
-    // previsao is null on every row, the same graceful null forecast
-    // the lazy plan produced.
-    def pinKnot(k: DataFrame): (Int, Double, Double, Double, Double) =
-      k.collect().headOption match {
-        case Some(r) =>
-          (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
-            r.getDouble(4))
-        case None => (0, 0.0, 0.0, 0.0, 0.0)
-      }
-    val (c1, b0, b1, b2, _) = pinKnot(hingeKnot(hingeMoments(monthly, "yc")))
+    // Degenerate-input guard (ADVICE r7): if no candidate survives
+    // det≠0, the zero knot keeps the pipeline total — trend_t = 0 →
+    // the when(trend_t > 0) guard nulls every ratio → previsao is
+    // null on every row (the graceful degradation the lazy plan had).
+    val (c1, b0, b1, b2, _) = knotScan(monthRows, candSeq)
+      .getOrElse((0, 0.0, 0.0, 0.0, 0.0))
     // Stages 2..4 — greedy forward selection with an SSE-improvement
     // STOPPING RULE (m1 v6, r7 verdict item 6; previously a fixed
     // K=2): each stage quantizes the running residuals to exact
-    // integer cents via FLOOR (no .5 tie — engine-exact), rescans the
-    // same candidate set with the same (1, t, hinge) basis, and is
-    // APPLIED only if its OLS explained term covers ≥ 5% of the
-    // remaining SSE (Σrc², exact integer; the OLS identity
-    // SSE_new = Σrc² − expl makes expl the exact improvement).
-    // A rejected stage leaves the residuals unchanged, so every later
-    // stage re-derives the same sub-threshold knot and is rejected
-    // too — gating each unrolled stage ≡ greedy stopping, which is
-    // what lets the fixed-depth DuckDB oracle mirror a data-dependent
-    // K. Residual series are months-sized and evolve DRIVER-SIDE
-    // (same IEEE expression order as both engines' plans), so each
-    // stage's moment scan reads a local relation — the knot-pin
-    // pattern, now per stage.
-    val monthRows = monthly.select(col("t"), col("yc")).collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
+    // integer cents via FLOOR, rescans the same candidate set with
+    // the same (1, t, hinge) basis, and is APPLIED only if its OLS
+    // explained term covers ≥ 5% of the remaining SSE (Σrc², exact
+    // integer; the OLS identity SSE_new = Σrc² − expl makes expl the
+    // exact improvement). A rejected stage leaves the residuals
+    // unchanged, so every later stage re-derives the same
+    // sub-threshold knot and is rejected too — gating each unrolled
+    // stage ≡ greedy stopping, which is what lets the fixed-depth
+    // DuckDB oracle mirror a data-dependent K.
     var residRows: Array[(Int, Long)] = monthRows.map { case (t, yc) =>
       val tr = b0 + b1 * t + b2 * math.max(t - c1, 0)
       (t, yc - math.floor(tr).toLong)
@@ -195,15 +162,10 @@ object MlEtl {
     for (_ <- 2 to 4) {
       val sse = residRows.iterator
         .map { case (_, rc) => BigInt(rc) * BigInt(rc) }.sum
-      val residDf = {
-        import s.implicits._
-        residRows.toSeq.toDF("t", "rc")
-      }
-      val (ck, g0k, g1k, g2k, expl) =
-        pinKnot(hingeKnot(hingeMoments(residDf, "rc")))
-      val on = expl >= 0.05 * sse.toDouble
-      val (gc, g0, g1, g2) =
-        if (on) (ck, g0k, g1k, g2k) else (0, 0.0, 0.0, 0.0)
+      val (gc, g0, g1, g2) = knotScan(residRows, candSeq)
+        .filter(_._5 >= 0.05 * sse.toDouble)
+        .map(k => (k._1, k._2, k._3, k._4))
+        .getOrElse((0, 0.0, 0.0, 0.0))
       gated += ((gc, g0, g1, g2))
       residRows = residRows.map { case (t, rc) =>
         (t, rc - math.floor(g0 + g1 * t + g2 * math.max(t - gc, 0)).toLong)
