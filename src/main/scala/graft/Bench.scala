@@ -280,7 +280,9 @@ object Bench {
       "x66_boilerplate_segments", "x67_vocab_growth", "x68_quality_psi",
       "x69_prototypicality", "x70_mixture_sample", "x71_split_leakage",
       "x72_edit_verify", "x73_dup_graph_stats", "x74_sq8_recall",
-      "x75_ivf_balance")
+      "x75_ivf_balance", "x83_kn_logppl", "x85_dhash_neardup",
+      "x87_boilerplate_strip", "x88_quality_survivors",
+      "x91_lsh_precision", "x92_dhash_store")
     val qmap = perQuery.toMap
     // Sentinel block appended to both the file and the contract line:
     // "protocol" names the measurement (min over `repeat` timed passes

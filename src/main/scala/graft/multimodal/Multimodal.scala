@@ -201,6 +201,74 @@ object Multimodal {
       }
   }
 
+  /** (doc_id, band, key) rows for a dHash table: 4 × 16-bit bands,
+    * the simhash64 blocking convention — pigeonhole-lossless for
+    * Hamming ≤ 3. */
+  private def dhashBands(sigs: DataFrame): DataFrame = {
+    val mask = (1L << 16) - 1
+    sigs.select(col("doc_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("dhash"), b * 16).bitwiseAND(mask).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+  }
+
+  /** Persist a dHash store for incremental image near-dup checks —
+    * the image-side twin of
+    * [[graft.dedup.NearDup.saveSignatureStore]]: `path/bands` is the
+    * banded candidate index (the ONLY table a new batch's probe
+    * touches), `path/sigs` the 8-byte signatures for exact Hamming
+    * verification on the colliding sliver. At 100 TB of assets the
+    * corpus hashes are computed once at ingest; a daily batch pays
+    * its own dHashes (row-local), a key-sized band join, and the
+    * Hamming check on candidates — never a corpus rescan. */
+  def saveDHashStore(spark: SparkSession, withPayload: DataFrame,
+      path: String): Unit = {
+    val sigs = dHash64(spark, withPayload).toDF()
+    dhashBands(sigs).write.mode("overwrite").parquet(s"$path/bands")
+    sigs.write.mode("overwrite").parquet(s"$path/sigs")
+  }
+
+  /** One micro-batch's image near-dup pairs against a persisted
+    * [[saveDHashStore]]: (new_id, old_id, hamming ≤ maxHamming).
+    * Blocking is lossless for maxHamming ≤ 3 (4 bands, pigeonhole),
+    * so the result is bit-identical to the full cross-check the
+    * oracle computes. */
+  def incrementalDHashPairs(spark: SparkSession, storePath: String,
+      batchWithPayload: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bsigs = dHash64(spark, batchWithPayload).toDF()
+    val sbands = spark.read.parquet(s"$storePath/bands")
+      .withColumnRenamed("doc_id", "old_id")
+    val ssigs = spark.read.parquet(s"$storePath/sigs")
+      .select(col("doc_id").as("old_id"), col("dhash").as("old_dhash"))
+    dhashBands(bsigs).withColumnRenamed("doc_id", "new_id")
+      .join(sbands, Seq("band", "key"))
+      .select(col("new_id"), col("old_id")).dropDuplicates()
+      .join(bsigs.select(col("doc_id").as("new_id"), col("dhash")),
+        Seq("new_id"))
+      .join(ssigs, Seq("old_id"))
+      .withColumn("hamming",
+        bit_count(col("dhash").bitwiseXOR(col("old_dhash"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("new_id"), col("old_id"), col("hamming"))
+  }
+
+  /** Batch-admission filter: drop every asset with a near-dup already
+    * in the store, everything else rides through untouched — the
+    * image twin of [[graft.streaming.DocStream.admitNearDups]], wired
+    * through `foreachBatch` in a stream for the same reason (the
+    * candidate pair table is not expressible in the stateless
+    * streaming operator set; the batch-refreshed store IS the
+    * state). */
+  def admitImageDups(spark: SparkSession, batchWithPayload: DataFrame,
+      storePath: String, maxHamming: Int = 3): DataFrame =
+    batchWithPayload.join(
+      incrementalDHashPairs(spark, storePath, batchWithPayload, maxHamming)
+        .select(col("new_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
   /** One sampled frame of a (fake) video payload. */
   final case class Frame(doc_id: Long, frame_no: Int, frame_checksum: String)
 

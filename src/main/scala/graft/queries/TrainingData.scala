@@ -507,7 +507,8 @@ object TrainingData {
     * a 0.90 s receipt). Idempotent — each ensure* re-checks its
     * _SUCCESS marker, so a pre-built cache costs one stat call. */
   def prebuildCaches(s: SparkSession, d: String): Unit = {
-    ensureIvfIndex(s, d); ensureSigStore(s, d); ensureCuratedStaged(s, d); ()
+    ensureIvfIndex(s, d); ensureSigStore(s, d); ensureCuratedStaged(s, d)
+    ensureDHashStore(s, d); ()
   }
 
   private def ensureIvfIndex(s: SparkSession, d: String): String = {
@@ -2178,6 +2179,44 @@ object TrainingData {
       .orderBy(col("lang"), col("lang_detectada"))
   }
 
+  /** Build-and-save the dHash store once per sf-dir (the
+    * [[ensureSigStore]] cache contract: fixture fingerprint in the
+    * path, first caller pays, [[prebuildCaches]] pays it in Bench's
+    * untimed warmup). Covers the BASE assets (doc_id < 200 slice). */
+  private def ensureDHashStore(s: SparkSession, d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"target/dhash_store_${tag}_${fixtureFp(d, "documents")}"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path/bands/_SUCCESS")))
+      graft.multimodal.Multimodal.saveDHashStore(s,
+        graft.multimodal.Multimodal.withBinaryPayload(
+          spread(s, Tables.documents(s, d)
+            .filter(col("doc_id") % 1000000 < 200)
+            .select(col("doc_id"), col("text")))), path)
+    path
+  }
+
+  /** X92: incremental image near-dup against the persisted dHash
+    * store — the image twin of x60's signature-store probe and the
+    * production shape of x85: corpus perceptual hashes are computed
+    * once at ingest ([[graft.multimodal.Multimodal.saveDHashStore]]);
+    * a new batch (the +1M exact and +2M near payload copies) pays its
+    * own dHashes, a key-sized band join against the store, and exact
+    * Hamming verification on the colliding sliver. On the stub codec
+    * the exact copies collide at Hamming 0 and the edited copies
+    * avalanche away (admitted) — with a real decoder the same plan
+    * drops re-encoded/resized near-identicals. The oracle recomputes
+    * the full batch × store cross-check the lossless banding must
+    * equal. */
+  val x92DhashStore: Q = (s, d) => {
+    val batch = corpusWithDupes(s, d)
+      .filter(col("doc_id") % 1000000 < 200 && col("doc_id") >= 1000000L)
+    graft.multimodal.Multimodal.incrementalDHashPairs(
+      s, ensureDHashStore(s, d),
+      graft.multimodal.Multimodal.withBinaryPayload(spread(s, batch)))
+      .orderBy(col("new_id"), col("old_id"))
+  }
+
   /** X91: LSH candidate-precision audit — the cost side of the
     * tuning loop x62 (recall side) and x62b (model) leave open: the
     * per-Jaccard-band distribution of everything the band join PULLS
@@ -3262,6 +3301,7 @@ object TrainingData {
     "x86_domain_cap" -> x86DomainCap,
     "x87_boilerplate_strip" -> x87BoilerplateStrip,
     "x91_lsh_precision" -> x91LshPrecision,
+    "x92_dhash_store" -> x92DhashStore,
     "x88_quality_survivors" -> x88QualitySurvivors,
     "x89_lang_confusion" -> x89LangConfusion,
     "x84_perceptual_hash" -> x84PerceptualHash,
@@ -4728,6 +4768,15 @@ object TrainingData {
     },
     "x84_perceptual_hash" -> s"""
       SELECT doc_id, dhash FROM $dhashSql ORDER BY doc_id""",
+    "x92_dhash_store" -> s"""
+      WITH sigs AS (SELECT * FROM $dhashSql),
+      store AS (SELECT doc_id, dhash FROM sigs WHERE doc_id < 1000000),
+      batch AS (SELECT doc_id, dhash FROM sigs WHERE doc_id >= 1000000)
+      SELECT b.doc_id AS new_id, s.doc_id AS old_id,
+        CAST(bit_count(xor(b.dhash, s.dhash)) AS INT) AS hamming
+      FROM batch b JOIN store s
+        ON bit_count(xor(b.dhash, s.dhash)) <= 3
+      ORDER BY new_id, old_id""",
     "x85_dhash_neardup" -> s"""
       WITH sigs AS (SELECT * FROM $dhashSql)
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -163,6 +163,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() >= fresh.count() * 9 / 10, "bulk of fresh docs admitted")
   }
 
+  test("image admission: dHash store drops exact copies on-stream, batch-equal") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val corpusDocs = docs.filter(col("doc_id") < 300)
+    val store = java.nio.file.Files.createTempDirectory("dhash_store").toString
+    graft.multimodal.Multimodal.saveDHashStore(spark,
+      graft.multimodal.Multimodal.withBinaryPayload(corpusDocs), store)
+    // arriving: exact payload copies (same bytes → same dHash →
+    // hamming 0, rejected) and genuinely new assets (admitted — the
+    // stub codec is avalanche, so no false collisions)
+    val copies = corpusDocs.filter(col("doc_id") < 150)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val fresh = docs.filter(col("doc_id") >= 300)
+    val tmp = java.nio.file.Files.createTempDirectory("assets_stream").toString
+    copies.unionByName(fresh).write.mode("overwrite").parquet(tmp)
+    val outDir = java.nio.file.Files.createTempDirectory("img_admit").toString
+    val q = graft.streaming.DocStream.readDocStream(spark, tmp)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.multimodal.Multimodal.admitImageDups(spark,
+          graft.multimodal.Multimodal.withBinaryPayload(b), store)
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", outDir + "_chk")
+      .start()
+    q.awaitTermination(120000L); q.stop()
+    val out = spark.read.parquet(outDir)
+    val batch = graft.multimodal.Multimodal.admitImageDups(spark,
+      graft.multimodal.Multimodal.withBinaryPayload(spark.read.parquet(tmp)),
+      store)
+    assert(out.count() == batch.count())
+    assert(out.select("doc_id").exceptAll(batch.select("doc_id")).count() == 0)
+    assert(out.filter(col("doc_id") >= 5000000L).count() == 0,
+      "exact payload copies must be rejected by the dHash store")
+    assert(out.count() == fresh.count(), "every fresh asset admitted")
+  }
+
   test("stateless curation runs unchanged on a stream (quality + redaction)") {
     val stop = Seq("the", "a", "of", "and")
     // inject PII into some docs so redaction is exercised on-stream
