@@ -148,6 +148,57 @@ object Multimodal {
       }
   }
 
+  /** Energy-trim summary for one (fake) audio payload. */
+  final case class TrimmedAudio(
+      doc_id: Long, n_frames: Int, n_kept: Int, energy_total: Long,
+      kept_checksum: String)
+
+  /** STUB audio silence trim (VAD analog): the payload is read as
+    * fixed-`frameLen`-byte frames (the x18 accounting); a frame's
+    * "energy" is its raw byte sum, and frames below `threshold` are
+    * trimmed — exactly what a real voice-activity detector does to
+    * leading/trailing silence and dead air before ASR or audio
+    * tokenization, with byte-sum standing in for RMS on decoded PCM
+    * (the codec isn't in this container; swap the energy fn, keep the
+    * plan). Emits per-asset frame counts, total energy (exact
+    * integer), and the md5-of-hex checksum over the KEPT frames
+    * concatenated in order — the x17/x18 slice-checksum contract, so
+    * the oracle proves byte-exactly which frames survived. Row-local
+    * mapPartitions, one digest per partition; docs with no full frame
+    * drop out (x18's inner semantics). */
+  def energyTrim(spark: SparkSession, withPayload: DataFrame,
+      frameLen: Int = 32, threshold: Int = 3000): Dataset[TrimmedAudio] = {
+    import spark.implicits._
+    withPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, bytes) =>
+          val nFrames = bytes.length / frameLen
+          if (nFrames == 0) Iterator.empty
+          else {
+            var total = 0L
+            var kept = 0
+            md.reset()
+            var f = 0
+            while (f < nFrames) {
+              var e = 0L
+              var i = f * frameLen
+              while (i < (f + 1) * frameLen) { e += bytes(i) & 0xff; i += 1 }
+              total += e
+              if (e >= threshold) {
+                kept += 1
+                md.update(hexAscii(bytes, f * frameLen, (f + 1) * frameLen))
+              }
+              f += 1
+            }
+            Iterator.single(
+              TrimmedAudio(id, nFrames, kept, total, hexString(md.digest())))
+          }
+        }
+      }
+  }
+
   /** 64-bit perceptual hash row. */
   final case class DHash(doc_id: Long, dhash: Long)
 

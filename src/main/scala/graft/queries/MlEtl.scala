@@ -484,8 +484,17 @@ object MlEtl {
       Multimodal.withBinaryPayload(Tables.documents(s, d)))
       .toDF().orderBy(col("doc_id"), col("frame_no"))
 
+  /** X94: stubbed audio silence trim — byte-sum frame energy, frames
+    * under the floor dropped, kept-frame checksum proves the exact
+    * surviving bytes ([[graft.multimodal.Multimodal.energyTrim]]). */
+  val x94EnergyTrim: Q = (s, d) =>
+    Multimodal.energyTrim(s,
+      Multimodal.withBinaryPayload(Tables.documents(s, d)))
+      .toDF().orderBy(col("doc_id"))
+
   val defs: Map[String, Q] = Map(
     "m1_forecast" -> m1Forecast,
+    "x94_energy_trim" -> x94EnergyTrim,
     "m2_group_regression" -> m2GroupRegression,
     "m4_priority_score" -> m4PriorityScore,
     "m5_commission" -> m5Commission,
@@ -887,5 +896,24 @@ object MlEtl {
         md5(lower(substr(hex(encode(text)), CAST(f AS INT) * 64 + 1, 64)))
           AS frame_checksum
       FROM documents, UNNEST(range(0, octet_length(encode(text)) // 32, 2)) AS t(f)
-      ORDER BY doc_id, frame_no""")
+      ORDER BY doc_id, frame_no""",
+    "x94_energy_trim" -> """
+      WITH frames AS (
+        SELECT doc_id, f,
+          substr(lower(hex(encode(text))), CAST(f * 64 + 1 AS INT), 64) AS fh
+        FROM documents,
+          UNNEST(range(0, octet_length(encode(text)) // 32)) AS t(f)),
+      e AS (
+        SELECT doc_id, f, fh,
+          list_sum(list_transform(range(0, 32), i ->
+            (strpos('0123456789abcdef', substr(fh, CAST(2*i+1 AS INT), 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(fh, CAST(2*i+2 AS INT), 1)) - 1)))
+            AS en
+        FROM frames)
+      SELECT doc_id, CAST(COUNT(*) AS INT) AS n_frames,
+        CAST(SUM(CASE WHEN en >= 3000 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+        CAST(SUM(en) AS BIGINT) AS energy_total,
+        md5(COALESCE(string_agg(fh, '' ORDER BY f)
+          FILTER (WHERE en >= 3000), '')) AS kept_checksum
+      FROM e GROUP BY doc_id ORDER BY doc_id""")
 }

@@ -2217,6 +2217,50 @@ object TrainingData {
       .orderBy(col("new_id"), col("old_id"))
   }
 
+  /** X93: INTRA-document segment dedup — remove repeated 8-token
+    * segments WITHIN a document, keeping the first occurrence (the
+    * in-page sibling of x87's cross-corpus boilerplate strip: nav
+    * menus, repeated footers, and copy-paste loops inside ONE page —
+    * Gopher's duplicate-line-fraction filter as a transform instead
+    * of a score). Entirely ROW-LOCAL: segments, first-occurrence
+    * test (array_position of the segment's md5 in the per-doc hash
+    * list — position returns the FIRST hit, so a later duplicate
+    * fails the index equality), and rebuild are higher-order array
+    * functions inside one projection — no explode, no shuffle but
+    * the output sort; the 100 TB cost is the scan itself. Cleaned
+    * text leaves as md5 + token count (x17/x87 checksum
+    * convention). */
+  val x93IntradocDedup: Q = (s, d) => {
+    // fixture text has no natural in-page repetition — every third
+    // doc gets its first 8-token segment PREPENDED (segment-aligned
+    // by construction, the x66 synthetic-banner convention), so the
+    // dedup provably fires and provably keeps first occurrences
+    val base = wsTokens(col("text"))
+    val corpus = spread(s, Tables.documents(s, d))
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0 && size(base) >= 8,
+          concat(array_join(slice(base, 1, 8), " "), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+    val toks = wsTokens(col("text"))
+    val nseg = call_function("div", size(toks).cast("long") + 7L, lit(8L))
+    val segs = transform(sequence(lit(0L), nseg - 1),
+      g => array_join(slice(toks, (g * 8 + 1).cast("int"), lit(8)), " "))
+    val hashes = transform(segs, sg => md5(sg))
+    val kept = filter(segs, (sg, i) =>
+      array_position(hashes, md5(sg)) === (i + 1).cast("long"))
+    val clean = array_join(kept, " ")
+    corpus
+      .filter(size(toks) > 0)
+      .select(col("doc_id"),
+        size(segs).cast("long").as("n_seg"),
+        (size(segs) - size(kept)).cast("long").as("n_dup"),
+        md5(clean).as("clean_md5"),
+        when(length(clean) === 0, 0L)
+          .otherwise(size(split(clean, "\\s+")).cast("long"))
+          .as("clean_n_tok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** X91: LSH candidate-precision audit — the cost side of the
     * tuning loop x62 (recall side) and x62b (model) leave open: the
     * per-Jaccard-band distribution of everything the band join PULLS
@@ -3302,6 +3346,7 @@ object TrainingData {
     "x87_boilerplate_strip" -> x87BoilerplateStrip,
     "x91_lsh_precision" -> x91LshPrecision,
     "x92_dhash_store" -> x92DhashStore,
+    "x93_intradoc_dedup" -> x93IntradocDedup,
     "x88_quality_survivors" -> x88QualitySurvivors,
     "x89_lang_confusion" -> x89LangConfusion,
     "x84_perceptual_hash" -> x84PerceptualHash,
@@ -4648,6 +4693,36 @@ object TrainingData {
       FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
       GROUP BY label, i
       ORDER BY label, pos""",
+    "x93_intradoc_dedup" -> """
+      WITH corpus AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0
+              AND len(regexp_split_to_array(trim(text), '\s+')) >= 8
+            THEN array_to_string(list_slice(
+                regexp_split_to_array(trim(text), '\s+'), 1, 8), ' ')
+              || ' ' || text
+            ELSE text END AS text
+        FROM documents),
+      t AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\s+') AS toks FROM corpus),
+      se AS (SELECT doc_id,
+          list_transform(range(0, (len(toks) + 7) // 8), g ->
+            array_to_string(list_slice(toks, g * 8 + 1, g * 8 + 8), ' '))
+            AS segs
+        FROM t WHERE len(toks) > 0),
+      k AS (SELECT doc_id, segs,
+          list_filter(segs, (s, i) ->
+            list_position(list_transform(segs, x -> md5(x)), md5(s)) = i)
+            AS kept
+        FROM se)
+      SELECT doc_id, CAST(len(segs) AS BIGINT) AS n_seg,
+        CAST(len(segs) - len(kept) AS BIGINT) AS n_dup,
+        md5(array_to_string(kept, ' ')) AS clean_md5,
+        CASE WHEN length(array_to_string(kept, ' ')) = 0
+          THEN CAST(0 AS BIGINT)
+          ELSE CAST(len(regexp_split_to_array(
+            array_to_string(kept, ' '), '\s+')) AS BIGINT) END AS clean_n_tok
+      FROM k ORDER BY doc_id""",
     "x87_boilerplate_strip" -> """
       WITH t AS (SELECT doc_id,
           regexp_split_to_array(trim('portal ' || source

@@ -71,6 +71,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(thumb.thumb_len == math.min(bytes.length, 256))
   }
 
+  test("energyTrim: byte-sum gating and kept-frame checksum replay") {
+    import spark.implicits._
+    // craft a payload with known frame energies: frame of 'z' (122)
+    // → 3904 (kept at threshold 3000), frame of ' ' (32) → 1024
+    // (trimmed); a 16-byte tail is not a full frame and never counts
+    val text = "z" * 32 + " " * 32 + "z" * 32 + "q" * 16
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val out = Multimodal.energyTrim(spark,
+      Multimodal.withBinaryPayload(docs)).collect().head
+    assert(out.n_frames == 3 && out.n_kept == 2)
+    assert(out.energy_total == 122L * 32 + 32L * 32 + 122L * 32)
+    val keptBytes = ("z" * 32 + "z" * 32).getBytes("UTF-8")
+    val hexed = keptBytes.map("%02x".format(_)).mkString.getBytes("US-ASCII")
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest(hexed).map("%02x".format(_)).mkString
+    assert(out.kept_checksum == expect)
+    // no full frame → no row (the x18 inner-semantics contract)
+    val short = Multimodal.energyTrim(spark,
+      Multimodal.withBinaryPayload(Seq((2L, "tiny")).toDF("doc_id", "text")))
+    assert(short.collect().isEmpty)
+  }
+
   test("dHash64: bit semantics replay, copies collide, edits avalanche") {
     import spark.implicits._
     val docs = Seq((1L, "some image payload"), (2L, "some image payload"),
