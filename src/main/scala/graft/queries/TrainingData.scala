@@ -2261,6 +2261,73 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** X95: mixture temperature sweep — x50's sqrt-mixture generalized
+    * to the sampling-temperature grid every multilingual/multi-source
+    * run tunes (UniMax/mT5's α: p_i ∝ tok_i^α, α→0 flattens toward
+    * uniform, α=1 is proportional). The grid is DYADIC BY DESIGN —
+    * α ∈ {1/4, 1/2, 3/4, 1} via sqrt compositions (√, √∘√, √·√∘√),
+    * and IEEE sqrt is correctly-rounded-exact, so every weight is
+    * bit-identical across engines with no libm pow/exp anywhere.
+    * Denominators fold in SOURCE ORDER on the driver, mirrored by
+    * the oracle's `list_sum(list(... ORDER BY source))` (the x50
+    * ordered-double-sum contract). |sources|×4 rows — the planning
+    * table is driver-sized at any corpus scale; the one corpus scan
+    * is the token count. */
+  val x95TemperatureSweep: Q = (s, d) => {
+    import s.implicits._
+    val rows = Tables.documents(s, d).groupBy(col("source"))
+      .agg(sum(tokenCount(col("text"))).as("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val budget = rows.map(_._2).sum
+    def w(t: Double, a: Double): Double = a match {
+      case 0.25 => math.sqrt(math.sqrt(t))
+      case 0.5  => math.sqrt(t)
+      case 0.75 => math.sqrt(t) * math.sqrt(math.sqrt(t))
+      case _    => t
+    }
+    val alphas = Seq(0.25, 0.5, 0.75, 1.0)
+    val den = alphas.map(a =>
+      a -> rows.foldLeft(0.0)((acc, r) => acc + w(r._2.toDouble, a))).toMap
+    val tokD = col("tok").cast("double")
+    val wCol = when(col("alpha") === 0.25, sqrt(sqrt(tokD)))
+      .when(col("alpha") === 0.5, sqrt(tokD))
+      .when(col("alpha") === 0.75, sqrt(tokD) * sqrt(sqrt(tokD)))
+      .otherwise(tokD)
+    val dnCol = when(col("alpha") === 0.25, lit(den(0.25)))
+      .when(col("alpha") === 0.5, lit(den(0.5)))
+      .when(col("alpha") === 0.75, lit(den(0.75)))
+      .otherwise(lit(den(1.0)))
+    rows.toSeq.toDF("source", "tok")
+      .crossJoin(alphas.toDF("alpha"))
+      .select(col("source"), col("tok"), col("alpha"),
+        round(wCol / dnCol, 6).as("p_sample"),
+        round(lit(budget).cast("double") * (wCol / dnCol) / tokD, 6)
+          .as("epochs"))
+      .orderBy(col("source"), col("alpha"))
+  }
+
+  /** X96: sequence-length histogram — per-source doc counts and token
+    * mass in power-of-two length buckets, the planning table behind
+    * x25's packing (bucket mix decides padding waste and pack depth)
+    * and behind max-length truncation policy. The log2 bucket is
+    * INTEGER-EXACT in both engines: `length(bin(n)) − 1` (binary
+    * digit count), no floating log anywhere — floor(ln n / ln 2)
+    * misrounds at exact powers of two. One scan, |sources|×buckets
+    * rows, map-side combinable. */
+  val x96LengthHistogram: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("bucket",
+        (length(bin(greatest(col("n_tok"), lit(1L)))) - 1).cast("long"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("tok_mass"))
+      .withColumn("n_src",
+        sum(col("n")).over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("bucket"), col("n"), col("tok_mass"),
+        (intRoundHalfAway(col("n") * 10000L, col("n_src"))
+          .cast("double") / 1e4).as("share"))
+      .orderBy(col("source"), col("bucket"))
+
   /** X91: LSH candidate-precision audit — the cost side of the
     * tuning loop x62 (recall side) and x62b (model) leave open: the
     * per-Jaccard-band distribution of everything the band join PULLS
@@ -3347,6 +3414,8 @@ object TrainingData {
     "x91_lsh_precision" -> x91LshPrecision,
     "x92_dhash_store" -> x92DhashStore,
     "x93_intradoc_dedup" -> x93IntradocDedup,
+    "x95_temperature_sweep" -> x95TemperatureSweep,
+    "x96_length_histogram" -> x96LengthHistogram,
     "x88_quality_survivors" -> x88QualitySurvivors,
     "x89_lang_confusion" -> x89LangConfusion,
     "x84_perceptual_hash" -> x84PerceptualHash,
@@ -4693,6 +4762,55 @@ object TrainingData {
       FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
       GROUP BY label, i
       ORDER BY label, pos""",
+    "x95_temperature_sweep" -> """
+      WITH toks AS (SELECT source,
+          CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+            AS tok
+        FROM documents GROUP BY source),
+      den AS (SELECT
+          list_sum(list(sqrt(sqrt(CAST(tok AS DOUBLE))) ORDER BY source))
+            AS d025,
+          list_sum(list(sqrt(CAST(tok AS DOUBLE)) ORDER BY source)) AS d05,
+          list_sum(list(sqrt(CAST(tok AS DOUBLE))
+            * sqrt(sqrt(CAST(tok AS DOUBLE))) ORDER BY source)) AS d075,
+          list_sum(list(CAST(tok AS DOUBLE) ORDER BY source)) AS d1,
+          CAST(SUM(tok) AS BIGINT) AS bt
+        FROM toks),
+      a AS (SELECT unnest([0.25, 0.5, 0.75, 1.0]) AS alpha),
+      j AS (SELECT t.source, t.tok, a.alpha,
+          CASE a.alpha
+            WHEN 0.25 THEN sqrt(sqrt(CAST(t.tok AS DOUBLE)))
+            WHEN 0.5 THEN sqrt(CAST(t.tok AS DOUBLE))
+            WHEN 0.75 THEN sqrt(CAST(t.tok AS DOUBLE))
+              * sqrt(sqrt(CAST(t.tok AS DOUBLE)))
+            ELSE CAST(t.tok AS DOUBLE) END AS w,
+          CASE a.alpha
+            WHEN 0.25 THEN d025 WHEN 0.5 THEN d05 WHEN 0.75 THEN d075
+            ELSE d1 END AS dn,
+          bt
+        FROM toks t, a, den)
+      SELECT source, tok, alpha,
+        ROUND(w / dn, 6) AS p_sample,
+        ROUND(CAST(bt AS DOUBLE) * (w / dn) / CAST(tok AS DOUBLE), 6)
+          AS epochs
+      FROM j ORDER BY source, alpha""",
+    "x96_length_histogram" -> """
+      WITH d AS (SELECT source,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+            AS n_tok
+        FROM documents),
+      b AS (SELECT source, n_tok,
+          CAST(length(bin(GREATEST(n_tok, 1))) - 1 AS BIGINT) AS bucket
+        FROM d),
+      g AS (SELECT source, bucket, COUNT(*) AS n,
+          CAST(SUM(n_tok) AS BIGINT) AS tok_mass
+        FROM b GROUP BY source, bucket),
+      t AS (SELECT source, bucket, n, tok_mass,
+          SUM(n) OVER (PARTITION BY source) AS n_src FROM g)
+      SELECT source, bucket, CAST(n AS BIGINT) AS n, tok_mass,
+        CAST((2 * n * 10000 + n_src) // (2 * n_src) AS DOUBLE) / 1e4
+          AS share
+      FROM t ORDER BY source, bucket""",
     "x93_intradoc_dedup" -> """
       WITH corpus AS (
         SELECT doc_id,

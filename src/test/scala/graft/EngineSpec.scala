@@ -1025,6 +1025,27 @@ class EngineSpec extends AnyFunSuite {
       s"en mean ${rows(true)} should beat non-en ${rows(false)}")
   }
 
+  test("x83 vs x64: KN beats stupid backoff on held-out text (r7 item 2 pin)") {
+    val langs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+    val kn = TrainingData.defs("x83_kn_logppl")(spark, sf)
+      .select(col("doc_id"), col("ppl3_kn"))
+    val sb = TrainingData.defs("x64_backoff_logppl")(spark, sf)
+      .select(col("doc_id"), col("ppl3_proxy"))
+    val m = kn.join(sb, Seq("doc_id")).join(langs, Seq("doc_id"))
+      .groupBy(col("lang") === "en")
+      .agg(avg(col("ppl3_kn")).as("kn"), avg(col("ppl3_proxy")).as("sb"))
+      .collect().map(r => r.getBoolean(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    // held-out (non-en) text: proper Kneser-Ney smoothing assigns the
+    // unseen-heavy steps more mass than stupid backoff's fixed 0.4
+    val (knOut, sbOut) = m(false)
+    assert(knOut < sbOut, s"held-out: KN $knOut should beat SB $sbOut")
+    // in-domain the discount works against KN — SB's undiscounted ML
+    // ratios win where almost every trigram is seen (sanity direction)
+    val (knIn, sbIn) = m(true)
+    assert(sbIn < knIn, s"in-domain: SB $sbIn should beat KN $knIn")
+  }
+
   test("x64 en-trained LM separates en docs from the rest (CCNet shape)") {
     val rows = TrainingData.defs("x64_backoff_logppl")(spark, sf)
       .join(Tables.documents(spark, sf).select(col("doc_id"), col("lang")),

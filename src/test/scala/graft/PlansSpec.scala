@@ -115,7 +115,8 @@ class PlansSpec extends AnyFunSuite {
     // both ops self-join on a key (window hash / cell); a dropped key
     // would silently turn them into corpus-squared scans
     for (q <- Seq("x33_substring_dedup", "x35_semantic_dedup",
-        "x85_dhash_neardup")) {
+        "x85_dhash_neardup", "x83_kn_logppl", "x87_boilerplate_strip",
+        "x91_lsh_precision", "x92_dhash_store")) {
       val plan = graft.queries.TrainingData.defs(q)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
