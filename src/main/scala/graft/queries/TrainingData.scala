@@ -599,6 +599,47 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** X97: CANONICALIZED decontamination — x20 with the normalization
+    * step real pipelines apply before n-gram overlap (GPT-3's
+    * decontamination lowercases and strips punctuation; raw-token
+    * overlap misses an eval item that was re-cased or re-punctuated
+    * in the crawl): tokens are lowercased, stripped to [A-Za-z0-9],
+    * empties dropped, THEN shingled — at SIX grams, not x20's three:
+    * canonicalization collapses surface variants and inflates the
+    * document frequency of short grams, and the overlap join's
+    * intermediate is Σ_g df_train(g)·df_eval(g) — measured 48 s at
+    * sf0.1 with canonical 3-grams vs sub-second at 6 (which is WHY
+    * GPT-3-class pipelines decontaminate on 8-13-grams: long grams
+    * are the blowup control, not just a precision knob). The fixture
+    * plants the failure mode — uppercased+re-punctuated copies of
+    * the eval docs (+6M ids) in the train side — which this catches
+    * and x20's raw grams cannot. Same broadcast-eval join shape as
+    * x20 (the eval set is always the small side at any corpus
+    * scale). */
+  val x97CanonDecontaminate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    def canon(c: Column) = filter(
+      transform(wsTokens(c),
+        t => lower(regexp_replace(t, "[^A-Za-z0-9]", ""))),
+      t => length(t) > 0)
+    val evalGrams = docs.filter(col("doc_id") < 50)
+      .select(col("doc_id").as("eval_id"), canon(col("text")).as("ctoks"))
+      .select(col("eval_id"), explode(shinglesOfToks(col("ctoks"), 6)).as("g"))
+    val train = docs.filter(col("doc_id") >= 50)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          concat(upper(col("text")), lit(" , .")).as("text")))
+    val trainGrams = train
+      .select(col("doc_id"), canon(col("text")).as("ctoks"))
+      .select(col("doc_id"), explode(shinglesOfToks(col("ctoks"), 6)).as("g"))
+    trainGrams.join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_overlap_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy(col("doc_id"))
+  }
+
   /** X21: corpus-curation funnel — the end-to-end shape of a training
     * -data preprocessing job (language filter → quality threshold →
     * exact dedup → hash-rank sample) reported as per-stage audit
@@ -3415,6 +3456,7 @@ object TrainingData {
     "x92_dhash_store" -> x92DhashStore,
     "x93_intradoc_dedup" -> x93IntradocDedup,
     "x95_temperature_sweep" -> x95TemperatureSweep,
+    "x97_canon_decontaminate" -> x97CanonDecontaminate,
     "x96_length_histogram" -> x96LengthHistogram,
     "x88_quality_survivors" -> x88QualitySurvivors,
     "x89_lang_confusion" -> x89LangConfusion,
@@ -4762,6 +4804,39 @@ object TrainingData {
       FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
       GROUP BY label, i
       ORDER BY label, pos""",
+    "x97_canon_decontaminate" -> """
+      WITH train AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= 50
+        UNION ALL
+        SELECT doc_id + 6000000, upper(text) || ' , .'
+        FROM documents WHERE doc_id < 50),
+      ct AS (SELECT doc_id,
+          list_filter(list_transform(
+            regexp_split_to_array(trim(text), '\s+'),
+            t -> lower(regexp_replace(t, '[^A-Za-z0-9]', '', 'g'))),
+            t -> length(t) > 0) AS toks
+        FROM train),
+      ce AS (SELECT doc_id AS eval_id,
+          list_filter(list_transform(
+            regexp_split_to_array(trim(text), '\s+'),
+            t -> lower(regexp_replace(t, '[^A-Za-z0-9]', '', 'g'))),
+            t -> length(t) > 0) AS toks
+        FROM documents WHERE doc_id < 50),
+      tg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(toks) - 5, 0) + 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+              || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5]))) AS g
+        FROM ct),
+      eg AS (SELECT eval_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(toks) - 5, 0) + 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+              || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5]))) AS g
+        FROM ce)
+      SELECT t.doc_id,
+        CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_overlap_grams,
+        CAST(COUNT(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+      FROM tg t JOIN eg e ON t.g = e.g
+      GROUP BY t.doc_id ORDER BY t.doc_id""",
     "x95_temperature_sweep" -> """
       WITH toks AS (SELECT source,
           CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
