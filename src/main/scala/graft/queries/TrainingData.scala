@@ -508,7 +508,7 @@ object TrainingData {
     * _SUCCESS marker, so a pre-built cache costs one stat call. */
   def prebuildCaches(s: SparkSession, d: String): Unit = {
     ensureIvfIndex(s, d); ensureSigStore(s, d); ensureCuratedStaged(s, d)
-    ensureDHashStore(s, d); ()
+    ensureDHashStore(s, d); ensureDedupLabels(s, d); ()
   }
 
   private def ensureIvfIndex(s: SparkSession, d: String): String = {
@@ -2302,6 +2302,43 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** Build-and-save the near-dup cluster labels once per sf-dir —
+    * the [[ensureCuratedStaged]] contract applied to the dedup
+    * family: in production the CC labels are computed ONCE at
+    * curation time and every downstream consumer (survivor filter,
+    * soft weights, graph stats, leakage audits) joins the labels
+    * table instead of re-running shingles → pairs → closure.
+    * [[prebuildCaches]] pays it in Bench's untimed warmup. */
+  private def ensureDedupLabels(s: SparkSession, d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"target/dedup_labels_${tag}_${fixtureFp(d, "documents")}"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path/_SUCCESS")))
+      graft.dedup.NearDup.clusters(
+        corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200),
+        ngramJaccardPairs(s, d))
+        .select(col("doc_id"), col("canonico"))
+        .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** X98: staged dedup-label read path — the x32/x32b split for the
+    * dedup family: x14 is the compute-the-closure carrier (the cost
+    * is measured there), x98 is what every OTHER consumer runs at
+    * 100 TB — one scan of the ingest-staged labels table plus a
+    * family-keyed window, no shingles, no pair join, no closure
+    * (plan-asserted in PlansSpec). Same oracle family as x14 — the
+    * recursive closure recomputed from scratch — proving the staged
+    * table carries the exact labels. */
+  val x98StagedDedup: Q = (s, d) =>
+    s.read.parquet(ensureDedupLabels(s, d))
+      .withColumn("family_size",
+        count(lit(1)).over(Window.partitionBy(col("canonico"))).cast("long"))
+      .select(col("doc_id"), col("canonico"),
+        (col("doc_id") === col("canonico")).as("sobrevivente"),
+        col("family_size"))
+      .orderBy(col("doc_id"))
+
   /** X95: mixture temperature sweep — x50's sqrt-mixture generalized
     * to the sampling-temperature grid every multilingual/multi-source
     * run tunes (UniMax/mT5's α: p_i ∝ tok_i^α, α→0 flattens toward
@@ -3457,6 +3494,7 @@ object TrainingData {
     "x93_intradoc_dedup" -> x93IntradocDedup,
     "x95_temperature_sweep" -> x95TemperatureSweep,
     "x97_canon_decontaminate" -> x97CanonDecontaminate,
+    "x98_staged_dedup" -> x98StagedDedup,
     "x96_length_histogram" -> x96LengthHistogram,
     "x88_quality_survivors" -> x88QualitySurvivors,
     "x89_lang_confusion" -> x89LangConfusion,
@@ -4804,6 +4842,13 @@ object TrainingData {
       FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
       GROUP BY label, i
       ORDER BY label, pos""",
+    "x98_staged_dedup" -> s"""
+      $dedupClusterCtes,
+      fam AS (SELECT canonico, COUNT(*) AS fs FROM labels GROUP BY canonico)
+      SELECT l.doc_id, l.canonico, l.doc_id = l.canonico AS sobrevivente,
+        CAST(f.fs AS BIGINT) AS family_size
+      FROM labels l JOIN fam f USING (canonico)
+      ORDER BY l.doc_id""",
     "x97_canon_decontaminate" -> """
       WITH train AS (
         SELECT doc_id, text FROM documents WHERE doc_id >= 50

@@ -374,6 +374,21 @@ class PlansSpec extends AnyFunSuite {
       s"x80 should scan documents exactly once:\n$plan")
   }
 
+  test("x98 staged dedup reads labels only — no shingles, no pair join, no CC") {
+    // the x32b contract applied to the dedup family: the read path
+    // must be a labels-parquet scan + family window + sort — if any
+    // shingle verify or pair machinery appears, the staging is a lie
+    val q = graft.queries.TrainingData.defs("x98_staged_dedup")(spark, sf)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("array_intersect"),
+      s"x98 must not re-verify shingles:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"x98 must not explode shingles:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"x98 should scan the staged labels exactly once:\n$plan")
+  }
+
   test("x66 boilerplate shuffles fingerprints, never document text") {
     // the df count and the join back are fp-keyed; text is consumed
     // row-locally into md5 segments before any exchange, so no
