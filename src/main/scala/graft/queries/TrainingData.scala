@@ -2339,6 +2339,59 @@ object TrainingData {
         col("family_size"))
       .orderBy(col("doc_id"))
 
+  /** X99: product-quantization recall audit — the acceptance test for
+    * the PQ serving copy ([[graft.ml.PqIndex]]: 8 subspaces × 16
+    * centroids, 2 Lloyd iterations, 8 codes ≈ 8 bytes per vector vs
+    * 256 for floats): recall@10 of the asymmetric-distance (ADC)
+    * ranking against the exact L2 ranking, both computed off ONE
+    * scored sliver (the x74 SQ8-audit shape — PQ is the other
+    * standard compression, codebook instead of per-vector scalar).
+    * Determinism: subspace distances quantize to ROUND(‖·‖²·1e6)
+    * BIGINT, so the ADC total is an order-free integer sum and both
+    * rankings are integer sorts with nid tie-break. Scale shape: the
+    * codebook is m·k = 128 rows (driver-pinned; training scans the
+    * corpus 2·iters times, all map-side-combinable); scoring here
+    * materializes per-(query, vector, subspace) rows for the oracle's
+    * benefit — at serving scale ADC is a per-query m×k lookup table
+    * and each candidate costs m table reads, composed with x31's IVF
+    * pruning (the standard IVF-PQ layout). */
+  val x99PqRecall: Q = (s, d) => {
+    val emb = spread(s, Tables.embeddings(s, d))
+    val cents = graft.ml.PqIndex.trainCodebook(emb)
+    val codes = graft.ml.PqIndex.encode(emb, cents)
+    // codes carries cents in its lineage (encode's assignment joined
+    // it) — alias both sides so the second cents reference resolves
+    val nce = codes.as("cd").join(broadcast(cents.as("ct")),
+        col("cd.m") === col("ct.m") && col("cd.code") === col("ct.cid"))
+      .select(col("cd.vec_id").as("nid"), col("cd.m").as("m"),
+        col("ct.ce").as("ce"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val qs = graft.ml.PqIndex.subvectors(queries, 8, 8)
+      .select(col("vec_id").as("qid"), col("m"), col("sub").as("qsub"))
+    val adc = nce.join(broadcast(qs), Seq("m"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("dq", graft.ml.PqIndex.l2q(col("qsub"), col("ce")))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("dq")).as("adc_q"))
+    val ex = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      .crossJoin(broadcast(queries
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        graft.ml.PqIndex.l2q(col("qe"), col("ne")).as("ex_q"))
+    val rf = Window.partitionBy(col("qid")).orderBy(col("ex_q"), col("nid"))
+    val rq = Window.partitionBy(col("qid")).orderBy(col("adc_q"), col("nid"))
+    ex.join(adc, Seq("qid", "nid"))
+      .withColumn("rf", row_number().over(rf))
+      .withColumn("rq", row_number().over(rq))
+      .groupBy(col("qid"))
+      .agg(sum(when(col("rf") <= 10 && col("rq") <= 10, 1L).otherwise(0L))
+        .as("n_match"))
+      .select(col("qid"), col("n_match"),
+        (col("n_match").cast("double") / 10).as("recall_at_10"))
+      .orderBy(col("qid"))
+  }
+
   /** X95: mixture temperature sweep — x50's sqrt-mixture generalized
     * to the sampling-temperature grid every multilingual/multi-source
     * run tunes (UniMax/mT5's α: p_i ∝ tok_i^α, α→0 flattens toward
@@ -3495,6 +3548,7 @@ object TrainingData {
     "x95_temperature_sweep" -> x95TemperatureSweep,
     "x97_canon_decontaminate" -> x97CanonDecontaminate,
     "x98_staged_dedup" -> x98StagedDedup,
+    "x99_pq_recall" -> x99PqRecall,
     "x96_length_histogram" -> x96LengthHistogram,
     "x88_quality_survivors" -> x88QualitySurvivors,
     "x89_lang_confusion" -> x89LangConfusion,
@@ -4842,6 +4896,69 @@ object TrainingData {
       FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
       GROUP BY label, i
       ORDER BY label, pos""",
+    "x99_pq_recall" -> {
+      def l2(a: String, b: String): String =
+        s"""list_sum(list_transform(list_zip($a, $b),
+           p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+             * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"""
+      def assignSql(cents: String, out: String): String = s"""
+        $out AS (SELECT vec_id, m, cell, sub FROM (
+          SELECT s.vec_id, s.m, c.cid AS cell, s.sub,
+            ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+              ORDER BY CAST(ROUND(${l2("s.sub", "c.ce")} * 1e6, 0) AS BIGINT),
+                c.cid) AS rk
+          FROM sub s JOIN $cents c ON c.m = s.m) WHERE rk = 1)"""
+      def centSql(assigned: String, out: String): String = s"""
+        $out AS (SELECT m, cell AS cid,
+          list(CAST(CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * 16777216)
+            AS FLOAT) ORDER BY pos) AS ce
+        FROM (
+          SELECT m, cell, i AS pos,
+            CAST(SUM(CAST(FLOOR(CAST(sub[i] AS DOUBLE) * 16777216)
+              AS BIGINT)) AS BIGINT) AS sv,
+            COUNT(*) AS n
+          FROM $assigned, UNNEST(range(1, len(sub) + 1)) AS t(i)
+          GROUP BY m, cell, i)
+        GROUP BY m, cell)"""
+      s"""
+      WITH sub AS (
+        SELECT vec_id, m, list_slice(embedding, m * 8 + 1, m * 8 + 8) AS sub
+        FROM embeddings, UNNEST(range(0, 8)) AS t(m)),
+      c0 AS (SELECT m, CAST(vec_id AS INT) AS cid, sub AS ce
+        FROM sub WHERE vec_id < 16),
+      ${assignSql("c0", "a0")},
+      ${centSql("a0", "c1")},
+      ${assignSql("c1", "a1")},
+      ${centSql("a1", "c2")},
+      ${assignSql("c2", "codes")},
+      qs AS (SELECT vec_id AS qid, m, sub AS qsub FROM sub WHERE vec_id < 5),
+      nce AS (SELECT k.vec_id AS nid, k.m, c.ce
+        FROM codes k JOIN c2 c ON c.m = k.m AND c.cid = k.cell),
+      adc AS (
+        SELECT q.qid, n.nid,
+          CAST(SUM(CAST(ROUND(${l2("q.qsub", "n.ce")} * 1e6, 0) AS BIGINT))
+            AS BIGINT) AS adc_q
+        FROM qs q JOIN nce n ON n.m = q.m
+        WHERE n.nid <> q.qid GROUP BY q.qid, n.nid),
+      ex AS (
+        SELECT q.vec_id AS qid, e.vec_id AS nid,
+          CAST(ROUND(${l2("q.embedding", "e.embedding")} * 1e6, 0) AS BIGINT)
+            AS ex_q
+        FROM embeddings q, embeddings e
+        WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+      r AS (SELECT ex.qid, ex.nid,
+          ROW_NUMBER() OVER (PARTITION BY ex.qid
+            ORDER BY ex.ex_q, ex.nid) AS rf,
+          ROW_NUMBER() OVER (PARTITION BY ex.qid
+            ORDER BY adc.adc_q, ex.nid) AS rq
+        FROM ex JOIN adc USING (qid, nid))
+      SELECT qid,
+        CAST(SUM(CASE WHEN rf <= 10 AND rq <= 10 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_match,
+        CAST(SUM(CASE WHEN rf <= 10 AND rq <= 10 THEN 1 ELSE 0 END)
+          AS DOUBLE) / 10 AS recall_at_10
+      FROM r GROUP BY qid ORDER BY qid"""
+    },
     "x98_staged_dedup" -> s"""
       $dedupClusterCtes,
       fam AS (SELECT canonico, COUNT(*) AS fs FROM labels GROUP BY canonico)

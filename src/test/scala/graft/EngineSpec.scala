@@ -949,6 +949,25 @@ class EngineSpec extends AnyFunSuite {
     assert(got(1L) < got(2L) && got(2L) < got(3L) && got(3L) < got(4L))
   }
 
+  test("x99 PQ: codebook shape, code range, ADC recall above chance") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = graft.ml.PqIndex.trainCodebook(emb)
+    // 8 subspaces × (≤16 surviving cells) of 8-wide centroids
+    val cRows = cents.collect()
+    assert(cRows.length <= 8 * 16 && cRows.length >= 8 * 2)
+    assert(cRows.forall(_.getSeq[Float](2).length == 8))
+    val codes = graft.ml.PqIndex.encode(emb, cents)
+    val n = emb.count()
+    assert(codes.count() == n * 8, "one code per (vector, subspace)")
+    assert(codes.agg(max(col("code")), min(col("code"))).collect()
+      .forall(r => r.getInt(0) < 16 && r.getInt(1) >= 0))
+    // recall@10 must beat the random-overlap baseline (~10/N) by a
+    // wide margin — 32x compression loses precision, not everything
+    val recall = TrainingData.defs("x99_pq_recall")(spark, sf)
+      .agg(avg(col("recall_at_10"))).collect().head.getDouble(0)
+    assert(recall > 0.05, s"mean ADC recall $recall at chance level")
+  }
+
   test("x62b tuner: grid complete, hand-checked points, chosen is optimal") {
     val out = TrainingData.defs("x62b_lsh_tuner")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
