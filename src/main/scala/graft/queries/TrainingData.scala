@@ -508,7 +508,8 @@ object TrainingData {
     * _SUCCESS marker, so a pre-built cache costs one stat call. */
   def prebuildCaches(s: SparkSession, d: String): Unit = {
     ensureIvfIndex(s, d); ensureSigStore(s, d); ensureCuratedStaged(s, d)
-    ensureDHashStore(s, d); ensureDedupLabels(s, d); ()
+    ensureDHashStore(s, d); ensureDedupLabels(s, d); ensureIvfPqStore(s, d)
+    ()
   }
 
   private def ensureIvfIndex(s: SparkSession, d: String): String = {
@@ -2392,6 +2393,102 @@ object TrainingData {
       .orderBy(col("qid"))
   }
 
+  /** X100: IVF-PQ composed serving query — the standard
+    * billion-vector layout end-to-end: a 16-cell full-width L2 coarse
+    * quantizer ([[graft.ml.PqIndex.trainCodebook]] with m=1 — one
+    * "subspace" spanning the vector IS an L2 IVF), RESIDUAL encoding
+    * (x − coarse centroid) through the 8×16 product codebook, and
+    * serving as probe-the-top-4-cells + asymmetric distance against
+    * the residual codes of ONLY those cells' vectors. Residual PQ is
+    * what makes the composition work: residuals are small and
+    * centered, so the same 8-byte budget quantizes them far better
+    * than raw vectors (Jégou et al. §IV). Scale shape: both
+    * codebooks are driver-pinned (16 + 128 rows); the residual table
+    * is corpus-scaled and localCheckpointed ONCE (referenced by
+    * train, encode, and cell lookup); at serving scale each query
+    * touches nprobe/nCells of the corpus and each candidate costs m
+    * LUT reads — x31's pruning and x99's compression composed.
+    * Determinism: every distance is ROUND(L2²·1e6) BIGINT (ordered
+    * folds), every ranking ties on id; residual floats are
+    * double-subtract-then-cast-float, identical in the oracle.
+    * The built index PERSISTS ([[ensureIvfPqStore]] — the x31/x92
+    * build-once contract, prebuilt in Bench's untimed warmup), so
+    * this query measures SERVING: coarse probe + band-pruned ADC.
+    * Training cost is measured where it belongs: x13 (coarse Lloyd)
+    * and x99 (PQ Lloyd). The oracle retrains everything from scratch,
+    * proving the store is bit-identical to a fresh build. */
+  private def ensureIvfPqStore(s: SparkSession, d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"target/ivfpq_${tag}_${fixtureFp(d, "embeddings")}"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path/codes/_SUCCESS"))) {
+      val emb = spread(s, Tables.embeddings(s, d))
+      val coarse = graft.ml.PqIndex.trainCodebook(emb, m = 1, dsub = 64)
+      val assigned = graft.ml.PqIndex.assign(
+        graft.ml.PqIndex.subvectors(emb, 1, 64), coarse)
+      // residuals are corpus-scaled and feed train, encode, AND the
+      // cell map — checkpoint once, cluster-side
+      val resEmb = assigned.as("a").join(broadcast(coarse.as("c")),
+          col("a.m") === col("c.m") && col("a.cell") === col("c.cid"))
+        .select(col("a.vec_id").as("vec_id"), col("a.cell").as("cell"),
+          zip_with(col("a.sub"), col("c.ce"),
+            (x, y) => (x.cast("double") - y.cast("double")).cast("float"))
+            .as("embedding"))
+        .localCheckpoint()
+      val pqCents = graft.ml.PqIndex.trainCodebook(
+        resEmb.select(col("vec_id"), col("embedding")))
+      val codes = graft.ml.PqIndex.encode(
+        resEmb.select(col("vec_id"), col("embedding")), pqCents)
+      coarse.coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+      pqCents.coalesce(1).write.mode("overwrite").parquet(s"$path/pqcents")
+      codes.write.mode("overwrite").parquet(s"$path/codes")
+      resEmb.select(col("vec_id"), col("cell")).write.mode("overwrite")
+        .parquet(s"$path/cells")
+    }
+    path
+  }
+
+  val x100IvfPqQuery: Q = (s, d) => {
+    val path = ensureIvfPqStore(s, d)
+    val coarse = s.read.parquet(s"$path/coarse")
+    val pqCents = s.read.parquet(s"$path/pqcents")
+    val codes = s.read.parquet(s"$path/codes")
+    val cells = s.read.parquet(s"$path/cells")
+    val queries = Tables.embeddings(s, d).filter(col("vec_id") < 5)
+    val probes = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("dq", graft.ml.PqIndex.l2q(col("qe"), col("ce")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dq"), col("cid"))))
+      .filter(col("rk") <= 4)
+      .select(col("qid"), col("cid").as("cell"),
+        zip_with(col("qe"), col("ce"),
+          (x, y) => (x.cast("double") - y.cast("double")).cast("float"))
+          .as("qr"))
+    val qrsub = probes
+      .select(col("qid"), col("cell"), col("qr"),
+        explode(sequence(lit(0), lit(7))).as("m"))
+      .select(col("qid"), col("cell"), col("m"),
+        slice(col("qr"), col("m") * 8 + 1, lit(8)).as("qsub"))
+    val nce = codes.join(broadcast(pqCents),
+        codes("m") === pqCents("m") && codes("code") === pqCents("cid"))
+      .select(codes("vec_id").as("nid"), codes("m").as("m"),
+        pqCents("ce").as("nce"))
+      .join(cells.select(col("vec_id").as("nid"), col("cell")), Seq("nid"))
+    nce.join(broadcast(qrsub), Seq("cell", "m"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("dq", graft.ml.PqIndex.l2q(col("qsub"), col("nce")))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("dq")).as("dist_q"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist_q"), col("nid"))))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("nid"), col("dist_q"),
+        col("rk").cast("int").as("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** X95: mixture temperature sweep — x50's sqrt-mixture generalized
     * to the sampling-temperature grid every multilingual/multi-source
     * run tunes (UniMax/mT5's α: p_i ∝ tok_i^α, α→0 flattens toward
@@ -3549,6 +3646,7 @@ object TrainingData {
     "x97_canon_decontaminate" -> x97CanonDecontaminate,
     "x98_staged_dedup" -> x98StagedDedup,
     "x99_pq_recall" -> x99PqRecall,
+    "x100_ivfpq_query" -> x100IvfPqQuery,
     "x96_length_histogram" -> x96LengthHistogram,
     "x88_quality_survivors" -> x88QualitySurvivors,
     "x89_lang_confusion" -> x89LangConfusion,
@@ -3674,6 +3772,36 @@ object TrainingData {
       ${centSql("assign1", "cent2")},
       ${assignSql("cent2", "assigned")}"""
   }
+
+  /** Shared DuckDB generators for the PQ oracles (x99/x100): exact
+    * squared L2 as an ordered list fold; nearest-centroid assignment
+    * on ROUND(L2²·1e6) BIGINT with cid tie-break; exact integer-mean
+    * recentering (the Spark side's lloydStep conventions). */
+  private def pqL2Sql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"""
+
+  private def pqAssignSql(sub: String, cents: String, out: String): String = s"""
+        $out AS (SELECT vec_id, m, cell, sub FROM (
+          SELECT s.vec_id, s.m, c.cid AS cell, s.sub,
+            ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+              ORDER BY CAST(ROUND(${pqL2Sql("s.sub", "c.ce")} * 1e6, 0) AS BIGINT),
+                c.cid) AS rk
+          FROM $sub s JOIN $cents c ON c.m = s.m) WHERE rk = 1)"""
+
+  private def pqCentSql(assigned: String, out: String): String = s"""
+        $out AS (SELECT m, cell AS cid,
+          list(CAST(CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * 16777216)
+            AS FLOAT) ORDER BY pos) AS ce
+        FROM (
+          SELECT m, cell, i AS pos,
+            CAST(SUM(CAST(FLOOR(CAST(sub[i] AS DOUBLE) * 16777216)
+              AS BIGINT)) AS BIGINT) AS sv,
+            COUNT(*) AS n
+          FROM $assigned, UNNEST(range(1, len(sub) + 1)) AS t(i)
+          GROUP BY m, cell, i)
+        GROUP BY m, cell)"""
 
   private def ivfOracle(queryPred: String): String = {
     s"""
@@ -4896,30 +5024,63 @@ object TrainingData {
       FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
       GROUP BY label, i
       ORDER BY label, pos""",
+    "x100_ivfpq_query" -> s"""
+      WITH f AS (SELECT vec_id, 0 AS m, embedding AS sub FROM embeddings),
+      c0f AS (SELECT m, CAST(vec_id AS INT) AS cid, sub AS ce
+        FROM f WHERE vec_id < 16),
+      ${pqAssignSql("f", "c0f", "a0f")},
+      ${pqCentSql("a0f", "c1f")},
+      ${pqAssignSql("f", "c1f", "a1f")},
+      ${pqCentSql("a1f", "c2f")},
+      ${pqAssignSql("f", "c2f", "af")},
+      res AS (SELECT a.vec_id, a.cell,
+          list_transform(list_zip(a.sub, c.ce),
+            p -> CAST(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) AS FLOAT))
+            AS r
+        FROM af a JOIN c2f c ON c.m = a.m AND c.cid = a.cell),
+      rsub AS (SELECT vec_id, m, list_slice(r, m * 8 + 1, m * 8 + 8) AS sub
+        FROM res, UNNEST(range(0, 8)) AS t(m)),
+      c0 AS (SELECT m, CAST(vec_id AS INT) AS cid, sub AS ce
+        FROM rsub WHERE vec_id < 16),
+      ${pqAssignSql("rsub", "c0", "a0")},
+      ${pqCentSql("a0", "c1")},
+      ${pqAssignSql("rsub", "c1", "a1")},
+      ${pqCentSql("a1", "c2")},
+      ${pqAssignSql("rsub", "c2", "codes")},
+      probes AS (SELECT qid, cell, qce, qe FROM (
+          SELECT q.vec_id AS qid, c.cid AS cell, c.ce AS qce,
+            q.embedding AS qe,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY CAST(ROUND(${pqL2Sql("q.embedding", "c.ce")} * 1e6, 0)
+                AS BIGINT), c.cid) AS rk
+          FROM embeddings q, c2f c WHERE q.vec_id < 5) WHERE rk <= 4),
+      qr AS (SELECT qid, cell,
+          list_transform(list_zip(qe, qce),
+            p -> CAST(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) AS FLOAT))
+            AS qr
+        FROM probes),
+      qrs AS (SELECT qid, cell, m, list_slice(qr, m * 8 + 1, m * 8 + 8)
+            AS qsub
+        FROM qr, UNNEST(range(0, 8)) AS t(m)),
+      nce AS (SELECT k.vec_id AS nid, k.m, c.ce, a.cell
+        FROM codes k
+        JOIN c2 c ON c.m = k.m AND c.cid = k.cell
+        JOIN af a ON a.vec_id = k.vec_id),
+      adc AS (SELECT s.qid, n.nid,
+          CAST(SUM(CAST(ROUND(${pqL2Sql("s.qsub", "n.ce")} * 1e6, 0)
+            AS BIGINT)) AS BIGINT) AS dist_q
+        FROM qrs s JOIN nce n ON n.cell = s.cell AND n.m = s.m
+        WHERE n.nid <> s.qid GROUP BY s.qid, n.nid),
+      r AS (SELECT qid, nid, dist_q,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist_q, nid) AS rk
+        FROM adc)
+      SELECT qid, nid, dist_q, CAST(rk AS INT) AS rk
+      FROM r WHERE rk <= 10 ORDER BY qid, rk""",
     "x99_pq_recall" -> {
-      def l2(a: String, b: String): String =
-        s"""list_sum(list_transform(list_zip($a, $b),
-           p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
-             * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"""
-      def assignSql(cents: String, out: String): String = s"""
-        $out AS (SELECT vec_id, m, cell, sub FROM (
-          SELECT s.vec_id, s.m, c.cid AS cell, s.sub,
-            ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-              ORDER BY CAST(ROUND(${l2("s.sub", "c.ce")} * 1e6, 0) AS BIGINT),
-                c.cid) AS rk
-          FROM sub s JOIN $cents c ON c.m = s.m) WHERE rk = 1)"""
-      def centSql(assigned: String, out: String): String = s"""
-        $out AS (SELECT m, cell AS cid,
-          list(CAST(CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * 16777216)
-            AS FLOAT) ORDER BY pos) AS ce
-        FROM (
-          SELECT m, cell, i AS pos,
-            CAST(SUM(CAST(FLOOR(CAST(sub[i] AS DOUBLE) * 16777216)
-              AS BIGINT)) AS BIGINT) AS sv,
-            COUNT(*) AS n
-          FROM $assigned, UNNEST(range(1, len(sub) + 1)) AS t(i)
-          GROUP BY m, cell, i)
-        GROUP BY m, cell)"""
+      def l2 = pqL2Sql _
+      def assignSql(cents: String, out: String) =
+        pqAssignSql("sub", cents, out)
+      def centSql = pqCentSql _
       s"""
       WITH sub AS (
         SELECT vec_id, m, list_slice(embedding, m * 8 + 1, m * 8 + 8) AS sub

@@ -968,6 +968,47 @@ class EngineSpec extends AnyFunSuite {
     assert(recall > 0.05, s"mean ADC recall $recall at chance level")
   }
 
+  test("x100 IVF-PQ serving: full result sets, monotone ADC, probed cells only") {
+    val out = TrainingData.defs("x100_ivfpq_query")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == (0L until 5L).toSet)
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to 10), s"q$q ranks")
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq,
+        s"q$q ADC order")
+      assert(!rows.exists(_._2 == q), s"q$q self-match")
+    }
+    // every returned candidate must come from one of the query's 4
+    // probed coarse cells — the pruning contract (re-derive the
+    // coarse assignment from the persisted store)
+    val sfName = new java.io.File(sf).getName
+    val stores = new java.io.File("target").listFiles()
+      .filter(f => f.getName.startsWith("ivfpq_") && f.isDirectory &&
+        f.getName.contains(sfName))
+    assert(stores.nonEmpty)
+    val store = stores.maxBy(_.lastModified).getPath
+    val cells = spark.read.parquet(s"$store/cells").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val coarse = spark.read.parquet(s"$store/coarse")
+    val probed = Tables.embeddings(spark, sf).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("dq", graft.ml.PqIndex.l2q(col("qe"), col("ce")))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("dq"), col("cid"))))
+      .filter(col("rk") <= 4)
+      .select(col("qid"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { case (q, nid, _, _) =>
+      assert(probed(q).contains(cells(nid)),
+        s"q$q returned $nid from unprobed cell ${cells(nid)}")
+    }
+  }
+
   test("x62b tuner: grid complete, hand-checked points, chosen is optimal") {
     val out = TrainingData.defs("x62b_lsh_tuner")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
