@@ -2169,13 +2169,15 @@ object TrainingData {
     * truncated/mangled duplicate outliving its clean original).
     * Same CC labels as x14 (one contract), each family ranked by
     * (quality desc, doc_id): `kept_best` marks the survivor the
-    * quality rule selects. Scale shape: the x14 CC machinery plus ONE
-    * family-keyed rank window over (doc_id, quality) pairs — text
-    * never enters the window exchange. */
+    * quality rule selects. Scale shape: reads the INGEST-STAGED
+    * labels ([[ensureDedupLabels]] — the x98 contract; the closure
+    * compute is measured in x14) plus ONE family-keyed rank window
+    * over (doc_id, quality) pairs — text never enters the window
+    * exchange. The oracle recomputes the closure from scratch, so
+    * the staged labels are proven identical every run. */
   val x88QualitySurvivors: Q = (s, d) => {
     val corpus = corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200)
-    val labels = graft.dedup.NearDup.clusters(corpus, ngramJaccardPairs(s, d))
-      .select(col("doc_id"), col("canonico"))
+    val labels = s.read.parquet(ensureDedupLabels(s, d))
     val scored = corpus.select(col("doc_id"),
       qualityScore(col("text"), stopwords).as("quality"))
     val w = Window.partitionBy(col("canonico"))
