@@ -2491,6 +2491,57 @@ object TrainingData {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** X101: PQ codebook health card — the per-subspace numbers an ANN
+    * owner reads before trusting x99/x100's serving copy: cells
+    * actually used (Lloyd can strand empty cells), code-distribution
+    * entropy in bits (low entropy = the subspace wastes its 4 bits),
+    * and mean quantization distortion (the Σ‖x_m − c‖² that ADC error
+    * is made of — Jégou's MSE decomposes by subspace). The x75
+    * IVF-balance audit one level down. Everything integer/quantized:
+    * counts exact, entropy on the x55 quantized-log recipe, total
+    * distortion an exact BIGINT sum of the assignment's own
+    * ROUND(L2²·1e6) distances. One scan of the persisted store's
+    * codes + a (m, code)-keyed aggregation onto m·k rows. */
+  val x101PqHealth: Q = (s, d) => {
+    val path = ensureIvfPqStore(s, d)
+    val codes = s.read.parquet(s"$path/codes")
+    val cents = s.read.parquet(s"$path/pqcents")
+    val res = s.read.parquet(s"$path/cells")
+      .join(s.read.parquet(s"$path/coarse")
+          .select(col("cid").as("cell"), col("ce").as("cce")),
+        Seq("cell"))
+      .join(Tables.embeddings(s, d), Seq("vec_id"))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("cce"),
+          (x, y) => (x.cast("double") - y.cast("double")).cast("float"))
+          .as("r"))
+    val dist = graft.ml.PqIndex.subvectors(
+        res.select(col("vec_id"), col("r").as("embedding")), 8, 8)
+      .join(codes, Seq("vec_id", "m"))
+      .join(broadcast(cents.select(col("m").as("cm"), col("cid"),
+          col("ce"))),
+        col("m") === col("cm") && col("code") === col("cid"))
+      .select(col("vec_id"), col("m"), col("code"),
+        graft.ml.PqIndex.l2q(col("sub"), col("ce")).as("dq"))
+    val perCode = dist.groupBy(col("m"), col("code"))
+      .agg(count(lit(1)).as("c"), sum(col("dq")).as("sd"))
+    perCode.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_used"),
+        sum(col("c")).as("n"),
+        sum(col("sd")).as("dist_total_q"),
+        sum(col("c") * round(log(col("c").cast("double")) * 1e6, 0)
+          .cast("long")).as("clogc_q"))
+      .select(col("m").cast("long").as("m"), col("n_used"),
+        // H = log2(n) − (Σ c·ln c)/(n·ln 2): quantized-log entropy in
+        // bits, order-free integer sums (the x55 recipe)
+        (((round(log(col("n").cast("double")) * 1e6, 0).cast("long")
+          * col("n") - col("clogc_q")).cast("double")
+          / (col("n").cast("double") * 1e6)) / math.log(2.0)).as("entropy_bits"),
+        (col("dist_total_q").cast("double")
+          / (col("n").cast("double") * 1e6)).as("mse"))
+      .orderBy(col("m"))
+  }
+
   /** X95: mixture temperature sweep — x50's sqrt-mixture generalized
     * to the sampling-temperature grid every multilingual/multi-source
     * run tunes (UniMax/mT5's α: p_i ∝ tok_i^α, α→0 flattens toward
@@ -3649,6 +3700,7 @@ object TrainingData {
     "x98_staged_dedup" -> x98StagedDedup,
     "x99_pq_recall" -> x99PqRecall,
     "x100_ivfpq_query" -> x100IvfPqQuery,
+    "x101_pq_health" -> x101PqHealth,
     "x96_length_histogram" -> x96LengthHistogram,
     "x88_quality_survivors" -> x88QualitySurvivors,
     "x89_lang_confusion" -> x89LangConfusion,
@@ -5026,6 +5078,45 @@ object TrainingData {
       FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
       GROUP BY label, i
       ORDER BY label, pos""",
+    "x101_pq_health" -> s"""
+      WITH f AS (SELECT vec_id, 0 AS m, embedding AS sub FROM embeddings),
+      c0f AS (SELECT m, CAST(vec_id AS INT) AS cid, sub AS ce
+        FROM f WHERE vec_id < 16),
+      ${pqAssignSql("f", "c0f", "a0f")},
+      ${pqCentSql("a0f", "c1f")},
+      ${pqAssignSql("f", "c1f", "a1f")},
+      ${pqCentSql("a1f", "c2f")},
+      ${pqAssignSql("f", "c2f", "af")},
+      res AS (SELECT a.vec_id,
+          list_transform(list_zip(a.sub, c.ce),
+            p -> CAST(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) AS FLOAT))
+            AS r
+        FROM af a JOIN c2f c ON c.m = a.m AND c.cid = a.cell),
+      rsub AS (SELECT vec_id, m, list_slice(r, m * 8 + 1, m * 8 + 8) AS sub
+        FROM res, UNNEST(range(0, 8)) AS t(m)),
+      c0 AS (SELECT m, CAST(vec_id AS INT) AS cid, sub AS ce
+        FROM rsub WHERE vec_id < 16),
+      ${pqAssignSql("rsub", "c0", "a0")},
+      ${pqCentSql("a0", "c1")},
+      ${pqAssignSql("rsub", "c1", "a1")},
+      ${pqCentSql("a1", "c2")},
+      ${pqAssignSql("rsub", "c2", "codes")},
+      dist AS (SELECT k.vec_id, k.m, k.cell AS code,
+          CAST(ROUND(${pqL2Sql("k.sub", "c.ce")} * 1e6, 0) AS BIGINT) AS dq
+        FROM codes k JOIN c2 c ON c.m = k.m AND c.cid = k.cell),
+      pc AS (SELECT m, code, COUNT(*) AS c, CAST(SUM(dq) AS BIGINT) AS sd
+        FROM dist GROUP BY m, code),
+      agg AS (SELECT m, COUNT(*) AS n_used, CAST(SUM(c) AS BIGINT) AS n,
+          CAST(SUM(sd) AS BIGINT) AS dist_total_q,
+          CAST(SUM(c * CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1e6, 0) AS BIGINT))
+            AS BIGINT) AS clogc_q
+        FROM pc GROUP BY m)
+      SELECT m, CAST(n_used AS BIGINT) AS n_used,
+        (CAST(CAST(ROUND(LN(CAST(n AS DOUBLE)) * 1e6, 0) AS BIGINT) * n
+          - clogc_q AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)) / LN(2.0)
+          AS entropy_bits,
+        CAST(dist_total_q AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS mse
+      FROM agg ORDER BY m""",
     "x100_ivfpq_query" -> s"""
       WITH f AS (SELECT vec_id, 0 AS m, embedding AS sub FROM embeddings),
       c0f AS (SELECT m, CAST(vec_id AS INT) AS cid, sub AS ce
