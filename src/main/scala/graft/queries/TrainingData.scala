@@ -2542,6 +2542,48 @@ object TrainingData {
       .orderBy(col("m"))
   }
 
+  /** X102: count-min-sketch heavy hitters — the streaming-memory
+    * frequency sketch (Cormode & Muthukrishnan) next to exact truth,
+    * the a20b/x76 sketch-twin contract for the COUNT family: a
+    * d=4 × w=1024 CMS is built from the same corpus scan as the
+    * exact counts (each row of the sketch is a (row, md5-bucket)
+    * integer aggregation — at 100 TB the 4·1024 counters are the
+    * bounded state a stream or a merge tree carries, vs the unbounded
+    * exact vocabulary), then the top-20 exact tokens are reported
+    * with their CMS estimate (min over rows of the bucket counters)
+    * and the one-sided guarantee `cms ≥ exact` as a Spark-evaluated
+    * boolean — a violated bound means the sketch is WRONG, not
+    * drifted. All-integer; the only hash is the md5-prefix bucket
+    * both engines already share. */
+  val x102CmsHeavyHitters: Q = (s, d) => {
+    val toks = spread(s, Tables.documents(s, d))
+      .select(explode(wsTokens(col("text"))).as("w"))
+    val exact = toks.groupBy(col("w")).agg(count(lit(1)).as("c_exact"))
+    // 4 hash rows: bucket_r(w) = md5₃₂("r:" ∥ w) mod 1024
+    val rows = (0 until 4).map { r =>
+      toks.select(lit(r).as("hrow"),
+        pmod(graft.dedup.NearDup.md5Hash32(concat(lit(s"$r:"), col("w"))),
+          lit(1024L)).as("bucket"))
+        .groupBy(col("hrow"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    }.reduce(_ unionByName _)
+    val top = exact
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("c_exact").desc, col("w"))))
+      .filter(col("rk") <= 20)
+    val est = top.select(col("w"), col("c_exact"), col("rk"),
+        explode(sequence(lit(0), lit(3))).as("hrow"))
+      .withColumn("bucket",
+        pmod(graft.dedup.NearDup.md5Hash32(
+          concat(col("hrow").cast("string"), lit(":"), col("w"))), lit(1024L)))
+      .join(rows, Seq("hrow", "bucket"))
+      .groupBy(col("w"), col("c_exact"), col("rk"))
+      .agg(min(col("cnt")).as("c_cms"))
+    est.select(col("w"), col("c_exact"), col("c_cms"),
+        (col("c_cms") >= col("c_exact")).as("within_bound"),
+        col("rk").cast("long").as("rk"))
+      .orderBy(col("rk"))
+  }
+
   /** X95: mixture temperature sweep — x50's sqrt-mixture generalized
     * to the sampling-temperature grid every multilingual/multi-source
     * run tunes (UniMax/mT5's α: p_i ∝ tok_i^α, α→0 flattens toward
@@ -3701,6 +3743,7 @@ object TrainingData {
     "x99_pq_recall" -> x99PqRecall,
     "x100_ivfpq_query" -> x100IvfPqQuery,
     "x101_pq_health" -> x101PqHealth,
+    "x102_cms_heavyhitters" -> x102CmsHeavyHitters,
     "x96_length_histogram" -> x96LengthHistogram,
     "x88_quality_survivors" -> x88QualitySurvivors,
     "x89_lang_confusion" -> x89LangConfusion,
@@ -5078,6 +5121,33 @@ object TrainingData {
       FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
       GROUP BY label, i
       ORDER BY label, pos""",
+    "x102_cms_heavyhitters" -> s"""
+      WITH toks AS (SELECT
+          unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents),
+      ex AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_exact
+        FROM toks GROUP BY w),
+      rws AS (SELECT hrow, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT u.hrow,
+            ${md5Hash32Sql("CAST(u.hrow AS VARCHAR) || ':' || w")} % 1024
+              AS bucket
+          FROM toks, UNNEST(range(0, 4)) AS u(hrow))
+        GROUP BY hrow, bucket),
+      top AS (SELECT w, c_exact, rk FROM (
+          SELECT w, c_exact,
+            ROW_NUMBER() OVER (ORDER BY c_exact DESC, w) AS rk
+          FROM ex) WHERE rk <= 20),
+      tb AS (SELECT t.w, t.c_exact, t.rk, u.hrow,
+          ${md5Hash32Sql("CAST(u.hrow AS VARCHAR) || ':' || t.w")} % 1024
+            AS bucket
+        FROM top t, UNNEST(range(0, 4)) AS u(hrow)),
+      est AS (SELECT tb.w, tb.c_exact, tb.rk,
+          CAST(MIN(r.cnt) AS BIGINT) AS c_cms
+        FROM tb JOIN rws r ON r.hrow = tb.hrow AND r.bucket = tb.bucket
+        GROUP BY tb.w, tb.c_exact, tb.rk)
+      SELECT w, c_exact, c_cms, c_cms >= c_exact AS within_bound,
+        CAST(rk AS BIGINT) AS rk
+      FROM est ORDER BY rk""",
     "x101_pq_health" -> s"""
       WITH f AS (SELECT vec_id, 0 AS m, embedding AS sub FROM embeddings),
       c0f AS (SELECT m, CAST(vec_id AS INT) AS cid, sub AS ce
