@@ -2559,13 +2559,15 @@ object TrainingData {
     val toks = spread(s, Tables.documents(s, d))
       .select(explode(wsTokens(col("text"))).as("w"))
     val exact = toks.groupBy(col("w")).agg(count(lit(1)).as("c_exact"))
-    // 4 hash rows: bucket_r(w) = md5₃₂("r:" ∥ w) mod 1024
-    val rows = (0 until 4).map { r =>
-      toks.select(lit(r).as("hrow"),
-        pmod(graft.dedup.NearDup.md5Hash32(concat(lit(s"$r:"), col("w"))),
+    // 4 hash rows in ONE scan (generator over hrow, the oracle's
+    // UNNEST shape): bucket_r(w) = md5₃₂("r:" ∥ w) mod 1024
+    val rows = toks
+      .select(col("w"), explode(sequence(lit(0), lit(3))).as("hrow"))
+      .select(col("hrow"),
+        pmod(graft.dedup.NearDup.md5Hash32(
+          concat(col("hrow").cast("string"), lit(":"), col("w"))),
           lit(1024L)).as("bucket"))
-        .groupBy(col("hrow"), col("bucket")).agg(count(lit(1)).as("cnt"))
-    }.reduce(_ unionByName _)
+      .groupBy(col("hrow"), col("bucket")).agg(count(lit(1)).as("cnt"))
     val top = exact
       .withColumn("rk", row_number().over(
         Window.orderBy(col("c_exact").desc, col("w"))))
@@ -2575,7 +2577,7 @@ object TrainingData {
       .withColumn("bucket",
         pmod(graft.dedup.NearDup.md5Hash32(
           concat(col("hrow").cast("string"), lit(":"), col("w"))), lit(1024L)))
-      .join(rows, Seq("hrow", "bucket"))
+      .join(broadcast(rows), Seq("hrow", "bucket"))
       .groupBy(col("w"), col("c_exact"), col("rk"))
       .agg(min(col("cnt")).as("c_cms"))
     est.select(col("w"), col("c_exact"), col("c_cms"),

@@ -76,6 +76,41 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(redacted == 8)
   }
 
+  test("round-8 facades stay total on degenerate inputs") {
+    // KN with an EMPTY training corpus: every count table is empty,
+    // the scalar totals go null — scores degrade to null rows, no
+    // throw (the CCNet shape with a misconfigured train filter)
+    val emptyTrain = corpus.filter(col("doc_id") < 0)
+    val kn = graft.queries.TrainingData
+      .knTrigramScores(corpus, emptyTrain).collect()
+    assert(kn.forall(r => r.isNullAt(2) || r.getDouble(2) >= 0.0))
+    // KN scoring an empty corpus: no steps, empty output
+    assert(graft.queries.TrainingData
+      .knTrigramScores(emptyTrain, corpus).count() == 0)
+    // dHash / energy trim on empty payloads and empty frames
+    val wp = graft.multimodal.Multimodal.withBinaryPayload(corpus)
+    val dh = graft.multimodal.Multimodal.dHash64(spark, wp).collect()
+    assert(dh.length == 8, "every payload (even empty) hashes")
+    val et = graft.multimodal.Multimodal.energyTrim(spark, wp).collect()
+    assert(et.forall(t => t.n_kept <= t.n_frames && t.n_frames > 0),
+      "sub-frame docs drop out; emitted rows are consistent")
+    // banded dHash pairs on a tiny corpus: the two identical docs
+    // ("uma duas tres" twins) collide at hamming 0; nothing throws
+    val sigs = graft.multimodal.Multimodal.dHash64(spark, wp)
+      .toDF().select(col("doc_id"), col("dhash").as("simhash"))
+    val pairs = graft.queries.TrainingData
+      .simhashBandedPairs(sigs, 16, 4, 3).collect()
+    assert(pairs.exists(r =>
+      r.getLong(0) == 5L && r.getLong(1) == 7L && r.getInt(2) == 0))
+    // PQ training on an EMPTY embedding frame: empty codebook, empty
+    // codes, no throw
+    val emptyEmb = spark.range(0).selectExpr("id AS vec_id",
+      "CAST(array() AS array<float>) AS embedding")
+    val cents = graft.ml.PqIndex.trainCodebook(emptyEmb)
+    assert(cents.count() == 0)
+    assert(graft.ml.PqIndex.encode(emptyEmb, cents).count() == 0)
+  }
+
   test("packing and chunking handle empty and sub-budget docs") {
     val rows = corpus.select(col("doc_id"), lit("s").as("source"),
       tokenCount(col("text")).cast("long").as("n_tok"))
