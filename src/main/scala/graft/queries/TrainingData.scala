@@ -2586,6 +2586,57 @@ object TrainingData {
       .orderBy(col("rk"))
   }
 
+  /** X103: span corruption (T5/UL2 objective preparation) — the
+    * masking transform a denoising-pretraining pipeline applies to
+    * every document: fixed 3-token blocks are selected with p=15% by
+    * deterministic hash (md5₃₂(doc_id:block) mod 100 < 15 — no RNG
+    * state, reproducible across engines, reruns, and shards: the x61
+    * selector applied to spans), each selected block is replaced by
+    * one `<extra_id_k>` sentinel (k = rank of the masked block, the
+    * T5 numbering), and the target sequence is the sentinels with
+    * their masked-out tokens. Entirely ROW-LOCAL: blocks, flags,
+    * sentinel ranks (a prefix count over the flag array), the
+    * masked/target rebuilds, and the counts are all higher-order
+    * array functions in one projection — no shuffle but the output
+    * sort, which is the whole point at 100 TB (objective prep runs
+    * at scan speed on the way to the trainer). Masked/target text
+    * leave as md5 (the x17/x87 checksum convention). */
+  val x103SpanCorruption: Q = (s, d) => {
+    val toks = wsTokens(col("text"))
+    val nblk = call_function("div", size(toks).cast("long") + 2L, lit(3L))
+    val blocks = sequence(lit(0L), nblk - 1)
+    def flagOf(b: Column) =
+      pmod(graft.dedup.NearDup.md5Hash32(
+        concat(col("doc_id").cast("string"), lit(":"), b.cast("string"))),
+        lit(100L)) < 15
+    val flags = transform(blocks, b => flagOf(b))
+    val ranks = transform(blocks, b =>
+      aggregate(slice(flags, lit(1), b.cast("int")), lit(0),
+        (acc, x) => acc + when(x, 1).otherwise(0)))
+    def blockToks(b: Column) = slice(toks, (b * 3 + 1).cast("int"), lit(3))
+    def sentinel(b: Column) = concat(lit("<extra_id_"),
+      element_at(ranks, (b + 1).cast("int")).cast("string"), lit(">"))
+    val pieces = transform(blocks, b =>
+      when(element_at(flags, (b + 1).cast("int")), array(sentinel(b)))
+        .otherwise(blockToks(b)))
+    val tpieces = transform(blocks, b =>
+      when(element_at(flags, (b + 1).cast("int")),
+        concat(array(sentinel(b)), blockToks(b)))
+        .otherwise(array().cast("array<string>")))
+    val input = array_join(flatten(pieces), " ")
+    val target = array_join(flatten(tpieces), " ")
+    spread(s, Tables.documents(s, d))
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tok"),
+        nblk.as("n_blocks"),
+        size(filter(flags, x => x)).cast("long").as("n_masked_blocks"),
+        (size(flatten(tpieces))
+          - size(filter(flags, x => x))).cast("long").as("n_masked_tok"),
+        md5(input).as("input_md5"),
+        md5(target).as("target_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** X95: mixture temperature sweep — x50's sqrt-mixture generalized
     * to the sampling-temperature grid every multilingual/multi-source
     * run tunes (UniMax/mT5's α: p_i ∝ tok_i^α, α→0 flattens toward
@@ -3746,6 +3797,7 @@ object TrainingData {
     "x100_ivfpq_query" -> x100IvfPqQuery,
     "x101_pq_health" -> x101PqHealth,
     "x102_cms_heavyhitters" -> x102CmsHeavyHitters,
+    "x103_span_corruption" -> x103SpanCorruption,
     "x96_length_histogram" -> x96LengthHistogram,
     "x88_quality_survivors" -> x88QualitySurvivors,
     "x89_lang_confusion" -> x89LangConfusion,
@@ -5123,6 +5175,40 @@ object TrainingData {
       FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
       GROUP BY label, i
       ORDER BY label, pos""",
+    "x103_span_corruption" -> s"""
+      WITH t AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents),
+      b AS (SELECT doc_id, toks,
+          (len(toks) + 2) // 3 AS n_blocks,
+          list_transform(range(0, (len(toks) + 2) // 3), bb ->
+            ${md5Hash32Sql("CAST(doc_id AS VARCHAR) || ':' || CAST(bb AS VARCHAR)")} % 100 < 15)
+            AS flags
+        FROM t),
+      r AS (SELECT doc_id, toks, n_blocks, flags,
+          list_transform(range(0, n_blocks), bb ->
+            COALESCE(list_sum(list_transform(list_slice(flags, 1, bb),
+              f -> CASE WHEN f THEN 1 ELSE 0 END)), 0)) AS ranks
+        FROM b),
+      p AS (SELECT doc_id, toks, n_blocks, flags,
+          flatten(list_transform(range(0, n_blocks), bb ->
+            CASE WHEN flags[bb + 1]
+              THEN ['<extra_id_' || CAST(ranks[bb + 1] AS VARCHAR) || '>']
+              ELSE list_slice(toks, bb * 3 + 1, bb * 3 + 3) END)) AS inp,
+          flatten(list_transform(range(0, n_blocks), bb ->
+            CASE WHEN flags[bb + 1]
+              THEN list_prepend('<extra_id_' || CAST(ranks[bb + 1] AS VARCHAR) || '>',
+                list_slice(toks, bb * 3 + 1, bb * 3 + 3))
+              ELSE [] END)) AS tgt
+        FROM r)
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+        CAST(n_blocks AS BIGINT) AS n_blocks,
+        CAST(len(list_filter(flags, f -> f)) AS BIGINT) AS n_masked_blocks,
+        CAST(len(tgt) - len(list_filter(flags, f -> f)) AS BIGINT)
+          AS n_masked_tok,
+        md5(COALESCE(array_to_string(inp, ' '), '')) AS input_md5,
+        md5(COALESCE(array_to_string(tgt, ' '), '')) AS target_md5
+      FROM p ORDER BY doc_id""",
     "x102_cms_heavyhitters" -> s"""
       WITH toks AS (SELECT
           unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
