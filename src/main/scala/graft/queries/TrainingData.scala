@@ -2637,6 +2637,38 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** X104: cross-modal pairing-integrity audit — the join-coverage
+    * check a multimodal (caption ↔ embedding/image) corpus runs
+    * before training: per source, how many documents actually HAVE
+    * their paired vector, and how many vectors are orphaned (their
+    * document was filtered away upstream). The fixture pairs ids 1:1,
+    * so a failed embedding shard is SIMULATED by withholding
+    * vec_id % 10 = 7 (the x62 prefix-copy convention: plant the
+    * failure the audit exists to catch) — the audit must report
+    * exactly that 10% hole, per source, plus the orphaned-vector
+    * count. One broadcast-ably small presence join (ids only, no
+    * payloads move), per-source BIGINT-ratio coverage. The etl3
+    * join-coverage discipline applied to modality pairing. */
+  val x104PairingAudit: Q = (s, d) => {
+    val vecs = Tables.embeddings(s, d)
+      .filter(col("vec_id") % 10 =!= 7)
+      .select(col("vec_id").as("doc_id"), lit(1L).as("has_vec"))
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val perSource = docs.join(vecs, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("has_vec"), lit(0L))).as("n_paired"))
+      .select(col("source"), col("n_docs"), col("n_paired"),
+        (col("n_docs") - col("n_paired")).as("n_missing_vec"),
+        (intRoundHalfAway(col("n_paired") * 10000L, col("n_docs"))
+          .cast("double") / 1e4).as("coverage"))
+    val orphans = vecs.join(docs.select(col("doc_id")), Seq("doc_id"),
+        "left_anti")
+      .agg(count(lit(1)).as("n_orphan_vecs"))
+    perSource.crossJoin(broadcast(orphans))
+      .orderBy(col("source"))
+  }
+
   /** X95: mixture temperature sweep — x50's sqrt-mixture generalized
     * to the sampling-temperature grid every multilingual/multi-source
     * run tunes (UniMax/mT5's α: p_i ∝ tok_i^α, α→0 flattens toward
@@ -3798,6 +3830,7 @@ object TrainingData {
     "x101_pq_health" -> x101PqHealth,
     "x102_cms_heavyhitters" -> x102CmsHeavyHitters,
     "x103_span_corruption" -> x103SpanCorruption,
+    "x104_pairing_audit" -> x104PairingAudit,
     "x96_length_histogram" -> x96LengthHistogram,
     "x88_quality_survivors" -> x88QualitySurvivors,
     "x89_lang_confusion" -> x89LangConfusion,
@@ -5175,6 +5208,24 @@ object TrainingData {
       FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
       GROUP BY label, i
       ORDER BY label, pos""",
+    "x104_pairing_audit" -> """
+      WITH vecs AS (SELECT vec_id AS doc_id, 1 AS has_vec
+        FROM embeddings WHERE vec_id % 10 <> 7),
+      per_source AS (
+        SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(COALESCE(SUM(v.has_vec), 0) AS BIGINT) AS n_paired
+        FROM documents d LEFT JOIN vecs v USING (doc_id)
+        GROUP BY d.source),
+      orphans AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orphan_vecs
+        FROM vecs v LEFT JOIN documents d USING (doc_id)
+        WHERE d.doc_id IS NULL)
+      SELECT source, n_docs, n_paired,
+        n_docs - n_paired AS n_missing_vec,
+        CAST((2 * n_paired * 10000 + n_docs) // (2 * n_docs) AS DOUBLE) / 1e4
+          AS coverage,
+        n_orphan_vecs
+      FROM per_source, orphans ORDER BY source""",
     "x103_span_corruption" -> s"""
       WITH t AS (SELECT doc_id,
           regexp_split_to_array(trim(text), '\\s+') AS toks

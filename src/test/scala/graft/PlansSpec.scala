@@ -389,6 +389,19 @@ class PlansSpec extends AnyFunSuite {
       s"x98 should scan the staged labels exactly once:\n$plan")
   }
 
+  test("x93/x103 row-local transforms shuffle nothing but the output sort") {
+    // both scaladocs claim scan-speed row-locality — the plan must
+    // contain no hash-partitioned exchange (the only exchange allowed
+    // is the range partitioning of the final orderBy)
+    for (q <- Seq("x93_intradoc_dedup", "x103_span_corruption")) {
+      val df = graft.queries.TrainingData.defs(q)(spark, sf)
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$q claims row-locality but hash-shuffles:\n$plan")
+    }
+  }
+
   test("x66 boilerplate shuffles fingerprints, never document text") {
     // the df count and the join back are fp-keyed; text is consumed
     // row-locally into md5 segments before any exchange, so no
