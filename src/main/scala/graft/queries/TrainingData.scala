@@ -2669,6 +2669,36 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  /** X105: dedup threshold-policy sweep — how much of the corpus has
+    * at least one near-duplicate at each Jaccard threshold 0.3..0.9:
+    * the table a data lead reads to CHOOSE the production threshold
+    * (x59 prices the mass removed at one threshold; this shows the
+    * whole curve, on the same prefix-enriched corpus x62/x91 use so
+    * the mid thresholds are populated). Docs-with-a-neighbor is the
+    * policy number (the upper bound on removal before survivor
+    * selection), so no per-threshold closure is needed: ONE banded
+    * candidate scan ([[graft.dedup.NearDup.lshCandidateJaccard]]),
+    * the pair table exploded over the 7 thresholds, one distinct-doc
+    * count each — the sweep costs one LSH pass, not seven dedup
+    * runs. */
+  val x105ThresholdSweep: Q = (s, d) =>
+    graft.dedup.NearDup.lshCandidateJaccard(lshEvalCorpus(s, d))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("jaccard"),
+        explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .select(col("doc_id"), col("jaccard"),
+        explode(sequence(lit(3), lit(9))).as("t10"))
+      .filter(col("jaccard") >= col("t10").cast("double") / 10)
+      .groupBy(col("t10"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_dup"))
+      .crossJoin(broadcast(
+        lshEvalCorpus(s, d).agg(count(lit(1)).as("n_total"))))
+      .select((col("t10").cast("double") / 10).as("threshold"),
+        col("n_docs_dup"), col("n_total"),
+        (intRoundHalfAway(col("n_docs_dup") * 10000L, col("n_total"))
+          .cast("double") / 1e4).as("share"))
+      .orderBy(col("threshold"))
+
   /** X95: mixture temperature sweep — x50's sqrt-mixture generalized
     * to the sampling-temperature grid every multilingual/multi-source
     * run tunes (UniMax/mT5's α: p_i ∝ tok_i^α, α→0 flattens toward
@@ -3831,6 +3861,7 @@ object TrainingData {
     "x102_cms_heavyhitters" -> x102CmsHeavyHitters,
     "x103_span_corruption" -> x103SpanCorruption,
     "x104_pairing_audit" -> x104PairingAudit,
+    "x105_threshold_sweep" -> x105ThresholdSweep,
     "x96_length_histogram" -> x96LengthHistogram,
     "x88_quality_survivors" -> x88QualitySurvivors,
     "x89_lang_confusion" -> x89LangConfusion,
@@ -4850,6 +4881,71 @@ object TrainingData {
                   regexp_split_to_array(trim(text), '\\s+') AS toks
                 FROM documents)))
       ORDER BY doc_id""",
+    "x105_threshold_sweep" -> {
+      val params = graft.dedup.NearDup.minhashParams(16).zipWithIndex
+        .map { case ((a, b), j) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")
+      s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM $corpusSql WHERE doc_id % 1000000 < 200
+        UNION ALL
+        SELECT doc_id + 3000000,
+          array_to_string(list_slice(toks, 1,
+            CAST(FLOOR(len(toks) * 0.5) AS BIGINT)), ' ')
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE doc_id % 1000000 < 200)
+        UNION ALL
+        SELECT doc_id + 4000000,
+          array_to_string(list_slice(toks, 1,
+            CAST(FLOOR(len(toks) * 0.75) AS BIGINT)), ' ')
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE doc_id % 1000000 < 200)),
+      docs AS (
+        SELECT doc_id, $sqlShingles3 AS shs
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM corpus)),
+      sh AS (SELECT doc_id, unnest(shs) AS sh FROM docs),
+      sizes AS (SELECT doc_id, len(shs) AS n FROM docs),
+      hs AS (SELECT doc_id, ${md5Hash32Sql("sh")} AS h FROM sh),
+      minh AS (
+        SELECT doc_id, params.j,
+          MIN((h * params.a + params.b) % ${graft.dedup.NearDup.minhashPrime}) AS mh
+        FROM hs, (VALUES $params) AS params(j, a, b)
+        GROUP BY doc_id, params.j),
+      bands AS (
+        SELECT doc_id, j // 4 AS band,
+          string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
+        FROM minh GROUP BY doc_id, j // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      jc AS (
+        SELECT c.id_a, c.id_b,
+          ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.nb - i.inter), 4)
+            AS jaccard
+        FROM cand c
+        JOIN inter i USING (id_a, id_b)
+        JOIN (SELECT doc_id AS id_a, n FROM sizes) sa USING (id_a)
+        JOIN (SELECT doc_id AS id_b, n AS nb FROM sizes) sb USING (id_b)
+        WHERE ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.nb - i.inter), 4)
+          >= 0.3),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM corpus),
+      ex AS (SELECT unnest([id_a, id_b]) AS doc_id, jaccard FROM jc),
+      sweep AS (
+        SELECT u.t10, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_dup
+        FROM ex, UNNEST(range(3, 10)) AS u(t10)
+        WHERE ex.jaccard >= CAST(u.t10 AS DOUBLE) / 10
+        GROUP BY u.t10)
+      SELECT CAST(t10 AS DOUBLE) / 10 AS threshold, n_docs_dup, n_total,
+        CAST((2 * n_docs_dup * 10000 + n_total) // (2 * n_total) AS DOUBLE)
+          / 1e4 AS share
+      FROM sweep, tot ORDER BY threshold"""
+    },
     "x91_lsh_precision" -> {
       val params = graft.dedup.NearDup.minhashParams(16).zipWithIndex
         .map { case ((a, b), j) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }
