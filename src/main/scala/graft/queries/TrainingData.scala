@@ -2568,10 +2568,13 @@ object TrainingData {
           concat(col("hrow").cast("string"), lit(":"), col("w"))),
           lit(1024L)).as("bucket"))
       .groupBy(col("hrow"), col("bucket")).agg(count(lit(1)).as("cnt"))
-    val top = exact
+    // top-20 via orderBy+limit (TakeOrderedAndProject — no global
+    // single-partition window sort over the vocabulary, which at
+    // 100 TB is itself a huge relation); the rank window then runs
+    // over 20 rows only
+    val top = exact.orderBy(col("c_exact").desc, col("w")).limit(20)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("c_exact").desc, col("w"))))
-      .filter(col("rk") <= 20)
     val est = top.select(col("w"), col("c_exact"), col("rk"),
         explode(sequence(lit(0), lit(3))).as("hrow"))
       .withColumn("bucket",
