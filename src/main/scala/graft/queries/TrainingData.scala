@@ -2645,16 +2645,19 @@ object TrainingData {
     * before training: per source, how many documents actually HAVE
     * their paired vector, and how many vectors are orphaned (their
     * document was filtered away upstream). The fixture pairs ids 1:1,
-    * so a failed embedding shard is SIMULATED by withholding
-    * vec_id % 10 = 7 (the x62 prefix-copy convention: plant the
-    * failure the audit exists to catch) — the audit must report
-    * exactly that 10% hole, per source, plus the orphaned-vector
-    * count. One broadcast-ably small presence join (ids only, no
+    * so a failed embedding shard is SIMULATED by withholding the
+    * ~10% of vectors with md5₃₂(vec_id) ≡ 7 (mod 10) (the x62
+    * plant-the-failure convention; hash-based so the hole spreads
+    * across every source — the fixture's id↔source mapping would
+    * make a raw id modulus all-or-nothing per source) — the audit
+    * must report exactly that hole, per source, plus the
+    * orphaned-vector count. One broadcast-ably small presence join (ids only, no
     * payloads move), per-source BIGINT-ratio coverage. The etl3
     * join-coverage discipline applied to modality pairing. */
   val x104PairingAudit: Q = (s, d) => {
     val vecs = Tables.embeddings(s, d)
-      .filter(col("vec_id") % 10 =!= 7)
+      .filter(pmod(graft.dedup.NearDup.md5Hash32(
+        col("vec_id").cast("string")), lit(10L)) =!= 7)
       .select(col("vec_id").as("doc_id"), lit(1L).as("has_vec"))
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
     val perSource = docs.join(vecs, Seq("doc_id"), "left")
@@ -5307,9 +5310,10 @@ object TrainingData {
       FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
       GROUP BY label, i
       ORDER BY label, pos""",
-    "x104_pairing_audit" -> """
+    "x104_pairing_audit" -> s"""
       WITH vecs AS (SELECT vec_id AS doc_id, 1 AS has_vec
-        FROM embeddings WHERE vec_id % 10 <> 7),
+        FROM embeddings
+        WHERE ${md5Hash32Sql("CAST(vec_id AS VARCHAR)")} % 10 <> 7),
       per_source AS (
         SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
           CAST(COALESCE(SUM(v.has_vec), 0) AS BIGINT) AS n_paired

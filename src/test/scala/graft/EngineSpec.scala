@@ -1009,6 +1009,27 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("x104 pairing audit reports exactly the planted embedding hole") {
+    val rows = TrainingData.defs("x104_pairing_audit")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    // the withheld shard is md5₃₂(vec_id) % 10 == 7 — per-source
+    // missing counts must sum to exactly that, and no vector is
+    // orphaned (every vec_id has its document in the fixture)
+    val expectedMissing = Tables.embeddings(spark, sf)
+      .filter(pmod(graft.dedup.NearDup.md5Hash32(
+        col("vec_id").cast("string")), lit(10L)) === 7).count()
+    assert(expectedMissing > 0, "the planted hole must exist")
+    assert(rows.map(_._4).sum == expectedMissing)
+    assert(rows.forall(_._6 == 0L), "no orphaned vectors in the fixture")
+    rows.foreach { case (src, nDocs, nPaired, nMissing, cov, _) =>
+      assert(nPaired + nMissing == nDocs, s"$src accounting")
+      assert(cov > 0.6 && cov <= 1.0, s"$src coverage $cov")
+    }
+    // the hash hole spreads: more than half the sources are hit
+    assert(rows.count(_._4 > 0) > rows.length / 2, "hole not spread")
+  }
+
   test("x62b tuner: grid complete, hand-checked points, chosen is optimal") {
     val out = TrainingData.defs("x62b_lsh_tuner")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
