@@ -3831,7 +3831,139 @@ object TrainingData {
       .withColumn("keep_global_p25", col("pct_rank") >= 0.25)
       .orderBy(col("doc_id"))
 
+  /** Shared BPE trainer for x106/x107: ONE corpus scan builds the
+    * frequency-weighted word vocabulary (map-side-combinable
+    * `(word, count)` aggregation, top-1024 by (freq DESC, word ASC) —
+    * dimension-bounded by construction), then [[graft.text.Bpe]]'s
+    * driver-side integer merge loop learns up to 50 merges. The
+    * driver loop is the m1-knotScan pattern: per-iteration Spark jobs
+    * over a ≤1024-row relation would be pure scheduling overhead, and
+    * every quantity is an exact BIGINT count with a byte-order
+    * tie-break, so the replica is provably ≡ the oracle's unrolled
+    * per-iteration SQL. */
+  private[graft] def trainBpeMerges(s: SparkSession, d: String): Seq[graft.text.Bpe.Merge] = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(wsTokens(lower(col("text")))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w")).limit(1024)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.text.Bpe.trainOnVocab(vocab, 50)
+  }
+
+  /** X106: BPE merge-table training (Sennrich et al. 2016) — the
+    * vocabulary-LEARNING operator the fixed-vocab measurements
+    * (x9/x44/x54) audit against: 50 merges by iterated most-frequent-
+    * adjacent-pair counting over the frequency-weighted top-1024 word
+    * vocabulary, deterministic (count DESC, lhs ASC, rhs ASC)
+    * tie-break, greedy left-to-right application between iterations.
+    * Output is the learned merge table itself (≤50 rows — step, lhs,
+    * rhs, merged symbol, frequency-weighted pair count; early-
+    * exhausted training emits fewer rows). Scale shape: the corpus is
+    * touched ONCE (the word-frequency aggregation); every iteration
+    * runs on the V-row vocab — BPE's cost is by design independent of
+    * corpus size past the first scan. The oracle replays all 50
+    * iterations as unrolled SQL. */
+  val x106BpeTrain: Q = (s, d) => {
+    val merges = trainBpeMerges(s, d)
+    s.createDataFrame(merges.map(m =>
+        (m.step.toLong, m.lhs, m.rhs, m.lhs + m.rhs, m.pairFreq)))
+      .toDF("step", "lhs", "rhs", "merged", "pair_freq")
+      .orderBy(col("step"))
+  }
+
+  /** X107: BPE segmentation + learned-vocab fertility — x54's
+    * tokenizer-fertility audit re-derived on the vocabulary x106
+    * LEARNS instead of the fixed regex proxy. Segmentation is a
+    * DICTIONARY computation ([[graft.text.Bpe.segmentDict]]): the 50
+    * merges replay once per DISTINCT word as row-local Column
+    * expressions (closed-form greedy via run parity — no UDF, no
+    * shuffle), and the dictionary broadcast-joins back to the
+    * per-(source, word) count table; document text never moves after
+    * the one counting scan. Per source: word occurrences, subword
+    * tokens, single-token (fully merged) occurrences, and fertility =
+    * subtokens/words on the pure-BIGINT [[intRoundHalfAway]]. At
+    * 100 TB the dictionary is the working set (≪ corpus, the classic
+    * tokenizer-training layout) and the join stays broadcast-sized
+    * per the same cap as training. */
+  val x107BpeSegment: Q = (s, d) => {
+    val merges = trainBpeMerges(s, d).map(m => (m.lhs, m.rhs))
+    val sw = Tables.documents(s, d)
+      .select(col("source"), explode(wsTokens(lower(col("text")))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))
+    val dict = graft.text.Bpe.segmentDict(sw.select(col("w")).distinct(), merges)
+      .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
+    sw.join(broadcast(dict), Seq("w"))
+      .groupBy(col("source"))
+      .agg(sum(col("f")).as("n_words"),
+        sum(col("f") * col("n_sub")).as("n_subtok"),
+        sum(when(col("n_sub") === 1, col("f")).otherwise(0L)).as("n_single"))
+      .select(col("source"), col("n_words"), col("n_subtok"), col("n_single"),
+        (intRoundHalfAway(col("n_subtok") * 10000L, col("n_words"))
+          .cast("double") / 1e4).as("fertility"))
+      .orderBy(col("source"))
+  }
+
+  /** X112: cross-document segment dedup with corpus-wide FIRST-
+    * occurrence survivor — RefinedWeb's line dedup proper: x87 drops
+    * a df-heavy segment from EVERY document (boilerplate removal),
+    * this keeps the one occurrence with the lowest (doc_id, segment
+    * index) and drops all later copies (duplicate-content removal —
+    * the first crawl of a syndicated paragraph survives, mirrors
+    * lose it). Segment fingerprints and the 8-token segmenter are
+    * IDENTICAL to x66/x87 (one contract across the whole line-dedup
+    * family). Shape: segment explode (md5 fingerprints + 8-token
+    * segments, never whole docs, cross the wire) → fp-keyed
+    * min_by((doc_id, g)) — map-side combinable, no window over the
+    * corpus → fp join back → doc-keyed deterministic rebuild
+    * (sort_array over collect_list, order restored by segment index).
+    * The same two-shuffle budget as exact dedup at any corpus size;
+    * output carries the x87 clean-text md5 + token-count checksum
+    * convention. */
+  val x112FirstOccDedup: Q = (s, d) =>
+    firstOccDedup(spread(s, Tables.documents(s, d)))
+
+  /** x112 core over any (doc_id, source, text) frame — see
+    * [[x112FirstOccDedup]] for the operator contract. */
+  private[graft] def firstOccDedup(docs: DataFrame): DataFrame = {
+    val seg = docs
+      .select(col("doc_id"),
+        wsTokens(concat(lit("portal "), col("source"),
+          lit(" official mirror terms of service apply"
+            + " all rights reserved contact webmaster "),
+          col("text"))).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L),
+          call_function("div", size(col("toks")).cast("long") + 7L, lit(8L))
+            - 1)).as("g"))
+      .select(col("doc_id"), col("g"),
+        array_join(slice(col("toks"), (col("g") * 8 + 1).cast("int"),
+          lit(8)), " ").as("segtxt"))
+      .withColumn("fp", md5(col("segtxt")))
+    val firstOcc = seg.groupBy(col("fp"))
+      .agg(min_by(struct(col("doc_id").as("fdoc"), col("g").as("fg")),
+        struct(col("doc_id"), col("g"))).as("fo"))
+      .select(col("fp"), col("fo.fdoc").as("fdoc"), col("fo.fg").as("fg"))
+    val keep = col("doc_id") === col("fdoc") && col("g") === col("fg")
+    val clean = array_join(transform(
+      sort_array(collect_list(when(keep, struct(col("g"), col("segtxt"))))),
+      x => x.getField("segtxt")), " ")
+    seg.join(firstOcc, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(keep, 0L).otherwise(1L)).as("n_drop"),
+        md5(clean).as("clean_md5"),
+        when(length(clean) === 0, 0L)
+          .otherwise(size(split(clean, "\\s+")).cast("long"))
+          .as("clean_n_tok"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x106_bpe_train" -> x106BpeTrain,
+    "x107_bpe_segment" -> x107BpeSegment,
+    "x112_firstocc_dedup" -> x112FirstOccDedup,
     "x82_quality_percentile" -> x82QualityPercentile,
     "x81_corpus_card" -> x81CorpusCard,
     "x80_quality_trend" -> x80QualityTrend,
@@ -4023,6 +4155,58 @@ object TrainingData {
           FROM $assigned, UNNEST(range(1, len(sub) + 1)) AS t(i)
           GROUP BY m, cell, i)
         GROUP BY m, cell)"""
+
+  /** Shared DuckDB generators for the BPE oracles (x106/x107): the
+    * full 50-iteration training unrolled as chained MATERIALIZED CTEs
+    * (word-frequency vocab → per-iteration pair counts → argmax merge
+    * → greedy apply), with greedy left-to-right application written in
+    * the same closed-form run-parity list expression as the Spark
+    * side ([[graft.text.Bpe]]). An exhausted iteration yields a
+    * chr(1) sentinel merge that can never match a real symbol (and is
+    * filtered from x106's output), so fixed-depth SQL mirrors the
+    * data-dependent early stop — the m1 gated-stage pattern. */
+  private val bpeK = 50
+
+  private def bpeApplySql(from: String): String = s"""
+      SELECT w, f, list_filter(list_transform(range(1, len(s0)+1), i ->
+          CASE WHEN i > 1 AND sel[i-1] THEN NULL
+               WHEN sel[i] THEN ma || mb
+               ELSE s0[i] END), x -> x IS NOT NULL) AS syms
+      FROM (
+        SELECT w, f, s0, ma, mb, ml,
+          list_transform(range(1, len(s0)+1), i -> ml[i] AND
+            ((i - 1 - COALESCE(list_max(list_filter(range(1, len(s0)+1),
+                j -> j < i AND NOT ml[j])), 0)) % 2 = 0)) AS sel
+        FROM (
+          SELECT w, f, syms AS s0, m.a AS ma, m.b AS mb,
+            list_transform(range(1, len(syms)+1), i ->
+              i < len(syms) AND syms[i] = m.a AND syms[i+1] = m.b) AS ml
+          FROM $from))"""
+
+  private def bpeTrainCtes: String = {
+    val sb = new StringBuilder
+    sb ++= """wf AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+              FROM documents)
+        WHERE w <> '' GROUP BY w ORDER BY f DESC, w LIMIT 1024),
+      v0 AS MATERIALIZED (SELECT w, f,
+        list_transform(range(1, length(w)+1), i ->
+          substring(w, CAST(i AS INT), 1)) AS syms FROM wf)"""
+    for (k <- 1 to bpeK) {
+      sb ++= s""",
+      pc$k AS MATERIALIZED (
+        SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(f) AS BIGINT) AS cnt
+        FROM v${k - 1}, unnest(range(1, len(syms))) AS t(i) GROUP BY 1, 2),
+      m$k AS MATERIALIZED (SELECT
+        COALESCE((SELECT a FROM pc$k ORDER BY cnt DESC, a, b LIMIT 1), chr(1)) AS a,
+        COALESCE((SELECT b FROM pc$k ORDER BY cnt DESC, a, b LIMIT 1), chr(1)) AS b,
+        COALESCE((SELECT cnt FROM pc$k ORDER BY cnt DESC, a, b LIMIT 1),
+          CAST(0 AS BIGINT)) AS cnt),
+      v$k AS MATERIALIZED (${bpeApplySql(s"v${k - 1}, m$k m")})"""
+    }
+    sb.toString
+  }
 
   private def ivfOracle(queryPred: String): String = {
     s"""
@@ -4222,6 +4406,72 @@ object TrainingData {
       ORDER BY s.source, s.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "x106_bpe_train" -> {
+      val union = (1 to bpeK).map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS step, a AS lhs, b AS rhs,
+            a || b AS merged, cnt AS pair_freq FROM m$k""")
+        .mkString(" UNION ALL ")
+      s"""WITH $bpeTrainCtes
+        SELECT * FROM ($union) WHERE lhs <> chr(1) ORDER BY step"""
+    },
+    "x107_bpe_segment" -> {
+      val segCtes = new StringBuilder
+      segCtes ++= """sw AS MATERIALIZED (
+          SELECT source, w, CAST(COUNT(*) AS BIGINT) AS f
+          FROM (SELECT source,
+                unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+                FROM documents)
+          WHERE w <> '' GROUP BY source, w),
+        g0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS f,
+          list_transform(range(1, length(w)+1), i ->
+            substring(w, CAST(i AS INT), 1)) AS syms
+          FROM (SELECT DISTINCT w FROM sw))"""
+      for (k <- 1 to bpeK)
+        segCtes ++= s""",
+        g$k AS MATERIALIZED (${bpeApplySql(s"g${k - 1}, m$k m")})"""
+      s"""WITH $bpeTrainCtes, $segCtes,
+        nsub AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM g$bpeK)
+        SELECT sw.source, CAST(SUM(sw.f) AS BIGINT) AS n_words,
+          CAST(SUM(sw.f * n.n_sub) AS BIGINT) AS n_subtok,
+          CAST(SUM(CASE WHEN n.n_sub = 1 THEN sw.f ELSE 0 END) AS BIGINT)
+            AS n_single,
+          CAST(((2 * SUM(sw.f * n.n_sub) * 10000 + SUM(sw.f))
+            // (2 * SUM(sw.f))) AS DOUBLE) / 1e4 AS fertility
+        FROM sw JOIN nsub n USING (w) GROUP BY sw.source ORDER BY sw.source"""
+    },
+    "x112_firstocc_dedup" -> """
+      WITH t AS (SELECT doc_id,
+          regexp_split_to_array(trim('portal ' || source
+            || ' official mirror terms of service apply'
+            || ' all rights reserved contact webmaster ' || text),
+            '\s+') AS toks
+        FROM documents),
+      b AS (SELECT doc_id, toks,
+          unnest(range(0, (len(toks) + 7) // 8)) AS g FROM t),
+      seg AS (SELECT doc_id, g,
+          array_to_string(list_slice(toks, g * 8 + 1, g * 8 + 8), ' ')
+            AS segtxt
+        FROM b),
+      sf AS (SELECT doc_id, g, segtxt, md5(segtxt) AS fp FROM seg),
+      fo AS (SELECT fp, doc_id AS fdoc, g AS fg FROM (
+          SELECT fp, doc_id, g,
+            ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, g) AS rk
+          FROM sf)
+        WHERE rk = 1),
+      agg AS (SELECT s.doc_id, COUNT(*) AS n_seg,
+          SUM(CASE WHEN s.doc_id = f.fdoc AND s.g = f.fg
+            THEN 0 ELSE 1 END) AS n_drop,
+          COALESCE(array_to_string(list(s.segtxt ORDER BY s.g)
+            FILTER (WHERE s.doc_id = f.fdoc AND s.g = f.fg), ' '), '')
+            AS clean
+        FROM sf s JOIN fo f USING (fp) GROUP BY s.doc_id)
+      SELECT doc_id, CAST(n_seg AS BIGINT) AS n_seg,
+        CAST(n_drop AS BIGINT) AS n_drop,
+        md5(clean) AS clean_md5,
+        CASE WHEN length(clean) = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(len(regexp_split_to_array(clean, '\s+')) AS BIGINT) END
+          AS clean_n_tok
+      FROM agg ORDER BY doc_id""",
     "x82_quality_percentile" -> """
       WITH q AS (SELECT doc_id, source,
           ROUND(LEAST(len(toks) / 50.0, 1.0) * 0.4

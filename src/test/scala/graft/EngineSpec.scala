@@ -1561,6 +1561,84 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("x106 BPE trainer: merge sequence pinned on a crafted micro-vocab") {
+    import graft.text.Bpe
+    // vocab: aaa×2, ab×3, ba×3.
+    // step1: (a,a) cnt 4 (two overlapping slots × freq 2) beats the 3s;
+    //        GREEDY LEFT-TO-RIGHT: aaa → [aa, a] (never [a, aa])
+    // step2: (a,b) vs (b,a) tie at 3 → lhs byte-order picks (a,b)
+    // step3: (b,a) 3       step4: (aa,a) 2 — proves step1 merged left-first
+    // step5: every word is a single symbol → early exhaustion at 4 < k
+    val merges = Bpe.trainOnVocab(Seq(("aaa", 2L), ("ab", 3L), ("ba", 3L)), 50)
+    assert(merges.map(m => (m.step, m.lhs, m.rhs, m.pairFreq)) == Seq(
+      (1, "a", "a", 4L), (2, "a", "b", 3L), (3, "b", "a", 3L),
+      (4, "aa", "a", 2L)))
+  }
+
+  test("x107 BPE segmentation Column ≡ driver replica (greedy overlap cases)") {
+    import spark.implicits._
+    import graft.text.Bpe
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    val words = Seq("aaaa", "aaa", "abab", "aab", "aaab", "x", "ba", "aaaab")
+    val got = Bpe.segmentDict(words.toDF("w"), merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    words.foreach { w =>
+      assert(got(w) == Bpe.segmentWord(w, merges), s"word $w")
+    }
+    // the canonical overlap pins, explicitly:
+    assert(got("aaaa") == Vector("aa", "aa"))      // alternate runs from left
+    assert(got("aaa") == Vector("aa", "a"))        // left-first, not [a, aa]
+    assert(got("aaab") == Vector("aaab"))          // (a,a) → (a,b) → (aa,ab)
+    assert(got("aaaab") == Vector("aa", "aa", "b")) // run merged, b stranded
+  }
+
+  test("x106/x107 on the corpus: lossless segmentation, fertility bounds") {
+    val merges = TrainingData.trainBpeMerges(spark, sf)
+    assert(merges.nonEmpty && merges.map(_.step) == (1 to merges.length))
+    // replaying the merges must reconstruct every distinct corpus word
+    val sw = Tables.documents(spark, sf)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "").distinct()
+    val dict = graft.text.Bpe.segmentDict(sw, merges.map(m => (m.lhs, m.rhs)))
+      .select(col("w"), concat_ws("", col("syms")).as("rebuilt"),
+        size(col("syms")).as("n_sub"))
+      .collect()
+    assert(dict.nonEmpty)
+    dict.foreach { r =>
+      assert(r.getString(0) == r.getString(1), s"lossy: ${r.getString(0)}")
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= r.getString(0).length)
+    }
+    // learned-vocab fertility strictly beats character-level (= word length)
+    val fert = TrainingData.defs("x107_bpe_segment")(spark, sf).collect()
+    fert.foreach { r =>
+      val (nw, nsub, nsingle) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nsub >= nw && nsingle <= nw && r.getDouble(4) >= 1.0)
+    }
+  }
+
+  test("x112 first-occurrence survivor on a crafted duplicate pair") {
+    import spark.implicits._
+    // banner = 13 tokens, so with 3 pad tokens the 8-token windows
+    // x1..x8 land segment-aligned (segments 2 and 3 of the stream)
+    val x = (1 to 8).map(i => s"x$i").mkString(" ")
+    val y = (1 to 8).map(i => s"y$i").mkString(" ")
+    val docs = Seq(
+      (1L, "s", s"p1 p2 p3 $x $x"),   // within-doc dup: 2nd x-window drops
+      (2L, "s", s"p1 p2 p3 $x $y"))   // shares banner+pad+x with doc 1
+      .toDF("doc_id", "source", "text")
+    val got = TrainingData.firstOccDedup(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toMap
+    // doc 1: 4 segments, only the repeated x-window drops; doc 2 keeps
+    // nothing but its unique y-window (first occurrences all live in doc 1)
+    assert(got(1L)._1 == 4 && got(1L)._2 == 1)
+    assert(got(2L)._1 == 4 && got(2L)._2 == 3)
+    assert(got(2L)._3 == org.apache.commons.codec.digest.DigestUtils.md5Hex(y))
+    assert(got(2L)._4 == 8L)
+    // kept text of doc 1 = 32-token stream minus the 8-token dup window
+    assert(got(1L)._4 == 24L)
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
