@@ -509,7 +509,26 @@ object TrainingData {
   def prebuildCaches(s: SparkSession, d: String): Unit = {
     ensureIvfIndex(s, d); ensureSigStore(s, d); ensureCuratedStaged(s, d)
     ensureDHashStore(s, d); ensureDedupLabels(s, d); ensureIvfPqStore(s, d)
+    ensureIvfBaseStore(s, d)
     ()
+  }
+
+  /** The PRE-BATCH serving index for x109's incremental-maintenance
+    * audit: an IVF index trained and built on the base corpus only
+    * (vec_id % 10 ≠ 7 — the batch vectors provably never influenced
+    * the quantizer), persisted like [[ensureIvfIndex]]. */
+  private def ensureIvfBaseStore(s: SparkSession, d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val path =
+      s"target/ivf_base_${tag}_c16i2_${fixtureFp(d, "embeddings")}"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path/cells/_SUCCESS")))
+      graft.ml.IvfIndex.save(
+        graft.ml.IvfIndex.build(
+          spread(s, Tables.embeddings(s, d).filter(col("vec_id") % 10 =!= 7)),
+          nCells = 16, lloydIters = 2),
+        path)
+    path
   }
 
   private def ensureIvfIndex(s: SparkSession, d: String): String = {
@@ -2395,6 +2414,168 @@ object TrainingData {
       .orderBy(col("qid"))
   }
 
+  /** X99b: OPQ recall audit — x99 with the parametric OPQ rotation
+    * ([[graft.ml.Opq]]: full-eigenbasis rotation + Ge's eigenvalue
+    * allocation) applied before coding, the standard upgrade wherever
+    * PQ serves (decorrelated, information-balanced subspaces). Same
+    * output contract as x99 (per-query exact-vs-ADC recall@10), with
+    * BOTH sides of the comparison defined in the rotated geometry
+    * (the rotation is orthogonal only up to power-iteration
+    * convergence, and both engines compute the identical
+    * approximation — see [[graft.ml.Opq]]). Scale shape: covariance
+    * moments collapse to a d²-cell driver relation (corpus scanned
+    * once), the d-deep eigensolve + allocation are corpus-size-free
+    * driver arithmetic, the rotation is a row-local fold against
+    * broadcast-literal rows (localCheckpointed once — it feeds train,
+    * encode, queries AND exact ranks), and everything after is x99's
+    * audit verbatim. Like x99 this is a BUILD-path audit (codebook
+    * training included); serving stays with x100's store. EngineSpec
+    * pins OPQ distortion < natural-PQ distortion AND recall ≥ on a
+    * crafted correlated micro-set (near-isotropic fixture data makes
+    * the fixture-side margin noise — the x83 micro-pin precedent). */
+  val x99bOpqRecall: Q = (s, d) => {
+    val (mat, _, _) = graft.ml.Opq.covariance(Tables.embeddings(s, d))
+    val rows = graft.ml.Opq.rotationRows(
+      graft.ml.Opq.eigensolve(mat, mat.length), m = 8, dsub = 8)
+    val emb = spread(s, Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        graft.ml.Opq.rotateCol(col("embedding"), rows).as("embedding"))
+      .localCheckpoint()
+    val cents = graft.ml.PqIndex.trainCodebook(emb)
+    val codes = graft.ml.PqIndex.encode(emb, cents)
+    val nce = codes.as("cd").join(broadcast(cents.as("ct")),
+        col("cd.m") === col("ct.m") && col("cd.code") === col("ct.cid"))
+      .select(col("cd.vec_id").as("nid"), col("cd.m").as("m"),
+        col("ct.ce").as("ce"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val qs = graft.ml.PqIndex.subvectors(queries, 8, 8)
+      .select(col("vec_id").as("qid"), col("m"), col("sub").as("qsub"))
+    val adc = nce.join(broadcast(qs), Seq("m"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("dq", graft.ml.PqIndex.l2q(col("qsub"), col("ce")))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("dq")).as("adc_q"))
+    val ex = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      .crossJoin(broadcast(queries
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        graft.ml.PqIndex.l2q(col("qe"), col("ne")).as("ex_q"))
+    val rf = Window.partitionBy(col("qid")).orderBy(col("ex_q"), col("nid"))
+    val rq = Window.partitionBy(col("qid")).orderBy(col("adc_q"), col("nid"))
+    ex.join(adc, Seq("qid", "nid"))
+      .withColumn("rf", row_number().over(rf))
+      .withColumn("rq", row_number().over(rq))
+      .groupBy(col("qid"))
+      .agg(sum(when(col("rf") <= 10 && col("rq") <= 10, 1L).otherwise(0L))
+        .as("n_match"))
+      .select(col("qid"), col("n_match"),
+        (col("n_match").cast("double") / 10).as("recall_at_10"))
+      .orderBy(col("qid"))
+  }
+
+  /** X109: incremental IVF maintenance audit — the FAISS
+    * train-then-add operating model x60/x92 already prove for
+    * signature stores, applied to the ANN serving index: the
+    * quantizer is trained on the PRE-BATCH base corpus only
+    * ([[ensureIvfBaseStore]], vec_id % 10 ≠ 7), frozen, and the
+    * arriving batch is assigned to existing cells WITHOUT retraining
+    * ([[graft.ml.IvfIndex.append]]'s assignment, run here as the
+    * audited query). Output per cell: base occupancy (read from the
+    * persisted inverted file — ids only, the store's vectors are
+    * never rescanned; plan-asserted), batch adds, post-add share, and
+    * the x75-style balance trigger (cell > 2× uniform share ⇒ the
+    * drift signal that schedules a retrain). Scale shape: ONE scan of
+    * the batch vectors against 16 broadcast centroids + an id-only
+    * scan of the store's cell map, collapsing to |cells| rows; the
+    * whole point of the add path is that its cost scales with the
+    * batch, not the corpus. All-integer counts; shares on the
+    * pure-BIGINT [[intRoundHalfAway]]. */
+  val x109IvfAddBatch: Q = (s, d) => {
+    val path = ensureIvfBaseStore(s, d)
+    val idx = graft.ml.IvfIndex.loadCached(s, path)
+    val batch = Tables.embeddings(s, d).filter(col("vec_id") % 10 === 7)
+    val added = graft.ml.IvfIndex.assign(batch, idx.centroids)
+      .select(col("vec_id"), col("cell"))
+    val baseCnt = idx.cells.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_base"))
+    val addCnt = added.groupBy(col("cell")).agg(count(lit(1)).as("n_add"))
+    val spine = idx.centroids.select(col("cid").as("cell"))
+    val stats = spine
+      .join(baseCnt, Seq("cell"), "left")
+      .join(addCnt, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_add"), lit(0L)).as("n_add"))
+      .withColumn("n_total", col("n_base") + col("n_add"))
+    // |cells| rows from here on: the unpartitioned window is a
+    // 16-row driver-sized total, not a corpus sort
+    val wAll = Window.partitionBy(lit(1))
+    stats
+      .withColumn("tot", sum(col("n_total")).over(wAll))
+      .select(col("cell"), col("n_base"), col("n_add"), col("n_total"),
+        (intRoundHalfAway(col("n_add") * 10000L,
+          greatest(col("n_total"), lit(1L))).cast("double") / 1e4)
+          .as("add_share"),
+        (intRoundHalfAway(col("n_total") * 10000L, col("tot"))
+          .cast("double") / 1e4).as("total_share"),
+        (col("n_total") * 16L > col("tot") * 2L).as("over_2x"))
+      .orderBy(col("cell"))
+  }
+
+  /** X110: incremental IVF-PQ encode audit — the add path for the
+    * COMPRESSED serving store: batch vectors (vec_id % 10 = 7) are
+    * coarse-assigned, residual-encoded, and PQ-coded against the
+    * persisted store's FROZEN codebooks ([[ensureIvfPqStore]] — no
+    * Lloyd step runs here), exactly FAISS IVFPQ `add` after `train`.
+    * Because assignment is row-local given frozen codebooks, the
+    * fresh batch codes are provably identical to what a from-scratch
+    * union build assigns those ids (EngineSpec pins the equivalence
+    * row-for-row against the store's own codes). Output per
+    * (subspace, code): base vs batch code occupancy and their
+    * within-population shares — the code-distribution drift table an
+    * index owner watches (x68's PSI shape one level down): a batch
+    * whose code usage skews signals quantizer staleness before
+    * recall decays. Scale shape: one batch-sized encode against
+    * broadcast codebooks + an id-only scan of the store's codes,
+    * collapsing onto the m·k code grid. */
+  val x110IvfPqAddBatch: Q = (s, d) => {
+    val path = ensureIvfPqStore(s, d)
+    val coarse = s.read.parquet(s"$path/coarse")
+    val pqCents = s.read.parquet(s"$path/pqcents")
+    val storeCodes = s.read.parquet(s"$path/codes")
+    val batch = Tables.embeddings(s, d).filter(col("vec_id") % 10 === 7)
+    val assigned = graft.ml.PqIndex.assign(
+      graft.ml.PqIndex.subvectors(batch, 1, 64), coarse)
+    val resEmb = assigned.as("a").join(broadcast(coarse.as("c")),
+        col("a.m") === col("c.m") && col("a.cell") === col("c.cid"))
+      .select(col("a.vec_id").as("vec_id"),
+        zip_with(col("a.sub"), col("c.ce"),
+          (x, y) => (x.cast("double") - y.cast("double")).cast("float"))
+          .as("embedding"))
+    val newCodes = graft.ml.PqIndex.encode(resEmb, pqCents)
+    val baseCnt = storeCodes.filter(col("vec_id") % 10 =!= 7)
+      .groupBy(col("m"), col("code")).agg(count(lit(1)).as("n_base"))
+    val addCnt = newCodes
+      .groupBy(col("m"), col("code")).agg(count(lit(1)).as("n_add"))
+    val nb = Tables.embeddings(s, d).filter(col("vec_id") % 10 =!= 7)
+      .agg(count(lit(1)).as("tot_base"))
+    val na = Tables.embeddings(s, d).filter(col("vec_id") % 10 === 7)
+      .agg(count(lit(1)).as("tot_add"))
+    pqCents.select(col("m"), col("cid").as("code"))
+      .join(baseCnt, Seq("m", "code"), "left")
+      .join(addCnt, Seq("m", "code"), "left")
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(na))
+      .select(col("m").cast("long").as("m"), col("code").cast("long").as("code"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_add"), lit(0L)).as("n_add"),
+        (intRoundHalfAway(coalesce(col("n_base"), lit(0L)) * 10000L,
+          col("tot_base")).cast("double") / 1e4).as("base_share"),
+        (intRoundHalfAway(coalesce(col("n_add"), lit(0L)) * 10000L,
+          col("tot_add")).cast("double") / 1e4).as("add_share"))
+      .orderBy(col("m"), col("code"))
+  }
+
   /** X100: IVF-PQ composed serving query — the standard
     * billion-vector layout end-to-end: a 16-cell full-width L2 coarse
     * quantizer ([[graft.ml.PqIndex.trainCodebook]] with m=1 — one
@@ -2419,7 +2600,7 @@ object TrainingData {
     * Training cost is measured where it belongs: x13 (coarse Lloyd)
     * and x99 (PQ Lloyd). The oracle retrains everything from scratch,
     * proving the store is bit-identical to a fresh build. */
-  private def ensureIvfPqStore(s: SparkSession, d: String): String = {
+  private[graft] def ensureIvfPqStore(s: SparkSession, d: String): String = {
     val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
     val path = s"target/ivfpq_${tag}_${fixtureFp(d, "embeddings")}"
     if (!java.nio.file.Files.exists(
@@ -3123,47 +3304,11 @@ object TrainingData {
     * on both sides. */
   val x65EmbedWhiten: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val n = emb.count()
-    val sums = emb
-      .select(posexplode(col("embedding")).as(Seq("i", "xi")))
-      .withColumn("qi", round(col("xi").cast("double") * 1e6, 0).cast("long"))
-      .groupBy(col("i")).agg(sum(col("qi")).as("s_"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).map(_._2)
-    val dims = sums.length
-    val pair = emb
-      .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
-      .withColumn("qi", round(col("xi").cast("double") * 1e6, 0).cast("long"))
-      .select(col("i"), col("qi"), posexplode(col("embedding")).as(Seq("j", "xj")))
-      .filter(col("j") >= col("i"))
-      .withColumn("qj", round(col("xj").cast("double") * 1e6, 0).cast("long"))
-      .groupBy(col("i"), col("j")).agg(sum(col("qi") * col("qj")).as("p"))
-      .collect()
-    // driver replica of intRoundHalfAway: sign(s)·((2|s|+n) div (2n))
-    def intRound(sv: Long, nv: Long): Long = {
-      val sign = if (sv < 0) -1L else 1L
-      sign * ((2L * math.abs(sv) + nv) / (2L * nv))
-    }
-    val m = Array.ofDim[Double](dims, dims)
-    pair.foreach { r =>
-      val (i, j, p) = (r.getInt(0), r.getInt(1), r.getLong(2))
-      val c = intRound(n * p - sums(i) * sums(j), n * n * 10000L).toDouble / 1e8
-      m(i)(j) = c; m(j)(i) = c
-    }
-    // x49's 50-round max-abs power iteration + the Rayleigh quotient
-    def topEig(mm: Array[Array[Double]]): (Array[Double], Double) = {
-      var v = Array.fill(dims)(1.0)
-      for (_ <- 0 until 50) {
-        val w = Array.tabulate(dims)(i => mm(i).zip(v).map { case (a, b) => a * b }.sum)
-        val mx = w.map(math.abs).max
-        v = w.map(_ / mx)
-      }
-      val u = { val s2 = v.map(x => x * x).sum; v.map(_ / math.sqrt(s2)) }
-      val w = Array.tabulate(dims)(i => mm(i).zip(u).map { case (a, b) => a * b }.sum)
-      (u, u.zip(w).map { case (a, b) => a * b }.sum)
-    }
-    val (u1, lam1) = topEig(m)
-    val m2 = Array.tabulate(dims, dims)((i, j) => m(i)(j) - lam1 * u1(i) * u1(j))
-    val (u2, lam2) = topEig(m2)
+    // moments + eigensolve machinery shared with [[graft.ml.Opq]]
+    // (x99b) — identical arithmetic, one implementation
+    val (m, sums, n) = graft.ml.Opq.covariance(emb)
+    val (u1, lam1) = graft.ml.Opq.topEig(m)
+    val (u2, lam2) = graft.ml.Opq.topEig(graft.ml.Opq.deflate(m, u1, lam1))
     def mdot(u: Array[Double]): Double =
       sums.zip(u).map { case (a, b) => a.toDouble * b }.sum / (n.toDouble * 1e6)
     def score(u: Array[Double], md: Double, lam: Double): Column =
@@ -3960,7 +4105,65 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** X111: cross-modal alignment scoring — the pairing-QUALITY filter
+    * real multimodal curation runs (CLIP-score thresholding: LAION
+    * keeps image-text pairs whose embedding cosine clears a cut).
+    * x104 audits that a doc HAS a paired vector; this scores how well
+    * the pair agrees: cosine between a 64-dim hashed bag-of-words
+    * text vector (md5-bucket TF — the x102 bucket contract at
+    * embedding width) and the doc's paired embedding, swept over a
+    * threshold grid per source (x105's one-pass curve shape — the
+    * whole policy table from ONE scoring pass). Shape: one documents
+    * scan → (doc, bucket) TF aggregation (map-side combinable, ≤64
+    * rows/doc); embeddings exploded once and joined on
+    * (id, bucket) — the sparse dot never replicates full vectors per
+    * token row; norms are a BIGINT sum (text side) and a row-local
+    * ordered fold (vector side). Determinism: every per-doc sum is
+    * an order-free BIGINT of 1e6-quantized products (groupBy double
+    * sums are partition-order-dependent — the x39 recipe); the final
+    * cosine is one identical double chain both engines run on those
+    * integers. Docs with no tokens or no paired vector drop (inner
+    * semantics, documented). */
+  val x111AlignmentScore: Q = (s, d) => {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(wsTokens(lower(col("text")))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("source"),
+        pmod(graft.dedup.NearDup.md5Hash32(col("w")), lit(64L)).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val nt2 = tf.groupBy(col("doc_id"))
+      .agg(sum(col("cnt") * col("cnt")).as("nt2"))
+    val ee = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "e")))
+    val dot = tf.join(ee,
+        tf("doc_id") === ee("vec_id") && tf("bucket") === ee("pos").cast("long"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(round(col("cnt").cast("double") * col("e").cast("double") * 1e6, 0)
+        .cast("long")).as("dotq"))
+    val ne2 = Tables.embeddings(s, d).select(col("vec_id").as("doc_id"),
+      aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")).as("ne2"))
+    val scored = dot.join(nt2, Seq("doc_id")).join(ne2, Seq("doc_id"))
+      .select(col("source"),
+        round((col("dotq").cast("double") / 1e6) /
+          (sqrt(col("nt2").cast("double")) * sqrt(col("ne2"))), 6).as("cos"))
+    scored
+      .select(col("source"), col("cos"),
+        explode(array(lit(-5), lit(-2), lit(0), lit(2), lit(5))).as("t100"))
+      .groupBy(col("source"), col("t100"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("cos") > col("t100").cast("double") / 100, 1L)
+          .otherwise(0L)).as("n_pass"))
+      .select(col("source"), (col("t100").cast("double") / 100).as("threshold"),
+        col("n_pairs"), col("n_pass"),
+        (intRoundHalfAway(col("n_pass") * 10000L, col("n_pairs"))
+          .cast("double") / 1e4).as("pass_rate"))
+      .orderBy(col("source"), col("threshold"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x111_alignment_score" -> x111AlignmentScore,
     "x106_bpe_train" -> x106BpeTrain,
     "x107_bpe_segment" -> x107BpeSegment,
     "x112_firstocc_dedup" -> x112FirstOccDedup,
@@ -3994,7 +4197,10 @@ object TrainingData {
     "x97_canon_decontaminate" -> x97CanonDecontaminate,
     "x98_staged_dedup" -> x98StagedDedup,
     "x99_pq_recall" -> x99PqRecall,
+    "x99b_opq_recall" -> x99bOpqRecall,
     "x100_ivfpq_query" -> x100IvfPqQuery,
+    "x109_ivf_addbatch" -> x109IvfAddBatch,
+    "x110_ivfpq_addbatch" -> x110IvfPqAddBatch,
     "x101_pq_health" -> x101PqHealth,
     "x102_cms_heavyhitters" -> x102CmsHeavyHitters,
     "x103_span_corruption" -> x103SpanCorruption,
@@ -4406,6 +4612,296 @@ object TrainingData {
       ORDER BY s.source, s.doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "x111_alignment_score" -> s"""
+      WITH tf AS (
+        SELECT doc_id, source, (${md5Hash32Sql("w")}) % 64 AS bucket,
+          CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT doc_id, source,
+            unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+          FROM documents)
+        WHERE w <> '' GROUP BY 1, 2, 3),
+      nt2 AS (SELECT doc_id, CAST(SUM(cnt * cnt) AS BIGINT) AS nt2
+        FROM tf GROUP BY doc_id),
+      ee AS (SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+          unnest(embedding) AS e
+        FROM embeddings),
+      dot AS (SELECT tf.doc_id, tf.source,
+          CAST(SUM(CAST(ROUND(CAST(cnt AS DOUBLE) * CAST(e AS DOUBLE) * 1e6, 0)
+            AS BIGINT)) AS BIGINT) AS dotq
+        FROM tf JOIN ee ON ee.vec_id = tf.doc_id AND ee.pos = tf.bucket
+        GROUP BY 1, 2),
+      ne2 AS (SELECT vec_id AS doc_id,
+          list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS ne2
+        FROM embeddings),
+      scored AS (SELECT dot.doc_id, dot.source,
+          ROUND((CAST(dotq AS DOUBLE) / 1e6)
+            / (sqrt(CAST(nt2.nt2 AS DOUBLE)) * sqrt(ne2.ne2)), 6) AS cos
+        FROM dot JOIN nt2 USING (doc_id) JOIN ne2 USING (doc_id))
+      SELECT source, CAST(t100 AS DOUBLE) / 100 AS threshold,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(CASE WHEN cos > CAST(t100 AS DOUBLE) / 100
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        CAST(((2 * SUM(CASE WHEN cos > CAST(t100 AS DOUBLE) / 100
+            THEN 1 ELSE 0 END) * 10000 + COUNT(*))
+          // (2 * COUNT(*))) AS DOUBLE) / 1e4 AS pass_rate
+      FROM scored, unnest([-5, -2, 0, 2, 5]) AS t(t100)
+      GROUP BY source, t100 ORDER BY source, threshold""",
+    "x109_ivf_addbatch" -> {
+      // base-trained Lloyd (the ivfAssignedCtes recipe with the
+      // pre-batch corpus as source and ORDER BY/LIMIT seeds — base
+      // ids are not dense from 0), then frozen-quantizer assignment
+      // of the batch and the per-cell growth/balance table.
+      def assignSql(src: String, cents: String, out: String) = s"""
+      $out AS (SELECT vec_id, embedding, cid AS cell FROM (
+          SELECT e.vec_id, e.embedding, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ROUND(${cosSql("e.embedding", "c.ce")}, 6) DESC, c.cid)
+              AS rk
+          FROM $src e, $cents c) WHERE rk = 1)"""
+      def centSql(assign: String, out: String) = s"""
+      $out AS (SELECT cell AS cid,
+          list(CAST(CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * 16777216)
+            AS FLOAT) ORDER BY pos) AS ce
+        FROM (
+          SELECT cell, i AS pos,
+            CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 16777216)
+              AS BIGINT)) AS BIGINT) AS sv,
+            COUNT(*) AS n
+          FROM $assign, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+          GROUP BY cell, i)
+        GROUP BY cell)"""
+      s"""WITH base AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 7),
+      batch AS (SELECT * FROM embeddings WHERE vec_id % 10 = 7),
+      cent0 AS (SELECT vec_id AS cid, embedding AS ce FROM base
+        ORDER BY vec_id LIMIT 16),
+      ${assignSql("base", "cent0", "assign0")},
+      ${centSql("assign0", "cent1")},
+      ${assignSql("base", "cent1", "assign1")},
+      ${centSql("assign1", "cent2")},
+      ${assignSql("base", "cent2", "basecells")},
+      ${assignSql("batch", "cent2", "addcells")},
+      bc AS (SELECT cell, COUNT(*) AS n_base FROM basecells GROUP BY cell),
+      ac AS (SELECT cell, COUNT(*) AS n_add FROM addcells GROUP BY cell),
+      st AS (SELECT c.cid AS cell,
+          COALESCE(bc.n_base, 0) AS n_base,
+          COALESCE(ac.n_add, 0) AS n_add,
+          COALESCE(bc.n_base, 0) + COALESCE(ac.n_add, 0) AS n_total
+        FROM cent2 c
+        LEFT JOIN bc ON bc.cell = c.cid
+        LEFT JOIN ac ON ac.cell = c.cid),
+      tt AS (SELECT SUM(n_total) AS tot FROM st)
+      SELECT cell, CAST(n_base AS BIGINT) AS n_base,
+        CAST(n_add AS BIGINT) AS n_add,
+        CAST(n_total AS BIGINT) AS n_total,
+        CAST(((2 * n_add * 10000 + GREATEST(n_total, 1))
+          // (2 * GREATEST(n_total, 1))) AS DOUBLE) / 1e4 AS add_share,
+        CAST(((2 * n_total * 10000 + tot) // (2 * tot)) AS DOUBLE) / 1e4
+          AS total_share,
+        n_total * 16 > tot * 2 AS over_2x
+      FROM st, tt ORDER BY cell"""
+    },
+    "x110_ivfpq_addbatch" -> s"""
+      WITH f AS (SELECT vec_id, 0 AS m, embedding AS sub FROM embeddings),
+      c0f AS (SELECT m, CAST(vec_id AS INT) AS cid, sub AS ce
+        FROM f WHERE vec_id < 16),
+      ${pqAssignSql("f", "c0f", "a0f")},
+      ${pqCentSql("a0f", "c1f")},
+      ${pqAssignSql("f", "c1f", "a1f")},
+      ${pqCentSql("a1f", "c2f")},
+      ${pqAssignSql("f", "c2f", "af")},
+      res AS (SELECT a.vec_id, a.cell,
+          list_transform(list_zip(a.sub, c.ce),
+            p -> CAST(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) AS FLOAT))
+            AS r
+        FROM af a JOIN c2f c ON c.m = a.m AND c.cid = a.cell),
+      rsub AS (SELECT vec_id, m, list_slice(r, m * 8 + 1, m * 8 + 8) AS sub
+        FROM res, UNNEST(range(0, 8)) AS t(m)),
+      c0 AS (SELECT m, CAST(vec_id AS INT) AS cid, sub AS ce
+        FROM rsub WHERE vec_id < 16),
+      ${pqAssignSql("rsub", "c0", "a0")},
+      ${pqCentSql("a0", "c1")},
+      ${pqAssignSql("rsub", "c1", "a1")},
+      ${pqCentSql("a1", "c2")},
+      ${pqAssignSql("rsub", "c2", "codes")},
+      tb AS (SELECT COUNT(*) AS tot_base FROM embeddings
+        WHERE vec_id % 10 <> 7),
+      ta AS (SELECT COUNT(*) AS tot_add FROM embeddings
+        WHERE vec_id % 10 = 7),
+      bc AS (SELECT m, cell AS code, COUNT(*) AS n_base FROM codes
+        WHERE vec_id % 10 <> 7 GROUP BY 1, 2),
+      ac AS (SELECT m, cell AS code, COUNT(*) AS n_add FROM codes
+        WHERE vec_id % 10 = 7 GROUP BY 1, 2)
+      SELECT CAST(c.m AS BIGINT) AS m, CAST(c.cid AS BIGINT) AS code,
+        CAST(COALESCE(bc.n_base, 0) AS BIGINT) AS n_base,
+        CAST(COALESCE(ac.n_add, 0) AS BIGINT) AS n_add,
+        CAST(((2 * COALESCE(bc.n_base, 0) * 10000 + tb.tot_base)
+          // (2 * tb.tot_base)) AS DOUBLE) / 1e4 AS base_share,
+        CAST(((2 * COALESCE(ac.n_add, 0) * 10000 + ta.tot_add)
+          // (2 * ta.tot_add)) AS DOUBLE) / 1e4 AS add_share
+      FROM c2 c
+      LEFT JOIN bc ON bc.m = c.m AND bc.code = c.cid
+      LEFT JOIN ac ON ac.m = c.m AND ac.code = c.cid
+      CROSS JOIN tb CROSS JOIN ta
+      ORDER BY m, code""",
+    "x99b_opq_recall" -> {
+      // x65's covariance CTEs (mat0) → 64 unrolled power-iteration +
+      // deflation blocks (bit-exact vs the driver replica — prototype-
+      // verified over all 4160 values) → eigenvalue-allocation
+      // recursion → rotation → x99's Lloyd/encode/ADC machinery on the
+      // rotated vectors. MATERIALIZED throughout keeps the chain
+      // linear (the inline-expansion guard).
+      val eig = new StringBuilder
+      for (c <- 0 until 64) eig ++= s""",
+      it$c(k, v) AS (
+        SELECT 0, list_transform(m[1], x -> CAST(1.0 AS DOUBLE)) FROM mat$c
+        UNION ALL
+        SELECT k + 1, list_transform(w, x ->
+            x / list_max(list_transform(w, y -> abs(y))))
+        FROM (SELECT k, list_transform(range(1, len(m) + 1), i ->
+            list_sum(list_transform(list_zip(m[i], v), p -> p[1] * p[2]))) AS w
+          FROM it$c, mat$c WHERE k < 50)),
+      uvec$c AS MATERIALIZED (SELECT list_transform(v, x ->
+          x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+        FROM it$c WHERE k = 50),
+      lamt$c AS MATERIALIZED (SELECT
+          list_sum(list_transform(list_zip(u, w), p -> p[1] * p[2])) AS lam
+        FROM (SELECT u, list_transform(range(1, len(m) + 1), i ->
+            list_sum(list_transform(list_zip(m[i], u), p -> p[1] * p[2]))) AS w
+          FROM uvec$c, mat$c)),
+      mat${c + 1} AS MATERIALIZED (
+        SELECT list_transform(range(1, len(m) + 1), i ->
+            list_transform(range(1, len(m) + 1), j ->
+              m[i][j] - lam * u[i] * u[j])) AS m
+        FROM mat$c, uvec$c, lamt$c)"""
+      val lamUnion = (0 until 64).map(c =>
+        s"SELECT $c AS c, (SELECT lam FROM lamt$c) AS lam FROM uvec$c")
+        .mkString(" UNION ALL ")
+      val uUnion = (0 until 64).map(c => s"SELECT $c AS c, u FROM uvec$c")
+        .mkString(" UNION ALL ")
+      def matAssign(sub: String, cents: String, out: String) = s"""
+      $out AS MATERIALIZED (SELECT vec_id, m, cell, sub FROM (
+        SELECT s.vec_id, s.m, c.cid AS cell, s.sub,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+            ORDER BY CAST(ROUND(${pqL2Sql("s.sub", "c.ce")} * 1e6, 0) AS BIGINT),
+              c.cid) AS rk
+        FROM $sub s JOIN $cents c ON c.m = s.m) WHERE rk = 1)"""
+      def matCent(assigned: String, out: String) = s"""
+      $out AS MATERIALIZED (SELECT m, cell AS cid,
+        list(CAST(CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * 16777216)
+          AS FLOAT) ORDER BY pos) AS ce
+      FROM (
+        SELECT m, cell, i AS pos,
+          CAST(SUM(CAST(FLOOR(CAST(sub[i] AS DOUBLE) * 16777216)
+            AS BIGINT)) AS BIGINT) AS sv,
+          COUNT(*) AS n
+        FROM $assigned, UNNEST(range(1, len(sub) + 1)) AS t(i)
+        GROUP BY m, cell, i)
+      GROUP BY m, cell)"""
+      s"""WITH RECURSIVE d1 AS (SELECT vec_id, embedding,
+          unnest(range(0, len(embedding))) AS i,
+          unnest(embedding) AS xi
+        FROM embeddings),
+      q1 AS (SELECT vec_id, embedding, i,
+          CAST(ROUND(CAST(xi AS DOUBLE) * 1e6, 0) AS BIGINT) AS qi FROM d1),
+      d2 AS (SELECT i, qi,
+          unnest(range(0, len(embedding))) AS j,
+          unnest(embedding) AS xj
+        FROM q1),
+      p2 AS (SELECT i, j, qi,
+          CAST(ROUND(CAST(xj AS DOUBLE) * 1e6, 0) AS BIGINT) AS qj
+        FROM d2 WHERE j >= i),
+      cells AS MATERIALIZED (SELECT i, j, CAST(SUM(qi * qj) AS BIGINT) AS p,
+          CAST(SUM(CASE WHEN j = i THEN qi END) AS BIGINT) AS s_diag
+        FROM p2 GROUP BY i, j),
+      nn AS (SELECT COUNT(*) AS n FROM embeddings),
+      sums AS (SELECT i AS d_, s_diag AS s_ FROM cells WHERE j = i),
+      covq AS (SELECT cells.i, cells.j,
+          CAST((CASE WHEN nn.n * p - si.s_ * sj.s_ < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(nn.n * p - si.s_ * sj.s_) + nn.n * nn.n * 10000)
+              // (2 * (nn.n * nn.n * 10000))) AS DOUBLE) / 1e8 AS cov
+        FROM cells
+        JOIN sums si ON si.d_ = cells.i
+        JOIN sums sj ON sj.d_ = cells.j
+        CROSS JOIN nn),
+      full_m AS (SELECT i, j, cov FROM covq
+        UNION ALL SELECT j AS i, i AS j, cov FROM covq WHERE i < j),
+      rows_m AS (SELECT i, list(cov ORDER BY j) AS r FROM full_m GROUP BY i),
+      mat0 AS MATERIALIZED (SELECT list(r ORDER BY i) AS m FROM rows_m)
+      $eig,
+      lams AS MATERIALIZED ($lamUnion),
+      ulist AS MATERIALIZED ($uUnion),
+      es AS MATERIALIZED (SELECT
+        list(STRUCT_PACK(e := c, lam := lam) ORDER BY lam DESC, c) AS es
+        FROM lams),
+      alloc(k, asg, prods, cnts) AS (
+        SELECT 0, CAST([] AS BIGINT[]),
+          CAST([1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0] AS DOUBLE[]),
+          CAST([0, 0, 0, 0, 0, 0, 0, 0] AS BIGINT[])
+        UNION ALL
+        SELECT k + 1,
+          list_append(asg, g),
+          list_transform(range(1, 9), i ->
+            CASE WHEN i = g THEN prods[i] * es[k + 1].lam ELSE prods[i] END),
+          list_transform(range(1, 9), i ->
+            CASE WHEN i = g THEN cnts[i] + 1 ELSE cnts[i] END)
+        FROM (
+          SELECT k, asg, prods, cnts, es,
+            list_position(elig, list_min(elig)) AS g
+          FROM (SELECT k, asg, prods, cnts, es,
+              list_transform(range(1, 9), i ->
+                CASE WHEN cnts[i] < 8 THEN prods[i] END) AS elig
+            FROM alloc, es WHERE k < 64))),
+      af AS MATERIALIZED (SELECT asg FROM alloc WHERE k = 64),
+      rotmap AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY b, r) AS o, e FROM (
+          SELECT r, asg[r] AS b, es[r].e AS e
+          FROM af, es, unnest(range(1, 65)) AS t(r))),
+      rot AS MATERIALIZED (SELECT o, u
+        FROM rotmap JOIN ulist ON ulist.c = rotmap.e),
+      re AS MATERIALIZED (
+        SELECT e.vec_id,
+          list(list_sum(list_transform(list_zip(e.embedding, rot.u),
+            p -> CAST(p[1] AS DOUBLE) * p[2])) ORDER BY rot.o) AS embedding
+        FROM embeddings e CROSS JOIN rot GROUP BY e.vec_id),
+      sub AS MATERIALIZED (SELECT vec_id, m,
+          list_slice(embedding, m * 8 + 1, m * 8 + 8) AS sub
+        FROM re, UNNEST(range(0, 8)) AS t(m)),
+      c0 AS (SELECT m, CAST(vec_id AS INT) AS cid, sub AS ce
+        FROM sub WHERE vec_id < 16),
+      ${matAssign("sub", "c0", "a0")},
+      ${matCent("a0", "c1")},
+      ${matAssign("sub", "c1", "a1")},
+      ${matCent("a1", "c2")},
+      ${matAssign("sub", "c2", "codes")},
+      qs AS (SELECT vec_id AS qid, m, sub AS qsub FROM sub WHERE vec_id < 5),
+      nce AS (SELECT k.vec_id AS nid, k.m, c.ce
+        FROM codes k JOIN c2 c ON c.m = k.m AND c.cid = k.cell),
+      adc AS (
+        SELECT q.qid, n.nid,
+          CAST(SUM(CAST(ROUND(${pqL2Sql("q.qsub", "n.ce")} * 1e6, 0) AS BIGINT))
+            AS BIGINT) AS adc_q
+        FROM qs q JOIN nce n ON n.m = q.m
+        WHERE n.nid <> q.qid GROUP BY q.qid, n.nid),
+      ex AS (
+        SELECT q.vec_id AS qid, e.vec_id AS nid,
+          CAST(ROUND(${pqL2Sql("q.embedding", "e.embedding")} * 1e6, 0) AS BIGINT)
+            AS ex_q
+        FROM re q, re e
+        WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+      r AS (SELECT ex.qid, ex.nid,
+          ROW_NUMBER() OVER (PARTITION BY ex.qid
+            ORDER BY ex.ex_q, ex.nid) AS rf,
+          ROW_NUMBER() OVER (PARTITION BY ex.qid
+            ORDER BY adc.adc_q, ex.nid) AS rq
+        FROM ex JOIN adc USING (qid, nid))
+      SELECT qid,
+        CAST(SUM(CASE WHEN rf <= 10 AND rq <= 10 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_match,
+        CAST(SUM(CASE WHEN rf <= 10 AND rq <= 10 THEN 1 ELSE 0 END)
+          AS DOUBLE) / 10 AS recall_at_10
+      FROM r GROUP BY qid ORDER BY qid"""
+    },
     "x106_bpe_train" -> {
       val union = (1 to bpeK).map(k =>
         s"""SELECT CAST($k AS BIGINT) AS step, a AS lhs, b AS rhs,

@@ -1616,6 +1616,129 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("x99b OPQ: allocation beats natural PQ on crafted correlated data") {
+    import spark.implicits._
+    import graft.ml.{Opq, PqIndex}
+    // 40 vectors, d=16: dims 0-7 carry ±1 signal, dims 8-15 ~0.01
+    // noise — natural order stacks ALL the variance into subspace 0,
+    // which a k=4 codebook cannot absorb; eigenvalue allocation
+    // splits the 8 strong directions 4/4 across the two subspaces.
+    def h(i: Int, j: Int): Long = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$i:$j").take(8), 16)
+    val vecs = (0 until 40).map { i =>
+      (i.toLong,
+        ((0 until 8).map(j => if (h(i, j) % 2 == 0) 1.0 else -1.0) ++
+          (8 until 16).map(j => ((h(i, j) % 100) - 50) / 5000.0)).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    def distortion(e: org.apache.spark.sql.DataFrame): Long = {
+      val cents = PqIndex.trainCodebook(e, m = 2, dsub = 8, k = 4)
+      PqIndex.subvectors(e, 2, 8)
+        .join(broadcast(cents), Seq("m"))
+        .withColumn("dq", PqIndex.l2q(col("sub"), col("ce")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(col("dq")).as("best"))
+        .agg(sum(col("best"))).collect()(0).getLong(0)
+    }
+    def recallSum(e: org.apache.spark.sql.DataFrame): Long = {
+      val cents = PqIndex.trainCodebook(e, m = 2, dsub = 8, k = 4)
+      val codes = PqIndex.encode(e, cents, m = 2, dsub = 8)
+      val nce = codes.as("cd").join(broadcast(cents.as("ct")),
+          col("cd.m") === col("ct.m") && col("cd.code") === col("ct.cid"))
+        .select(col("cd.vec_id").as("nid"), col("cd.m").as("m"),
+          col("ct.ce").as("ce"))
+      val qs = PqIndex.subvectors(e.filter(col("vec_id") < 5), 2, 8)
+        .select(col("vec_id").as("qid"), col("m"), col("sub").as("qsub"))
+      val adc = nce.join(broadcast(qs), Seq("m"))
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("dq", PqIndex.l2q(col("qsub"), col("ce")))
+        .groupBy(col("qid"), col("nid")).agg(sum(col("dq")).as("adc_q"))
+      val ex = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        .crossJoin(broadcast(e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))))
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"), PqIndex.l2q(col("qe"), col("ne")).as("ex_q"))
+      import org.apache.spark.sql.expressions.Window
+      val rf = Window.partitionBy(col("qid")).orderBy(col("ex_q"), col("nid"))
+      val rq = Window.partitionBy(col("qid")).orderBy(col("adc_q"), col("nid"))
+      ex.join(adc, Seq("qid", "nid"))
+        .withColumn("rf", row_number().over(rf))
+        .withColumn("rq", row_number().over(rq))
+        .filter(col("rf") <= 10 && col("rq") <= 10)
+        .count()
+    }
+    val (mat, _, _) = Opq.covariance(df)
+    val rows = Opq.rotationRows(Opq.eigensolve(mat, 16), m = 2, dsub = 8)
+    val rot = df.select(col("vec_id"),
+      Opq.rotateCol(col("embedding"), rows).as("embedding")).localCheckpoint()
+    // rotation preserves the signal: 8 large eigenvalues land 4/4
+    val dPq = distortion(df); val dOpq = distortion(rot)
+    assert(dOpq < dPq, s"distortion: OPQ $dOpq should beat PQ $dPq")
+    val rPq = recallSum(df); val rOpq = recallSum(rot)
+    assert(rOpq >= rPq, s"recall: OPQ $rOpq should be >= PQ $rPq")
+  }
+
+  test("x109 frozen-quantizer add: union assignment ≡ base ∪ batch") {
+    import graft.ml.IvfIndex
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") % 10 =!= 7)
+    val batch = emb.filter(col("vec_id") % 10 === 7)
+    val idx = IvfIndex.build(base, nCells = 16, lloydIters = 2)
+    def asg(df: org.apache.spark.sql.DataFrame) =
+      IvfIndex.assign(df, idx.centroids).select(col("vec_id"), col("cell"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // assignment is row-local under a frozen quantizer: adding the
+    // batch neither moves base cells nor depends on arrival grouping
+    assert(asg(emb) == asg(base) ++ asg(batch))
+    // and the store's own inverted file IS the base assignment
+    assert(idx.cells.select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == asg(base))
+  }
+
+  test("x110 frozen-codebook add: fresh batch codes ≡ the store's codes") {
+    import graft.ml.PqIndex
+    val p = TrainingData.ensureIvfPqStore(spark, sf)
+    val coarse = spark.read.parquet(s"$p/coarse")
+    val pqc = spark.read.parquet(s"$p/pqcents")
+    val batch = Tables.embeddings(spark, sf).filter(col("vec_id") % 10 === 7)
+    val assigned = PqIndex.assign(PqIndex.subvectors(batch, 1, 64), coarse)
+    val resEmb = assigned.as("a").join(broadcast(coarse.as("c")),
+        col("a.m") === col("c.m") && col("a.cell") === col("c.cid"))
+      .select(col("a.vec_id").as("vec_id"),
+        zip_with(col("a.sub"), col("c.ce"),
+          (x, y) => (x.cast("double") - y.cast("double")).cast("float"))
+          .as("embedding"))
+    val fresh = PqIndex.encode(resEmb, pqc)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val stored = spark.read.parquet(s"$p/codes")
+      .filter(col("vec_id") % 10 === 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(fresh.nonEmpty && fresh == stored)
+  }
+
+  test("x111 alignment sweep: one curve per source, monotone, x104-consistent") {
+    val rows = TrainingData.defs("x111_alignment_score")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val x104 = TrainingData.defs("x104_pairing_audit")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, curve) =>
+      val byT = curve.sortBy(_._2)
+      assert(byT.map(_._2).toSeq == Seq(-0.05, -0.02, 0.0, 0.02, 0.05))
+      // n_pairs is threshold-independent; n_pass decays as the cut rises
+      assert(byT.map(_._3).distinct.length == 1, s"$src n_pairs varies")
+      byT.zip(byT.tail).foreach { case (a, b) =>
+        assert(a._4 >= b._4, s"$src pass count must be monotone")
+      }
+      byT.foreach { case (_, _, np, ps, rate) =>
+        assert(ps >= 0 && ps <= np && rate >= 0.0 && rate <= 1.0)
+      }
+      // scored pairs are a subset of the docs x104 counts for the source
+      assert(byT.head._3 <= x104(src), s"$src pairs exceed doc count")
+    }
+  }
+
   test("x112 first-occurrence survivor on a crafted duplicate pair") {
     import spark.implicits._
     // banner = 13 tokens, so with 3 pad tokens the 8-token windows

@@ -374,6 +374,31 @@ class PlansSpec extends AnyFunSuite {
       s"x80 should scan documents exactly once:\n$plan")
   }
 
+  test("x109 add path never rescans the store's vectors") {
+    // the incremental contract: the only embedding read is the BATCH
+    // scan of the base table; the persisted store contributes its
+    // 16-row centroids and an id-only cell-map scan (column-pruned —
+    // no `embedding` in any store ReadSchema)
+    val q = graft.queries.TrainingData.defs("x109_ivf_addbatch")(spark, sf)
+    q.count()
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        leaves(a.executedPlan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(leaves) ++
+        other.subqueries.flatMap(leaves)
+    }
+    val cellScans = leaves(q.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(p =>
+        p.toString.contains("ivf_base") && p.toString.contains("cells")))
+    assert(cellScans.nonEmpty, "expected a store cell-map scan")
+    cellScans.foreach { f =>
+      assert(!f.requiredSchema.fieldNames.contains("embedding"),
+        s"store vectors rescanned:\n$f")
+    }
+  }
+
   test("x98 staged dedup reads labels only — no shingles, no pair join, no CC") {
     // the x32b contract applied to the dedup family: the read path
     // must be a labels-parquet scan + family window + sort — if any
