@@ -1739,6 +1739,55 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("x108 classifier trainer: crafted separable set and corpus gate") {
+    import spark.implicits._
+    // crafted micro-set: class 1 fires feature 0, class 0 fires
+    // feature 1, bias at 2 — GD must find w0 > 0 > w1 and separate
+    val rows =
+      (0 until 5).flatMap(i => Seq((i.toLong, 1L, 0L, 1.0), (i.toLong, 1L, 2L, 1.0))) ++
+      (5 until 10).flatMap(i => Seq((i.toLong, 0L, 1L, 1.0), (i.toLong, 0L, 2L, 1.0)))
+    val tf = rows.toDF("doc_id", "y", "bucket", "x")
+    val w = TrainingData.trainQualityClf(tf, 10, dFeat = 3)
+    assert(w(0) > 0 && w(1) < 0, s"signs: ${w.toSeq}")
+    assert(w(0) > w(2) && w(2) > w(1), s"bias between: ${w.toSeq}")
+    // every crafted doc classified correctly by the learned model
+    assert(w(0) + w(2) > 0 && w(1) + w(2) <= 0)
+    // corpus: the distilled model must beat the majority base rate
+    val (ctf, n) = TrainingData.qualityClfTf(spark, sf)
+    val cw = TrainingData.trainQualityClf(ctf, n)
+    val byDoc = ctf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val acc = byDoc.count { case (_, feats) =>
+      val z = feats.map(f => cw(f._3.toInt) * f._4).sum
+      (z > 0) == (feats.head._2 == 1L)
+    }
+    val base = math.max(byDoc.count(_._2.head._2 == 1L),
+      byDoc.count(_._2.head._2 == 0L))
+    assert(acc > base, s"accuracy $acc must beat base $base of ${byDoc.size}")
+  }
+
+  test("x113 CCNet buckets: per-lang terciles, ordered by perplexity") {
+    val rows = TrainingData.defs("x113_ppl_buckets")(spark, sf)
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, docs) =>
+      val n = docs.length
+      val by = docs.groupBy(_._3).view.mapValues(_.map(_._2).toSeq).toMap
+      // every bucket's worst head ppl ≤ best middle ≤ best tail
+      for (h <- by.get("head"); m <- by.get("middle"))
+        assert(h.max <= m.min, s"$lang head/middle overlap")
+      for (m <- by.get("middle"); t <- by.get("tail"))
+        assert(m.max <= t.min, s"$lang middle/tail overlap")
+      // nearest-rank terciles: head holds at least ⌈n/3⌉ docs (ties
+      // can grow a bucket, never shrink the cumulative thirds)
+      val nh = by.getOrElse("head", Seq.empty[Double]).size
+      val nm = by.getOrElse("middle", Seq.empty[Double]).size
+      assert(nh * 3 >= n, s"$lang head $nh of $n")
+      assert((nh + nm) * 3 >= 2 * n, s"$lang head+middle of $n")
+    }
+  }
+
   test("x112 first-occurrence survivor on a crafted duplicate pair") {
     import spark.implicits._
     // banner = 13 tokens, so with 3 pad tokens the 8-token windows
