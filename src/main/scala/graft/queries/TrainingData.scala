@@ -510,7 +510,55 @@ object TrainingData {
     ensureIvfIndex(s, d); ensureSigStore(s, d); ensureCuratedStaged(s, d)
     ensureDHashStore(s, d); ensureDedupLabels(s, d); ensureIvfPqStore(s, d)
     ensureIvfBaseStore(s, d); ensurePlantedFixtures(s, d)
+    ensureOpqPqStore(s, d)
     ()
+  }
+
+  /** The OPQ-rotated serving store (x114): [[graft.ml.Opq]]'s
+    * parametric rotation applied to the corpus, then EXACTLY the
+    * [[ensureIvfPqStore]] pipeline on the rotated vectors — coarse
+    * 16-cell L2 quantizer, residual 8×16 product codebook, codes and
+    * cell map — plus the rotation matrix itself (serving must rotate
+    * incoming queries with the SAME matrix the corpus was coded
+    * under). This is the composition Ge et al. describe as the
+    * production layout: OPQ is a drop-in pre-rotation for IVF-PQ. */
+  private[graft] def ensureOpqPqStore(s: SparkSession, d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"target/opqpq_${tag}_${fixtureFp(d, "embeddings")}"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path/codes/_SUCCESS"))) {
+      val (mat, _, _) = graft.ml.Opq.covariance(Tables.embeddings(s, d))
+      val rows = graft.ml.Opq.rotationRows(
+        graft.ml.Opq.eigensolve(mat, mat.length), m = 8, dsub = 8)
+      val emb = spread(s, Tables.embeddings(s, d))
+        .select(col("vec_id"),
+          graft.ml.Opq.rotateCol(col("embedding"), rows).as("embedding"))
+        .localCheckpoint()
+      val coarse = graft.ml.PqIndex.trainCodebook(emb, m = 1, dsub = 64)
+      val assigned = graft.ml.PqIndex.assign(
+        graft.ml.PqIndex.subvectors(emb, 1, 64), coarse)
+      val resEmb = assigned.as("a").join(broadcast(coarse.as("c")),
+          col("a.m") === col("c.m") && col("a.cell") === col("c.cid"))
+        .select(col("a.vec_id").as("vec_id"), col("a.cell").as("cell"),
+          zip_with(col("a.sub"), col("c.ce"),
+            (x, y) => (x.cast("double") - y.cast("double")).cast("float"))
+            .as("embedding"))
+        .localCheckpoint()
+      val pqCents = graft.ml.PqIndex.trainCodebook(
+        resEmb.select(col("vec_id"), col("embedding")))
+      val codes = graft.ml.PqIndex.encode(
+        resEmb.select(col("vec_id"), col("embedding")), pqCents)
+      s.createDataFrame(rows.toSeq.zipWithIndex.map { case (u, o) =>
+          (o.toLong + 1L, u.toSeq) })
+        .toDF("o", "u")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/rot")
+      coarse.coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+      pqCents.coalesce(1).write.mode("overwrite").parquet(s"$path/pqcents")
+      codes.write.mode("overwrite").parquet(s"$path/codes")
+      resEmb.select(col("vec_id"), col("cell")).write.mode("overwrite")
+        .parquet(s"$path/cells")
+    }
+    path
   }
 
   /** Stage the synthetic failure-mode fixtures that rounds ≤8 planted
@@ -2709,6 +2757,63 @@ object TrainingData {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** X114: OPQ-composed serving query — x100's IVF-PQ serving stack
+    * run against the OPQ-ROTATED store ([[ensureOpqPqStore]]): the
+    * verdict's "rotation composes with the serving store" line made
+    * executable. The query vectors are rotated with the PERSISTED
+    * matrix (read back from the store — the serving contract: one
+    * frozen rotation for corpus and queries alike, its 64×64 doubles
+    * driver-pinned like any codebook), then coarse-probed top-4
+    * cells and ADC-scored against the residual codes of only those
+    * cells — byte-for-byte x100's plan on the rotated geometry.
+    * Store prebuilt untimed ([[prebuildCaches]]); the oracle
+    * recomputes rotation AND both codebooks from scratch, proving
+    * the persisted composition equals a fresh build. */
+  val x114OpqServe: Q = (s, d) => {
+    val path = ensureOpqPqStore(s, d)
+    val rotRows = s.read.parquet(s"$path/rot").orderBy(col("o"))
+      .collect().map(_.getSeq[Double](1).toArray)
+    val coarse = s.read.parquet(s"$path/coarse")
+    val pqCents = s.read.parquet(s"$path/pqcents")
+    val codes = s.read.parquet(s"$path/codes")
+    val cells = s.read.parquet(s"$path/cells")
+    val queries = Tables.embeddings(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id"),
+        graft.ml.Opq.rotateCol(col("embedding"), rotRows.toSeq).as("embedding"))
+    val probes = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("dq", graft.ml.PqIndex.l2q(col("qe"), col("ce")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dq"), col("cid"))))
+      .filter(col("rk") <= 4)
+      .select(col("qid"), col("cid").as("cell"),
+        zip_with(col("qe"), col("ce"),
+          (x, y) => (x.cast("double") - y.cast("double")).cast("float"))
+          .as("qr"))
+    val qrsub = probes
+      .select(col("qid"), col("cell"), col("qr"),
+        explode(sequence(lit(0), lit(7))).as("m"))
+      .select(col("qid"), col("cell"), col("m"),
+        slice(col("qr"), col("m") * 8 + 1, lit(8)).as("qsub"))
+    val nce = codes.join(broadcast(pqCents),
+        codes("m") === pqCents("m") && codes("code") === pqCents("cid"))
+      .select(codes("vec_id").as("nid"), codes("m").as("m"),
+        pqCents("ce").as("nce"))
+      .join(cells.select(col("vec_id").as("nid"), col("cell")), Seq("nid"))
+    nce.join(broadcast(qrsub), Seq("cell", "m"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("dq", graft.ml.PqIndex.l2q(col("qsub"), col("nce")))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("dq")).as("dist_q"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist_q"), col("nid"))))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("nid"), col("dist_q"),
+        col("rk").cast("int").as("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** X101: PQ codebook health card — the per-subspace numbers an ANN
     * owner reads before trusting x99/x100's serving copy: cells
     * actually used (Lloyd can strand empty cells), code-distribution
@@ -4390,6 +4495,7 @@ object TrainingData {
     "x100_ivfpq_query" -> x100IvfPqQuery,
     "x109_ivf_addbatch" -> x109IvfAddBatch,
     "x110_ivfpq_addbatch" -> x110IvfPqAddBatch,
+    "x114_opq_serve" -> x114OpqServe,
     "x101_pq_health" -> x101PqHealth,
     "x102_cms_heavyhitters" -> x102CmsHeavyHitters,
     "x103_span_corruption" -> x103SpanCorruption,
@@ -4868,6 +4974,134 @@ object TrainingData {
           CAST(SUM(lp_q) AS BIGINT) AS s_lp
         FROM sc GROUP BY doc_id)"""
 
+  /** MATERIALIZED DuckDB mirrors of [[pqAssignSql]]/[[pqCentSql]] for
+    * the long OPQ chains (the inline-expansion guard). */
+  private def opqAssignSql(sub: String, cents: String, out: String) = s"""
+      $out AS MATERIALIZED (SELECT vec_id, m, cell, sub FROM (
+        SELECT s.vec_id, s.m, c.cid AS cell, s.sub,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+            ORDER BY CAST(ROUND(${pqL2Sql("s.sub", "c.ce")} * 1e6, 0) AS BIGINT),
+              c.cid) AS rk
+        FROM $sub s JOIN $cents c ON c.m = s.m) WHERE rk = 1)"""
+
+  private def opqCentSql(assigned: String, out: String) = s"""
+      $out AS MATERIALIZED (SELECT m, cell AS cid,
+        list(CAST(CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * 16777216)
+          AS FLOAT) ORDER BY pos) AS ce
+      FROM (
+        SELECT m, cell, i AS pos,
+          CAST(SUM(CAST(FLOOR(CAST(sub[i] AS DOUBLE) * 16777216)
+            AS BIGINT)) AS BIGINT) AS sv,
+          COUNT(*) AS n
+        FROM $assigned, UNNEST(range(1, len(sub) + 1)) AS t(i)
+        GROUP BY m, cell, i)
+      GROUP BY m, cell)"""
+
+  /** The parametric-OPQ rotation as DuckDB CTEs, ending in
+    * `re(vec_id, embedding)` — the rotated corpus: x65's covariance
+    * CTEs (mat0) → 64 unrolled power-iteration + deflation blocks
+    * (bit-exact vs the [[graft.ml.Opq]] driver replica — prototype-
+    * verified over all 4160 values) → the eigenvalue-allocation
+    * recursion → the rotation. Shared by the x99b audit and x114's
+    * composed serving oracle; MATERIALIZED throughout keeps the
+    * chain linear. */
+  private def opqRotationCtes: String = {
+    val eig = new StringBuilder
+    for (c <- 0 until 64) eig ++= s""",
+      it$c(k, v) AS (
+        SELECT 0, list_transform(m[1], x -> CAST(1.0 AS DOUBLE)) FROM mat$c
+        UNION ALL
+        SELECT k + 1, list_transform(w, x ->
+            x / list_max(list_transform(w, y -> abs(y))))
+        FROM (SELECT k, list_transform(range(1, len(m) + 1), i ->
+            list_sum(list_transform(list_zip(m[i], v), p -> p[1] * p[2]))) AS w
+          FROM it$c, mat$c WHERE k < 50)),
+      uvec$c AS MATERIALIZED (SELECT list_transform(v, x ->
+          x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+        FROM it$c WHERE k = 50),
+      lamt$c AS MATERIALIZED (SELECT
+          list_sum(list_transform(list_zip(u, w), p -> p[1] * p[2])) AS lam
+        FROM (SELECT u, list_transform(range(1, len(m) + 1), i ->
+            list_sum(list_transform(list_zip(m[i], u), p -> p[1] * p[2]))) AS w
+          FROM uvec$c, mat$c)),
+      mat${c + 1} AS MATERIALIZED (
+        SELECT list_transform(range(1, len(m) + 1), i ->
+            list_transform(range(1, len(m) + 1), j ->
+              m[i][j] - lam * u[i] * u[j])) AS m
+        FROM mat$c, uvec$c, lamt$c)"""
+    val lamUnion = (0 until 64).map(c =>
+      s"SELECT $c AS c, (SELECT lam FROM lamt$c) AS lam FROM uvec$c")
+      .mkString(" UNION ALL ")
+    val uUnion = (0 until 64).map(c => s"SELECT $c AS c, u FROM uvec$c")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE d1 AS (SELECT vec_id, embedding,
+          unnest(range(0, len(embedding))) AS i,
+          unnest(embedding) AS xi
+        FROM embeddings),
+      q1 AS (SELECT vec_id, embedding, i,
+          CAST(ROUND(CAST(xi AS DOUBLE) * 1e6, 0) AS BIGINT) AS qi FROM d1),
+      d2 AS (SELECT i, qi,
+          unnest(range(0, len(embedding))) AS j,
+          unnest(embedding) AS xj
+        FROM q1),
+      p2 AS (SELECT i, j, qi,
+          CAST(ROUND(CAST(xj AS DOUBLE) * 1e6, 0) AS BIGINT) AS qj
+        FROM d2 WHERE j >= i),
+      cells AS MATERIALIZED (SELECT i, j, CAST(SUM(qi * qj) AS BIGINT) AS p,
+          CAST(SUM(CASE WHEN j = i THEN qi END) AS BIGINT) AS s_diag
+        FROM p2 GROUP BY i, j),
+      nn AS (SELECT COUNT(*) AS n FROM embeddings),
+      sums AS (SELECT i AS d_, s_diag AS s_ FROM cells WHERE j = i),
+      covq AS (SELECT cells.i, cells.j,
+          CAST((CASE WHEN nn.n * p - si.s_ * sj.s_ < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(nn.n * p - si.s_ * sj.s_) + nn.n * nn.n * 10000)
+              // (2 * (nn.n * nn.n * 10000))) AS DOUBLE) / 1e8 AS cov
+        FROM cells
+        JOIN sums si ON si.d_ = cells.i
+        JOIN sums sj ON sj.d_ = cells.j
+        CROSS JOIN nn),
+      full_m AS (SELECT i, j, cov FROM covq
+        UNION ALL SELECT j AS i, i AS j, cov FROM covq WHERE i < j),
+      rows_m AS (SELECT i, list(cov ORDER BY j) AS r FROM full_m GROUP BY i),
+      mat0 AS MATERIALIZED (SELECT list(r ORDER BY i) AS m FROM rows_m)
+      $eig,
+      lams AS MATERIALIZED ($lamUnion),
+      ulist AS MATERIALIZED ($uUnion),
+      es AS MATERIALIZED (SELECT
+        list(STRUCT_PACK(e := c, lam := lam) ORDER BY lam DESC, c) AS es
+        FROM lams),
+      alloc(k, asg, prods, cnts) AS (
+        SELECT 0, CAST([] AS BIGINT[]),
+          CAST([1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0] AS DOUBLE[]),
+          CAST([0, 0, 0, 0, 0, 0, 0, 0] AS BIGINT[])
+        UNION ALL
+        SELECT k + 1,
+          list_append(asg, g),
+          list_transform(range(1, 9), i ->
+            CASE WHEN i = g THEN prods[i] * es[k + 1].lam ELSE prods[i] END),
+          list_transform(range(1, 9), i ->
+            CASE WHEN i = g THEN cnts[i] + 1 ELSE cnts[i] END)
+        FROM (
+          SELECT k, asg, prods, cnts, es,
+            list_position(elig, list_min(elig)) AS g
+          FROM (SELECT k, asg, prods, cnts, es,
+              list_transform(range(1, 9), i ->
+                CASE WHEN cnts[i] < 8 THEN prods[i] END) AS elig
+            FROM alloc, es WHERE k < 64))),
+      af AS MATERIALIZED (SELECT asg FROM alloc WHERE k = 64),
+      rotmap AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY b, r) AS o, e FROM (
+          SELECT r, asg[r] AS b, es[r].e AS e
+          FROM af, es, unnest(range(1, 65)) AS t(r))),
+      rot AS MATERIALIZED (SELECT o, u
+        FROM rotmap JOIN ulist ON ulist.c = rotmap.e),
+      re AS MATERIALIZED (
+        SELECT e.vec_id,
+          list(list_sum(list_transform(list_zip(e.embedding, rot.u),
+            p -> CAST(p[1] AS DOUBLE) * p[2])) ORDER BY rot.o) AS embedding
+        FROM embeddings e CROSS JOIN rot GROUP BY e.vec_id)"""
+  }
+
   val oracles: Map[String, String] = Map(
     "x108_quality_classifier" -> {
       val iters = new StringBuilder
@@ -5065,136 +5299,17 @@ object TrainingData {
       LEFT JOIN ac ON ac.m = c.m AND ac.code = c.cid
       CROSS JOIN tb CROSS JOIN ta
       ORDER BY m, code""",
-    "x99b_opq_recall" -> {
-      // x65's covariance CTEs (mat0) → 64 unrolled power-iteration +
-      // deflation blocks (bit-exact vs the driver replica — prototype-
-      // verified over all 4160 values) → eigenvalue-allocation
-      // recursion → rotation → x99's Lloyd/encode/ADC machinery on the
-      // rotated vectors. MATERIALIZED throughout keeps the chain
-      // linear (the inline-expansion guard).
-      val eig = new StringBuilder
-      for (c <- 0 until 64) eig ++= s""",
-      it$c(k, v) AS (
-        SELECT 0, list_transform(m[1], x -> CAST(1.0 AS DOUBLE)) FROM mat$c
-        UNION ALL
-        SELECT k + 1, list_transform(w, x ->
-            x / list_max(list_transform(w, y -> abs(y))))
-        FROM (SELECT k, list_transform(range(1, len(m) + 1), i ->
-            list_sum(list_transform(list_zip(m[i], v), p -> p[1] * p[2]))) AS w
-          FROM it$c, mat$c WHERE k < 50)),
-      uvec$c AS MATERIALIZED (SELECT list_transform(v, x ->
-          x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
-        FROM it$c WHERE k = 50),
-      lamt$c AS MATERIALIZED (SELECT
-          list_sum(list_transform(list_zip(u, w), p -> p[1] * p[2])) AS lam
-        FROM (SELECT u, list_transform(range(1, len(m) + 1), i ->
-            list_sum(list_transform(list_zip(m[i], u), p -> p[1] * p[2]))) AS w
-          FROM uvec$c, mat$c)),
-      mat${c + 1} AS MATERIALIZED (
-        SELECT list_transform(range(1, len(m) + 1), i ->
-            list_transform(range(1, len(m) + 1), j ->
-              m[i][j] - lam * u[i] * u[j])) AS m
-        FROM mat$c, uvec$c, lamt$c)"""
-      val lamUnion = (0 until 64).map(c =>
-        s"SELECT $c AS c, (SELECT lam FROM lamt$c) AS lam FROM uvec$c")
-        .mkString(" UNION ALL ")
-      val uUnion = (0 until 64).map(c => s"SELECT $c AS c, u FROM uvec$c")
-        .mkString(" UNION ALL ")
-      def matAssign(sub: String, cents: String, out: String) = s"""
-      $out AS MATERIALIZED (SELECT vec_id, m, cell, sub FROM (
-        SELECT s.vec_id, s.m, c.cid AS cell, s.sub,
-          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-            ORDER BY CAST(ROUND(${pqL2Sql("s.sub", "c.ce")} * 1e6, 0) AS BIGINT),
-              c.cid) AS rk
-        FROM $sub s JOIN $cents c ON c.m = s.m) WHERE rk = 1)"""
-      def matCent(assigned: String, out: String) = s"""
-      $out AS MATERIALIZED (SELECT m, cell AS cid,
-        list(CAST(CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * 16777216)
-          AS FLOAT) ORDER BY pos) AS ce
-      FROM (
-        SELECT m, cell, i AS pos,
-          CAST(SUM(CAST(FLOOR(CAST(sub[i] AS DOUBLE) * 16777216)
-            AS BIGINT)) AS BIGINT) AS sv,
-          COUNT(*) AS n
-        FROM $assigned, UNNEST(range(1, len(sub) + 1)) AS t(i)
-        GROUP BY m, cell, i)
-      GROUP BY m, cell)"""
-      s"""WITH RECURSIVE d1 AS (SELECT vec_id, embedding,
-          unnest(range(0, len(embedding))) AS i,
-          unnest(embedding) AS xi
-        FROM embeddings),
-      q1 AS (SELECT vec_id, embedding, i,
-          CAST(ROUND(CAST(xi AS DOUBLE) * 1e6, 0) AS BIGINT) AS qi FROM d1),
-      d2 AS (SELECT i, qi,
-          unnest(range(0, len(embedding))) AS j,
-          unnest(embedding) AS xj
-        FROM q1),
-      p2 AS (SELECT i, j, qi,
-          CAST(ROUND(CAST(xj AS DOUBLE) * 1e6, 0) AS BIGINT) AS qj
-        FROM d2 WHERE j >= i),
-      cells AS MATERIALIZED (SELECT i, j, CAST(SUM(qi * qj) AS BIGINT) AS p,
-          CAST(SUM(CASE WHEN j = i THEN qi END) AS BIGINT) AS s_diag
-        FROM p2 GROUP BY i, j),
-      nn AS (SELECT COUNT(*) AS n FROM embeddings),
-      sums AS (SELECT i AS d_, s_diag AS s_ FROM cells WHERE j = i),
-      covq AS (SELECT cells.i, cells.j,
-          CAST((CASE WHEN nn.n * p - si.s_ * sj.s_ < 0 THEN -1 ELSE 1 END)
-            * ((2 * abs(nn.n * p - si.s_ * sj.s_) + nn.n * nn.n * 10000)
-              // (2 * (nn.n * nn.n * 10000))) AS DOUBLE) / 1e8 AS cov
-        FROM cells
-        JOIN sums si ON si.d_ = cells.i
-        JOIN sums sj ON sj.d_ = cells.j
-        CROSS JOIN nn),
-      full_m AS (SELECT i, j, cov FROM covq
-        UNION ALL SELECT j AS i, i AS j, cov FROM covq WHERE i < j),
-      rows_m AS (SELECT i, list(cov ORDER BY j) AS r FROM full_m GROUP BY i),
-      mat0 AS MATERIALIZED (SELECT list(r ORDER BY i) AS m FROM rows_m)
-      $eig,
-      lams AS MATERIALIZED ($lamUnion),
-      ulist AS MATERIALIZED ($uUnion),
-      es AS MATERIALIZED (SELECT
-        list(STRUCT_PACK(e := c, lam := lam) ORDER BY lam DESC, c) AS es
-        FROM lams),
-      alloc(k, asg, prods, cnts) AS (
-        SELECT 0, CAST([] AS BIGINT[]),
-          CAST([1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0] AS DOUBLE[]),
-          CAST([0, 0, 0, 0, 0, 0, 0, 0] AS BIGINT[])
-        UNION ALL
-        SELECT k + 1,
-          list_append(asg, g),
-          list_transform(range(1, 9), i ->
-            CASE WHEN i = g THEN prods[i] * es[k + 1].lam ELSE prods[i] END),
-          list_transform(range(1, 9), i ->
-            CASE WHEN i = g THEN cnts[i] + 1 ELSE cnts[i] END)
-        FROM (
-          SELECT k, asg, prods, cnts, es,
-            list_position(elig, list_min(elig)) AS g
-          FROM (SELECT k, asg, prods, cnts, es,
-              list_transform(range(1, 9), i ->
-                CASE WHEN cnts[i] < 8 THEN prods[i] END) AS elig
-            FROM alloc, es WHERE k < 64))),
-      af AS MATERIALIZED (SELECT asg FROM alloc WHERE k = 64),
-      rotmap AS MATERIALIZED (
-        SELECT ROW_NUMBER() OVER (ORDER BY b, r) AS o, e FROM (
-          SELECT r, asg[r] AS b, es[r].e AS e
-          FROM af, es, unnest(range(1, 65)) AS t(r))),
-      rot AS MATERIALIZED (SELECT o, u
-        FROM rotmap JOIN ulist ON ulist.c = rotmap.e),
-      re AS MATERIALIZED (
-        SELECT e.vec_id,
-          list(list_sum(list_transform(list_zip(e.embedding, rot.u),
-            p -> CAST(p[1] AS DOUBLE) * p[2])) ORDER BY rot.o) AS embedding
-        FROM embeddings e CROSS JOIN rot GROUP BY e.vec_id),
+    "x99b_opq_recall" -> s"""$opqRotationCtes,
       sub AS MATERIALIZED (SELECT vec_id, m,
           list_slice(embedding, m * 8 + 1, m * 8 + 8) AS sub
         FROM re, UNNEST(range(0, 8)) AS t(m)),
       c0 AS (SELECT m, CAST(vec_id AS INT) AS cid, sub AS ce
         FROM sub WHERE vec_id < 16),
-      ${matAssign("sub", "c0", "a0")},
-      ${matCent("a0", "c1")},
-      ${matAssign("sub", "c1", "a1")},
-      ${matCent("a1", "c2")},
-      ${matAssign("sub", "c2", "codes")},
+      ${opqAssignSql("sub", "c0", "a0")},
+      ${opqCentSql("a0", "c1")},
+      ${opqAssignSql("sub", "c1", "a1")},
+      ${opqCentSql("a1", "c2")},
+      ${opqAssignSql("sub", "c2", "codes")},
       qs AS (SELECT vec_id AS qid, m, sub AS qsub FROM sub WHERE vec_id < 5),
       nce AS (SELECT k.vec_id AS nid, k.m, c.ce
         FROM codes k JOIN c2 c ON c.m = k.m AND c.cid = k.cell),
@@ -5221,8 +5336,60 @@ object TrainingData {
           AS BIGINT) AS n_match,
         CAST(SUM(CASE WHEN rf <= 10 AND rq <= 10 THEN 1 ELSE 0 END)
           AS DOUBLE) / 10 AS recall_at_10
-      FROM r GROUP BY qid ORDER BY qid"""
-    },
+      FROM r GROUP BY qid ORDER BY qid""",
+    "x114_opq_serve" -> s"""$opqRotationCtes,
+      f AS (SELECT vec_id, 0 AS m, embedding AS sub FROM re),
+      c0f AS (SELECT m, CAST(vec_id AS INT) AS cid, sub AS ce
+        FROM f WHERE vec_id < 16),
+      ${opqAssignSql("f", "c0f", "a0f")},
+      ${opqCentSql("a0f", "c1f")},
+      ${opqAssignSql("f", "c1f", "a1f")},
+      ${opqCentSql("a1f", "c2f")},
+      ${opqAssignSql("f", "c2f", "aff")},
+      res AS MATERIALIZED (SELECT a.vec_id, a.cell,
+          list_transform(list_zip(a.sub, c.ce),
+            p -> CAST(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) AS FLOAT))
+            AS r
+        FROM aff a JOIN c2f c ON c.m = a.m AND c.cid = a.cell),
+      rsub AS MATERIALIZED (SELECT vec_id, m,
+          list_slice(r, m * 8 + 1, m * 8 + 8) AS sub
+        FROM res, UNNEST(range(0, 8)) AS t(m)),
+      c0 AS (SELECT m, CAST(vec_id AS INT) AS cid, sub AS ce
+        FROM rsub WHERE vec_id < 16),
+      ${opqAssignSql("rsub", "c0", "a0")},
+      ${opqCentSql("a0", "c1")},
+      ${opqAssignSql("rsub", "c1", "a1")},
+      ${opqCentSql("a1", "c2")},
+      ${opqAssignSql("rsub", "c2", "codes")},
+      probes AS (SELECT qid, cell, qce, qe FROM (
+          SELECT q.vec_id AS qid, c.cid AS cell, c.ce AS qce,
+            q.embedding AS qe,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY CAST(ROUND(${pqL2Sql("q.embedding", "c.ce")} * 1e6, 0)
+                AS BIGINT), c.cid) AS rk
+          FROM re q, c2f c WHERE q.vec_id < 5) WHERE rk <= 4),
+      qr AS (SELECT qid, cell,
+          list_transform(list_zip(qe, qce),
+            p -> CAST(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) AS FLOAT))
+            AS qr
+        FROM probes),
+      qrs AS (SELECT qid, cell, m, list_slice(qr, m * 8 + 1, m * 8 + 8)
+            AS qsub
+        FROM qr, UNNEST(range(0, 8)) AS t(m)),
+      nce AS (SELECT k.vec_id AS nid, k.m, c.ce, a.cell
+        FROM codes k
+        JOIN c2 c ON c.m = k.m AND c.cid = k.cell
+        JOIN aff a ON a.vec_id = k.vec_id),
+      adc AS (SELECT s.qid, n.nid,
+          CAST(SUM(CAST(ROUND(${pqL2Sql("s.qsub", "n.ce")} * 1e6, 0)
+            AS BIGINT)) AS BIGINT) AS dist_q
+        FROM qrs s JOIN nce n ON n.cell = s.cell AND n.m = s.m
+        WHERE n.nid <> s.qid GROUP BY s.qid, n.nid),
+      r AS (SELECT qid, nid, dist_q,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist_q, nid) AS rk
+        FROM adc)
+      SELECT qid, nid, dist_q, CAST(rk AS INT) AS rk
+      FROM r WHERE rk <= 10 ORDER BY qid, rk""",
     "x106_bpe_train" -> {
       val union = (1 to bpeK).map(k =>
         s"""SELECT CAST($k AS BIGINT) AS step, a AS lhs, b AS rhs,

@@ -1788,6 +1788,26 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("x114 OPQ serving store: frozen rotation, full top-10 per query") {
+    val path = TrainingData.ensureOpqPqStore(spark, sf)
+    // the persisted rotation is the serving contract: square, and
+    // bit-identical to a fresh driver-side recompute
+    val stored = spark.read.parquet(s"$path/rot").orderBy(col("o"))
+      .collect().map(_.getSeq[Double](1).toArray)
+    assert(stored.length == 64 && stored.forall(_.length == 64))
+    val (mat, _, _) = graft.ml.Opq.covariance(Tables.embeddings(spark, sf))
+    val fresh = graft.ml.Opq.rotationRows(
+      graft.ml.Opq.eigensolve(mat, mat.length), m = 8, dsub = 8)
+    stored.zip(fresh).foreach { case (a, b) => assert(a.sameElements(b)) }
+    val rows = TrainingData.defs("x114_opq_serve")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(3)))
+    // 5 queries × a full ADC top-10 each, ranks dense from 1
+    assert(rows.length == 50)
+    rows.groupBy(_._1).foreach { case (_, rks) =>
+      assert(rks.map(_._2).sorted.toSeq == (1 to 10))
+    }
+  }
+
   test("x112 first-occurrence survivor on a crafted duplicate pair") {
     import spark.implicits._
     // banner = 13 tokens, so with 3 pad tokens the 8-token windows
