@@ -4130,15 +4130,19 @@ object TrainingData {
     * every quantity is an exact BIGINT count with a byte-order
     * tie-break, so the replica is provably ≡ the oracle's unrolled
     * per-iteration SQL. */
-  private[graft] def trainBpeMerges(s: SparkSession, d: String): Seq[graft.text.Bpe.Merge] = {
-    val vocab = Tables.documents(s, d)
+  /** The frequency-weighted top-V training vocabulary of a corpus
+    * slice — ONE scan, map-side-combinable, dimension-bounded by the
+    * cap (the collect is ≤ topV rows by construction). */
+  private[graft] def bpeVocab(docs: DataFrame, topV: Int): Seq[(String, Long)] =
+    docs
       .select(explode(wsTokens(lower(col("text")))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
-      .orderBy(col("f").desc, col("w")).limit(1024)
+      .orderBy(col("f").desc, col("w")).limit(topV)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    graft.text.Bpe.trainOnVocab(vocab, 50)
-  }
+
+  private[graft] def trainBpeMerges(s: SparkSession, d: String): Seq[graft.text.Bpe.Merge] =
+    graft.text.Bpe.trainOnVocab(bpeVocab(Tables.documents(s, d), 1024), 50)
 
   /** X106: BPE merge-table training (Sennrich et al. 2016) — the
     * vocabulary-LEARNING operator the fixed-vocab measurements
@@ -4454,10 +4458,59 @@ object TrainingData {
       .orderBy(col("bucket"))
   }
 
+  /** X115: tokenizer drift under a FROZEN vocabulary — the x109/x60
+    * incremental contract applied to the tokenizer: production
+    * pipelines train the vocabulary once and then tokenize every
+    * arriving batch with it unchanged (retraining invalidates all
+    * previously tokenized data), so the ops table that matters is
+    * how the frozen tokenizer degrades on new data. Merges are
+    * trained on the BASE slice only (doc_id % 10 ≠ 7) over a
+    * deliberately tight top-16 word vocabulary — the cap a budgeted
+    * tokenizer ships with, and here it also exercises the trainer's
+    * early-exhaustion path for real — then the ARRIVING batch
+    * (doc_id % 10 = 7) is dictionary-segmented under those frozen
+    * merges. Per source: the x107 fertility columns plus the
+    * out-of-vocabulary occurrence count and rate (words the frozen
+    * training vocab never saw — the new-word signal that schedules a
+    * retrain, exactly x109's balance-drift trigger one modality
+    * over). Shape: one base scan (vocab), one batch scan (counts),
+    * dictionary segmentation once per distinct batch word, two
+    * broadcast joins (dictionary + ≤16-row vocab), |sources| rows
+    * out. */
+  val x115BpeDrift: Q = (s, d) => {
+    val base = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 7)
+    val batch = Tables.documents(s, d).filter(col("doc_id") % 10 === 7)
+    val vocab = bpeVocab(base, 16)
+    val merges = graft.text.Bpe.trainOnVocab(vocab, 50).map(m => (m.lhs, m.rhs))
+    val vocabDf = s.createDataFrame(vocab.map(v => Tuple1(v._1))).toDF("w")
+      .withColumn("in_vocab", lit(1L))
+    val sw = batch
+      .select(col("source"), explode(wsTokens(lower(col("text")))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))
+    val dict = graft.text.Bpe.segmentDict(sw.select(col("w")).distinct(), merges)
+      .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
+    sw.join(broadcast(dict), Seq("w"))
+      .join(broadcast(vocabDf), Seq("w"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("f")).as("n_words"),
+        sum(col("f") * col("n_sub")).as("n_subtok"),
+        sum(when(col("n_sub") === 1, col("f")).otherwise(0L)).as("n_single"),
+        sum(when(col("in_vocab").isNull, col("f")).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_words"), col("n_subtok"),
+        col("n_single"), col("n_oov"),
+        (intRoundHalfAway(col("n_subtok") * 10000L, col("n_words"))
+          .cast("double") / 1e4).as("fertility"),
+        (intRoundHalfAway(col("n_oov") * 10000L, col("n_words"))
+          .cast("double") / 1e4).as("oov_rate"))
+      .orderBy(col("source"))
+  }
+
   val defs: Map[String, Q] = Map(
     "x111_alignment_score" -> x111AlignmentScore,
     "x113_ppl_buckets" -> x113PplBuckets,
     "x108_quality_classifier" -> x108QualityClassifier,
+    "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x107_bpe_segment" -> x107BpeSegment,
     "x112_firstocc_dedup" -> x112FirstOccDedup,
@@ -4684,13 +4737,15 @@ object TrainingData {
               i < len(syms) AND syms[i] = m.a AND syms[i+1] = m.b) AS ml
           FROM $from))"""
 
-  private def bpeTrainCtes: String = {
+  private def bpeTrainCtes: String = bpeTrainCtesOn("1 = 1", 1024)
+
+  private def bpeTrainCtesOn(where: String, topV: Int): String = {
     val sb = new StringBuilder
-    sb ++= """wf AS MATERIALIZED (
+    sb ++= s"""wf AS MATERIALIZED (
         SELECT w, CAST(COUNT(*) AS BIGINT) AS f
-        FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
-              FROM documents)
-        WHERE w <> '' GROUP BY w ORDER BY f DESC, w LIMIT 1024),
+        FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+              FROM documents WHERE $where)
+        WHERE w <> '' GROUP BY w ORDER BY f DESC, w LIMIT $topV),
       v0 AS MATERIALIZED (SELECT w, f,
         list_transform(range(1, length(w)+1), i ->
           substring(w, CAST(i AS INT), 1)) AS syms FROM wf)"""
@@ -5390,6 +5445,38 @@ object TrainingData {
         FROM adc)
       SELECT qid, nid, dist_q, CAST(rk AS INT) AS rk
       FROM r WHERE rk <= 10 ORDER BY qid, rk""",
+    "x115_bpe_drift" -> {
+      val segCtes = new StringBuilder
+      segCtes ++= """sw AS MATERIALIZED (
+          SELECT source, w, CAST(COUNT(*) AS BIGINT) AS f
+          FROM (SELECT source,
+                unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+                FROM documents WHERE doc_id % 10 = 7)
+          WHERE w <> '' GROUP BY source, w),
+        g0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS f,
+          list_transform(range(1, length(w)+1), i ->
+            substring(w, CAST(i AS INT), 1)) AS syms
+          FROM (SELECT DISTINCT w FROM sw))"""
+      for (k <- 1 to bpeK)
+        segCtes ++= s""",
+        g$k AS MATERIALIZED (${bpeApplySql(s"g${k - 1}, m$k m")})"""
+      s"""WITH ${bpeTrainCtesOn("doc_id % 10 <> 7", 16)}, $segCtes,
+        nsub AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM g$bpeK),
+        iv AS (SELECT w, 1 AS in_vocab FROM wf)
+        SELECT sw.source, CAST(SUM(sw.f) AS BIGINT) AS n_words,
+          CAST(SUM(sw.f * n.n_sub) AS BIGINT) AS n_subtok,
+          CAST(SUM(CASE WHEN n.n_sub = 1 THEN sw.f ELSE 0 END) AS BIGINT)
+            AS n_single,
+          CAST(SUM(CASE WHEN iv.in_vocab IS NULL THEN sw.f ELSE 0 END)
+            AS BIGINT) AS n_oov,
+          CAST(((2 * SUM(sw.f * n.n_sub) * 10000 + SUM(sw.f))
+            // (2 * SUM(sw.f))) AS DOUBLE) / 1e4 AS fertility,
+          CAST(((2 * SUM(CASE WHEN iv.in_vocab IS NULL THEN sw.f ELSE 0 END)
+              * 10000 + SUM(sw.f))
+            // (2 * SUM(sw.f))) AS DOUBLE) / 1e4 AS oov_rate
+        FROM sw JOIN nsub n USING (w) LEFT JOIN iv USING (w)
+        GROUP BY sw.source ORDER BY sw.source"""
+    },
     "x106_bpe_train" -> {
       val union = (1 to bpeK).map(k =>
         s"""SELECT CAST($k AS BIGINT) AS step, a AS lhs, b AS rhs,

@@ -1788,6 +1788,26 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("x115 frozen-vocab drift: OOV fires, fertility degrades vs self-trained") {
+    val drift = TrainingData.defs("x115_bpe_drift")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(drift.nonEmpty)
+    drift.foreach { case (src, (nw, noov, fert, oov)) =>
+      // the frozen top-16 vocabulary must miss live words (the whole
+      // point of the drift monitor) but never all of them
+      assert(noov > 0 && noov < nw, s"$src oov count $noov of $nw")
+      assert(oov > 0.0 && oov < 1.0 && fert >= 1.0, s"$src rates")
+    }
+    // same sources under the full self-trained vocab (x107): the
+    // frozen tight tokenizer can only be as good or worse
+    val self = TrainingData.defs("x107_bpe_segment")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    drift.foreach { case (src, (_, _, fert, _)) =>
+      assert(fert >= self(src), s"$src frozen $fert vs self ${self(src)}")
+    }
+  }
+
   test("x114 OPQ serving store: frozen rotation, full top-10 per query") {
     val path = TrainingData.ensureOpqPqStore(spark, sf)
     // the persisted rotation is the serving contract: square, and
