@@ -4506,7 +4506,79 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  /** x116 core over any (doc_id, text) frame: content-defined chunk
+    * rows (doc_id, ci, fp, tok_len). A chunk boundary falls after
+    * token position i (i ≥ 4) iff the 32-bit md5 hash of the 4-token
+    * window ending at i is ≡ 0 (mod 16) — expected chunk ≈ 16
+    * tokens; the final chunk always closes at the last token. All
+    * row-local array expressions over a PROJECTED token array (the
+    * allShinglesOfToks re-evaluation rule); only (doc, chunk-md5,
+    * length) rows leave the scan. */
+  private[graft] def cdcChunkRows(docs: DataFrame): DataFrame = {
+    val withToks = docs
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val t = col("toks")
+    val win = (i: Column) => concat_ws(" ",
+      element_at(t, i - 3), element_at(t, i - 2),
+      element_at(t, i - 1), element_at(t, i))
+    val withB = withToks.withColumn("bpos",
+      filter(sequence(lit(4), greatest(size(t), lit(4))), i =>
+        (i <= size(t)) &&
+          pmod(graft.dedup.NearDup.md5Hash32(win(i)), lit(16L)) === 0))
+    val ends0 = col("bpos")
+    val withE = withB.withColumn("ends",
+      when(size(ends0) > 0 && element_at(ends0, -1) === size(t), ends0)
+        .otherwise(concat(ends0, array(size(t)))))
+    val e = col("ends")
+    withE
+      .withColumn("starts", transform(e, (_, j) =>
+        when(j === 0, lit(1)).otherwise(element_at(e, j) + 1)))
+      .select(col("doc_id"), posexplode(transform(sequence(lit(1), size(e)),
+        k => struct(
+          md5(array_join(slice(t, element_at(col("starts"), k),
+            element_at(e, k) - element_at(col("starts"), k) + 1), " "))
+            .as("fp"),
+          (element_at(e, k) - element_at(col("starts"), k) + 1)
+            .cast("long").as("tok_len")))).as(Seq("ci", "ch")))
+      .select(col("doc_id"), col("ci").cast("long").as("ci"),
+        col("ch.fp").as("fp"), col("ch.tok_len").as("tok_len"))
+  }
+
+  /** X116: content-defined chunking dedup — the storage-layer dedup
+    * primitive (Muthitacharoen's LBFS / rolling-hash CDC) the
+    * fixed-segment family (x66/x87/x112) cannot replace: fixed
+    * 8-token windows lose EVERY fingerprint after a single leading
+    * insertion (all segments shift), while content-defined
+    * boundaries re-synchronize at the first hash boundary past the
+    * edit, so near-identical revisions still share most chunks
+    * (EngineSpec pins exactly this contrast on a crafted insertion
+    * pair). Boundaries from a 4-token rolling md5 window ≡ 0
+    * (mod 16); per doc: chunk count, chunks whose fingerprint occurs
+    * ≥2× corpus-wide, the duplicate token mass, and the
+    * deduplicatable fraction — the storage-savings estimate. Shape:
+    * x66's two-shuffle budget (fp-keyed occurrence count, join back,
+    * doc-keyed aggregation); chunking itself is scan-local and
+    * shift-invariant at any corpus size. */
+  val x116CdcChunks: Q = (s, d) => {
+    val chunks = cdcChunkRows(spread(s, Tables.documents(s, d)))
+    val dfc = chunks.groupBy(col("fp")).agg(count(lit(1)).as("occ"))
+    chunks.join(dfc, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup"),
+        sum(col("tok_len")).as("n_tok"),
+        sum(when(col("occ") >= 2, col("tok_len")).otherwise(0L))
+          .as("dup_tok"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+        col("n_tok"), col("dup_tok"),
+        (intRoundHalfAway(col("dup_tok") * 10000L, col("n_tok"))
+          .cast("double") / 1e4).as("dedup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x116_cdc_chunks" -> x116CdcChunks,
     "x111_alignment_score" -> x111AlignmentScore,
     "x113_ppl_buckets" -> x113PplBuckets,
     "x108_quality_classifier" -> x108QualityClassifier,
@@ -5445,6 +5517,43 @@ object TrainingData {
         FROM adc)
       SELECT qid, nid, dist_q, CAST(rk AS INT) AS rk
       FROM r WHERE rk <= 10 ORDER BY qid, rk""",
+    "x116_cdc_chunks" -> {
+      val winSql = "toks[i-3] || ' ' || toks[i-2] || ' ' || toks[i-1] || ' ' || toks[i]"
+      s"""
+      WITH tk AS (SELECT doc_id,
+          regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents),
+      t AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
+      b AS (SELECT doc_id, toks, n,
+          list_filter(range(4, GREATEST(n, 4) + 1), i ->
+            i <= n AND (${md5Hash32Sql(winSql)}) % 16 = 0) AS bpos
+        FROM t),
+      e AS (SELECT doc_id, toks, n,
+          CASE WHEN len(bpos) > 0 AND bpos[-1] = n THEN bpos
+            ELSE list_append(bpos, n) END AS ends
+        FROM b),
+      st AS (SELECT doc_id, toks, ends,
+          list_transform(ends, (x, j) ->
+            CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END) AS starts
+        FROM e),
+      chunks AS MATERIALIZED (SELECT doc_id, k - 1 AS ci,
+          md5(array_to_string(list_slice(toks, starts[k],
+            ends[k]), ' ')) AS fp,
+          CAST(ends[k] - starts[k] + 1 AS BIGINT) AS tok_len
+        FROM st, unnest(range(1, len(ends) + 1)) AS u(k)),
+      occ AS (SELECT fp, COUNT(*) AS occ FROM chunks GROUP BY fp)
+      SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        CAST(SUM(CASE WHEN o.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup,
+        CAST(SUM(c.tok_len) AS BIGINT) AS n_tok,
+        CAST(SUM(CASE WHEN o.occ >= 2 THEN c.tok_len ELSE 0 END) AS BIGINT)
+          AS dup_tok,
+        CAST(((2 * SUM(CASE WHEN o.occ >= 2 THEN c.tok_len ELSE 0 END)
+            * 10000 + SUM(c.tok_len))
+          // (2 * SUM(c.tok_len))) AS DOUBLE) / 1e4 AS dedup_frac
+      FROM chunks c JOIN occ o USING (fp)
+      GROUP BY c.doc_id ORDER BY c.doc_id"""
+    },
     "x115_bpe_drift" -> {
       val segCtes = new StringBuilder
       segCtes ++= """sw AS MATERIALIZED (

@@ -1788,6 +1788,24 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("x116 CDC chunks re-synchronize after an insertion; fixed segments lose everything") {
+    import spark.implicits._
+    // one token inserted at the front: every fixed 8-token window
+    // shifts (zero shared fingerprints), but content-defined
+    // boundaries re-align at the first hash boundary past the edit
+    val a = (1 to 150).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, "zzz " + a)).toDF("doc_id", "text")
+    val fps = TrainingData.cdcChunkRows(docs).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(2)).toSet).toMap
+    val shared = fps(1L).intersect(fps(2L))
+    assert(shared.nonEmpty,
+      s"CDC must re-sync (|A|=${fps(1L).size}, |B|=${fps(2L).size})")
+    def fixedFps(text: String) =
+      text.split(" ").grouped(8).map(_.mkString(" ")).toSet
+    assert(fixedFps(a).intersect(fixedFps("zzz " + a)).isEmpty)
+  }
+
   test("x115 frozen-vocab drift: OOV fires, fertility degrades vs self-trained") {
     val drift = TrainingData.defs("x115_bpe_drift")(spark, sf)
       .collect().map(r => r.getString(0) ->
