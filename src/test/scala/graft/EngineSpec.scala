@@ -1869,6 +1869,173 @@ class EngineSpec extends AnyFunSuite {
     assert(got(1L)._4 == 24L)
   }
 
+  test("x118 calibration: bins partition the scored corpus, means sit inside their bin, store ≡ fresh training") {
+    val rows = TrainingData.defs("x118_clf_calibration")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // bins partition exactly the trainer's scored population
+    val (tf, n) = TrainingData.qualityClfTf(spark, sf)
+    assert(rows.map(_._2).sum == n)
+    tf.unpersist()
+    rows.foreach { case (bin, nd, mp, pr, gap) =>
+      assert(bin >= 0 && bin <= 9 && nd > 0)
+      // the mean of a bin's predictions cannot leave the bin
+      assert(mp >= bin / 10.0 - 1e-9 && mp <= (bin + 1) / 10.0 + 1e-9,
+        s"bin $bin mean_pred $mp outside its decile")
+      assert(pr >= 0.0 && pr <= 1.0)
+      assert(math.abs(gap - math.abs(mp - pr)) < 2e-6)
+    }
+    // the registry copy is the fresh training, bit-for-bit at 6dp
+    val stored = spark.read
+      .parquet(TrainingData.ensureClfWeights(spark, sf))
+      .collect().map(r => r.getLong(0) ->
+        BigDecimal(r.getDouble(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .toMap
+    val fresh = TrainingData.defs("x108_quality_classifier")(spark, sf)
+      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDouble(1))).toMap
+    assert(stored.keySet == fresh.keySet)
+    fresh.foreach { case (b, w) =>
+      assert((stored(b) - w).abs <= BigDecimal("0.000001"),
+        s"bucket $b: store ${stored(b)} vs fresh $w") }
+  }
+
+  test("x119 semantic leakage: val/test rows, cell-bounded count ≤ brute-force count") {
+    val rows = TrainingData.defs("x119_semantic_leakage")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("val", "test"))
+    // brute truth without the cell bound: a superset of x119's
+    // candidates, so per split n_leaked(brute) ≥ n_leaked(x119)
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+        pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+          .cast("long"), lit(100L)).as("b"))
+    val ev = emb.filter(col("b") >= 90)
+      .select(when(col("b") < 95, "val").otherwise("test").as("split"),
+        col("vec_id").as("id_e"), col("embedding").as("ee"))
+    val tr = emb.filter(col("b") < 90)
+      .select(col("vec_id").as("id_t"), col("embedding").as("et"))
+    val brute = ev.crossJoin(tr)
+      .filter(round(graft.functions.VectorExpressions
+        .cosineSim(col("ee"), col("et")), 4) >= 0.4)
+      .groupBy(col("split"))
+      .agg(countDistinct(col("id_e")).as("nl"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (split, (nDocs, nLeaked, pairs)) =>
+      assert(nLeaked <= nDocs && pairs >= nLeaked)
+      assert(nLeaked <= brute.getOrElse(split, 0L),
+        s"$split: cell-bounded $nLeaked exceeds brute ${brute.get(split)}")
+    }
+  }
+
+  test("x120 hard negatives: family exclusion holds, ranking is contiguous and monotone") {
+    val labels = TrainingData.defs("x35_semantic_dedup")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = TrainingData.defs("x120_hard_negatives")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (anchor, _, neg, _) =>
+      assert(anchor % 100 == 3)
+      assert(labels(anchor) != labels(neg),
+        s"negative $neg shares anchor $anchor's near-dup family " +
+          s"${labels(anchor)} — a mislabeled positive")
+    }
+    rows.groupBy(_._1).foreach { case (a, rs) =>
+      val byRk = rs.sortBy(_._2)
+      assert(byRk.map(_._2).toList == (1L to byRk.size).toList,
+        s"anchor $a ranks")
+      assert(byRk.map(_._4).toSeq.sliding(2).forall {
+        case Seq(x, y) => x >= y; case _ => true }, s"anchor $a cos order")
+    }
+  }
+
+  test("x121 pack boundary audit reconciles with x25's packing report") {
+    val packs = TrainingData.defs("x25_pack_sequences")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(3)))
+    val audit = TrainingData.defs("x121_pack_boundary")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(5)))
+    assert(audit.nonEmpty)
+    val bySource = packs.groupBy(_._1)
+    audit.foreach { case (src, nSeqs, nSegs, maxDocs, crossFrac) =>
+      val ps = bySource(src)
+      assert(nSeqs == ps.size, s"$src sequence count")
+      assert(nSegs == ps.map(_._2).sum, s"$src segment mass")
+      assert(maxDocs == ps.map(_._2).max, s"$src max docs")
+      assert(crossFrac >= 0.0 && crossFrac <= 1.0)
+      // a sequence holding >1 doc forces a nonzero cross fraction
+      if (maxDocs > 1) assert(crossFrac > 0.0, s"$src cross_frac")
+    }
+  }
+
+  test("x117 Viterbi dictionary ≡ reference DP on every fixture word; optimal where greedy is not") {
+    import spark.implicits._
+    // reference DP (score DESC, pieces ASC) over the same piece scores
+    def refDp(w: String, sc: Map[String, Long]): (Long, Long) = {
+      val L = w.length
+      val s = Array.fill(L + 1)(Long.MinValue)
+      val np = Array.fill(L + 1)(0L)
+      s(0) = 0
+      for (i <- 1 to L; j <- math.max(0, i - 4) until i)
+        if (s(j) != Long.MinValue)
+          sc.get(w.substring(j, i)).foreach { q =>
+            val s2 = s(j) + q; val n2 = np(j) + 1
+            if (s2 > s(i) || (s2 == s(i) && n2 < np(i))) { s(i) = s2; np(i) = n2 }
+          }
+      (np(L), s(L))
+    }
+    def greedy(w: String, sc: Map[String, Long]): Long = {
+      var pos = 0; var tot = 0L
+      while (pos < w.length) {
+        val l = (4 to 1 by -1).find(l =>
+          pos + l <= w.length && sc.contains(w.substring(pos, pos + l))).get
+        tot += sc(w.substring(pos, pos + l)); pos += l
+      }
+      tot
+    }
+    // 1) fixture-wide: the Column-expression DP is the reference DP
+    val docs = Tables.documents(spark, sf)
+    val scores = TrainingData.unigramPieceScores(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dict = TrainingData.viterbiDict(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(dict.nonEmpty)
+    dict.foreach { case (w, np, wq) =>
+      val (rnp, rwq) = refDp(w, scores)
+      assert((np, wq) == (rnp, rwq), s"word '$w': got ($np,$wq) ref ($rnp,$rwq)")
+      assert(wq >= greedy(w, scores), s"word '$w': Viterbi below greedy")
+    }
+    // 2) crafted corpus where greedy longest-match is provably wrong:
+    // 'abcd' exists as a rare whole word, so greedy eats all 4 chars;
+    // the frequent 'ab'+'cd' split scores strictly higher
+    val crafted = Seq((1L, ("ab " * 50) + ("cd " * 50) + "abcd"))
+      .toDF("doc_id", "text")
+    val csc = TrainingData.unigramPieceScores(crafted)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cd = TrainingData.viterbiDict(crafted)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (np4, wq4) = cd("abcd")
+    assert(np4 == 2L, s"'abcd' should split as ab|cd, got $np4 pieces")
+    assert(wq4 == csc("ab") + csc("cd"))
+    assert(wq4 > greedy("abcd", csc),
+      "crafted case must separate Viterbi from greedy longest-match")
+  }
+
+  test("x117 per-source report: fertility and NLL invariants") {
+    val rows = TrainingData.defs("x117_unigram_viterbi")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nw, npc, fert, nll) =>
+      assert(nw > 0 && npc >= nw, s"$src piece mass")
+      // 1-4-char pieces on ≤16-char words bound fertility to [1, 16]
+      assert(fert >= 1.0 && fert <= 16.0, s"$src fertility $fert")
+      assert(nll > 0.0, s"$src NLL must be positive")
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

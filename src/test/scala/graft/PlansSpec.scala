@@ -414,6 +414,17 @@ class PlansSpec extends AnyFunSuite {
       s"x98 should scan the staged labels exactly once:\n$plan")
   }
 
+  test("x118 calibration scores off the weight REGISTRY, not a retrain") {
+    // the x98 staged-read contract for model artifacts: the plan must
+    // read the persisted clfw_ parquet — scoring a corpus may never
+    // re-enter the 20-job training loop
+    val q = graft.queries.TrainingData.defs("x118_clf_calibration")(spark, sf)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("clfw_"),
+      s"x118 must scan the persisted weight store:\n$plan")
+  }
+
   test("x93/x103 row-local transforms shuffle nothing but the output sort") {
     // both scaladocs claim scan-speed row-locality — the plan must
     // contain no hash-partitioned exchange (the only exchange allowed
