@@ -4476,6 +4476,80 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  /** X122: quality-classifier filter APPLICATION — the production
+    * gate itself: x108 trains the model, x118 calibrates it, this
+    * runs it — every doc scored under the REGISTRY weights
+    * ([[ensureClfWeights]], never a retrain) and kept iff p ≥ 0.5,
+    * reported per source as the kept/total funnel plus the
+    * model-vs-rule-gate agreement rate (the distillation-fidelity
+    * number that decides when the cheap model can replace the rule
+    * bundle in the ingest path). Scoring is x118's exact quantization
+    * contract; everything after the one feature scan is a 68-row
+    * broadcast join and doc- then source-keyed map-side-combinable
+    * aggregation. Ratios pure-BIGINT [[intRoundHalfAway]]. */
+  val x122ClfFilter: Q = (s, d) => {
+    val wdf = s.read.parquet(ensureClfWeights(s, d))
+    val (tf, _) = qualityClfTf(s, d)
+    val pq = round((lit(1.0) / (lit(1.0)
+        + exp(-(col("zq").cast("double") / 1e9)))) * 1e6, 0).cast("long")
+    val scored = tf.join(broadcast(wdf), Seq("bucket"))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(round(col("wb") * col("x") * 1e9, 0).cast("long")).as("zq"))
+      .select(col("doc_id"), col("y"), pq.as("pq"))
+    scored
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pq") >= 500000L, 1L).otherwise(0L)).as("n_kept"),
+        sum(when((col("pq") >= 500000L) === (col("y") === 1L), 1L)
+          .otherwise(0L)).as("n_agree"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (intRoundHalfAway(col("n_kept") * 10000L, col("n_docs"))
+          .cast("double") / 1e4).as("keep_rate"),
+        col("n_agree"),
+        (intRoundHalfAway(col("n_agree") * 10000L, col("n_docs"))
+          .cast("double") / 1e4).as("agree_rate"))
+      .orderBy(col("source"))
+  }
+
+  /** X123: tokenizer vocabulary-size scaling curve — the budget-
+    * pricing table for x106's BPE: per source, fertility under the
+    * FIRST 10, 25, and all 50 learned merges (more merges = bigger
+    * vocab = fewer tokens per word = cheaper training, and this curve
+    * prices exactly that trade). One training run, ONE staged
+    * dictionary replay ([[graft.text.Bpe.segmentDictStaged]] —
+    * snapshots at each depth instead of |stages| full replays, since
+    * merge sequences are prefix-nested by construction), one counting
+    * scan, and a row-local explode unpivots the three stages — the
+    * whole curve costs one x107 plus two snapshot projections.
+    * Early-exhausted training flattens the curve's tail (deeper
+    * stages snapshot the final state), never errors. */
+  val x123BpeScaling: Q = (s, d) => {
+    val merges = trainBpeMerges(s, d).map(m => (m.lhs, m.rhs))
+    val sw = Tables.documents(s, d)
+      .select(col("source"), explode(wsTokens(lower(col("text")))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))
+    val dict = graft.text.Bpe.segmentDictStaged(
+      sw.select(col("w")).distinct(), merges, Seq(10, 25, 50))
+    sw.join(broadcast(dict), Seq("w"))
+      .groupBy(col("source"))
+      .agg(sum(col("f")).as("n_words"),
+        sum(col("f") * col("ns_10")).as("st10"),
+        sum(col("f") * col("ns_25")).as("st25"),
+        sum(col("f") * col("ns_50")).as("st50"))
+      .select(col("source"), col("n_words"), explode(array(
+        struct(lit(10L).as("k"), col("st10").as("n_subtok")),
+        struct(lit(25L).as("k"), col("st25").as("n_subtok")),
+        struct(lit(50L).as("k"), col("st50").as("n_subtok")))).as("e"))
+      .select(col("source"), col("e.k").as("k"), col("n_words"),
+        col("e.n_subtok").as("n_subtok"),
+        (intRoundHalfAway(col("e.n_subtok") * 10000L, col("n_words"))
+          .cast("double") / 1e4).as("fertility"))
+      .orderBy(col("source"), col("k"))
+  }
+
   /** X112: cross-document segment dedup with corpus-wide FIRST-
     * occurrence survivor — RefinedWeb's line dedup proper: x87 drops
     * a df-heavy segment from EVERY document (boilerplate removal),
@@ -4905,6 +4979,8 @@ object TrainingData {
     "x106_bpe_train" -> x106BpeTrain,
     "x107_bpe_segment" -> x107BpeSegment,
     "x117_unigram_viterbi" -> x117UnigramViterbi,
+    "x122_clf_filter" -> x122ClfFilter,
+    "x123_bpe_scaling" -> x123BpeScaling,
     "x112_firstocc_dedup" -> x112FirstOccDedup,
     "x82_quality_percentile" -> x82QualityPercentile,
     "x81_corpus_card" -> x81CorpusCard,
@@ -5947,6 +6023,58 @@ object TrainingData {
       s"""WITH $bpeTrainCtes
         SELECT * FROM ($union) WHERE lhs <> chr(1) ORDER BY step"""
     },
+    "x123_bpe_scaling" -> {
+      val segCtes = new StringBuilder
+      segCtes ++= """sw AS MATERIALIZED (
+          SELECT source, w, CAST(COUNT(*) AS BIGINT) AS f
+          FROM (SELECT source,
+                unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+                FROM documents)
+          WHERE w <> '' GROUP BY source, w),
+        g0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS f,
+          list_transform(range(1, length(w)+1), i ->
+            substring(w, CAST(i AS INT), 1)) AS syms
+          FROM (SELECT DISTINCT w FROM sw))"""
+      for (k <- 1 to bpeK)
+        segCtes ++= s""",
+        g$k AS MATERIALIZED (${bpeApplySql(s"g${k - 1}, m$k m")})"""
+      val stageSql = Seq(10, 25, 50).map { k =>
+        s"""SELECT sw.source, CAST($k AS BIGINT) AS k,
+          CAST(SUM(sw.f) AS BIGINT) AS n_words,
+          CAST(SUM(sw.f * n.n_sub) AS BIGINT) AS n_subtok
+        FROM sw JOIN (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub
+          FROM g$k) n USING (w)
+        GROUP BY sw.source"""
+      }.mkString("\n        UNION ALL ")
+      s"""WITH $bpeTrainCtes, $segCtes,
+        stages AS ($stageSql)
+        SELECT source, k, n_words, n_subtok,
+          CAST(((2 * n_subtok * 10000 + n_words) // (2 * n_words))
+            AS DOUBLE) / 1e4 AS fertility
+        FROM stages ORDER BY source, k"""
+    },
+    "x122_clf_filter" -> s"""$clfTrainedSql,
+      zs AS (SELECT doc_id, y,
+          CAST(SUM(CAST(ROUND(w[bucket + 1] * x * 1e9, 0) AS BIGINT))
+            AS BIGINT) AS zq
+        FROM tf, w20 GROUP BY doc_id, y),
+      ps AS (SELECT doc_id, y,
+          CAST(ROUND((1 / (1 + exp(-(CAST(zq AS DOUBLE) / 1e9)))) * 1e6, 0)
+            AS BIGINT) AS pq
+        FROM zs),
+      j AS (SELECT d.source, p.pq, p.y
+        FROM ps p JOIN documents d USING (doc_id))
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN pq >= 500000 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept,
+        CAST(((2 * SUM(CASE WHEN pq >= 500000 THEN 1 ELSE 0 END) * 10000
+            + COUNT(*)) // (2 * COUNT(*))) AS DOUBLE) / 1e4 AS keep_rate,
+        CAST(SUM(CASE WHEN (pq >= 500000) = (y = 1) THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_agree,
+        CAST(((2 * SUM(CASE WHEN (pq >= 500000) = (y = 1) THEN 1 ELSE 0 END)
+            * 10000 + COUNT(*)) // (2 * COUNT(*))) AS DOUBLE) / 1e4
+          AS agree_rate
+      FROM j GROUP BY source ORDER BY source""",
     "x117_unigram_viterbi" -> {
       val dp = new StringBuilder
       for (i <- 1 to 16) {

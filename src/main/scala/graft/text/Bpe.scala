@@ -170,4 +170,26 @@ object Bpe {
     merges.foldLeft(df.withColumn("syms", charSyms(col("w")))) {
       case (cur, (a, b)) => applyMergeLevel(cur, "syms", a, b)
     }
+
+  /** [[segmentDict]] with per-word subword counts SNAPSHOTTED at the
+    * given merge depths (`stages`, ascending): ONE replay of the full
+    * merge sequence yields the whole vocabulary-size scaling curve —
+    * a per-stage re-segmentation would replay the shared prefix
+    * |stages| times for identical results. A stage deeper than the
+    * learned sequence (early exhaustion) snapshots the final state:
+    * merges past exhaustion are identity, exactly the trainer's
+    * exhaustion-safe contract. Output: `w` + one `ns_<k>` count per
+    * stage. */
+  def segmentDictStaged(df: DataFrame, merges: Seq[(String, String)],
+      stages: Seq[Int]): DataFrame = {
+    var cur = df.withColumn("syms", charSyms(col("w")))
+    for (((a, b), i) <- merges.zipWithIndex) {
+      cur = applyMergeLevel(cur, "syms", a, b)
+      if (stages.contains(i + 1))
+        cur = cur.withColumn(s"ns_${i + 1}", size(col("syms")).cast("long"))
+    }
+    for (k <- stages if k > merges.size)
+      cur = cur.withColumn(s"ns_$k", size(col("syms")).cast("long"))
+    cur.select((col("w") +: stages.map(k => col(s"ns_$k"))): _*)
+  }
 }

@@ -2036,6 +2036,56 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("x122 filter application: funnel reconciles with the scored population, distillation agrees with the rule gate") {
+    val rows = TrainingData.defs("x122_clf_filter")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val (tf, n) = TrainingData.qualityClfTf(spark, sf)
+    assert(rows.map(_._2).sum == n, "per-source docs must cover every scored doc")
+    tf.unpersist()
+    rows.foreach { case (src, nd, nk, kr, na) =>
+      assert(nk <= nd && na <= nd, s"$src funnel bounds")
+      assert(kr >= 0.0 && kr <= 1.0)
+    }
+    // the distilled model must agree with its teacher rule gate on
+    // most of the corpus (x108's beats-base-rate pin, applied end-to-end)
+    val agree = rows.map(_._5).sum.toDouble / rows.map(_._2).sum
+    assert(agree > 0.5, s"corpus-level model-vs-rule agreement $agree")
+  }
+
+  test("x123 scaling curve: monotone in merge depth, k=50 ≡ x107, staged ≡ prefix replay") {
+    val rows = TrainingData.defs("x123_bpe_scaling")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val byK = rs.sortBy(_._2)
+      assert(byK.map(_._2).toList == List(10L, 25L, 50L), s"$src stages")
+      assert(byK.map(_._3).distinct.size == 1, s"$src word mass varies")
+      // merges only ever merge: deeper vocab never emits MORE subwords
+      assert(byK.map(_._4).toList == byK.map(_._4).toList.sorted.reverse,
+        s"$src fertility not monotone: ${byK.map(_._4)}")
+    }
+    // the curve's k=50 endpoint IS x107's report
+    val x107 = TrainingData.defs("x107_bpe_segment")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.filter(_._2 == 50L).foreach { case (src, _, nw, nsub) =>
+      assert((nw, nsub) == x107(src), s"$src k=50 disagrees with x107")
+    }
+    // staged snapshots ≡ an independent prefix replay at k=10
+    val merges = TrainingData.trainBpeMerges(spark, sf).map(m => (m.lhs, m.rhs))
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "").distinct()
+    val staged = graft.text.Bpe.segmentDictStaged(words, merges, Seq(10))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prefix = graft.text.Bpe.segmentDict(words, merges.take(10))
+      .select(col("w"), size(col("syms")).cast("long").as("ns"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(staged == prefix, "snapshot at depth 10 must equal a fresh 10-merge replay")
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
