@@ -190,6 +190,43 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** x124's pair table: every banded-LSH candidate pair with its
+    * exact Jaccard numerator/denominator AND two slot-agreement
+    * counts over the k minhash values — full 32-bit slots vs only
+    * the low `bBits` bits of each slot (Li & König's b-bit minwise
+    * hashing: 8× signature compression at b=4, paid for in estimator
+    * variance — this table is what prices that trade). Same plan as
+    * [[lshCandidateJaccard]] (bucket self-join within bands, verify
+    * on the colliding sliver only); the signature arrays ride the
+    * band join as row payload, never a separate shuffle. Structural
+    * invariant: equal full slots have equal low bits, so
+    * agree_b ≥ agree_full on every pair. */
+  def bbitCandidateAgreement(docs: DataFrame, numHashes: Int = 16,
+      bandRows: Int = 4, shingleN: Int = 3, bBits: Int = 4): DataFrame = {
+    require(numHashes % bandRows == 0, "numHashes must divide into bands")
+    val m = 1L << bBits
+    val sig = sigTable(docs, numHashes, shingleN)
+      .withColumn("hv", array((0 until numHashes).map(j => col(s"h$j")): _*))
+    val buckets = bandTable(sig, numHashes, bandRows, Seq("shs", "n", "hv"))
+    def agrees(f: Column => Column) =
+      size(filter(sequence(lit(1), lit(numHashes)), i =>
+        f(element_at(col("ha"), i)) === f(element_at(col("hb"), i))))
+        .cast("long")
+    buckets.as("a").join(buckets.as("b"), Seq("band", "key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.shs").as("sa"), col("b.shs").as("sb"),
+        col("a.n").as("na"), col("b.n").as("nb"),
+        col("a.hv").as("ha"), col("b.hv").as("hb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("na").cast("long") + col("nb") - col("inter")).as("unn"),
+        agrees(identity).as("agree_full"),
+        agrees(h => pmod(h, lit(m))).as("agree_b"))
+  }
+
   /** Persist a MinHash signature store for incremental near-dup
     * checks: `path/bands` = (doc_id, band, key) — the LSH candidate
     * index, the ONLY table a new batch's band join touches — and

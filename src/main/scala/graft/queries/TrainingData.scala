@@ -4476,6 +4476,117 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  /** Deterministic ±1 sign vector for the x125 JL projection row `c`
+    * — md5 parity of "jl-c-i", the x6 plane recipe (computed at PLAN
+    * time, embedded as literal arrays). */
+  private def jlSigns(c: Int, dims: Int): Seq[Double] = (0 until dims).map { i =>
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"jl-$c-$i".getBytes("UTF-8"))
+    val v = ((h(0) & 0xff) << 8) | (h(1) & 0xff)
+    if (v % 2 == 0) 1.0 else -1.0
+  }
+
+  /** X125: random-projection (Johnson–Lindenstrauss) audit — the
+    * DATA-INDEPENDENT 4× dimension reduction the learned family
+    * (x49 PCA / x65 whitening / x43 SQ8 / x99 PQ) can't give you on
+    * day one: a ±1 sign matrix (Achlioptas) needs no training pass,
+    * no store, and no refresh on drift, so it is what a pipeline
+    * bootstraps ANN with before codebooks exist. 64-d embeddings
+    * project onto 16 md5-parity sign rows; per query (the x74 sliver
+    * contract): recall@10 of projected-L2 ranking vs exact-L2
+    * ranking, and the distance-distortion spread — per-pair ratio
+    * d²proj/(16·d²orig) (unbiased at 1 under E[±1] rows), 1e-4
+    * quantized, reported mean/min/max. Shape: signs are plan-time
+    * literals, projection is one row-local fold per row, the scored
+    * sliver is |queries|×corpus exactly like x74 — no training job
+    * anywhere in the plan. */
+  val x125JlProjection: Q = (s, d) => {
+    val r = 16; val dims = 64
+    val base = spread(s, Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"),
+        array((0 until r).map { c =>
+          val signs = array(jlSigns(c, dims).map(lit): _*)
+          aggregate(zip_with(col("embedding"), signs,
+            (x, sg) => x.cast("double") * sg), lit(0.0), (acc, v) => acc + v)
+        }: _*).as("ys"))
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("ys").as("qy"))
+    def l2(a: Column, b: Column) = aggregate(zip_with(a, b,
+      (x, y) => (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val scored = base
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("ys").as("ny"))
+      .crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("d2o", l2(col("qe"), col("ne")))
+      .withColumn("d2p", l2(col("qy"), col("ny")))
+    val wo = Window.partitionBy(col("qid"))
+      .orderBy(round(col("d2o"), 6), col("nid"))
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(round(col("d2p"), 6), col("nid"))
+    scored
+      .withColumn("ro", row_number().over(wo))
+      .withColumn("rp", row_number().over(wp))
+      .withColumn("rq4", when(col("d2o") > 0,
+        round(col("d2p") / (lit(16.0) * col("d2o")) * 1e4, 0).cast("long")))
+      .groupBy(col("qid"))
+      .agg(sum(when(col("ro") <= 10 && col("rp") <= 10, 1L).otherwise(0L))
+          .as("n_match"),
+        count(col("rq4")).as("n_ratio"),
+        sum(col("rq4")).as("sr"), min(col("rq4")).as("mnr"),
+        max(col("rq4")).as("mxr"))
+      .select(col("qid"), col("n_match"),
+        (col("n_match").cast("double") / 10).as("recall_at_10"),
+        (intRoundHalfAway(col("sr"), col("n_ratio"))
+          .cast("double") / 1e4).as("ratio_mean"),
+        (col("mnr").cast("double") / 1e4).as("ratio_min"),
+        (col("mxr").cast("double") / 1e4).as("ratio_max"))
+      .orderBy(col("qid"))
+  }
+
+  /** X124: b-bit minwise signature compression audit (Li & König
+    * 2010) — the scale lever for the x60 signature store: keeping
+    * only the low 4 bits of each minhash slot shrinks signatures 8×
+    * (at 100 TB the store IS the working set), and the collision-
+    * corrected estimator Ĵ_b = (agree_b − 1)/(k − 1)·(k/k)… here
+    * (agree_b − k/2ᵇ)/(k − k/2ᵇ) = (agree_b − 1)/15 at k=16, b=4
+    * pays for it in variance. Per exact-Jaccard decile band (integer
+    * banding — no float boundary), over the banded-LSH candidate
+    * pairs: pair count, total slot agreements (full vs b-bit — the
+    * b-bit count is provably ≥ the full count, pinned), and the mean
+    * absolute estimator error of each width against exact Jaccard —
+    * every per-pair error an exact-rational [[intRoundHalfAway]]
+    * quantization, so the whole table is integer arithmetic after the
+    * one candidate verify. Same corpus and cost contract as x2. */
+  val x124BbitMinhash: Q = (s, d) => {
+    val pairs = graft.dedup.NearDup.bbitCandidateAgreement(
+      spread(s, corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200)))
+    pairs
+      .withColumn("band",
+        least(call_function("div", col("inter") * 10L, col("unn")), lit(9L)))
+      .withColumn("efq", intRoundHalfAway(
+        abs(col("agree_full") * col("unn") - col("inter") * 16L) * 10000L,
+        lit(16L) * col("unn")))
+      .withColumn("ebq", intRoundHalfAway(
+        abs((col("agree_b") - 1L) * col("unn") - col("inter") * 15L) * 10000L,
+        lit(15L) * col("unn")))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("agree_full")).as("sum_agree_full"),
+        sum(col("agree_b")).as("sum_agree_b"),
+        sum(col("efq")).as("sef"), sum(col("ebq")).as("seb"))
+      .select(col("band"), col("n_pairs"), col("sum_agree_full"),
+        col("sum_agree_b"),
+        (intRoundHalfAway(col("sef"), col("n_pairs"))
+          .cast("double") / 1e4).as("err_full"),
+        (intRoundHalfAway(col("seb"), col("n_pairs"))
+          .cast("double") / 1e4).as("err_bbit"))
+      .orderBy(col("band"))
+  }
+
   /** X122: quality-classifier filter APPLICATION — the production
     * gate itself: x108 trains the model, x118 calibrates it, this
     * runs it — every doc scored under the REGISTRY weights
@@ -4981,6 +5092,8 @@ object TrainingData {
     "x117_unigram_viterbi" -> x117UnigramViterbi,
     "x122_clf_filter" -> x122ClfFilter,
     "x123_bpe_scaling" -> x123BpeScaling,
+    "x124_bbit_minhash" -> x124BbitMinhash,
+    "x125_jl_projection" -> x125JlProjection,
     "x112_firstocc_dedup" -> x112FirstOccDedup,
     "x82_quality_percentile" -> x82QualityPercentile,
     "x81_corpus_card" -> x81CorpusCard,
@@ -6796,6 +6909,117 @@ object TrainingData {
       JOIN (SELECT doc_id AS old_id, n AS nb FROM sizes) sb USING (old_id)
       WHERE ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.nb - i.inter), 4) >= 0.5
       ORDER BY new_id, old_id"""
+    },
+    "x125_jl_projection" -> {
+      val sgn = (0 until 16).map(c =>
+        s"($c, [${jlSigns(c, 64).mkString(", ")}])").mkString(", ")
+      s"""
+      WITH pr AS (
+        SELECT vec_id, c,
+          list_sum(list_transform(list_zip(embedding, s),
+            p -> CAST(p[1] AS DOUBLE) * p[2])) AS y
+        FROM embeddings, (VALUES $sgn) AS sgn(c, s)),
+      prl AS (SELECT vec_id, list(y ORDER BY c) AS ys
+        FROM pr GROUP BY vec_id),
+      base AS (
+        SELECT e.vec_id, e.embedding, p.ys
+        FROM embeddings e JOIN prl p USING (vec_id)),
+      qs AS (SELECT vec_id AS qid, embedding AS qe, ys AS qy
+        FROM base WHERE vec_id < 5),
+      sc AS (
+        SELECT q.qid, c.vec_id AS nid,
+          list_sum(list_transform(list_zip(q.qe, c.embedding),
+            p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+              * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2o,
+          list_sum(list_transform(list_zip(q.qy, c.ys),
+            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2p
+        FROM qs q, base c WHERE c.vec_id <> q.qid),
+      rk AS (
+        SELECT qid, nid, d2o, d2p,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY ROUND(d2o, 6), nid) AS ro,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY ROUND(d2p, 6), nid) AS rp,
+          CASE WHEN d2o > 0
+            THEN CAST(ROUND(d2p / (16 * d2o) * 1e4, 0) AS BIGINT) END AS rq4
+        FROM sc)
+      SELECT qid,
+        CAST(SUM(CASE WHEN ro <= 10 AND rp <= 10 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_match,
+        CAST(SUM(CASE WHEN ro <= 10 AND rp <= 10 THEN 1 ELSE 0 END)
+          AS DOUBLE) / 10 AS recall_at_10,
+        CAST(((2 * SUM(rq4) + COUNT(rq4)) // (2 * COUNT(rq4)))
+          AS DOUBLE) / 1e4 AS ratio_mean,
+        CAST(MIN(rq4) AS DOUBLE) / 1e4 AS ratio_min,
+        CAST(MAX(rq4) AS DOUBLE) / 1e4 AS ratio_max
+      FROM rk GROUP BY qid ORDER BY qid"""
+    },
+    "x124_bbit_minhash" -> {
+      val params = graft.dedup.NearDup.minhashParams(16).zipWithIndex
+        .map { case ((a, b), j) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")
+      s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM $corpusSql WHERE doc_id % 1000000 < 200),
+      docs AS (
+        SELECT doc_id, $sqlShingles3 AS shs
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM corpus)),
+      sh AS (SELECT doc_id, unnest(shs) AS sh FROM docs),
+      hs AS (SELECT doc_id, ${md5Hash32Sql("sh")} AS h FROM sh),
+      minh AS (
+        SELECT doc_id, params.j,
+          MIN((h * params.a + params.b) % ${graft.dedup.NearDup.minhashPrime})
+            AS mh
+        FROM hs, (VALUES $params) AS params(j, a, b)
+        GROUP BY doc_id, params.j),
+      bands AS (
+        SELECT doc_id, j // 4 AS band,
+          string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
+        FROM minh GROUP BY doc_id, j // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS n FROM docs),
+      inter AS (
+        SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS inter
+        FROM cand c JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+        GROUP BY 1, 2),
+      ag AS (
+        SELECT c.id_a, c.id_b,
+          CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT)
+            AS agree_full,
+          CAST(SUM(CASE WHEN ma.mh % 16 = mb.mh % 16 THEN 1 ELSE 0 END)
+            AS BIGINT) AS agree_b
+        FROM cand c JOIN minh ma ON ma.doc_id = c.id_a
+        JOIN minh mb ON mb.doc_id = c.id_b AND mb.j = ma.j
+        GROUP BY 1, 2),
+      p AS (
+        SELECT c.id_a, c.id_b, COALESCE(i.inter, 0) AS inter,
+          sa.n + sb.n - COALESCE(i.inter, 0) AS unn,
+          ag.agree_full, ag.agree_b
+        FROM cand c
+        LEFT JOIN inter i USING (id_a, id_b)
+        JOIN ag USING (id_a, id_b)
+        JOIN (SELECT doc_id AS id_a, n FROM sizes) sa USING (id_a)
+        JOIN (SELECT doc_id AS id_b, n FROM sizes) sb USING (id_b)),
+      e AS (
+        SELECT LEAST((inter * 10) // unn, 9) AS band, agree_full, agree_b,
+          (2 * (ABS(agree_full * unn - inter * 16) * 10000) + 16 * unn)
+            // (2 * 16 * unn) AS efq,
+          (2 * (ABS((agree_b - 1) * unn - inter * 15) * 10000) + 15 * unn)
+            // (2 * 15 * unn) AS ebq
+        FROM p)
+      SELECT band, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(agree_full) AS BIGINT) AS sum_agree_full,
+        CAST(SUM(agree_b) AS BIGINT) AS sum_agree_b,
+        CAST(((2 * SUM(efq) + COUNT(*)) // (2 * COUNT(*))) AS DOUBLE) / 1e4
+          AS err_full,
+        CAST(((2 * SUM(ebq) + COUNT(*)) // (2 * COUNT(*))) AS DOUBLE) / 1e4
+          AS err_bbit
+      FROM e GROUP BY band ORDER BY band"""
     },
     "x61_quality_sampling" -> s"""
       SELECT doc_id, source, quality,

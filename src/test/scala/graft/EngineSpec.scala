@@ -2086,6 +2086,45 @@ class EngineSpec extends AnyFunSuite {
     assert(staged == prefix, "snapshot at depth 10 must equal a fresh 10-merge replay")
   }
 
+  test("x124 b-bit minwise: low-bit agreement dominates full agreement; exact copies read zero error") {
+    import spark.implicits._
+    val rows = TrainingData.defs("x124_bbit_minhash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (band, np, saf, sab, ef, eb) =>
+      assert(band >= 0 && band <= 9 && np > 0)
+      // equal 32-bit slots have equal low bits — never the reverse
+      assert(sab >= saf, s"band $band: b-bit agreement $sab < full $saf")
+      assert(ef >= 0.0 && eb >= 0.0 && ef <= 1.1 && eb <= 1.1)
+    }
+    // two identical docs: one candidate pair, all 16 slots agree at
+    // both widths, both estimators exact (J = 1, error 0)
+    val twin = Seq((1L, "p q r s t u v w x y z"), (2L, "p q r s t u v w x y z"))
+      .toDF("doc_id", "text")
+    val p = graft.dedup.NearDup.bbitCandidateAgreement(twin).collect()
+    assert(p.length == 1)
+    val r = p.head
+    assert(r.getAs[Long]("inter") == r.getAs[Long]("unn"))
+    assert(r.getAs[Long]("agree_full") == 16L && r.getAs[Long]("agree_b") == 16L)
+  }
+
+  test("x125 JL projection: unbiased distortion, ordered spread, bounded recall") {
+    val rows = TrainingData.defs("x125_jl_projection")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, nm, rec, mean, mn, mx) =>
+      assert(nm >= 0 && nm <= 10)
+      assert(math.abs(rec - nm / 10.0) < 1e-9)
+      assert(mn <= mean + 1e-9 && mean <= mx + 1e-9, s"q$qid spread order")
+      // E[ratio] = 1 for ±1 rows; a per-query mean outside [0.5, 2]
+      // would mean the sign matrix or the scaling is wrong, not noise
+      assert(mean > 0.5 && mean < 2.0, s"q$qid ratio_mean $mean")
+      assert(mn >= 0.0)
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
