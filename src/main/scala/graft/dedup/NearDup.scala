@@ -227,6 +227,52 @@ object NearDup {
         agrees(h => pmod(h, lit(m))).as("agree_b"))
   }
 
+  /** Winnowed k-gram fingerprint selection (Schleimer, Wilkerson &
+    * Aiken 2003 — MOSS's index): per doc, the POSITIONAL k-gram hash
+    * sequence and the rightmost-minimum index of every w-hash window;
+    * the distinct selected indices are the doc's fingerprints. The
+    * winnowing guarantees (both pinned in EngineSpec): any two docs
+    * sharing a run of ≥ w+k−1 tokens share a selected fingerprint,
+    * and every w consecutive k-grams contain a selection (gap < w) —
+    * so the index shrinks ~(w+1)/2× versus every-k-gram with ZERO
+    * recall loss on long matches, which is why it beats both strided
+    * windows (x33 — fixed stride misses unaligned runs) and plain
+    * MinHash (x2 — whole-doc similarity, not shared-run detection)
+    * as the plagiarism/clone-detection primitive. Entirely row-local
+    * array expressions over a PROJECTED token array; short docs
+    * (m < w) winnow one full-array window. Columns: doc_id, m,
+    * sel (ascending), fps (sorted distinct selected hashes). */
+  def winnowedFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    // The hash array and the selection are REUSED many times below; a
+    // withColumn projection is NOT enough to pin them — CollapseProject
+    // happily inlines a projected expression into a downstream
+    // Generate/Project, turning each window's slice into a full O(m)
+    // md5 recompute (measured: the x126 carrier went from 575 s to
+    // ~2 s when this binding landed). Binding via a single-element
+    // `transform` makes them LAMBDA VARIABLES, which survive any plan
+    // rewrite as evaluate-once-per-row by construction.
+    val hv0 = transform(
+      allShinglesOfToks(wsTokens(col("text")), k), x => md5Hash32(x))
+    val res = element_at(transform(array(hv0), hv => {
+      val m = size(hv)
+      val wl = least(lit(w), m)
+      val sel0 = sort_array(array_distinct(
+        transform(sequence(lit(1), m - wl + 1), j => {
+          val win = slice(hv, j, wl)
+          j - 1 + array_max(filter(sequence(lit(1), wl),
+            p => element_at(win, p) === array_min(win)))
+        })))
+      element_at(transform(array(sel0), sel =>
+        struct(m.cast("long").as("m"), sel.as("sel"),
+          sort_array(array_distinct(transform(sel, i => element_at(hv, i))))
+            .as("fps"))), 1)
+    }), 1)
+    docs.select(col("doc_id"), res.as("r"))
+      .select(col("doc_id"), col("r.m").as("m"), col("r.sel").as("sel"),
+        col("r.fps").as("fps"))
+      .filter(col("m") > 0)
+  }
+
   /** Persist a MinHash signature store for incremental near-dup
     * checks: `path/bands` = (doc_id, band, key) — the LSH candidate
     * index, the ONLY table a new batch's band join touches — and

@@ -4476,6 +4476,41 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  /** X126: winnowing fingerprint audit — the index-compression report
+    * for [[graft.dedup.NearDup.winnowedFingerprints]] (MOSS's
+    * selection rule) on the dedup corpus: per doc, the k-gram count,
+    * selected-fingerprint count, selection density (expected
+    * 2/(w+1) ≈ 0.4 at w=4 — versus 1.0 for every-k-gram), and the
+    * number of OTHER docs sharing at least one winnowed fingerprint
+    * (the candidate fan-in the compressed index still produces —
+    * planted exact/near copies must stay connected, pinned by the
+    * winnowing guarantee). Selection is row-local; the only shuffles
+    * are the fp-keyed neighbor join on the WINNOWED set (already
+    * ~2.5× smaller than the full k-gram posting list — that saving is
+    * the operator) and the output sort. */
+  val x126Winnowing: Q = (s, d) => {
+    // checkpointed once: the fingerprint table feeds BOTH sides of the
+    // neighbor join plus the report projection — without the pin the
+    // row-local winnowing would re-run per consumer (the x73 sliver
+    // precedent)
+    val wf = graft.dedup.NearDup.winnowedFingerprints(
+      spread(s, corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200)))
+      .localCheckpoint()
+    val ex = wf.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val nbr = ex.as("a").join(ex.as("b"), Seq("fp"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id"))
+      .agg(count_distinct(col("b.doc_id")).as("n_nbr"))
+      .select(col("doc_id"), col("n_nbr"))
+    wf.join(nbr, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("m"),
+        size(col("sel")).cast("long").as("n_sel"),
+        (intRoundHalfAway(size(col("sel")).cast("long") * 10000L, col("m"))
+          .cast("double") / 1e4).as("density"),
+        coalesce(col("n_nbr"), lit(0L)).as("n_nbr"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic ±1 sign vector for the x125 JL projection row `c`
     * — md5 parity of "jl-c-i", the x6 plane recipe (computed at PLAN
     * time, embedded as literal arrays). */
@@ -5094,6 +5129,7 @@ object TrainingData {
     "x123_bpe_scaling" -> x123BpeScaling,
     "x124_bbit_minhash" -> x124BbitMinhash,
     "x125_jl_projection" -> x125JlProjection,
+    "x126_winnowing" -> x126Winnowing,
     "x112_firstocc_dedup" -> x112FirstOccDedup,
     "x82_quality_percentile" -> x82QualityPercentile,
     "x81_corpus_card" -> x81CorpusCard,
@@ -6910,6 +6946,41 @@ object TrainingData {
       WHERE ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.nb - i.inter), 4) >= 0.5
       ORDER BY new_id, old_id"""
     },
+    "x126_winnowing" -> s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM $corpusSql WHERE doc_id % 1000000 < 200),
+      t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM corpus),
+      hvt AS (SELECT doc_id,
+          list_transform(
+            list_transform(range(1, GREATEST(len(toks) - 1, 1)), i ->
+              toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]
+                || ' ' || toks[CAST(i + 2 AS INT)]),
+            s -> ${md5Hash32Sql("s")}) AS hv
+        FROM t),
+      wres AS (SELECT doc_id, CAST(len(hv) AS BIGINT) AS m, hv,
+          list_sort(list_distinct(list_transform(
+            range(1, len(hv) - LEAST(4, len(hv)) + 2), j ->
+              j - 1 + list_max(list_filter(
+                range(1, LEAST(4, len(hv)) + 1), p ->
+                  hv[CAST(j + p - 1 AS INT)]
+                    = list_min(list_slice(hv, j,
+                        j + LEAST(4, len(hv)) - 1))))))) AS sel
+        FROM hvt WHERE len(hv) > 0),
+      wf AS (SELECT doc_id, m, CAST(len(sel) AS BIGINT) AS n_sel,
+          list_sort(list_distinct(list_transform(sel,
+            i -> hv[CAST(i AS INT)]))) AS fps
+        FROM wres),
+      ex AS (SELECT doc_id, unnest(fps) AS fp FROM wf),
+      nbr AS (SELECT a.doc_id,
+          CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_nbr
+        FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id)
+      SELECT w.doc_id, w.m, w.n_sel,
+        CAST(((2 * w.n_sel * 10000 + w.m) // (2 * w.m)) AS DOUBLE) / 1e4
+          AS density,
+        CAST(COALESCE(n.n_nbr, 0) AS BIGINT) AS n_nbr
+      FROM wf w LEFT JOIN nbr n USING (doc_id) ORDER BY doc_id""",
     "x125_jl_projection" -> {
       val sgn = (0 until 16).map(c =>
         s"($c, [${jlSigns(c, 64).mkString(", ")}])").mkString(", ")

@@ -2125,6 +2125,51 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("x126 winnowing: window guarantee on every fixture doc, shared-run detection, copies stay connected") {
+    import spark.implicits._
+    val w = 4
+    // every w consecutive k-grams contain a selection (the winnowing
+    // density guarantee), checked on every fixture doc's sel array
+    val wf = graft.dedup.NearDup.winnowedFingerprints(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+      .collect()
+    assert(wf.nonEmpty)
+    wf.foreach { r =>
+      val m = r.getAs[Long]("m")
+      val sel = r.getAs[scala.collection.Seq[Int]]("sel").map(_.toLong)
+      assert(sel.nonEmpty && sel.head <= w, s"doc ${r.getLong(0)} head")
+      assert(sel.last >= m - w + 1, s"doc ${r.getLong(0)} tail")
+      sel.sliding(2).foreach {
+        case scala.collection.Seq(a, b) =>
+          assert(b - a <= w, s"doc ${r.getLong(0)} gap $a→$b")
+        case _ => ()
+      }
+    }
+    // the MOSS guarantee: two docs sharing a run of ≥ w+k−1 = 6 tokens
+    // share a winnowed fingerprint, however the run is aligned
+    val shared = "s1 s2 s3 s4 s5 s6"
+    val pair = Seq(
+      (1L, s"alpha beta gamma delta $shared epsilon zeta"),
+      (2L, s"one $shared two three four five six seven"))
+      .toDF("doc_id", "text")
+    val fps = graft.dedup.NearDup.winnowedFingerprints(pair)
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Long]]("fps").toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty,
+      "a 6-token shared run must survive winnowing in both docs")
+    // planted copies: every doc in the dedup corpus has an exact twin,
+    // so the compressed index must still connect every doc
+    val rows = TrainingData.defs("x126_winnowing")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.size == 600)
+    rows.foreach { case (id, m, nSel, density, nNbr) =>
+      assert(nSel >= 1 && nSel <= m)
+      assert(density > 0.0 && density <= 1.0)
+      assert(nNbr >= 1, s"doc $id lost its planted twin in the winnowed index")
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
