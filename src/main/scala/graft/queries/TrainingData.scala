@@ -4636,13 +4636,7 @@ object TrainingData {
   val x122ClfFilter: Q = (s, d) => {
     val wdf = s.read.parquet(ensureClfWeights(s, d))
     val (tf, _) = qualityClfTf(s, d)
-    val pq = round((lit(1.0) / (lit(1.0)
-        + exp(-(col("zq").cast("double") / 1e9)))) * 1e6, 0).cast("long")
-    val scored = tf.join(broadcast(wdf), Seq("bucket"))
-      .groupBy(col("doc_id"), col("y"))
-      .agg(sum(round(col("wb") * col("x") * 1e9, 0).cast("long")).as("zq"))
-      .select(col("doc_id"), col("y"), pq.as("pq"))
-    scored
+    clfScores(tf, wdf)
       .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
         Seq("doc_id"))
       .groupBy(col("source"))
@@ -4853,7 +4847,19 @@ object TrainingData {
     * engine's [[qualityScore]] ≥ 0.5 gate. Returns (tf, nDocs);
     * docs with no tokens drop (inner semantics). */
   private[graft] def qualityClfTf(s: SparkSession, d: String): (DataFrame, Long) = {
-    val docs = Tables.documents(s, d)
+    val tf = clfFeatures(Tables.documents(s, d)).localCheckpoint()
+    (tf, tf.select(col("doc_id")).distinct().count())
+  }
+
+  /** The classifier's sparse feature rows (doc_id, y, bucket, x) over
+    * ANY (doc_id, text) frame — shared by training (x108), the staged
+    * consumers (x118/x122), and the STREAMING admission gate
+    * ([[graft.streaming.DocStream.admitQuality]]), so no consumer can
+    * drift from the features the registry weights were trained on.
+    * Docs with zero tokens produce no rows (they carry no signal and
+    * no gate can score them). */
+  private[graft] def clfFeatures(docs0: DataFrame): DataFrame = {
+    val docs = docs0.select(col("doc_id"), col("text"))
     val cnts = docs
       .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("w"))
       .filter(col("w") =!= "")
@@ -4873,12 +4879,23 @@ object TrainingData {
     val side = lab.join(ntok.select(col("doc_id")), Seq("doc_id"))
       .select(col("doc_id"), posexplode(col("fs")).as(Seq("i", "x")))
       .select(col("doc_id"), (col("i") + 64).cast("long").as("bucket"), col("x"))
-    val tf = bow.unionByName(side)
+    bow.unionByName(side)
       .join(lab.select(col("doc_id"), col("y")), Seq("doc_id"))
       .select(col("doc_id"), col("y"), col("bucket"), col("x"))
-      .localCheckpoint()
-    (tf, ntok.count())
   }
+
+  /** Registry-weight scoring of a feature table under the trainer's
+    * exact quantization contract (1e9-quantized logits, σ quantized
+    * 1e-6 after evaluation): (doc_id, y, pq). Shared by x118, x122,
+    * and the streaming gate — one scoring definition, no drift. */
+  private[graft] def clfScores(tf: DataFrame, wdf: DataFrame): DataFrame =
+    tf.join(broadcast(wdf), Seq("bucket"))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(round(col("wb") * col("x") * 1e9, 0).cast("long")).as("zq"))
+      .select(col("doc_id"), col("y"),
+        round((lit(1.0) / (lit(1.0)
+          + exp(-(col("zq").cast("double") / 1e9)))) * 1e6, 0)
+          .cast("long").as("pq"))
 
   /** x108's trainer: full-batch logistic-regression gradient descent
     * over the sparse feature table — `iters` steps at learning rate
@@ -4976,14 +4993,10 @@ object TrainingData {
   val x118ClfCalibration: Q = (s, d) => {
     val wdf = s.read.parquet(ensureClfWeights(s, d))
     val (tf, _) = qualityClfTf(s, d)
-    val pq = round((lit(1.0) / (lit(1.0)
-        + exp(-(col("zq").cast("double") / 1e9)))) * 1e6, 0).cast("long")
     val mp = intRoundHalfAway(col("spq"), col("n_docs"))
     val pr = intRoundHalfAway(col("sy") * 1000000L, col("n_docs"))
-    tf.join(broadcast(wdf), Seq("bucket"))
-      .groupBy(col("doc_id"), col("y"))
-      .agg(sum(round(col("wb") * col("x") * 1e9, 0).cast("long")).as("zq"))
-      .select(col("y"), pq.as("pq"))
+    clfScores(tf, wdf)
+      .select(col("y"), col("pq"))
       .withColumn("bin",
         least(call_function("div", col("pq"), lit(100000L)), lit(9L)))
       .groupBy(col("bin"))

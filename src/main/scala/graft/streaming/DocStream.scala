@@ -108,6 +108,29 @@ object DocStream {
         .select(col("new_id").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
 
+  /** Model-gate admission for one micro-batch against the persisted
+    * classifier weight REGISTRY ([[graft.queries.TrainingData
+    * .ensureClfWeights]]): the batch pays its own feature build (the
+    * trainer's exact [[graft.queries.TrainingData.clfFeatures]] rows
+    * — streaming cannot drift from the features the weights were
+    * trained on), a 68-row broadcast join, and the 1e-6-quantized σ;
+    * docs scoring p ≥ 0.5 ride through, the rest drop. Zero-token
+    * docs carry no signal, score nothing, and drop — the same scored
+    * population x122 reports on. Stateless per batch (the registry,
+    * retrained on the trainer's cadence, IS the state), so it wires
+    * through `foreachBatch` exactly like [[admitNearDups]];
+    * StreamingSpec proves stream admission ≡ the batch run ≡ x122's
+    * per-source kept counts. */
+  def admitQuality(spark: SparkSession, batch: DataFrame,
+      weightsPath: String): DataFrame = {
+    val wdf = spark.read.parquet(weightsPath)
+    val kept = graft.queries.TrainingData.clfScores(
+        graft.queries.TrainingData.clfFeatures(batch), wdf)
+      .filter(col("pq") >= 500000L)
+      .select(col("doc_id"))
+    batch.join(kept, Seq("doc_id"), "left_semi")
+  }
+
   /** Quality decile on the integer-1e4 score representation — the
     * x68 binning (pure integer: no engine or batch/stream replay can
     * disagree on a bin edge). */

@@ -280,4 +280,34 @@ class StreamingSpec extends AnyFunSuite {
         s"window vs own corpus should not alarm: $psi")
     }
   }
+
+  test("model-gate admission: stream ≡ batch ≡ x122's kept counts") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text")
+    val weights = graft.queries.TrainingData.ensureClfWeights(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("docs_gate").toString
+    docs.write.mode("overwrite").parquet(tmp)
+    val outDir = java.nio.file.Files.createTempDirectory("gate_out").toString
+    val q = graft.streaming.DocStream.readDocStream(spark, tmp)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.DocStream.admitQuality(spark, b, weights)
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", outDir + "_chk")
+      .start()
+    q.awaitTermination(120000L); q.stop()
+    val out = spark.read.parquet(outDir)
+    val batch = graft.streaming.DocStream.admitQuality(
+      spark, spark.read.parquet(tmp), weights)
+    assert(out.count() == batch.count())
+    assert(out.select("doc_id").exceptAll(batch.select("doc_id")).count() == 0)
+    // the stream admits exactly the population x122 reports as kept
+    val x122Kept = graft.queries.TrainingData
+      .defs("x122_clf_filter")(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_kept")).collect()(0).getLong(0)
+    assert(out.count() == x122Kept,
+      s"stream admitted ${out.count()} vs x122 kept $x122Kept")
+  }
 }
