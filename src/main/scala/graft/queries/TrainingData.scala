@@ -4356,6 +4356,118 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  /** x127's scored table: every held-out (x36 val-split) token at a
+    * full-trigram position, with its probability under each mixture
+    * component trained on the TRAIN split — uniform 1/(V+1), unigram
+    * MLE c(w)/N, bigram MLE c(vw)/Σc(v·), trigram MLE c(uvw)/Σc(uv·)
+    * (unseen grams/contexts score 0; the uniform floor keeps every
+    * token's mixture positive). Gram tables are the x64 join graph;
+    * each probability is ONE double division in an order the oracle
+    * mirrors exactly. Built once and checkpointed — the EM loop
+    * re-scans these four doubles, never the corpus. */
+  private[graft] def emInterpScored(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val balde = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long"), lit(100L))
+    val train = docs.filter(balde < 90)
+    val ho = docs.filter(balde >= 90 && balde < 95)
+    val ttk = train.select(wsTokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+    val uni = ttk.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val scal = uni.agg(sum(col("c1")).as("nn"), count(lit(1)).as("vv"))
+    val bi = ttk.filter(col("n") >= 2)
+      .select(col("toks"), explode(sequence(lit(2), col("n"))).as("i"))
+      .select(element_at(col("toks"), col("i") - 1).as("v"),
+        element_at(col("toks"), col("i")).as("w"))
+      .groupBy(col("v"), col("w")).agg(count(lit(1)).as("c2"))
+    val ctx2 = bi.groupBy(col("v")).agg(sum(col("c2")).as("k2"))
+    val tri = ttk.filter(col("n") >= 3)
+      .select(col("toks"), explode(sequence(lit(3), col("n"))).as("i"))
+      .select(element_at(col("toks"), col("i") - 2).as("u"),
+        element_at(col("toks"), col("i") - 1).as("v"),
+        element_at(col("toks"), col("i")).as("w"))
+      .groupBy(col("u"), col("v"), col("w")).agg(count(lit(1)).as("c3"))
+    val ctx3 = tri.groupBy(col("u"), col("v")).agg(sum(col("c3")).as("k3"))
+    ho.select(wsTokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 3)
+      .select(col("toks"), explode(sequence(lit(3), col("n"))).as("i"))
+      .select(element_at(col("toks"), col("i") - 2).as("u"),
+        element_at(col("toks"), col("i") - 1).as("v"),
+        element_at(col("toks"), col("i")).as("w"))
+      .join(uni, Seq("w"), "left")
+      .join(bi, Seq("v", "w"), "left")
+      .join(ctx2, Seq("v"), "left")
+      .join(tri, Seq("u", "v", "w"), "left")
+      .join(ctx3, Seq("u", "v"), "left")
+      .crossJoin(broadcast(scal))
+      .select(
+        (lit(1.0) / (col("vv").cast("double") + 1.0)).as("p0"),
+        (coalesce(col("c1"), lit(0L)).cast("double")
+          / col("nn").cast("double")).as("p1"),
+        when(col("k2").isNull, lit(0.0))
+          .otherwise(coalesce(col("c2"), lit(0L)).cast("double")
+            / col("k2").cast("double")).as("p2"),
+        when(col("k3").isNull, lit(0.0))
+          .otherwise(coalesce(col("c3"), lit(0L)).cast("double")
+            / col("k3").cast("double")).as("p3"))
+      .localCheckpoint()
+  }
+
+  /** x127's trainer: 5 full-batch EM steps for the interpolation
+    * weights λ of the 4-component mixture, from uniform init — the
+    * Jelinek-Mercer deleted-interpolation recipe (Jelinek & Mercer
+    * 1980; Chen & Goodman's JM baseline), the standard way the λs of
+    * an interpolated LM are actually set. Per step: posterior
+    * responsibilities r_o = λ_o·p_o / Σ λ·p, quantized 1e-6 AFTER
+    * evaluation (the x39/x108 transcendental-free contract — here
+    * even the division is the only double op), summed as order-free
+    * BIGINTs; λ' = Σr_o/(T·1e6) is one double division on those
+    * integers, so driver and the oracle's 5 unrolled SQL iterations
+    * agree bit-for-bit. EM's likelihood-monotonicity is pinned in
+    * EngineSpec off this exact replica. */
+  private[graft] def emInterpLambdas(scored: DataFrame,
+      iters: Int = 5): (Seq[Double], Long) = {
+    val t = scored.count()
+    var l = Seq(0.25, 0.25, 0.25, 0.25)
+    for (_ <- 1 to iters) {
+      val den = lit(l(0)) * col("p0") + lit(l(1)) * col("p1") +
+        lit(l(2)) * col("p2") + lit(l(3)) * col("p3")
+      val qs = (0 to 3).map(o =>
+        sum(round(lit(l(o)) * col(s"p$o") / den * 1e6, 0).cast("long"))
+          .as(s"q$o"))
+      val r = scored.agg(qs.head, qs.tail: _*).collect()(0)
+      l = (0 to 3).map(o => r.getLong(o).toDouble / (t.toDouble * 1e6))
+    }
+    (l, t)
+  }
+
+  /** X127: EM-tuned LM interpolation weights — the last fixed
+    * hyperparameter in the LM family (x39/x40/x64/x83) actually
+    * LEARNED from data: deleted interpolation fits λ over
+    * {uniform, unigram, bigram, trigram} MLE components on the x36
+    * val split, the exact procedure production KenLM/SRILM pipelines
+    * run (`ngram -count -interpolate` tunes these same weights on
+    * held-out text). Output: one row per component with its tuned
+    * weight — the model card for the mixture the perplexity filters
+    * should score with. Scale shape: gram tables are the x64
+    * shuffles; the scored table (4 doubles per held-out trigram
+    * position) is built once and checkpointed; each EM step is ONE
+    * map-side-combinable 4-sum aggregation over it (5 scheduling
+    * round-trips total — the x108 driver-loop floor, data-volume
+    * free). */
+  val x127EmInterpolation: Q = (s, d) => {
+    val (l, _) = emInterpLambdas(emInterpScored(s, d))
+    s.createDataFrame(Seq(
+        ("uniform", l(0)), ("unigram", l(1)),
+        ("bigram", l(2)), ("trigram", l(3))))
+      .toDF("component", "lraw")
+      .select(col("component"), round(col("lraw"), 6).as("lambda"))
+      .orderBy(col("component"))
+  }
+
   /** x117's piece inventory: every 1-4-char substring of every
     * distinct (≤ [[ViterbiMaxW]]-char) corpus word, scored by its
     * frequency-weighted occurrence count — sq = round(ln(cnt/total)
@@ -5143,6 +5255,7 @@ object TrainingData {
     "x124_bbit_minhash" -> x124BbitMinhash,
     "x125_jl_projection" -> x125JlProjection,
     "x126_winnowing" -> x126Winnowing,
+    "x127_em_interpolation" -> x127EmInterpolation,
     "x112_firstocc_dedup" -> x112FirstOccDedup,
     "x82_quality_percentile" -> x82QualityPercentile,
     "x81_corpus_card" -> x81CorpusCard,
@@ -6958,6 +7071,83 @@ object TrainingData {
       JOIN (SELECT doc_id AS old_id, n AS nb FROM sizes) sb USING (old_id)
       WHERE ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.nb - i.inter), 4) >= 0.5
       ORDER BY new_id, old_id"""
+    },
+    "x127_em_interpolation" -> {
+      val em = new StringBuilder
+      for (k <- 1 to 5) {
+        val den = "l0 * p0 + l1 * p1 + l2 * p2 + l3 * p3"
+        val sums = (0 to 3).map(o =>
+          s"""CAST(SUM(CAST(ROUND(l$o * p$o / ($den) * 1e6, 0)
+            AS BIGINT)) AS BIGINT) AS s$o""").mkString(",\n          ")
+        em ++= s""",
+      e$k AS MATERIALIZED (SELECT
+          $sums
+        FROM scored, lam${k - 1}),
+      lam$k AS (SELECT
+          CAST(s0 AS DOUBLE) / (CAST(t AS DOUBLE) * 1e6) AS l0,
+          CAST(s1 AS DOUBLE) / (CAST(t AS DOUBLE) * 1e6) AS l1,
+          CAST(s2 AS DOUBLE) / (CAST(t AS DOUBLE) * 1e6) AS l2,
+          CAST(s3 AS DOUBLE) / (CAST(t AS DOUBLE) * 1e6) AS l3
+        FROM e$k, tcount)"""
+      }
+      s"""WITH sp AS (SELECT doc_id, text,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+            AS b
+        FROM documents),
+      ttr AS MATERIALIZED (
+        SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM sp WHERE b < 90),
+      uni AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(toks) AS w FROM ttr) GROUP BY w),
+      scal AS (SELECT CAST(SUM(c1) AS BIGINT) AS nn,
+          CAST(COUNT(*) AS BIGINT) AS vv
+        FROM uni),
+      bi AS MATERIALIZED (
+        SELECT toks[CAST(i - 1 AS INT)] AS v, toks[CAST(i AS INT)] AS w,
+          CAST(COUNT(*) AS BIGINT) AS c2
+        FROM ttr, unnest(range(2, len(toks) + 1)) AS t(i)
+        GROUP BY 1, 2),
+      ctx2 AS MATERIALIZED (SELECT v, CAST(SUM(c2) AS BIGINT) AS k2
+        FROM bi GROUP BY v),
+      tri AS MATERIALIZED (
+        SELECT toks[CAST(i - 2 AS INT)] AS u, toks[CAST(i - 1 AS INT)] AS v,
+          toks[CAST(i AS INT)] AS w, CAST(COUNT(*) AS BIGINT) AS c3
+        FROM ttr, unnest(range(3, len(toks) + 1)) AS t(i)
+        GROUP BY 1, 2, 3),
+      ctx3 AS MATERIALIZED (SELECT u, v, CAST(SUM(c3) AS BIGINT) AS k3
+        FROM tri GROUP BY u, v),
+      ho AS MATERIALIZED (
+        SELECT toks[CAST(i - 2 AS INT)] AS u, toks[CAST(i - 1 AS INT)] AS v,
+          toks[CAST(i AS INT)] AS w
+        FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM sp WHERE b >= 90 AND b < 95),
+          unnest(range(3, len(toks) + 1)) AS t(i)),
+      scored AS MATERIALIZED (
+        SELECT 1.0 / (CAST(vv AS DOUBLE) + 1.0) AS p0,
+          CAST(COALESCE(c1, 0) AS DOUBLE) / CAST(nn AS DOUBLE) AS p1,
+          CASE WHEN k2 IS NULL THEN 0.0
+            ELSE CAST(COALESCE(c2, 0) AS DOUBLE) / CAST(k2 AS DOUBLE) END
+            AS p2,
+          CASE WHEN k3 IS NULL THEN 0.0
+            ELSE CAST(COALESCE(c3, 0) AS DOUBLE) / CAST(k3 AS DOUBLE) END
+            AS p3
+        FROM ho
+        LEFT JOIN uni USING (w)
+        LEFT JOIN bi USING (v, w)
+        LEFT JOIN ctx2 USING (v)
+        LEFT JOIN tri USING (u, v, w)
+        LEFT JOIN ctx3 USING (u, v)
+        CROSS JOIN scal),
+      tcount AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM scored),
+      lam0 AS (SELECT CAST(0.25 AS DOUBLE) AS l0, CAST(0.25 AS DOUBLE) AS l1,
+        CAST(0.25 AS DOUBLE) AS l2, CAST(0.25 AS DOUBLE) AS l3)
+      $em
+      SELECT component, lambda FROM (
+        SELECT 'uniform' AS component, ROUND(l0, 6) AS lambda FROM lam5
+        UNION ALL SELECT 'unigram', ROUND(l1, 6) FROM lam5
+        UNION ALL SELECT 'bigram', ROUND(l2, 6) FROM lam5
+        UNION ALL SELECT 'trigram', ROUND(l3, 6) FROM lam5)
+      ORDER BY component"""
     },
     "x126_winnowing" -> s"""
       WITH corpus AS (

@@ -2170,6 +2170,45 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("x127 EM interpolation: held-out likelihood is monotone, carrier ≡ driver replica") {
+    val scoredDf = TrainingData.emInterpScored(spark, sf)
+    val rows = scoredDf.collect().map(r =>
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    scoredDf.unpersist()
+    assert(rows.nonEmpty)
+    val t = rows.length.toLong
+    def q(x: Double): Long =
+      BigDecimal.decimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    var l = Seq(0.25, 0.25, 0.25, 0.25)
+    var prevNll = Double.MaxValue
+    for (it <- 1 to 5) {
+      val nll = -rows.map { case (p0, p1, p2, p3) =>
+        math.log(l(0) * p0 + l(1) * p1 + l(2) * p2 + l(3) * p3) }.sum / t
+      assert(nll <= prevNll + 1e-9, s"EM iteration $it raised held-out NLL")
+      prevNll = nll
+      val sums = Array.fill(4)(0L)
+      rows.foreach { case (p0, p1, p2, p3) =>
+        val ps = Array(p0, p1, p2, p3)
+        val den = l(0) * p0 + l(1) * p1 + l(2) * p2 + l(3) * p3
+        for (o <- 0 to 3) sums(o) += q(l(o) * ps(o) / den * 1e6)
+      }
+      l = (0 to 3).map(o => sums(o).toDouble / (t.toDouble * 1e6))
+    }
+    val got = TrainingData.defs("x127_em_interpolation")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set("uniform", "unigram", "bigram", "trigram"))
+    val want = Seq("uniform", "unigram", "bigram", "trigram").zip(l).toMap
+    want.foreach { case (k, v) =>
+      val v6 = BigDecimal.decimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(k) - v6) < 1e-9, s"$k: carrier ${got(k)} replica $v6")
+    }
+    // a probability mixture: weights stay a near-partition of 1
+    // (per-token 1e-6 rounding can drift the sum by at most T·4e-6/T)
+    val s = got.values.sum
+    assert(s > 0.99 && s < 1.01, s"lambda sum $s")
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
