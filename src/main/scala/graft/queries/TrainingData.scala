@@ -601,7 +601,7 @@ object TrainingData {
     val path = s"target/planted_${tag}_" +
       s"${fixtureFp(d, "documents")}_${fixtureFp(d, "embeddings")}"
     if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$path/vecs_holed/_SUCCESS"))) {
+        java.nio.file.Paths.get(s"$path/vecs_paired/_SUCCESS"))) {
       val docs = Tables.documents(s, d)
       val base = wsTokens(col("text"))
       docs.select(col("doc_id"),
@@ -619,6 +619,29 @@ object TrainingData {
           col("vec_id").cast("string")), lit(10L)) =!= 7)
         .select(col("vec_id"))
         .write.mode("overwrite").parquet(s"$path/vecs_holed")
+      // x128's paired-feature table: every dedup-corpus doc (base +
+      // exact copy + near copy, for base ids that HAVE an embedding)
+      // with the md5 checksum of its paired vector's 1e6-rounded
+      // components. The pairing pipeline SHOULD assign a re-crawled
+      // exact copy the same vector as its original; a deterministic
+      // hash-selected slice of the copies (md5₃₂(doc_id) % 13 = 5)
+      // instead carries a divergent checksum (the rounded list with a
+      // marker appended — different by construction) — the planted
+      // inconsistency x128 must surface exactly.
+      val vfp = md5(array_join(transform(col("embedding"),
+        x => round(x.cast("double") * 1e6, 0).cast("long").cast("string")),
+        ","))
+      val baseV = Tables.embeddings(s, d)
+        .filter(col("vec_id") < 200).select(col("vec_id"), vfp.as("s0"))
+      baseV.select(col("vec_id").as("doc_id"), col("s0").as("vfp"))
+        .unionByName(baseV.select((col("vec_id") + 1000000L).as("doc_id"),
+          when(pmod(graft.dedup.NearDup.md5Hash32(
+              (col("vec_id") + 1000000L).cast("string")), lit(13L)) === 5,
+            md5(concat(col("s0"), lit("x"))))
+            .otherwise(col("s0")).as("vfp")))
+        .unionByName(baseV.select((col("vec_id") + 2000000L).as("doc_id"),
+          col("s0").as("vfp")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/vecs_paired")
     }
     path
   }
@@ -4694,6 +4717,37 @@ object TrainingData {
       .orderBy(col("qid"))
   }
 
+  /** X128: pairing-consistency audit — x104 checks a vector EXISTS
+    * for every doc; this checks the right one does: exact-duplicate
+    * documents (same text fingerprint) must carry IDENTICAL paired
+    * vectors, or the pairing pipeline mismapped a re-crawl — the
+    * "same content, same features" invariant every multimodal ingest
+    * is graded on. Reads the STAGED paired-feature table
+    * ([[ensurePlantedFixtures]]'s `vecs_paired`, which plants a
+    * deterministic hash-selected slice of divergent copies — the
+    * round-8 fixture-side-planting convention, so the query body is
+    * purely operational); per same-text family (≥2 members): member
+    * count, distinct vector checksums, consistency flag. The oracle
+    * rebuilds plant and audit from the base tables, re-proving the
+    * staging bit-identical on every run. Shape: one doc-keyed join +
+    * one family-keyed aggregation; checksums (not vectors) cross the
+    * wire. */
+  val x128PairingConsistency: Q = (s, d) => {
+    val paired = s.read
+      .parquet(s"${ensurePlantedFixtures(s, d)}/vecs_paired")
+    corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(paired, Seq("doc_id"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("family_id"),
+        count(lit(1)).as("n_members"),
+        count_distinct(col("vfp")).as("n_vfp"))
+      .filter(col("n_members") >= 2)
+      .select(col("family_id"), col("n_members"), col("n_vfp"),
+        (col("n_vfp") === 1).as("consistent"))
+      .orderBy(col("family_id"))
+  }
+
   /** X124: b-bit minwise signature compression audit (Li & König
     * 2010) — the scale lever for the x60 signature store: keeping
     * only the low 4 bits of each minhash slot shrinks signatures 8×
@@ -5256,6 +5310,7 @@ object TrainingData {
     "x125_jl_projection" -> x125JlProjection,
     "x126_winnowing" -> x126Winnowing,
     "x127_em_interpolation" -> x127EmInterpolation,
+    "x128_pairing_consistency" -> x128PairingConsistency,
     "x112_firstocc_dedup" -> x112FirstOccDedup,
     "x82_quality_percentile" -> x82QualityPercentile,
     "x81_corpus_card" -> x81CorpusCard,
@@ -7149,6 +7204,28 @@ object TrainingData {
         UNION ALL SELECT 'trigram', ROUND(l3, 6) FROM lam5)
       ORDER BY component"""
     },
+    "x128_pairing_consistency" -> s"""
+      WITH bv AS (
+        SELECT vec_id, md5(array_to_string(list_transform(embedding,
+            x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT)), ','))
+          AS s0
+        FROM embeddings WHERE vec_id < 200),
+      paired AS (
+        SELECT vec_id AS doc_id, s0 AS vfp FROM bv
+        UNION ALL SELECT vec_id + 1000000,
+          CASE WHEN (${md5Hash32Sql("CAST(vec_id + 1000000 AS VARCHAR)")})
+              % 13 = 5
+            THEN md5(s0 || 'x') ELSE s0 END
+        FROM bv
+        UNION ALL SELECT vec_id + 2000000, s0 FROM bv),
+      corpus AS (
+        SELECT doc_id, text FROM $corpusSql WHERE doc_id % 1000000 < 200),
+      fam AS (SELECT md5(c.text) AS fp, c.doc_id, p.vfp
+        FROM corpus c JOIN paired p USING (doc_id))
+      SELECT MIN(doc_id) AS family_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+        CAST(COUNT(DISTINCT vfp) AS BIGINT) AS n_vfp,
+        (COUNT(DISTINCT vfp) = 1) AS consistent
+      FROM fam GROUP BY fp HAVING COUNT(*) >= 2 ORDER BY family_id""",
     "x126_winnowing" -> s"""
       WITH corpus AS (
         SELECT doc_id, text FROM $corpusSql WHERE doc_id % 1000000 < 200),

@@ -2209,6 +2209,28 @@ class EngineSpec extends AnyFunSuite {
     assert(s > 0.99 && s < 1.01, s"lambda sum $s")
   }
 
+  test("x128 pairing consistency flags exactly the planted divergent copies") {
+    val rows = TrainingData.defs("x128_pairing_consistency")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    def h32(s: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (0 until 4).map(i => (h(i) & 0xffL) << (8 * (3 - i))).sum
+    }
+    var planted = 0
+    rows.foreach { case (fid, nm, nv, cons) =>
+      assert(nm == 2L, s"family $fid size")
+      assert((nv == 1L) == cons)
+      val divergent = h32((fid + 1000000L).toString) % 13 == 5
+      assert(cons == !divergent,
+        s"family $fid: consistent=$cons but planted-divergent=$divergent")
+      if (divergent) planted += 1
+    }
+    assert(planted > 0, "the planted slice must be non-empty at this SF")
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
