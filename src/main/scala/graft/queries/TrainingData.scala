@@ -2897,7 +2897,12 @@ object TrainingData {
     path
   }
 
-  val x100IvfPqQuery: Q = (s, d) => {
+  /** x100/x129's shared ADC scoring stage over the persisted IVF-PQ
+    * store: (qid, nid, dist_q) for every code vector in the query's
+    * top-4 probed cells — everything up to (not including) the rank
+    * cut, so the plain server (x100) and the refine server (x129)
+    * provably score identically. */
+  private def ivfPqAdc(s: SparkSession, d: String): DataFrame = {
     val path = ensureIvfPqStore(s, d)
     val coarse = s.read.parquet(s"$path/coarse")
     val pqCents = s.read.parquet(s"$path/pqcents")
@@ -2930,9 +2935,44 @@ object TrainingData {
       .withColumn("dq", graft.ml.PqIndex.l2q(col("qsub"), col("nce")))
       .groupBy(col("qid"), col("nid"))
       .agg(sum(col("dq")).as("dist_q"))
+  }
+
+  val x100IvfPqQuery: Q = (s, d) =>
+    ivfPqAdc(s, d)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("dist_q"), col("nid"))))
       .filter(col("rk") <= 10)
+      .select(col("qid"), col("nid"), col("dist_q"),
+        col("rk").cast("int").as("rk"))
+      .orderBy(col("qid"), col("rk"))
+
+  /** X129: two-stage ANN serving with exact re-rank (FAISS's
+    * IndexRefine — the production default wherever PQ serves): the
+    * ADC stage prunes to a 16-candidate shortlist per query (cheap,
+    * 8-byte codes), then the ORIGINAL vectors of only that shortlist
+    * are fetched (a doc-keyed join on ≤16·|queries| ids — the store's
+    * full-precision copy is touched shortlist-sized, never
+    * cell-sized) and exact L2 re-ranks the top 4. Quantization noise
+    * that reorders near-ties inside the shortlist is exactly what
+    * this stage exists to undo; EngineSpec pins refine recall@4 ≥
+    * plain-ADC recall@4 against brute-force truth. Distances on the
+    * ROUND(L2²·1e6) BIGINT contract throughout. */
+  val x129AdcRerank: Q = (s, d) => {
+    val short = ivfPqAdc(s, d)
+      .withColumn("ark", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist_q"), col("nid"))))
+      .filter(col("ark") <= 16)
+      .select(col("qid"), col("nid"))
+    val emb = Tables.embeddings(s, d)
+    short
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        Seq("qid"))
+      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne")),
+        Seq("nid"))
+      .withColumn("dist_q", graft.ml.PqIndex.l2q(col("qe"), col("ne")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist_q"), col("nid"))))
+      .filter(col("rk") <= 4)
       .select(col("qid"), col("nid"), col("dist_q"),
         col("rk").cast("int").as("rk"))
       .orderBy(col("qid"), col("rk"))
@@ -5344,6 +5384,7 @@ object TrainingData {
     "x99_pq_recall" -> x99PqRecall,
     "x99b_opq_recall" -> x99bOpqRecall,
     "x100_ivfpq_query" -> x100IvfPqQuery,
+    "x129_adc_rerank" -> x129AdcRerank,
     "x109_ivf_addbatch" -> x109IvfAddBatch,
     "x110_ivfpq_addbatch" -> x110IvfPqAddBatch,
     "x114_opq_serve" -> x114OpqServe,
@@ -8024,6 +8065,68 @@ object TrainingData {
         FROM adc)
       SELECT qid, nid, dist_q, CAST(rk AS INT) AS rk
       FROM r WHERE rk <= 10 ORDER BY qid, rk""",
+    "x129_adc_rerank" -> s"""
+      WITH f AS (SELECT vec_id, 0 AS m, embedding AS sub FROM embeddings),
+      c0f AS (SELECT m, CAST(vec_id AS INT) AS cid, sub AS ce
+        FROM f WHERE vec_id < 16),
+      ${pqAssignSql("f", "c0f", "a0f")},
+      ${pqCentSql("a0f", "c1f")},
+      ${pqAssignSql("f", "c1f", "a1f")},
+      ${pqCentSql("a1f", "c2f")},
+      ${pqAssignSql("f", "c2f", "af")},
+      res AS (SELECT a.vec_id, a.cell,
+          list_transform(list_zip(a.sub, c.ce),
+            p -> CAST(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) AS FLOAT))
+            AS r
+        FROM af a JOIN c2f c ON c.m = a.m AND c.cid = a.cell),
+      rsub AS (SELECT vec_id, m, list_slice(r, m * 8 + 1, m * 8 + 8) AS sub
+        FROM res, UNNEST(range(0, 8)) AS t(m)),
+      c0 AS (SELECT m, CAST(vec_id AS INT) AS cid, sub AS ce
+        FROM rsub WHERE vec_id < 16),
+      ${pqAssignSql("rsub", "c0", "a0")},
+      ${pqCentSql("a0", "c1")},
+      ${pqAssignSql("rsub", "c1", "a1")},
+      ${pqCentSql("a1", "c2")},
+      ${pqAssignSql("rsub", "c2", "codes")},
+      probes AS (SELECT qid, cell, qce, qe FROM (
+          SELECT q.vec_id AS qid, c.cid AS cell, c.ce AS qce,
+            q.embedding AS qe,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY CAST(ROUND(${pqL2Sql("q.embedding", "c.ce")} * 1e6, 0)
+                AS BIGINT), c.cid) AS rk
+          FROM embeddings q, c2f c WHERE q.vec_id < 5) WHERE rk <= 4),
+      qr AS (SELECT qid, cell,
+          list_transform(list_zip(qe, qce),
+            p -> CAST(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) AS FLOAT))
+            AS qr
+        FROM probes),
+      qrs AS (SELECT qid, cell, m, list_slice(qr, m * 8 + 1, m * 8 + 8)
+            AS qsub
+        FROM qr, UNNEST(range(0, 8)) AS t(m)),
+      nce AS (SELECT k.vec_id AS nid, k.m, c.ce, a.cell
+        FROM codes k
+        JOIN c2 c ON c.m = k.m AND c.cid = k.cell
+        JOIN af a ON a.vec_id = k.vec_id),
+      adc AS (SELECT s.qid, n.nid,
+          CAST(SUM(CAST(ROUND(${pqL2Sql("s.qsub", "n.ce")} * 1e6, 0)
+            AS BIGINT)) AS BIGINT) AS dist_q
+        FROM qrs s JOIN nce n ON n.cell = s.cell AND n.m = s.m
+        WHERE n.nid <> s.qid GROUP BY s.qid, n.nid),
+      short AS (SELECT qid, nid FROM (
+          SELECT qid, nid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist_q, nid) AS ark
+          FROM adc) WHERE ark <= 16),
+      ex AS (SELECT s.qid, s.nid,
+          CAST(ROUND(${pqL2Sql("q.embedding", "n.embedding")} * 1e6, 0)
+            AS BIGINT) AS dist_q
+        FROM short s
+        JOIN embeddings q ON q.vec_id = s.qid
+        JOIN embeddings n ON n.vec_id = s.nid),
+      rr AS (SELECT qid, nid, dist_q,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist_q, nid) AS rk
+        FROM ex)
+      SELECT qid, nid, dist_q, CAST(rk AS INT) AS rk
+      FROM rr WHERE rk <= 4 ORDER BY qid, rk""",
     "x99_pq_recall" -> {
       def l2 = pqL2Sql _
       def assignSql(cents: String, out: String) =

@@ -2231,6 +2231,34 @@ class EngineSpec extends AnyFunSuite {
     assert(planted > 0, "the planted slice must be non-empty at this SF")
   }
 
+  test("x129 exact re-rank never loses to plain ADC against brute-force truth") {
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def l2q(a: Array[Float], b: Array[Float]): Long =
+      math.round(a.zip(b).map { case (x, y) =>
+        (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum * 1e6)
+    val truth = (0L until 5L).filter(emb.contains).map { q =>
+      q -> emb.keys.filter(_ != q).toSeq
+        .sortBy(n => (l2q(emb(q), emb(n)), n)).take(4).toSet
+    }.toMap
+    def topSets(name: String, maxRk: Int) =
+      TrainingData.defs(name)(spark, sf).collect()
+        .filter(_.getInt(3) <= maxRk)
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val refine = topSets("x129_adc_rerank", 4)
+    val adc = topSets("x100_ivfpq_query", 4)
+    assert(refine.nonEmpty && adc.nonEmpty)
+    truth.foreach { case (q, t) =>
+      val rRef = refine.getOrElse(q, Set.empty[Long]).intersect(t).size
+      val rAdc = adc.getOrElse(q, Set.empty[Long]).intersect(t).size
+      // refine keeps every truth member the shortlist contains — the
+      // most any ADC-pruned server can deliver — so it can tie but
+      // never trail the code-only ranking
+      assert(rRef >= rAdc, s"query $q: refine recall $rRef < ADC $rAdc")
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
