@@ -4757,6 +4757,57 @@ object TrainingData {
       .orderBy(col("qid"))
   }
 
+  /** X130: robust quality-outlier audit (median/MAD) — the
+    * distribution-free twin of the z-score family (x57/x80): per
+    * source, the nearest-rank median of the 1e4-integer quality
+    * score, the median absolute deviation around it, and the count
+    * of docs beyond 3·MAD — the feed-corruption tripwire that a mean
+    * /σ monitor misses exactly when it matters (a corrupted slice
+    * drags the mean toward itself; the median doesn't move). Medians
+    * are picked from (source, q4) COUNT HISTOGRAMS — never a
+    * window over raw docs — so the only per-source ordering is over
+    * distinct score values (≤ 10⁴ rows per source regardless of
+    * corpus size: the x32/x44 histogram method, skew-safe by
+    * construction); the deviation pass rides the broadcast median
+    * table. Everything integer until the presentation columns. */
+  val x130QualityMad: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("source"),
+      round(qualityScore(col("text"), stopwords) * 1e4, 0)
+        .cast("long").as("q4"))
+    def nearestRankMedian(vals: DataFrame, vc: String): DataFrame = {
+      val hist = vals.groupBy(col("source"), col(vc))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = hist.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+      hist
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("source")).orderBy(col(vc))))
+        .join(broadcast(tot), Seq("source"))
+        .filter(col("cum") * 2L >= col("n") + 1L)
+        .groupBy(col("source"))
+        .agg(min(col(vc)).as("med"), min(col("n")).as("n"))
+    }
+    val med = nearestRankMedian(docs, "q4")
+      .select(col("source"), col("med").as("medq"), col("n"))
+    val dev = docs.join(broadcast(med), Seq("source"))
+      .select(col("source"), abs(col("q4") - col("medq")).as("d4"))
+    val mad = nearestRankMedian(dev, "d4")
+      .select(col("source"), col("med").as("madq"))
+    val cut = med.join(mad, Seq("source"))
+    docs.join(broadcast(cut), Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(abs(col("q4") - col("medq")) > lit(3L) * col("madq"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        min(col("medq")).as("medq"), min(col("madq")).as("madq"))
+      .select(col("source"), col("n_docs"),
+        (col("medq").cast("double") / 1e4).as("med_q"),
+        (col("madq").cast("double") / 1e4).as("mad_q"),
+        col("n_outliers"),
+        (intRoundHalfAway(col("n_outliers") * 10000L, col("n_docs"))
+          .cast("double") / 1e4).as("outlier_rate"))
+      .orderBy(col("source"))
+  }
+
   /** X128: pairing-consistency audit — x104 checks a vector EXISTS
     * for every doc; this checks the right one does: exact-duplicate
     * documents (same text fingerprint) must carry IDENTICAL paired
@@ -5351,6 +5402,7 @@ object TrainingData {
     "x126_winnowing" -> x126Winnowing,
     "x127_em_interpolation" -> x127EmInterpolation,
     "x128_pairing_consistency" -> x128PairingConsistency,
+    "x130_quality_mad" -> x130QualityMad,
     "x112_firstocc_dedup" -> x112FirstOccDedup,
     "x82_quality_percentile" -> x82QualityPercentile,
     "x81_corpus_card" -> x81CorpusCard,
@@ -7245,6 +7297,58 @@ object TrainingData {
         UNION ALL SELECT 'trigram', ROUND(l3, 6) FROM lam5)
       ORDER BY component"""
     },
+    "x130_quality_mad" -> s"""
+      WITH q AS (
+        SELECT source, CAST(ROUND(quality * 1e4, 0) AS BIGINT) AS q4
+        FROM (
+          SELECT source,
+            ROUND(LEAST(n_tok / 50.0, 1.0) * 0.4
+              + (1.0 - LEAST(punct_ratio * 5.0, 1.0)) * 0.3
+              + LEAST(stop_ratio * 10.0, 1.0) * 0.3, 4) AS quality
+          FROM (
+            SELECT source, len(toks) AS n_tok,
+              CAST(length(text) - length(regexp_replace(text,
+                  '[^A-Za-z0-9\\s]', '', 'g'))
+                AS DOUBLE) / GREATEST(length(text), 1) AS punct_ratio,
+              CAST(len(list_filter(toks, t -> t IN ('the','a','of','and')))
+                AS DOUBLE) / GREATEST(len(toks), 1) AS stop_ratio
+            FROM (SELECT source, text,
+                    regexp_split_to_array(trim(text), '\\s+') AS toks
+                  FROM documents)))),
+      h1 AS (SELECT source, q4, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM q GROUP BY 1, 2),
+      t1 AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n
+        FROM h1 GROUP BY source),
+      c1 AS (SELECT h1.source, q4,
+          CAST(SUM(cnt) OVER (PARTITION BY h1.source ORDER BY q4)
+            AS BIGINT) AS cum, n
+        FROM h1 JOIN t1 USING (source)),
+      med AS (SELECT source, MIN(q4) AS medq, MIN(n) AS n
+        FROM c1 WHERE cum * 2 >= n + 1 GROUP BY source),
+      dv AS (SELECT q.source, ABS(q4 - medq) AS d4
+        FROM q JOIN med USING (source)),
+      h2 AS (SELECT source, d4, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM dv GROUP BY 1, 2),
+      t2 AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n
+        FROM h2 GROUP BY source),
+      c2 AS (SELECT h2.source, d4,
+          CAST(SUM(cnt) OVER (PARTITION BY h2.source ORDER BY d4)
+            AS BIGINT) AS cum, n
+        FROM h2 JOIN t2 USING (source)),
+      mad AS (SELECT source, MIN(d4) AS madq
+        FROM c2 WHERE cum * 2 >= n + 1 GROUP BY source),
+      cut AS (SELECT med.source, medq, madq
+        FROM med JOIN mad USING (source))
+      SELECT q.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(MIN(medq) AS DOUBLE) / 1e4 AS med_q,
+        CAST(MIN(madq) AS DOUBLE) / 1e4 AS mad_q,
+        CAST(SUM(CASE WHEN ABS(q4 - medq) > 3 * madq THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_outliers,
+        CAST(((2 * SUM(CASE WHEN ABS(q4 - medq) > 3 * madq
+            THEN 1 ELSE 0 END) * 10000 + COUNT(*)) // (2 * COUNT(*)))
+          AS DOUBLE) / 1e4 AS outlier_rate
+      FROM q JOIN cut USING (source)
+      GROUP BY q.source ORDER BY source""",
     "x128_pairing_consistency" -> s"""
       WITH bv AS (
         SELECT vec_id, md5(array_to_string(list_transform(embedding,

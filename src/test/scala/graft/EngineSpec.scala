@@ -2259,6 +2259,30 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("x130 quality MAD: histogram medians ≡ driver nearest-rank recompute") {
+    val rows = TrainingData.defs("x130_quality_mad")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val q4 = Tables.documents(spark, sf).select(col("source"),
+        round(graft.text.TextFunctions.qualityScore(col("text"),
+          Seq("the", "a", "of", "and")) * 1e4, 0).cast("long").as("q4"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    def nrMedian(vs: Seq[Long]): Long = {
+      val s = vs.sorted; s(((s.size + 1) / 2) - 1)
+    }
+    rows.foreach { case (src, nDocs, medQ, madQ, nOut) =>
+      val vs = q4(src)
+      assert(nDocs == vs.size, s"$src size")
+      val med = nrMedian(vs)
+      val mad = nrMedian(vs.map(v => math.abs(v - med)))
+      assert(medQ == med / 1e4, s"$src median")
+      assert(madQ == mad / 1e4, s"$src MAD")
+      assert(nOut == vs.count(v => math.abs(v - med) > 3 * mad), s"$src outliers")
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
