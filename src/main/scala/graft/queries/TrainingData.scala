@@ -4757,6 +4757,52 @@ object TrainingData {
       .orderBy(col("qid"))
   }
 
+  /** X131: anneal-phase data selection — the Llama-3-style
+    * mid-training move: the final training phase up-weights a small,
+    * highest-quality slice, and this carrier computes that slice's
+    * datasheet: docs scored under the REGISTRY weights, a GLOBAL
+    * nearest-rank 90th-percentile cut picked from the bounded
+    * (pq, count) histogram (pq ∈ 0..10⁶ — at most 10⁶+1 rows
+    * regardless of corpus size, the x32/x130 method), strict `>`
+    * keeps AT MOST 10% corpus-wide, and per source the report carries
+    * doc and TOKEN mass selected — the number the anneal epoch's
+    * budget is planned with (quality concentrates unevenly across
+    * sources; the doc share and the token share diverge, and
+    * training buys tokens). One scoring pass + one histogram + one
+    * broadcast-cut aggregation. */
+  val x131AnnealSelect: Q = (s, d) => {
+    val wdf = s.read.parquet(ensureClfWeights(s, d))
+    val docs = Tables.documents(s, d)
+    // checkpointed once: the scored table feeds the cut histogram AND
+    // the per-source aggregation — without the pin the feature-build
+    // scan re-runs per consumer (the x126/x73 sliver precedent)
+    val scored = clfScores(clfFeatures(docs), wdf)
+      .join(docs.select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tok")), Seq("doc_id"))
+      .localCheckpoint()
+    val hist = scored.groupBy(col("pq")).agg(count(lit(1)).as("cnt"))
+    val tot = hist.agg(sum(col("cnt")).as("n"))
+    val cut = hist
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("pq"))))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * 10L >= col("n") * 9L)
+      .agg(min(col("pq")).as("cut90"))
+    scored.crossJoin(broadcast(cut))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pq") > col("cut90"), 1L).otherwise(0L)).as("n_sel"),
+        sum(col("n_tok")).as("n_tok"),
+        sum(when(col("pq") > col("cut90"), col("n_tok")).otherwise(0L))
+          .as("tok_sel"))
+      .select(col("source"), col("n_docs"), col("n_sel"),
+        (intRoundHalfAway(col("n_sel") * 10000L, col("n_docs"))
+          .cast("double") / 1e4).as("sel_rate"),
+        col("n_tok"), col("tok_sel"),
+        (intRoundHalfAway(col("tok_sel") * 10000L, col("n_tok"))
+          .cast("double") / 1e4).as("tok_share"))
+      .orderBy(col("source"))
+  }
+
   /** X130: robust quality-outlier audit (median/MAD) — the
     * distribution-free twin of the z-score family (x57/x80): per
     * source, the nearest-rank median of the 1e4-integer quality
@@ -5403,6 +5449,7 @@ object TrainingData {
     "x127_em_interpolation" -> x127EmInterpolation,
     "x128_pairing_consistency" -> x128PairingConsistency,
     "x130_quality_mad" -> x130QualityMad,
+    "x131_anneal_select" -> x131AnnealSelect,
     "x112_firstocc_dedup" -> x112FirstOccDedup,
     "x82_quality_percentile" -> x82QualityPercentile,
     "x81_corpus_card" -> x81CorpusCard,
@@ -7297,6 +7344,35 @@ object TrainingData {
         UNION ALL SELECT 'trigram', ROUND(l3, 6) FROM lam5)
       ORDER BY component"""
     },
+    "x131_anneal_select" -> s"""$clfTrainedSql,
+      zs AS (SELECT doc_id, y,
+          CAST(SUM(CAST(ROUND(w[bucket + 1] * x * 1e9, 0) AS BIGINT))
+            AS BIGINT) AS zq
+        FROM tf, w20 GROUP BY doc_id, y),
+      ps AS (SELECT doc_id,
+          CAST(ROUND((1 / (1 + exp(-(CAST(zq AS DOUBLE) / 1e9)))) * 1e6, 0)
+            AS BIGINT) AS pq
+        FROM zs),
+      sc AS (SELECT p.doc_id, p.pq, d.source,
+          CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT)
+            AS n_tok
+        FROM ps p JOIN documents d USING (doc_id)),
+      h AS (SELECT pq, CAST(COUNT(*) AS BIGINT) AS cnt FROM sc GROUP BY pq),
+      tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h),
+      c AS (SELECT pq, CAST(SUM(cnt) OVER (ORDER BY pq) AS BIGINT) AS cum
+        FROM h),
+      cut AS (SELECT MIN(pq) AS cut90 FROM c, tt WHERE cum * 10 >= n * 9)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN pq > cut90 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_sel,
+        CAST(((2 * SUM(CASE WHEN pq > cut90 THEN 1 ELSE 0 END) * 10000
+            + COUNT(*)) // (2 * COUNT(*))) AS DOUBLE) / 1e4 AS sel_rate,
+        CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+        CAST(SUM(CASE WHEN pq > cut90 THEN n_tok ELSE 0 END) AS BIGINT)
+          AS tok_sel,
+        CAST(((2 * SUM(CASE WHEN pq > cut90 THEN n_tok ELSE 0 END) * 10000
+            + SUM(n_tok)) // (2 * SUM(n_tok))) AS DOUBLE) / 1e4 AS tok_share
+      FROM sc, cut GROUP BY source ORDER BY source""",
     "x130_quality_mad" -> s"""
       WITH q AS (
         SELECT source, CAST(ROUND(quality * 1e4, 0) AS BIGINT) AS q4

@@ -2283,6 +2283,33 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("x131 anneal selection: strict cut keeps ≤10% corpus-wide, per-source counts ≡ driver recompute") {
+    val rows = TrainingData.defs("x131_anneal_select")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val totalDocs = rows.map(_._2).sum
+    val totalSel = rows.map(_._3).sum
+    assert(totalSel * 10 <= totalDocs,
+      s"strict > cut must keep at most 10%: $totalSel of $totalDocs")
+    assert(totalSel > 0, "the anneal slice must be non-empty")
+    // driver recompute off the shared scoring path
+    val wdf = spark.read.parquet(TrainingData.ensureClfWeights(spark, sf))
+    val docs = Tables.documents(spark, sf)
+    val scored = TrainingData.clfScores(TrainingData.clfFeatures(docs), wdf)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("pq"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = scored.length
+    val cut = scored.map(_._2).sorted.apply(((9 * n + 9) / 10) - 1)
+    val bySrc = scored.groupBy(_._1)
+    rows.foreach { case (src, nd, ns, _, _) =>
+      val vs = bySrc(src).map(_._2)
+      assert(nd == vs.length, s"$src docs")
+      assert(ns == vs.count(_ > cut), s"$src selected")
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
