@@ -601,7 +601,7 @@ object TrainingData {
     val path = s"target/planted_${tag}_" +
       s"${fixtureFp(d, "documents")}_${fixtureFp(d, "embeddings")}"
     if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$path/vecs_paired/_SUCCESS"))) {
+        java.nio.file.Paths.get(s"$path/docs_paginated/_SUCCESS"))) {
       val docs = Tables.documents(s, d)
       val base = wsTokens(col("text"))
       docs.select(col("doc_id"),
@@ -642,6 +642,20 @@ object TrainingData {
         .unionByName(baseV.select((col("vec_id") + 2000000L).as("doc_id"),
           col("s0").as("vfp")))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/vecs_paired")
+      // x132's paginated corpus: every 5th long doc is split the way
+      // a crawled article splits across pages — part 1 = tokens 1-16,
+      // part 2 = tokens 9-n (pages share the 8-token overlap a
+      // pagination template repeats) — everything else passes through
+      // unchanged. The stitch detector must recover exactly the
+      // (part1, part2) continuations.
+      val longSplit = col("doc_id") % 5 === 2 && size(base) >= 24
+      docs.filter(!longSplit).select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(longSplit).select(col("doc_id"),
+          array_join(slice(base, 1, 16), " ").as("text")))
+        .unionByName(docs.filter(longSplit).select(
+          (col("doc_id") + 4000000L).as("doc_id"),
+          array_join(slice(base, lit(9), size(base) - 8), " ").as("text")))
+        .write.mode("overwrite").parquet(s"$path/docs_paginated")
     }
     path
   }
@@ -4757,6 +4771,35 @@ object TrainingData {
       .orderBy(col("qid"))
   }
 
+  /** X132: pagination-stitch detection — the crawl-reconstruction
+    * operator: an article split across pages re-enters the corpus as
+    * separate docs whose boundary pages SHARE a template overlap
+    * (nav/teaser text repeated at page joints), and training on the
+    * fragments both duplicates the overlap and severs long-range
+    * context. A doc pair (A, B) is a stitch candidate when A's
+    * LAST-8-token fingerprint equals B's FIRST-8-token fingerprint —
+    * two row-local md5s per doc, one fp-keyed equi-join (never text
+    * vs text), output is the candidate continuation edges a
+    * reassembly pass consumes. Runs on the staged paginated corpus
+    * ([[ensurePlantedFixtures]]'s split plant — fixture-side per the
+    * round-8 convention); EngineSpec pins every planted (part1,
+    * part2) edge recovered. */
+  val x132PaginationStitch: Q = (s, d) => {
+    val pag = s.read
+      .parquet(s"${ensurePlantedFixtures(s, d)}/docs_paginated")
+    val t = col("toks")
+    val hf = pag.select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .filter(size(t) >= 8)
+      .select(col("doc_id"),
+        md5(array_join(slice(t, 1, 8), " ")).as("head_fp"),
+        md5(array_join(slice(t, size(t) - 7, lit(8)), " ")).as("tail_fp"))
+    hf.as("a").join(hf.as("b"),
+        col("a.tail_fp") === col("b.head_fp") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("prev_id"), col("b.doc_id").as("next_id"))
+      .orderBy(col("prev_id"), col("next_id"))
+  }
+
   /** X131: anneal-phase data selection — the Llama-3-style
     * mid-training move: the final training phase up-weights a small,
     * highest-quality slice, and this carrier computes that slice's
@@ -5450,6 +5493,7 @@ object TrainingData {
     "x128_pairing_consistency" -> x128PairingConsistency,
     "x130_quality_mad" -> x130QualityMad,
     "x131_anneal_select" -> x131AnnealSelect,
+    "x132_pagination_stitch" -> x132PaginationStitch,
     "x112_firstocc_dedup" -> x112FirstOccDedup,
     "x82_quality_percentile" -> x82QualityPercentile,
     "x81_corpus_card" -> x81CorpusCard,
@@ -7344,6 +7388,33 @@ object TrainingData {
         UNION ALL SELECT 'trigram', ROUND(l3, 6) FROM lam5)
       ORDER BY component"""
     },
+    "x132_pagination_stitch" -> """
+      WITH base AS (SELECT doc_id, text,
+          regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      pag AS (
+        SELECT doc_id, text FROM base
+        WHERE NOT (doc_id % 5 = 2 AND len(toks) >= 24)
+        UNION ALL
+        SELECT doc_id, array_to_string(list_slice(toks, 1, 16), ' ')
+        FROM base WHERE doc_id % 5 = 2 AND len(toks) >= 24
+        UNION ALL
+        SELECT doc_id + 4000000,
+          array_to_string(list_slice(toks, 9, len(toks)), ' ')
+        FROM base WHERE doc_id % 5 = 2 AND len(toks) >= 24),
+      hf AS (
+        SELECT doc_id,
+          md5(array_to_string(list_slice(t2, 1, 8), ' ')) AS head_fp,
+          md5(array_to_string(list_slice(t2, len(t2) - 7, len(t2)), ' '))
+            AS tail_fp
+        FROM (SELECT doc_id,
+            regexp_split_to_array(trim(text), '\s+') AS t2
+          FROM pag)
+        WHERE len(t2) >= 8)
+      SELECT a.doc_id AS prev_id, b.doc_id AS next_id
+      FROM hf a JOIN hf b
+        ON a.tail_fp = b.head_fp AND a.doc_id <> b.doc_id
+      ORDER BY prev_id, next_id""",
     "x131_anneal_select" -> s"""$clfTrainedSql,
       zs AS (SELECT doc_id, y,
           CAST(SUM(CAST(ROUND(w[bucket + 1] * x * 1e9, 0) AS BIGINT))

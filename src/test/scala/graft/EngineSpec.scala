@@ -2310,6 +2310,22 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("x132 pagination stitch recovers every planted page split") {
+    val edges = TrainingData.defs("x132_pagination_stitch")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.nonEmpty)
+    val planted = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n"))
+      .filter(col("doc_id") % 5 === 2 && col("n") >= 24)
+      .collect().map(_.getLong(0)).toSet
+    assert(planted.nonEmpty, "the fixture must contain splittable docs")
+    planted.foreach { id =>
+      assert(edges.contains((id, id + 4000000L)),
+        s"planted continuation $id -> ${id + 4000000L} not recovered")
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
