@@ -1579,7 +1579,9 @@ object TrainingData {
     * the ratio is a quotient of exact integer products (< 2⁵³, so
     * the doubles are exact), ONE ln per vocab row, quantized to
     * 1e-4 units via ROUND, order-free integer sum per doc. */
-  val x42DsirWeights: Q = (s, d) => {
+  /** x42/x133's shared core: (doc_id, n_tok, wq) — the per-doc DSIR
+    * importance weight as its 1e-4 BIGINT quantization. */
+  private def dsirWq(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), explode(wsTokens(col("text"))).as("token"))
     val raw = tok.groupBy(col("token")).agg(count(lit(1)).as("c_r"))
@@ -1598,9 +1600,49 @@ object TrainingData {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"), sum(col("lp_q")).as("s_lp"))
       .select(col("doc_id"), col("n_tok"),
-        (intRoundHalfAway(col("s_lp"), col("n_tok")).cast("double") / 1e4)
-          .as("dsir_weight"))
+        intRoundHalfAway(col("s_lp"), col("n_tok")).as("wq"))
+  }
+
+  val x42DsirWeights: Q = (s, d) =>
+    dsirWq(s, d)
+      .select(col("doc_id"), col("n_tok"),
+        (col("wq").cast("double") / 1e4).as("dsir_weight"))
       .orderBy(col("doc_id"))
+
+  /** X133: DSIR importance RESAMPLING — x42's weights actually
+    * applied (the selection step of Xie et al. 2023): acceptance
+    * probability p = exp(w − w_max) (relative importance, 1 at the
+    * most-target-like doc), quantized 1e-6 after the one exp (the
+    * x39 rule), and the keep decision is the x61 hash-Bernoulli made
+    * PURE INTEGER — keep iff md5₃₂(doc_id)·10⁶ < p_q·2³² (no float
+    * comparison can disagree across engines, restart-stable, no RNG
+    * state). Per source: docs, kept, keep rate, and the mean
+    * importance of the kept slice — the resampled-corpus datasheet.
+    * Shape: x42's vocabulary joins + a 1-row max broadcast + one
+    * row-local decision; nothing new is corpus-sized. */
+  val x133DsirResample: Q = (s, d) => {
+    val scored = dsirWq(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+    val mx = scored.agg(max(col("wq")).as("mxw"))
+    val kept = col("h") * 1000000L < col("pq") * 4294967296L
+    scored.crossJoin(broadcast(mx))
+      .withColumn("pq", round(
+        exp((col("wq") - col("mxw")).cast("double") / 1e4) * 1e6, 0)
+        .cast("long"))
+      .withColumn("h",
+        graft.dedup.NearDup.md5Hash32(col("doc_id").cast("string")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(kept, col("wq")).otherwise(0L)).as("swk"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (intRoundHalfAway(col("n_kept") * 10000L, col("n_docs"))
+          .cast("double") / 1e4).as("keep_rate"),
+        when(col("n_kept") > 0,
+          intRoundHalfAway(col("swk"), col("n_kept")).cast("double") / 1e4)
+          .as("mean_w_kept"))
+      .orderBy(col("source"))
   }
 
   /** X43: int8 scalar quantization of the embedding column — the
@@ -5494,6 +5536,7 @@ object TrainingData {
     "x130_quality_mad" -> x130QualityMad,
     "x131_anneal_select" -> x131AnnealSelect,
     "x132_pagination_stitch" -> x132PaginationStitch,
+    "x133_dsir_resample" -> x133DsirResample,
     "x112_firstocc_dedup" -> x112FirstOccDedup,
     "x82_quality_percentile" -> x82QualityPercentile,
     "x81_corpus_card" -> x81CorpusCard,
@@ -7388,6 +7431,54 @@ object TrainingData {
         UNION ALL SELECT 'trigram', ROUND(l3, 6) FROM lam5)
       ORDER BY component"""
     },
+    "x133_dsir_resample" -> s"""
+      WITH tok AS (
+        SELECT doc_id, lang,
+          unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+        FROM documents),
+      raw AS (SELECT token, COUNT(*) AS c_r FROM tok GROUP BY token),
+      tgt AS (SELECT token, COUNT(*) AS c_t FROM tok WHERE lang = 'en'
+        GROUP BY token),
+      tots AS (SELECT (SELECT SUM(c_r) FROM raw) AS n_r,
+                      (SELECT COUNT(*) FROM raw) AS v,
+                      (SELECT SUM(c_t) FROM tgt) AS n_t),
+      vocab AS (SELECT token,
+          CAST(ROUND(LN(CAST((COALESCE(c_t, 0) + 1) * (n_r + v) AS DOUBLE)
+              / ((c_r + 1) * (n_t + v))) * 1e4, 0) AS BIGINT) AS lp_q
+        FROM raw LEFT JOIN tgt USING (token) CROSS JOIN tots),
+      agg AS (SELECT doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_tok,
+          CAST(SUM(lp_q) AS BIGINT) AS s_lp
+        FROM tok JOIN vocab USING (token)
+        GROUP BY doc_id),
+      wq AS (SELECT doc_id,
+          CAST((CASE WHEN s_lp < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(s_lp) + n_tok) // (2 * n_tok)) AS BIGINT) AS wq
+        FROM agg),
+      mx AS (SELECT MAX(wq) AS mxw FROM wq),
+      p AS (SELECT w.doc_id, d.source, w.wq,
+          CAST(ROUND(exp(CAST(w.wq - mxw AS DOUBLE) / 1e4) * 1e6, 0)
+            AS BIGINT) AS pq,
+          (${md5Hash32Sql("CAST(w.doc_id AS VARCHAR)")}) AS h
+        FROM wq w JOIN documents d USING (doc_id), mx)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN h * 1000000 < pq * 4294967296 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_kept,
+        CAST(((2 * SUM(CASE WHEN h * 1000000 < pq * 4294967296
+            THEN 1 ELSE 0 END) * 10000 + COUNT(*)) // (2 * COUNT(*)))
+          AS DOUBLE) / 1e4 AS keep_rate,
+        CASE WHEN SUM(CASE WHEN h * 1000000 < pq * 4294967296
+            THEN 1 ELSE 0 END) > 0
+          THEN CAST((CASE WHEN SUM(CASE WHEN h * 1000000 < pq * 4294967296
+              THEN wq ELSE 0 END) < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(SUM(CASE WHEN h * 1000000 < pq * 4294967296
+                THEN wq ELSE 0 END))
+              + SUM(CASE WHEN h * 1000000 < pq * 4294967296
+                THEN 1 ELSE 0 END))
+              // (2 * SUM(CASE WHEN h * 1000000 < pq * 4294967296
+                THEN 1 ELSE 0 END))) AS DOUBLE) / 1e4
+          END AS mean_w_kept
+      FROM p GROUP BY source ORDER BY source""",
     "x132_pagination_stitch" -> """
       WITH base AS (SELECT doc_id, text,
           regexp_split_to_array(trim(text), '\s+') AS toks

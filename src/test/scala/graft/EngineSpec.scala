@@ -2326,6 +2326,42 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("x133 DSIR resampling: per-source keeps ≡ driver replica, max-weight doc always kept") {
+    val rows = TrainingData.defs("x133_dsir_resample")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // replica off x42's published weights
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val wq = TrainingData.defs("x42_dsir_weights")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        math.round(r.getDouble(2) * 1e4)).toMap
+    val mxw = wq.values.max
+    def h32(s: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (0 until 4).map(i => (h(i) & 0xffL) << (8 * (3 - i))).sum
+    }
+    def kept(id: Long): Boolean = {
+      val pq = BigDecimal.decimal(math.exp((wq(id) - mxw).toDouble / 1e4) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      h32(id.toString) * 1000000L < pq * 4294967296L
+    }
+    val bySrc = wq.keys.groupBy(docs)
+    rows.foreach { case (src, nd, nk) =>
+      val ids = bySrc(src)
+      assert(nd == ids.size, s"$src docs")
+      assert(nk == ids.count(kept), s"$src kept")
+    }
+    // p = exp(0) = 1 at the argmax: the most-target-like doc survives
+    // any hash draw
+    val best = wq.maxBy(_._2)._1
+    assert(kept(best), "max-weight doc must always be kept")
+    assert(rows.map(_._3).sum > 0 && rows.map(_._3).sum < rows.map(_._2).sum,
+      "resampling must keep a strict, non-empty subset on the fixture")
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
