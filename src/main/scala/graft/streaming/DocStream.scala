@@ -155,6 +155,32 @@ object DocStream {
       .groupBy(window(col(tsCol), windowDur), col("bin"))
       .agg(count(lit(1)).as("c"))
 
+  /** Streaming tokenizer-drift monitor — x115's frozen-vocabulary
+    * contract on event time: per window, token mass and
+    * out-of-vocabulary occurrences against a vocabulary trained ONCE
+    * on the base corpus and never updated in-stream (retraining
+    * in-flight would invalidate previously tokenized data — the
+    * whole point is to detect when a retrain is DUE). One watermarked
+    * windowed aggregation; state bounded by windows-in-flight,
+    * per-doc counts row-local. The small frozen vocab rides as an
+    * `isin` literal (a production-sized vocabulary would
+    * broadcast-join the exploded tokens instead — same plan shape,
+    * one extra join). Identical code runs on a batch frame, which is
+    * what StreamingSpec uses as the oracle. */
+  def windowedOovCounts(docs: DataFrame, tsCol: String, windowDur: String,
+      watermark: String, vocab: Seq[String]): DataFrame = {
+    val toks = filter(
+      graft.text.TextFunctions.wsTokens(lower(col("text"))), w => w =!= "")
+    docs
+      .withColumn("n_tok_doc", size(toks).cast("long"))
+      .withColumn("n_oov_doc", size(filter(toks,
+        w => !w.isin(vocab.map(x => x: Any): _*))).cast("long"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(sum(col("n_tok_doc")).as("n_tok"),
+        sum(col("n_oov_doc")).as("n_oov"))
+  }
+
   /** Scoring half: PSI of each window's quality histogram against a
     * REFERENCE histogram (the corpus snapshot the mix was designed
     * on) — the alarm number x68 computes corpus-vs-corpus, here

@@ -281,6 +281,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming OOV drift: windowed counts equal batch, totals reconcile with a direct count") {
+    import graft.streaming.DocStream
+    // the frozen vocabulary: base-slice training words (x115's
+    // contract — the batch slice doc_id % 10 = 7 is the "arriving"
+    // data the monitor watches)
+    val base = Tables.documents(spark, sf).filter(col("doc_id") % 10 =!= 7)
+    val vocab = graft.queries.TrainingData.bpeVocab(base, 16).map(_._1)
+    val arriving = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 7).select("doc_id", "text")
+      .withColumn("ts", (col("doc_id") * 60).cast("timestamp"))
+    val tmp = java.nio.file.Files.createTempDirectory("docs_oov").toString
+    arriving.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "2").parquet(tmp)
+    val streamCounts = EventStream.runToMemory(spark,
+      DocStream.windowedOovCounts(stream, "ts", "1 hour", "30 minutes",
+        vocab), "oov_counts", OutputMode.Complete)
+    val batchCounts = DocStream.windowedOovCounts(
+      spark.read.parquet(tmp), "ts", "1 hour", "30 minutes", vocab)
+    assert(streamCounts.count() == batchCounts.count())
+    assert(streamCounts.exceptAll(batchCounts).count() == 0,
+      "stream windows must equal the batch computation")
+    // window totals reconcile with a direct whole-slice count
+    val got = streamCounts
+      .agg(org.apache.spark.sql.functions.sum("n_tok"),
+        org.apache.spark.sql.functions.sum("n_oov"))
+      .collect()(0)
+    val vset = vocab.toSet
+    val want = arriving.select(col("text")).collect().map { r =>
+      val ws = r.getString(0).trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      (ws.length.toLong, ws.count(w => !vset.contains(w)).toLong)
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert((got.getLong(0), got.getLong(1)) == want,
+      "windowed totals must reconcile with the direct count")
+    assert(got.getLong(1) > 0 && got.getLong(1) < got.getLong(0),
+      "a 16-word frozen vocab must see OOV without drowning in it")
+  }
+
   test("model-gate admission: stream ≡ batch ≡ x122's kept counts") {
     val docs = graft.core.Tables.documents(spark, sf)
       .select("doc_id", "source", "text")
