@@ -511,7 +511,27 @@ object TrainingData {
     ensureDHashStore(s, d); ensureDedupLabels(s, d); ensureIvfPqStore(s, d)
     ensureIvfBaseStore(s, d); ensurePlantedFixtures(s, d)
     ensureOpqPqStore(s, d); ensureClfWeights(s, d)
+    ensureWinnowStore(s, d)
     ()
+  }
+
+  /** The ingest-staged winnowed-fingerprint table over the raw corpus
+    * — the x32b/x98 staged contract for the winnowing family:
+    * production fingerprints each doc ONCE at ingest (the corpus-wide
+    * positional-hash scan is the cost, measured standalone in x126's
+    * compute path) and every downstream analytic reads the stored
+    * (doc_id, fps) rows. First caller pays;
+    * [[prebuildCaches]] pays it in Bench's untimed warmup. */
+  private def ensureWinnowStore(s: SparkSession, d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"target/winnow_${tag}_${fixtureFp(d, "documents")}"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path/_SUCCESS")))
+      graft.dedup.NearDup.winnowedFingerprints(
+          spread(s, Tables.documents(s, d).select(col("doc_id"), col("text"))))
+        .select(col("doc_id"), col("fps"))
+        .write.mode("overwrite").parquet(path)
+    path
   }
 
   /** The persisted model registry for x108's trained quality
@@ -4813,6 +4833,49 @@ object TrainingData {
       .orderBy(col("qid"))
   }
 
+  /** X134: cross-source shared-RUN overlap — x47's inter-source
+    * audit with exact-run semantics: x47 estimates whole-corpus
+    * shingle-set Jaccard per source pair (MinHash — "how similar are
+    * these feeds"), while this counts the WINNOWED fingerprints two
+    * sources share — every shared fingerprint certifies an actual
+    * ≥ w+k−1-token run appearing in both (the winnowing guarantee),
+    * which is the syndication/template-sharing signal a mixture
+    * designer prices source independence with. Reads the INGEST-
+    * STAGED fingerprint table ([[ensureWinnowStore]] — production
+    * winnows once at ingest; the corpus-wide positional-hash scan is
+    * measured standalone in x126's compute path, and the ORACLE
+    * recomputes it from scratch, re-proving the staging on every
+    * run): DISTINCT (source, fp) projection, fp-keyed self-join
+    * bounded by |sources| per fingerprint, onto a |sources|² grid
+    * with per-pair overlap coefficient shared/min(|A|, |B|).
+    * Checksums cross the wire, never text. */
+  val x134SourceRunOverlap: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    // no checkpoint: every consumer re-reads the MATERIALIZED store
+    // parquet (cheap, and it keeps the staged-read contract visible
+    // in the executed plan for PlansSpec)
+    val fs = s.read.parquet(ensureWinnowStore(s, d))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), explode(col("fps")).as("fp"))
+      .distinct()
+    val tot = fs.groupBy(col("source")).agg(count(lit(1)).as("nf"))
+    fs.as("a").join(fs.as("b"), Seq("fp"))
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source"), col("b.source"))
+      .agg(count(lit(1)).as("shared"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("shared"))
+      .join(broadcast(tot.select(col("source").as("source_a"),
+        col("nf").as("nfa"))), Seq("source_a"))
+      .join(broadcast(tot.select(col("source").as("source_b"),
+        col("nf").as("nfb"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared"),
+        (intRoundHalfAway(col("shared") * 10000L,
+          least(col("nfa"), col("nfb"))).cast("double") / 1e4)
+          .as("overlap_coef"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** X132: pagination-stitch detection — the crawl-reconstruction
     * operator: an article split across pages re-enters the corpus as
     * separate docs whose boundary pages SHARE a template overlap
@@ -5537,6 +5600,7 @@ object TrainingData {
     "x131_anneal_select" -> x131AnnealSelect,
     "x132_pagination_stitch" -> x132PaginationStitch,
     "x133_dsir_resample" -> x133DsirResample,
+    "x134_source_run_overlap" -> x134SourceRunOverlap,
     "x112_firstocc_dedup" -> x112FirstOccDedup,
     "x82_quality_percentile" -> x82QualityPercentile,
     "x81_corpus_card" -> x81CorpusCard,
@@ -5649,6 +5713,37 @@ object TrainingData {
     "x8_quality_score" -> x8QualityScore,
     "x9_token_count" -> x9TokenCount,
     "x10_fingerprint" -> x10Fingerprint)
+
+  /** Shared DuckDB generator for the winnowing oracles (x126/x134):
+    * the corpus-parameterized CTE chain ending at
+    * `wf(doc_id, m, n_sel, fps)` — positional 3-gram hashes,
+    * rightmost-min-of-each-4-window selection, sorted distinct
+    * fingerprints (the [[graft.dedup.NearDup.winnowedFingerprints]]
+    * contract verbatim). */
+  private def winnowCtesSql(corpusBody: String): String = s"""
+      corpus AS ($corpusBody),
+      t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM corpus),
+      hvt AS (SELECT doc_id,
+          list_transform(
+            list_transform(range(1, GREATEST(len(toks) - 1, 1)), i ->
+              toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]
+                || ' ' || toks[CAST(i + 2 AS INT)]),
+            s -> ${md5Hash32Sql("s")}) AS hv
+        FROM t),
+      wres AS (SELECT doc_id, CAST(len(hv) AS BIGINT) AS m, hv,
+          list_sort(list_distinct(list_transform(
+            range(1, len(hv) - LEAST(4, len(hv)) + 2), j ->
+              j - 1 + list_max(list_filter(
+                range(1, LEAST(4, len(hv)) + 1), p ->
+                  hv[CAST(j + p - 1 AS INT)]
+                    = list_min(list_slice(hv, j,
+                        j + LEAST(4, len(hv)) - 1))))))) AS sel
+        FROM hvt WHERE len(hv) > 0),
+      wf AS (SELECT doc_id, m, CAST(len(sel) AS BIGINT) AS n_sel,
+          list_sort(list_distinct(list_transform(sel,
+            i -> hv[CAST(i AS INT)]))) AS fps
+        FROM wres)"""
 
   private val hex16 = (expr: String) =>
     (0 until 4).map { i =>
@@ -7431,6 +7526,26 @@ object TrainingData {
         UNION ALL SELECT 'trigram', ROUND(l3, 6) FROM lam5)
       ORDER BY component"""
     },
+    "x134_source_run_overlap" -> s"""
+      WITH ${winnowCtesSql("SELECT doc_id, text FROM documents")},
+      fs AS (
+        SELECT DISTINCT d.source, u.fp
+        FROM wf JOIN documents d USING (doc_id),
+          unnest(wf.fps) AS u(fp)),
+      tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nf
+        FROM fs GROUP BY source),
+      pr AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+          CAST(COUNT(*) AS BIGINT) AS shared
+        FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT pr.source_a, pr.source_b, pr.shared,
+        CAST(((2 * pr.shared * 10000 + LEAST(ta.nf, tb.nf))
+          // (2 * LEAST(ta.nf, tb.nf))) AS DOUBLE) / 1e4 AS overlap_coef
+      FROM pr
+      JOIN tot ta ON ta.source = pr.source_a
+      JOIN tot tb ON tb.source = pr.source_b
+      ORDER BY source_a, source_b""",
     "x133_dsir_resample" -> s"""
       WITH tok AS (
         SELECT doc_id, lang,
@@ -7610,30 +7725,8 @@ object TrainingData {
         (COUNT(DISTINCT vfp) = 1) AS consistent
       FROM fam GROUP BY fp HAVING COUNT(*) >= 2 ORDER BY family_id""",
     "x126_winnowing" -> s"""
-      WITH corpus AS (
-        SELECT doc_id, text FROM $corpusSql WHERE doc_id % 1000000 < 200),
-      t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-        FROM corpus),
-      hvt AS (SELECT doc_id,
-          list_transform(
-            list_transform(range(1, GREATEST(len(toks) - 1, 1)), i ->
-              toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]
-                || ' ' || toks[CAST(i + 2 AS INT)]),
-            s -> ${md5Hash32Sql("s")}) AS hv
-        FROM t),
-      wres AS (SELECT doc_id, CAST(len(hv) AS BIGINT) AS m, hv,
-          list_sort(list_distinct(list_transform(
-            range(1, len(hv) - LEAST(4, len(hv)) + 2), j ->
-              j - 1 + list_max(list_filter(
-                range(1, LEAST(4, len(hv)) + 1), p ->
-                  hv[CAST(j + p - 1 AS INT)]
-                    = list_min(list_slice(hv, j,
-                        j + LEAST(4, len(hv)) - 1))))))) AS sel
-        FROM hvt WHERE len(hv) > 0),
-      wf AS (SELECT doc_id, m, CAST(len(sel) AS BIGINT) AS n_sel,
-          list_sort(list_distinct(list_transform(sel,
-            i -> hv[CAST(i AS INT)]))) AS fps
-        FROM wres),
+      WITH ${winnowCtesSql(
+        s"SELECT doc_id, text FROM $corpusSql WHERE doc_id % 1000000 < 200")},
       ex AS (SELECT doc_id, unnest(fps) AS fp FROM wf),
       nbr AS (SELECT a.doc_id,
           CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_nbr

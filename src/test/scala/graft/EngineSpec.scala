@@ -2362,6 +2362,32 @@ class EngineSpec extends AnyFunSuite {
       "resampling must keep a strict, non-empty subset on the fixture")
   }
 
+  test("x134 source run overlap ≡ driver set intersection of winnowed fingerprints") {
+    val docs = Tables.documents(spark, sf)
+    val fs = graft.dedup.NearDup.winnowedFingerprints(
+        docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), explode(col("fps")).as("fp")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val sets = fs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rows = TrainingData.defs("x134_source_run_overlap")(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3))))
+    assert(rows.nonEmpty)
+    rows.foreach { case ((a, b), (shared, coef)) =>
+      assert(a < b, s"pair order $a/$b")
+      assert(shared == sets(a).intersect(sets(b)).size.toLong, s"$a-$b shared")
+      assert(coef > 0.0 && coef <= 1.0, s"$a-$b coef $coef")
+    }
+    // every genuinely overlapping pair is emitted (the join drops only
+    // zero-overlap pairs)
+    val want = sets.keySet.toSeq.sorted.combinations(2).count {
+      case Seq(a, b) => sets(a).intersect(sets(b)).nonEmpty
+      case _ => false
+    }
+    assert(rows.size == want, s"emitted ${rows.size} of $want overlapping pairs")
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))

@@ -425,6 +425,14 @@ class PlansSpec extends AnyFunSuite {
       s"x118 must scan the persisted weight store:\n$plan")
   }
 
+  test("x134 reads the ingest-staged winnow store, not a fresh fingerprint scan") {
+    val q = graft.queries.TrainingData.defs("x134_source_run_overlap")(spark, sf)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("winnow_"),
+      s"x134 must scan the staged fingerprint store:\n$plan")
+  }
+
   test("x93/x103 row-local transforms shuffle nothing but the output sort") {
     // both scaladocs claim scan-speed row-locality — the plan must
     // contain no hash-partitioned exchange (the only exchange allowed
