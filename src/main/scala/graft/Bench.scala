@@ -241,6 +241,14 @@ object Bench {
     val receiptFlags = ratios
       .filter { case (n, q) => overReceipt(n, perQuery.toMap.apply(n)) }
     val ratioMax = if (ratios.isEmpty) 0.0 else ratios.map(_._2).max
+    // Name the ratio-max offender in the artifact (round-9 verdict
+    // item 7): a large receipt_ratio_max with empty receipt_flags is
+    // CONSISTENT — the flag line has an absolute floor (r + 0.75s), so
+    // a sub-0.1s-receipt query can post a 5x ratio while sitting well
+    // under it — but without the query name every reader had to
+    // re-derive that. The argmax makes the artifact self-explaining.
+    val ratioArgmax =
+      if (ratios.isEmpty) "" else ratios.maxBy(_._2)._1
     // locale-pinned: the f-interpolator uses the JVM default locale,
     // which under comma-decimal locales (pt_BR, de_DE) would print
     // "0,322" and break the JSON contract line
@@ -288,7 +296,7 @@ object Bench {
     // "protocol" names the measurement (min over `repeat` timed passes
     // after one untimed warm pass); load/jvms expose contention.
     val sentinel =
-      s""","protocol":"min_of_$repeat","pass_totals":[${passTotals.map(fmt).mkString(",")}],"load_avg":[${fmt(loadBefore)},${fmt(loadAfter)}],"other_jvms":[$jvmsBefore,$jvmsAfter],"quiet_wait_sec":${fmt(quietWaitSec)},"retried":${toRetry.size},"receipt_ratio_max":${fmt(ratioMax)},"receipt_flags":${jsonMap(receiptFlags)}"""
+      s""","protocol":"min_of_$repeat","pass_totals":[${passTotals.map(fmt).mkString(",")}],"load_avg":[${fmt(loadBefore)},${fmt(loadAfter)}],"other_jvms":[$jvmsBefore,$jvmsAfter],"quiet_wait_sec":${fmt(quietWaitSec)},"retried":${toRetry.size},"receipt_ratio_max":${fmt(ratioMax)},"receipt_ratio_argmax":"$ratioArgmax","receipt_flags":${jsonMap(receiptFlags)}"""
     val fullPath = java.nio.file.Paths.get("target/bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.writeString(fullPath,

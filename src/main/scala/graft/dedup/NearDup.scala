@@ -205,7 +205,15 @@ object NearDup {
       bandRows: Int = 4, shingleN: Int = 3, bBits: Int = 4): DataFrame = {
     require(numHashes % bandRows == 0, "numHashes must divide into bands")
     val m = 1L << bBits
+    // Guard (ADVICE r9): a doc with fewer than shingleN tokens has an
+    // empty shingle set — every minhash slot NULL, so concat_ws would
+    // collapse all its band keys to the same empty string (pairing all
+    // such docs with each other) and unn = 0 would divide by zero in
+    // x124's estimator quotients. Dropping n = 0 rows HERE matches the
+    // oracle's relational shape exactly: its unnest(shs) emits no rows
+    // for an empty set, so such docs never reach minh/bands either.
     val sig = sigTable(docs, numHashes, shingleN)
+      .filter(col("n") > 0)
       .withColumn("hv", array((0 until numHashes).map(j => col(s"h$j")): _*))
     val buckets = bandTable(sig, numHashes, bandRows, Seq("shs", "n", "hv"))
     def agrees(f: Column => Column) =

@@ -37,9 +37,13 @@ import org.apache.spark.sql.functions._
 object Opq {
 
   /** Exact-integer covariance of the embedding column — x65's
-    * recipe verbatim: 1e6-quantized coordinates, BIGINT Gram cells,
-    * half-away integer rounding of the n·p − sᵢsⱼ rational at 1e8
-    * scale. Returns (matrix, per-dim 1e6-scale sums, row count). */
+    * recipe: 1e6-quantized coordinates, Gram cells summed in
+    * decimal(38,0) (the 128-bit accumulator — per-row products fit a
+    * Long, but the corpus SUM grows as n·1e12 and would overflow
+    * Int64 past a few thousand rows; ADVICE r9), half-away integer
+    * rounding of the n·p − sᵢsⱼ rational in BigInt at 1e8 scale, so
+    * the "corpus scanned once, exact integer" contract holds at any
+    * corpus size. Returns (matrix, per-dim 1e6-scale sums, rows). */
   def covariance(emb: DataFrame): (Array[Array[Double]], Array[Long], Long) = {
     val n = emb.count()
     val sums = emb
@@ -54,16 +58,19 @@ object Opq {
       .select(col("i"), col("qi"), posexplode(col("embedding")).as(Seq("j", "xj")))
       .filter(col("j") >= col("i"))
       .withColumn("qj", round(col("xj").cast("double") * 1e6, 0).cast("long"))
-      .groupBy(col("i"), col("j")).agg(sum(col("qi") * col("qj")).as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("qi") * col("qj")).cast("decimal(38,0)")).as("p"))
       .collect()
-    def intRound(sv: Long, nv: Long): Long = {
-      val sign = if (sv < 0) -1L else 1L
-      sign * ((2L * math.abs(sv) + nv) / (2L * nv))
+    def intRound(sv: BigInt, nv: BigInt): BigInt = {
+      val sign = if (sv < 0) BigInt(-1) else BigInt(1)
+      sign * ((2 * sv.abs + nv) / (2 * nv))
     }
     val m = Array.ofDim[Double](dims, dims)
     pair.foreach { r =>
-      val (i, j, p) = (r.getInt(0), r.getInt(1), r.getLong(2))
-      val c = intRound(n * p - sums(i) * sums(j), n * n * 10000L).toDouble / 1e8
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val p = BigInt(r.getDecimal(2).toBigInteger)
+      val c = intRound(BigInt(n) * p - BigInt(sums(i)) * BigInt(sums(j)),
+        BigInt(n) * BigInt(n) * 10000).toDouble / 1e8
       m(i)(j) = c; m(j)(i) = c
     }
     (m, sums, n)

@@ -2157,17 +2157,20 @@ class EngineSpec extends AnyFunSuite {
         r.getAs[scala.collection.Seq[Long]]("fps").toSet).toMap
     assert(fps(1L).intersect(fps(2L)).nonEmpty,
       "a 6-token shared run must survive winnowing in both docs")
-    // planted copies: every doc in the dedup corpus has an exact twin,
-    // so the compressed index must still connect every doc
+    // the carrier is CORPUS-WIDE off the staged store (round-9 verdict
+    // item 3 — no doc_id sliver): one row per fixture doc, density
+    // within the winnowing bounds, and the fan-in column live (the
+    // 31-word fixture vocabulary guarantees shared runs exist)
     val rows = TrainingData.defs("x126_winnowing")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3), r.getLong(4)))
-    assert(rows.size == 600)
+    assert(rows.size == Tables.documents(spark, sf).count())
     rows.foreach { case (id, m, nSel, density, nNbr) =>
-      assert(nSel >= 1 && nSel <= m)
+      assert(nSel >= 1 && nSel <= m, s"doc $id n_sel $nSel of $m")
       assert(density > 0.0 && density <= 1.0)
-      assert(nNbr >= 1, s"doc $id lost its planted twin in the winnowed index")
+      assert(nNbr >= 0)
     }
+    assert(rows.exists(_._5 >= 1), "no doc shares any winnowed fingerprint")
   }
 
   test("x127 EM interpolation: held-out likelihood is monotone, carrier ≡ driver replica") {
@@ -2207,6 +2210,97 @@ class EngineSpec extends AnyFunSuite {
     // (per-token 1e-6 rounding can drift the sum by at most T·4e-6/T)
     val s = got.values.sum
     assert(s > 0.99 && s < 1.01, s"lambda sum $s")
+  }
+
+  test("x135 unigram EM: decode walk reassembles words, J monotone, carrier sane") {
+    import spark.implicits._
+    // crafted inventory: "abab" must decode [ab, ab] (score −2.0) and
+    // NOT the greedy/char fallback; "ba" decodes to its own piece;
+    // pieces must reassemble the word exactly and wq must equal the
+    // sum of the chosen pieces' scores
+    val words = Seq("abab", "ba").toDF("w")
+    val scores = Seq(("ab", -10000L), ("a", -100000L), ("b", -100000L),
+      ("ba", -15000L)).toDF("p", "sq")
+    val dec = TrainingData.unigramDecode(words, scores).collect()
+      .map(r => r.getString(0) -> ((r.getSeq[String](1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(dec("abab")._1 == Seq("ab", "ab"), s"got ${dec("abab")._1}")
+    assert(dec("abab")._2 == 2L && dec("abab")._3 == -20000L)
+    assert(dec("ba")._1 == Seq("ba") && dec("ba")._3 == -15000L)
+    // corpus: Viterbi-EM's objective J(θ_t) = Σ f·wq must ascend, up
+    // to the M-step's per-piece 1-quantum rounding (≤ 16 quanta per
+    // word token — the documented slack)
+    val (counts, js) = TrainingData.emUnigramCounts(spark, sf, 3)
+    assert(js.size == 3)
+    val totalF = Tables.documents(spark, sf)
+      .select(explode(graft.text.TextFunctions.wsTokens(
+        lower(col("text")))).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) <= 16).count()
+    for (t <- 0 until js.size - 1)
+      assert(js(t + 1) >= js(t) - 16 * totalF,
+        s"J dropped past quantization slack: ${js(t)} -> ${js(t + 1)}")
+    // the first EM step must strictly improve on the substring-
+    // frequency heuristic (x117's model): its scores are wildly
+    // unnormalized, so the margin is orders beyond the slack
+    assert(js(1) > js(0), s"EM step 1 did not improve J: ${js(0)} -> ${js(1)}")
+    assert(counts.collect().forall(_.getLong(1) > 0))
+    // carrier: vocab = all single chars + at most 16 multi-char pieces
+    val rows = TrainingData.defs("x135_unigram_em")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nChars = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), "")).as("c"))
+      .filter(col("c").rlike("\\S")).select(col("c")).distinct().count()
+    rows.foreach { r =>
+      val nv = r.getAs[Long]("n_vocab")
+      assert(nv >= nChars && nv <= nChars + 16, s"n_vocab $nv chars $nChars")
+      assert(r.getAs[Double]("fertility") >= 1.0)
+      assert(r.getAs[Double]("mean_word_nll") > 0.0)
+    }
+  }
+
+  test("x136 temperature scaling: grid argmin ≡ store, NLL(T*) ≤ NLL(1), ECE does not regress") {
+    val grid = TrainingData.clfTempGrid(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(grid.map(_._1).toSet == (25L until 401L by 5).toSet)
+    val (tqStar, snllStar) = grid.minBy { case (tq, snll) => (snll, tq) }
+    val st = spark.read.parquet(TrainingData.ensureClfTemp(spark, sf))
+      .collect()
+    assert(st.length == 1, "temperature store must hold exactly one row")
+    assert(st(0).getLong(0) == tqStar && st(0).getLong(1) == snllStar,
+      s"store (${st(0).getLong(0)}, ${st(0).getLong(1)}) != grid argmin ($tqStar, $snllStar)")
+    // T = 1 sits on the grid, so the fitted NLL can never exceed the
+    // uncalibrated NLL — the acceptance floor of the whole operator
+    val snll1 = grid.find(_._1 == 100L).get._2
+    assert(snllStar <= snll1, s"fitted NLL $snllStar > uncalibrated $snll1")
+    // ECE before/after on the fit split, from the exact quantized scores
+    val wdf = spark.read.parquet(TrainingData.ensureClfWeights(spark, sf))
+    val valDocs = Tables.documents(spark, sf).filter(
+      pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long"), lit(100L)).between(90, 94))
+    val vz = TrainingData.clfLogits(
+        TrainingData.clfFeatures(valDocs), wdf)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(vz.nonEmpty, "val split empty — fixture too small for the fit")
+    def pq(zq: Long, tq: Long): Long =
+      math.round(1.0 / (1.0 + math.exp(-((zq.toDouble / 1e9) / (tq.toDouble / 100.0)))) * 1e6)
+    def ece(tq: Long): Double = {
+      val n = vz.length.toDouble
+      vz.groupBy { case (_, zq) => math.min(pq(zq, tq) / 100000, 9L) }
+        .values.map { g =>
+          val mp = g.map { case (_, zq) => pq(zq, tq) }.sum.toDouble / g.size
+          val pr = g.map(_._1).sum.toDouble * 1e6 / g.size
+          math.abs(mp - pr) * g.size / n
+        }.sum / 1e6
+    }
+    assert(ece(tqStar) <= ece(100L) + 1e-12,
+      s"ECE after ${ece(tqStar)} > before ${ece(100L)}")
+    // the carrier emits the fitted T on every row
+    val rows = TrainingData.defs("x136_temp_scaling")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("t") - tqStar / 100.0) < 1e-9)
+      assert(r.getAs[Double]("gap") >= 0.0)
+    }
   }
 
   test("x128 pairing consistency flags exactly the planted divergent copies") {

@@ -425,12 +425,22 @@ class PlansSpec extends AnyFunSuite {
       s"x118 must scan the persisted weight store:\n$plan")
   }
 
-  test("x134 reads the ingest-staged winnow store, not a fresh fingerprint scan") {
-    val q = graft.queries.TrainingData.defs("x134_source_run_overlap")(spark, sf)
+  test("x136 reads the staged temperature + weight stores, no refit in-plan") {
+    val q = graft.queries.TrainingData.defs("x136_temp_scaling")(spark, sf)
     q.count()
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("winnow_"),
-      s"x134 must scan the staged fingerprint store:\n$plan")
+    assert(plan.contains("clfw_") && plan.contains("clft_"),
+      s"x136 must scan the persisted weight AND temperature stores:\n$plan")
+  }
+
+  test("x134/x126 read the ingest-staged winnow store, not a fresh fingerprint scan") {
+    for (name <- Seq("x134_source_run_overlap", "x126_winnowing")) {
+      val q = graft.queries.TrainingData.defs(name)(spark, sf)
+      q.count()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("winnow2_"),
+        s"$name must scan the staged fingerprint store:\n$plan")
+    }
   }
 
   test("x93/x103 row-local transforms shuffle nothing but the output sort") {
