@@ -5462,6 +5462,99 @@ object TrainingData {
       .orderBy(col("doc_id"))
   }
 
+  /** x137 core over any (doc_id, text) frame: remove every MAXIMAL
+    * repeated run of ≥ k tokens, exactly (Lee et al. 2022's
+    * ExactSubstr, the published standard for LLM corpora — the
+    * operator the approximate family x33/x112/x116/x126 circles).
+    * Method: a token is duplicated iff SOME corpus-duplicated k-gram
+    * covers it; the union of duplicated k-gram intervals IS the union
+    * of maximal ≥k-token repeated runs (every repeated run of length
+    * L ≥ k is exactly covered by its L−k+1 duplicated k-grams, and
+    * any duplicated k-gram lies inside a repeated run) — so k-gram
+    * anchoring plus interval union computes the exact answer without
+    * a suffix array. Every occurrence of a duplicated run is dropped
+    * (the paper's conservative default; the keep-first-occurrence
+    * policy is x112's contract at segment granularity). Per doc:
+    * token/duplicated-token counts, maximal-span count and longest
+    * span, and the rebuilt clean text's md5 + token-count checksums
+    * (the x87/x112 convention). Scale shape: k-gram fingerprints are
+    * row-local array slices (md5s cross the wire, never text);
+    * duplication is one fp-keyed count ≥ 2 semi-join; coverage,
+    * span islands, and the rebuild are doc-keyed window passes over
+    * ONE sort (all three window functions share (doc, pos)); no
+    * all-pairs stage anywhere. */
+  private[graft] def exactSubstringDedup(docs: DataFrame, k: Int = 5): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+    // guard: sequence(1, n) DESCENDS when n < 1 (Spark semantics), so
+    // docs shorter than k tokens must emit an empty gram list, not a
+    // bogus descending one
+    val gp = toks.select(col("doc_id"),
+        posexplode(when(size(col("toks")) >= k, transform(
+          sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => md5(array_join(slice(col("toks"), i, lit(k)), " "))))
+          .otherwise(array().cast("array<string>")))
+          .as(Seq("gi", "fp")))
+    val dup = gp.groupBy(col("fp")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("fp"))
+    val dstart = gp.join(dup, Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("gi").as("j"), lit(1L).as("isd"))
+    val tok = toks.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        posexplode(col("toks")).as(Seq("j", "tk")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("j"))
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cf = tok.join(dstart, Seq("doc_id", "j"), "left")
+      .withColumn("reach",
+        max(when(col("isd") === 1L, col("j") + (k - 1))).over(wc))
+      .withColumn("covered",
+        col("reach").isNotNull && col("reach") >= col("j"))
+      .withColumn("st", when(col("covered") &&
+        !coalesce(lag(col("covered"), 1).over(w), lit(false)), 1L)
+        .otherwise(0L))
+      .withColumn("isl", sum(col("st")).over(wc))
+      .localCheckpoint()
+    val spans = cf.filter(col("covered"))
+      .groupBy(col("doc_id"), col("isl")).agg(count(lit(1)).as("slen"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), max(col("slen")).as("max_span"),
+        sum(col("slen")).as("n_dup_tok"))
+    val clean = array_join(transform(
+      sort_array(collect_list(when(!col("covered"),
+        struct(col("j"), col("tk"))))), x => x.getField("tk")), " ")
+    cf.groupBy(col("doc_id"))
+      .agg(max(col("n_tok")).as("n_tok"), md5(clean).as("clean_md5"),
+        when(length(clean) === 0, 0L)
+          .otherwise(size(split(clean, "\\s+")).cast("long"))
+          .as("clean_n_tok"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_dup_tok"), lit(0L)).as("n_dup_tok"),
+        (intRoundHalfAway(coalesce(col("n_dup_tok"), lit(0L)) * 10000L,
+          col("n_tok")).cast("double") / 1e4).as("dup_rate"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"),
+        col("clean_md5"), col("clean_n_tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X137: exact repeated-substring dedup (Lee et al. 2022) on the
+    * boilerplate-prefixed corpus — the SAME prefixed population x112
+    * segment-dedups, so the two published line/run-dedup semantics
+    * are directly comparable: x112's fixed 8-token grid keeps first
+    * occurrences; this removes every occurrence of every maximal
+    * ≥5-token repeated run, HOWEVER it is aligned (the fixed grid
+    * provably misses unaligned repeats — EngineSpec pins one). See
+    * [[exactSubstringDedup]] for the exact-cover argument and the
+    * scale shape. */
+  val x137ExactSubstringDedup: Q = (s, d) =>
+    exactSubstringDedup(spread(s, Tables.documents(s, d))
+      .select(col("doc_id"),
+        concat(lit("portal "), col("source"),
+          lit(" official mirror terms of service apply"
+            + " all rights reserved contact webmaster "),
+          col("text")).as("text")))
+
   /** X111: cross-modal alignment scoring — the pairing-QUALITY filter
     * real multimodal curation runs (CLIP-score thresholding: LAION
     * keeps image-text pairs whose embedding cosine clears a cut).
@@ -5914,6 +6007,7 @@ object TrainingData {
     "x133_dsir_resample" -> x133DsirResample,
     "x134_source_run_overlap" -> x134SourceRunOverlap,
     "x112_firstocc_dedup" -> x112FirstOccDedup,
+    "x137_exact_substring" -> x137ExactSubstringDedup,
     "x82_quality_percentile" -> x82QualityPercentile,
     "x81_corpus_card" -> x81CorpusCard,
     "x80_quality_trend" -> x80QualityTrend,
@@ -7284,6 +7378,61 @@ object TrainingData {
             // (2 * SUM(sw.f))) AS DOUBLE) / 1e4 AS fertility
         FROM sw JOIN nsub n USING (w) GROUP BY sw.source ORDER BY sw.source"""
     },
+    "x137_exact_substring" -> """
+      WITH t AS (SELECT doc_id,
+          regexp_split_to_array(trim('portal ' || source
+            || ' official mirror terms of service apply'
+            || ' all rights reserved contact webmaster ' || text),
+            '\s+') AS toks
+        FROM documents),
+      g AS (SELECT doc_id, r.i - 1 AS gi,
+          md5(array_to_string(list_slice(toks, CAST(r.i AS INT),
+            CAST(r.i + 4 AS INT)), ' ')) AS fp
+        FROM t, unnest(range(1, len(toks) - 3)) AS r(i)),
+      dup AS (SELECT fp FROM g GROUP BY fp HAVING COUNT(*) >= 2),
+      ds AS (SELECT g.doc_id, g.gi FROM g JOIN dup USING (fp)),
+      tok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok, r.j AS j,
+          toks[CAST(r.j + 1 AS INT)] AS tk
+        FROM t, unnest(range(0, len(toks))) AS r(j)),
+      mk AS (SELECT tok.*, CASE WHEN ds.gi IS NOT NULL THEN 1 ELSE 0 END
+          AS isd
+        FROM tok LEFT JOIN ds ON ds.doc_id = tok.doc_id AND ds.gi = tok.j),
+      cv AS (SELECT *, MAX(CASE WHEN isd = 1 THEN j + 4 END)
+          OVER (PARTITION BY doc_id ORDER BY j ROWS UNBOUNDED PRECEDING)
+          AS reach
+        FROM mk),
+      cf AS MATERIALIZED (SELECT *,
+          (reach IS NOT NULL AND reach >= j) AS covered,
+          CASE WHEN (reach IS NOT NULL AND reach >= j)
+            AND NOT COALESCE(LAG(reach IS NOT NULL AND reach >= j)
+              OVER (PARTITION BY doc_id ORDER BY j), FALSE)
+            THEN 1 ELSE 0 END AS st
+        FROM cv),
+      ci AS MATERIALIZED (SELECT *, SUM(st)
+          OVER (PARTITION BY doc_id ORDER BY j ROWS UNBOUNDED PRECEDING)
+          AS isl
+        FROM cf),
+      sp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+          CAST(MAX(slen) AS BIGINT) AS max_span,
+          CAST(SUM(slen) AS BIGINT) AS n_dup_tok
+        FROM (SELECT doc_id, isl, COUNT(*) AS slen FROM ci
+          WHERE covered GROUP BY doc_id, isl)
+        GROUP BY doc_id),
+      cl AS (SELECT doc_id, MAX(n_tok) AS n_tok,
+          COALESCE(array_to_string(list(tk ORDER BY j)
+            FILTER (WHERE NOT covered), ' '), '') AS clean
+        FROM ci GROUP BY doc_id)
+      SELECT cl.doc_id, CAST(cl.n_tok AS BIGINT) AS n_tok,
+        COALESCE(sp.n_dup_tok, 0) AS n_dup_tok,
+        CAST(((2 * COALESCE(sp.n_dup_tok, 0) * 10000 + cl.n_tok)
+          // (2 * cl.n_tok)) AS DOUBLE) / 1e4 AS dup_rate,
+        COALESCE(sp.n_spans, 0) AS n_spans,
+        COALESCE(sp.max_span, 0) AS max_span,
+        md5(clean) AS clean_md5,
+        CASE WHEN length(clean) = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(len(regexp_split_to_array(clean, '\s+')) AS BIGINT) END
+          AS clean_n_tok
+      FROM cl LEFT JOIN sp USING (doc_id) ORDER BY cl.doc_id""",
     "x112_firstocc_dedup" -> """
       WITH t AS (SELECT doc_id,
           regexp_split_to_array(trim('portal ' || source

@@ -2212,6 +2212,39 @@ class EngineSpec extends AnyFunSuite {
     assert(s > 0.99 && s < 1.01, s"lambda sum $s")
   }
 
+  test("x137 exact substring dedup: unaligned planted run fully removed, unique text untouched") {
+    import spark.implicits._
+    // a 6-token run shared at DIFFERENT offsets (3 and 1 — never
+    // aligned to x112's 8-token grid): both occurrences must be
+    // removed exactly, surrounding unique tokens must survive
+    val docs = Seq(
+      (1L, "u1 u2 u3 s1 s2 s3 s4 s5 s6 u4 u5 u6"),
+      (2L, "v1 s1 s2 s3 s4 s5 s6 v2 v3 v4 v5 v6 v7")).toDF("doc_id", "text")
+    val got = TrainingData.exactSubstringDedup(docs, 5).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_dup_tok") == 6)
+    assert(got(1L).getAs[Long]("n_spans") == 1)
+    assert(got(1L).getAs[Long]("max_span") == 6)
+    assert(got(1L).getAs[Long]("clean_n_tok") == 6)
+    assert(got(2L).getAs[Long]("n_dup_tok") == 6)
+    assert(got(2L).getAs[Long]("clean_n_tok") == 7)
+    // both cleans hash the unique remainder, not the shared run
+    assert(got(1L).getAs[String]("clean_md5") !=
+      got(2L).getAs[String]("clean_md5"))
+    // fixture: the 11-token boilerplate tail (+ per-source head) is
+    // duplicated across every doc, so every doc loses ≥ 13 tokens in
+    // one leading span; and the rebuild must account for every token
+    val rows = TrainingData.defs("x137_exact_substring")(spark, sf).collect()
+    assert(rows.length >= 100)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dup_tok") >= 13, s"doc ${r.getLong(0)}")
+      assert(r.getAs[Long]("max_span") >= 13)
+      assert(r.getAs[Long]("clean_n_tok") ==
+        r.getAs[Long]("n_tok") - r.getAs[Long]("n_dup_tok"),
+        s"doc ${r.getLong(0)} token accounting")
+    }
+  }
+
   test("x135 unigram EM: decode walk reassembles words, J monotone, carrier sane") {
     import spark.implicits._
     // crafted inventory: "abab" must decode [ab, ab] (score −2.0) and
