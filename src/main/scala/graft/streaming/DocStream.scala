@@ -131,6 +131,41 @@ object DocStream {
     batch.join(kept, Seq("doc_id"), "left_semi")
   }
 
+  /** The END-TO-END curation micro-batch — every admission gate this
+    * module ships, composed in production order on one arriving
+    * batch: rule-curate (PII redaction first, then the quality-score
+    * threshold), exact-fingerprint dedup against the corpus snapshot,
+    * near-dup admission against the persisted signature store, and
+    * the trained model gate against the weight registry. Returns the
+    * stage outputs IN FUNNEL ORDER (x21/x37's audit discipline — a
+    * row-count delta after every gate), final survivors last; each
+    * stage is localCheckpointed so counting the whole funnel costs
+    * one evaluation per stage, not a re-run of the chain per count.
+    *
+    * Wire it through `foreachBatch` (the near-dup stage self-joins
+    * the batch via the pair table — not expressible in a single
+    * continuous plan); every stage is stateless per batch, so the
+    * same call on a batch frame is the stream's oracle
+    * (StreamingSpec proves stream ≡ batch ≡ per-stage direct
+    * recounts). The three persisted tables (corpus fingerprints,
+    * signature store, weight registry) are the ONLY state, all
+    * refreshed by the batch pipeline on its own cadence — the
+    * bounded-state contract that keeps a 100 TB/day firehose at
+    * scan-speed: nothing here buffers across batches. The corpus
+    * snapshot must hold CURATED text (this pipeline's own output),
+    * so re-deliveries re-curate to the identical fingerprint. */
+  def curateStages(spark: SparkSession, batch: DataFrame,
+      corpus: DataFrame, sigStore: String, weightsPath: String,
+      minQuality: Double, stopwords: Seq[String],
+      threshold: Double = 0.5): Seq[(String, DataFrame)] = {
+    val cur = curate(batch, minQuality, stopwords).localCheckpoint()
+    val ex = incrementalDedup(cur, corpus).localCheckpoint()
+    val nd = admitNearDups(spark, ex, sigStore, threshold).localCheckpoint()
+    val gated = admitQuality(spark, nd, weightsPath).localCheckpoint()
+    Seq("bruto" -> batch, "qualidade" -> cur, "dedup_exato" -> ex,
+      "dedup_aprox" -> nd, "modelo" -> gated)
+  }
+
   /** Quality decile on the integer-1e4 score representation — the
     * x68 binning (pure integer: no engine or batch/stream replay can
     * disagree on a bin edge). */

@@ -349,4 +349,82 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() == x122Kept,
       s"stream admitted ${out.count()} vs x122 kept $x122Kept")
   }
+
+  test("end-to-end curation pipeline: stream ≡ batch, funnel reconciles per stage") {
+    val stop = Seq("the", "a", "of", "and")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    // the corpus snapshot holds CURATED text — this pipeline's own
+    // output — so re-deliveries re-curate to the identical fingerprint
+    val corpusRaw = docs.filter(col("doc_id") < 300)
+    val corpus = graft.streaming.DocStream.curate(corpusRaw, 0.0, stop)
+      .select("doc_id", "text").localCheckpoint()
+    val store = java.nio.file.Files.createTempDirectory("e2e_sig").toString
+    graft.dedup.NearDup.saveSignatureStore(corpus, store)
+    val weights = graft.queries.TrainingData.ensureClfWeights(spark, sf)
+    // arriving: exact re-deliveries (die at the fingerprint gate),
+    // near-copies (die at the signature gate), and genuinely new docs
+    val redelivered = corpusRaw.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val nearCopies = corpusRaw
+      .filter(col("doc_id") >= 100 && col("doc_id") < 200)
+      .select((col("doc_id") + 6000000L).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text"))
+    val arriving = docs.filter(col("doc_id") >= 300)
+      .unionByName(redelivered).unionByName(nearCopies).localCheckpoint()
+    val tmp = java.nio.file.Files.createTempDirectory("docs_e2e").toString
+    arriving.write.mode("overwrite").parquet(tmp)
+    val outDir = java.nio.file.Files.createTempDirectory("e2e_out").toString
+    val funnelDir = java.nio.file.Files.createTempDirectory("e2e_funnel").toString
+    val q = graft.streaming.DocStream.readDocStream(spark, tmp)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val stages = graft.streaming.DocStream.curateStages(
+          spark, b, corpus, store, weights, 0.3, stop)
+        stages.last._2.write.mode("append").parquet(outDir)
+        spark.createDataFrame(stages.map { case (n, df) => (n, df.count()) })
+          .toDF("etapa", "linhas")
+          .coalesce(1).write.mode("append").parquet(funnelDir)
+      }
+      .option("checkpointLocation", outDir + "_chk")
+      .start()
+    q.awaitTermination(180000L); q.stop()
+    val out = spark.read.parquet(outDir)
+    val batchStages = graft.streaming.DocStream.curateStages(
+      spark, spark.read.parquet(tmp), corpus, store, weights, 0.3, stop)
+    val batchOut = batchStages.last._2
+    // stream ≡ batch on the final admitted set
+    assert(out.count() == batchOut.count() && out.count() > 0)
+    assert(out.select("doc_id").exceptAll(batchOut.select("doc_id"))
+      .count() == 0)
+    // per-stage funnel: stream-side counts (summed over micro-batches;
+    // every gate is batch-additive) ≡ the batch funnel, x21/x37's
+    // row-delta audit discipline on the streaming path
+    val fsum = spark.read.parquet(funnelDir)
+      .groupBy(col("etapa")).agg(org.apache.spark.sql.functions
+        .sum(col("linhas")).as("linhas"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    batchStages.foreach { case (n, df) =>
+      assert(fsum(n) == df.count(), s"stage $n: stream ${fsum(n)} vs batch")
+    }
+    assert(fsum("bruto") == arriving.count())
+    val order = Seq("bruto", "qualidade", "dedup_exato", "dedup_aprox", "modelo")
+    order.sliding(2).foreach { case scala.collection.Seq(a, b) =>
+      assert(fsum(a) >= fsum(b), s"funnel not monotone at $a -> $b")
+    case _ => () }
+    // planted populations die at their designated gates
+    assert(batchOut.filter(col("doc_id") >= 5000000L
+      && col("doc_id") < 6000000L).count() == 0, "re-delivery survived")
+    assert(batchOut.filter(col("doc_id") >= 6000000L).count() == 0,
+      "near-copy survived")
+    // the model stage reconciles with x122's scoring methodology on
+    // exactly the population that reached it
+    val nd = batchStages(3)._2
+    val kept = graft.queries.TrainingData.clfScores(
+        graft.queries.TrainingData.clfFeatures(nd.select("doc_id", "text")),
+        spark.read.parquet(weights))
+      .filter(col("pq") >= 500000L).count()
+    assert(fsum("modelo") == kept,
+      s"model gate ${fsum("modelo")} vs x122-method recount $kept")
+  }
 }
