@@ -5863,6 +5863,59 @@ object TrainingData {
       .orderBy(col("bin"))
   }
 
+  /** X138: classifier ROC / threshold-sweep evaluation — the
+    * acceptance table that completes the trainer family (x108 train →
+    * x136 calibrate → x122 filter → THIS evaluates): per decision
+    * threshold, predicted-positive mass, TPR, FPR, precision, plus
+    * the threshold-free ranking number — AUC by the exact
+    * Mann-Whitney statistic with midrank ties (2U = Σ_score
+    * pos·(2·cum_neg_below + neg), AUC = U/(P·N)), computed from the
+    * BOUNDED (pq, pos, neg) histogram (≤ 10⁶+1 rows regardless of
+    * corpus size — the x32/x130/x131 method; the only ordering is
+    * over distinct score values, never docs). The U and P·N products
+    * ride decimal(38,0)/HUGEINT so the rational stays exact at any
+    * corpus size (the x99b 128-bit lesson applied up front). One
+    * scoring scan → histogram; the 11-point threshold sweep and the
+    * AUC both fold that histogram. Precision is NULL (both engines)
+    * when a cut predicts nothing positive. */
+  val x138ClfRoc: Q = (s, d) => {
+    val wdf = s.read.parquet(ensureClfWeights(s, d))
+    val (tf, _) = qualityClfTf(s, d)
+    // checkpointed once: the histogram feeds the AUC fold AND the
+    // threshold sweep (the x131 scored-table precedent)
+    val hist = clfScores(tf, wdf)
+      .groupBy(col("pq"))
+      .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
+      .localCheckpoint()
+    val wBelow = Window.orderBy(col("pq"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val au = hist
+      .withColumn("cumneg", coalesce(sum(col("neg")).over(wBelow), lit(0L)))
+      .agg(sum((col("pos") * (lit(2L) * col("cumneg") + col("neg")))
+          .cast("decimal(38,0)")).as("u2"),
+        sum(col("pos")).as("p"), sum(col("neg")).as("n"))
+      .select((intRoundHalfAway(col("u2") * lit(1000000L),
+        lit(2L) * (col("p").cast("decimal(38,0)") * col("n")))
+        .cast("double") / 1e6).as("auc"))
+    val grid = s.range(0, 11).select((col("id") * 100000L).as("t"))
+    hist.crossJoin(broadcast(grid))
+      .groupBy(col("t"))
+      .agg(sum(when(col("pq") >= col("t"), col("pos")).otherwise(0L)).as("tp"),
+        sum(when(col("pq") >= col("t"), col("neg")).otherwise(0L)).as("fp"),
+        sum(col("pos")).as("p"), sum(col("neg")).as("n"))
+      .crossJoin(broadcast(au))
+      .select(col("t"), (col("tp") + col("fp")).as("n_pred_pos"),
+        (intRoundHalfAway(col("tp") * 10000L, col("p"))
+          .cast("double") / 1e4).as("tpr"),
+        (intRoundHalfAway(col("fp") * 10000L, col("n"))
+          .cast("double") / 1e4).as("fpr"),
+        when(col("tp") + col("fp") > 0,
+          intRoundHalfAway(col("tp") * 10000L, col("tp") + col("fp"))
+            .cast("double") / 1e4).as("precision"),
+        col("auc"))
+      .orderBy(col("t"))
+  }
+
   /** X115: tokenizer drift under a FROZEN vocabulary — the x109/x60
     * incremental contract applied to the tokenizer: production
     * pipelines train the vocabulary once and then tokenize every
@@ -5989,6 +6042,7 @@ object TrainingData {
     "x108_quality_classifier" -> x108QualityClassifier,
     "x118_clf_calibration" -> x118ClfCalibration,
     "x136_temp_scaling" -> x136TempScaling,
+    "x138_clf_roc" -> x138ClfRoc,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x107_bpe_segment" -> x107BpeSegment,
@@ -6764,6 +6818,42 @@ object TrainingData {
     "x108_quality_classifier" -> s"""$clfTrainedSql
       SELECT b AS bucket, ROUND(w[b + 1], 6) AS weight
       FROM w20, range(0, 68) t(b) ORDER BY bucket""",
+    "x138_clf_roc" -> s"""$clfTrainedSql,
+      zs AS (SELECT doc_id, y,
+          CAST(SUM(CAST(ROUND(w[bucket + 1] * x * 1e9, 0) AS BIGINT))
+            AS BIGINT) AS zq
+        FROM tf, w20 GROUP BY doc_id, y),
+      ps AS (SELECT doc_id, y,
+          CAST(ROUND((1 / (1 + exp(-(CAST(zq AS DOUBLE) / 1e9)))) * 1e6, 0)
+            AS BIGINT) AS pq
+        FROM zs),
+      hist AS MATERIALIZED (SELECT pq, CAST(SUM(y) AS BIGINT) AS pos,
+          CAST(SUM(1 - y) AS BIGINT) AS neg
+        FROM ps GROUP BY pq),
+      cn AS (SELECT pq, pos, neg,
+          COALESCE(SUM(neg) OVER (ORDER BY pq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+        FROM hist),
+      au AS (SELECT CAST(((2 * (CAST(SUM(CAST(pos AS HUGEINT)
+              * (2 * cumneg + neg)) AS HUGEINT) * 1000000)
+            + 2 * CAST(SUM(pos) AS HUGEINT) * SUM(neg))
+          // (2 * (2 * CAST(SUM(pos) AS HUGEINT) * SUM(neg))))
+          AS DOUBLE) / 1e6 AS auc
+        FROM cn),
+      grid AS (SELECT r.i * 100000 AS t FROM range(0, 11) r(i)),
+      th AS (SELECT g.t,
+          CAST(SUM(CASE WHEN pq >= g.t THEN pos ELSE 0 END) AS BIGINT) AS tp,
+          CAST(SUM(CASE WHEN pq >= g.t THEN neg ELSE 0 END) AS BIGINT) AS fp,
+          CAST(SUM(pos) AS BIGINT) AS p, CAST(SUM(neg) AS BIGINT) AS n
+        FROM hist, grid g GROUP BY g.t)
+      SELECT t, tp + fp AS n_pred_pos,
+        CAST(((2 * tp * 10000 + p) // (2 * p)) AS DOUBLE) / 1e4 AS tpr,
+        CAST(((2 * fp * 10000 + n) // (2 * n)) AS DOUBLE) / 1e4 AS fpr,
+        CASE WHEN tp + fp > 0 THEN
+          CAST(((2 * tp * 10000 + tp + fp) // (2 * (tp + fp)))
+            AS DOUBLE) / 1e4 END AS "precision",
+        auc
+      FROM th, au ORDER BY t""",
     "x136_temp_scaling" -> s"""$clfTrainedSql,
       zs AS (SELECT doc_id, y,
           CAST(SUM(CAST(ROUND(w[bucket + 1] * x * 1e9, 0) AS BIGINT))

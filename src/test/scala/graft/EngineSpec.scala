@@ -2336,6 +2336,40 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("x138 ROC: AUC ≡ driver midrank recount, curves monotone, endpoints exact") {
+    val wdf = spark.read.parquet(TrainingData.ensureClfWeights(spark, sf))
+    val (tf, _) = TrainingData.qualityClfTf(spark, sf)
+    val scored = TrainingData.clfScores(tf, wdf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val pos = scored.filter(_._1 == 1L).map(_._2)
+    val neg = scored.filter(_._1 == 0L).map(_._2)
+    assert(pos.nonEmpty && neg.nonEmpty, "need both classes for ROC")
+    // exact Mann-Whitney with midrank ties, straight from the pairs
+    val u2 = pos.map(p => 2L * neg.count(_ < p) + neg.count(_ == p)).sum
+    def q6(num: BigInt, den: BigInt): Double =
+      ((2 * num * 1000000 + den) / (2 * den)).toDouble / 1e6
+    val aucWant = q6(BigInt(u2), BigInt(2) * pos.length * neg.length)
+    val rows = TrainingData.defs("x138_clf_roc")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.length == 11)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("auc") - aucWant) < 1e-9,
+        s"carrier auc ${r.getAs[Double]("auc")} vs recount $aucWant")
+    }
+    assert(aucWant > 0.5, s"trained scorer must rank better than chance: $aucWant")
+    // threshold 0 predicts everything positive
+    assert(rows.head.getAs[Double]("tpr") == 1.0)
+    assert(rows.head.getAs[Double]("fpr") == 1.0)
+    assert(rows.head.getAs[Long]("n_pred_pos") == scored.length)
+    // tpr and fpr are non-increasing in the threshold
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("tpr") >= b.getAs[Double]("tpr"))
+        assert(a.getAs[Double]("fpr") >= b.getAs[Double]("fpr"))
+      case _ => ()
+    }
+  }
+
   test("x128 pairing consistency flags exactly the planted divergent copies") {
     val rows = TrainingData.defs("x128_pairing_consistency")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
