@@ -5916,6 +5916,52 @@ object TrainingData {
       .orderBy(col("t"))
   }
 
+  /** X139: uncertainty-margin selection (Lewis & Gale 1994's
+    * uncertainty sampling) — the label-acquisition step that keeps
+    * the x108 trainer alive in production: the rule gate labelled
+    * the seed set, and the next annotation batch should be the docs
+    * the model is LEAST sure about (margin |p − ½| smallest), where
+    * a human label buys the most decision-boundary information.
+    * x131's global histogram-cut recipe mirrored at the boundary:
+    * margin histogram (≤ 5·10⁵+1 rows regardless of corpus size),
+    * nearest-rank 5th-percentile cut, strict `<` keeps AT MOST the
+    * budget corpus-wide; per source the report carries doc counts,
+    * selection share, and the mean selected margin (how close to the
+    * boundary the batch actually sits — a source whose selections
+    * hug ½ is where the filter is guessing). One scoring pass + one
+    * bounded histogram + one broadcast-cut aggregation. */
+  val x139UncertaintySample: Q = (s, d) => {
+    val wdf = s.read.parquet(ensureClfWeights(s, d))
+    val docs = Tables.documents(s, d)
+    // checkpointed once: the margin table feeds the cut histogram AND
+    // the per-source aggregation (the x131 precedent)
+    val scored = clfScores(clfFeatures(docs), wdf)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("mg", abs(col("pq") - 500000L))
+      .localCheckpoint()
+    val hist = scored.groupBy(col("mg")).agg(count(lit(1)).as("cnt"))
+    val tot = hist.agg(sum(col("cnt")).as("n"))
+    val cut = hist
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("mg"))))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * 20L >= col("n"))
+      .agg(min(col("mg")).as("cut05"))
+    scored.crossJoin(broadcast(cut))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("mg") < col("cut05"), 1L).otherwise(0L)).as("n_sel"),
+        sum(when(col("mg") < col("cut05"), col("mg")).otherwise(0L))
+          .as("smg"),
+        max(col("cut05")).as("cut05"))
+      .select(col("source"), col("n_docs"), col("n_sel"),
+        (intRoundHalfAway(col("n_sel") * 10000L, col("n_docs"))
+          .cast("double") / 1e4).as("sel_rate"),
+        when(col("n_sel") > 0, intRoundHalfAway(col("smg"), col("n_sel"))
+          .cast("double") / 1e6).as("mean_margin_sel"),
+        (col("cut05").cast("double") / 1e6).as("cut_margin"))
+      .orderBy(col("source"))
+  }
+
   /** X115: tokenizer drift under a FROZEN vocabulary — the x109/x60
     * incremental contract applied to the tokenizer: production
     * pipelines train the vocabulary once and then tokenize every
@@ -6043,6 +6089,7 @@ object TrainingData {
     "x118_clf_calibration" -> x118ClfCalibration,
     "x136_temp_scaling" -> x136TempScaling,
     "x138_clf_roc" -> x138ClfRoc,
+    "x139_uncertainty_sample" -> x139UncertaintySample,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x107_bpe_segment" -> x107BpeSegment,
@@ -6818,6 +6865,34 @@ object TrainingData {
     "x108_quality_classifier" -> s"""$clfTrainedSql
       SELECT b AS bucket, ROUND(w[b + 1], 6) AS weight
       FROM w20, range(0, 68) t(b) ORDER BY bucket""",
+    "x139_uncertainty_sample" -> s"""$clfTrainedSql,
+      zs AS (SELECT doc_id, y,
+          CAST(SUM(CAST(ROUND(w[bucket + 1] * x * 1e9, 0) AS BIGINT))
+            AS BIGINT) AS zq
+        FROM tf, w20 GROUP BY doc_id, y),
+      ps AS (SELECT doc_id,
+          ABS(CAST(ROUND((1 / (1 + exp(-(CAST(zq AS DOUBLE) / 1e9)))) * 1e6,
+            0) AS BIGINT) - 500000) AS mg
+        FROM zs),
+      sc AS (SELECT p.doc_id, p.mg, d.source
+        FROM ps p JOIN documents d USING (doc_id)),
+      h AS (SELECT mg, CAST(COUNT(*) AS BIGINT) AS cnt FROM sc GROUP BY mg),
+      tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h),
+      c AS (SELECT mg, CAST(SUM(cnt) OVER (ORDER BY mg) AS BIGINT) AS cum
+        FROM h),
+      cut AS (SELECT MIN(mg) AS cut05 FROM c, tt WHERE cum * 20 >= n)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN mg < cut05 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_sel,
+        CAST(((2 * SUM(CASE WHEN mg < cut05 THEN 1 ELSE 0 END) * 10000
+            + COUNT(*)) // (2 * COUNT(*))) AS DOUBLE) / 1e4 AS sel_rate,
+        CASE WHEN SUM(CASE WHEN mg < cut05 THEN 1 ELSE 0 END) > 0 THEN
+          CAST(((2 * SUM(CASE WHEN mg < cut05 THEN mg ELSE 0 END)
+              + SUM(CASE WHEN mg < cut05 THEN 1 ELSE 0 END))
+            // (2 * SUM(CASE WHEN mg < cut05 THEN 1 ELSE 0 END)))
+            AS DOUBLE) / 1e6 END AS mean_margin_sel,
+        CAST(cut05 AS DOUBLE) / 1e6 AS cut_margin
+      FROM sc, cut GROUP BY source, cut05 ORDER BY source""",
     "x138_clf_roc" -> s"""$clfTrainedSql,
       zs AS (SELECT doc_id, y,
           CAST(SUM(CAST(ROUND(w[bucket + 1] * x * 1e9, 0) AS BIGINT))

@@ -2370,6 +2370,29 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("x139 uncertainty sampling: budget respected, cut ≡ driver nearest-rank replay") {
+    val wdf = spark.read.parquet(TrainingData.ensureClfWeights(spark, sf))
+    val (tf, _) = TrainingData.qualityClfTf(spark, sf)
+    val margins = TrainingData.clfScores(tf, wdf).collect()
+      .map(r => math.abs(r.getLong(2) - 500000L)).sorted
+    val n = margins.length
+    // nearest-rank 5th percentile: smallest mg with cum·20 ≥ n
+    val cutWant = margins((n + 19) / 20 - 1)
+    val rows = TrainingData.defs("x139_uncertainty_sample")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("cut_margin") - cutWant / 1e6) < 1e-9,
+        s"cut ${r.getAs[Double]("cut_margin")} vs replay ${cutWant / 1e6}")
+      val m = r.getAs[Double]("mean_margin_sel")
+      if (r.getAs[Long]("n_sel") > 0)
+        assert(m < cutWant / 1e6 + 1e-9, "selected batch must hug the boundary")
+    }
+    val sel = rows.map(_.getAs[Long]("n_sel")).sum
+    assert(sel == margins.count(_ < cutWant), "strict-cut selection count")
+    assert(sel <= n / 20, s"budget: $sel of $n exceeds 5%")
+  }
+
   test("x128 pairing consistency flags exactly the planted divergent copies") {
     val rows = TrainingData.defs("x128_pairing_consistency")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
