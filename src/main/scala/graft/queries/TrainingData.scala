@@ -4993,6 +4993,47 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  /** x140's blocklist — fixture-vocabulary stand-ins for C4's
+    * "dirty/naughty/obscene" word list; production swaps the literal
+    * for the real list (broadcast-joined when it outgrows an isin). */
+  private val blocklist = Seq("slow", "dup", "hash")
+
+  /** X140: blocklist document filter (C4's badwords rule, Raffel et
+    * al. 2020 §2.2 — "removed any page that contained any word on the
+    * [blocklist]") — the one famous curation gate this engine didn't
+    * yet report on: WHOLE-DOC removal on any word-boundary blocklist
+    * hit, the coarse safety filter that runs before every
+    * quality/dedup stage. Token-exact matching on the lowercased
+    * whitespace tokenization (word boundaries for free — substring
+    * matching is the known C4 false-positive failure, deliberately
+    * not replicated). Per source: docs, flagged docs, flag rate,
+    * total hit occurrences, and the token mass the filter costs —
+    * the collateral-damage number the list is priced on. One
+    * row-local scan, one groupBy(source); the blocklist rides as a
+    * broadcast literal. */
+  val x140BlocklistFilter: Q = (s, d) => {
+    val toks = filter(wsTokens(lower(col("text"))), w => w =!= "")
+    val hits = size(filter(toks,
+      w => w.isin(blocklist.map(x => x: Any): _*))).cast("long")
+    Tables.documents(s, d)
+      .select(col("source"), size(toks).cast("long").as("n_tok"),
+        hits.as("hits"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("hits")).as("n_hits"),
+        sum(col("n_tok")).as("n_tok"),
+        sum(when(col("hits") > 0, col("n_tok")).otherwise(0L))
+          .as("tok_removed"))
+      .select(col("source"), col("n_docs"), col("n_flagged"),
+        (intRoundHalfAway(col("n_flagged") * 10000L, col("n_docs"))
+          .cast("double") / 1e4).as("flag_rate"),
+        col("n_hits"), col("n_tok"), col("tok_removed"),
+        (intRoundHalfAway(col("tok_removed") * 10000L, col("n_tok"))
+          .cast("double") / 1e4).as("tok_removed_share"))
+      .orderBy(col("source"))
+  }
+
   /** X126: winnowing fingerprint audit — the index-compression report
     * for [[graft.dedup.NearDup.winnowedFingerprints]] (MOSS's
     * selection rule), CORPUS-WIDE: per doc, the k-gram count,
@@ -6090,6 +6131,7 @@ object TrainingData {
     "x136_temp_scaling" -> x136TempScaling,
     "x138_clf_roc" -> x138ClfRoc,
     "x139_uncertainty_sample" -> x139UncertaintySample,
+    "x140_blocklist_filter" -> x140BlocklistFilter,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x107_bpe_segment" -> x107BpeSegment,
@@ -6865,6 +6907,28 @@ object TrainingData {
     "x108_quality_classifier" -> s"""$clfTrainedSql
       SELECT b AS bucket, ROUND(w[b + 1], 6) AS weight
       FROM w20, range(0, 68) t(b) ORDER BY bucket""",
+    "x140_blocklist_filter" -> """
+      WITH t AS (SELECT source,
+          list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+            w -> w <> '') AS toks
+        FROM documents),
+      h AS (SELECT source, CAST(len(toks) AS BIGINT) AS n_tok,
+          CAST(len(list_filter(toks, w -> w IN ('slow', 'dup', 'hash')))
+            AS BIGINT) AS hits
+        FROM t)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_flagged,
+        CAST(((2 * SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) * 10000
+            + COUNT(*)) // (2 * COUNT(*))) AS DOUBLE) / 1e4 AS flag_rate,
+        CAST(SUM(hits) AS BIGINT) AS n_hits,
+        CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+        CAST(SUM(CASE WHEN hits > 0 THEN n_tok ELSE 0 END) AS BIGINT)
+          AS tok_removed,
+        CAST(((2 * SUM(CASE WHEN hits > 0 THEN n_tok ELSE 0 END) * 10000
+            + SUM(n_tok)) // (2 * SUM(n_tok))) AS DOUBLE) / 1e4
+          AS tok_removed_share
+      FROM h GROUP BY source ORDER BY source""",
     "x139_uncertainty_sample" -> s"""$clfTrainedSql,
       zs AS (SELECT doc_id, y,
           CAST(SUM(CAST(ROUND(w[bucket + 1] * x * 1e9, 0) AS BIGINT))
