@@ -5034,6 +5034,52 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  /** X141: UniMax token-budget waterfilling (Chung et al. 2023) —
+    * the mixture ALLOCATOR the share tables (x27 quotas, x131 anneal,
+    * x95 temperature sweep) feed: given a total training budget B
+    * (here half the corpus' token mass) and a per-source repeat cap
+    * (2 epochs — UniMax's anti-overfit bound), allocate B as
+    * UNIFORMLY as possible subject to alloc_s ≤ cap_s. Closed-form
+    * waterfilling, no iteration: sort sources by cap; a source is
+    * SATURATED iff its cap fits even when every later source gets at
+    * least as much (cum_j + cap_j·(m−j) ≤ B); the unsaturated rest
+    * split the remainder evenly, the integer residue going +1 to the
+    * smallest (cap, source) ranks — fully deterministic, Σ alloc = B
+    * EXACTLY (pinned in EngineSpec). Everything after the one
+    * corpus-token scan runs on the |sources|-row table: two window
+    * passes and a broadcast join — the driver never sees a number. */
+  val x141UnimaxAlloc: Q = (s, d) => {
+    val caps = Tables.documents(s, d)
+      .select(col("source"), tokenCount(col("text")).cast("long").as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).as("n_tok"))
+      .withColumn("cap", col("n_tok") * 2L)
+    val tot = caps.agg((call_function("div", sum(col("n_tok")), lit(2L)))
+      .as("b"), count(lit(1)).as("m"))
+    val w = Window.orderBy(col("cap"), col("source"))
+    val ranked = caps.crossJoin(broadcast(tot))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cum", sum(col("cap")).over(w))
+      .withColumn("sat",
+        col("cum") + col("cap") * (col("m") - col("rn")) <= col("b"))
+    val sag = ranked.filter(col("sat"))
+      .agg(count(lit(1)).as("jstar"), sum(col("cap")).as("spent"))
+    val lv = ranked.crossJoin(broadcast(sag))
+      .withColumn("jstar", coalesce(col("jstar"), lit(0L)))
+      .withColumn("spent", coalesce(col("spent"), lit(0L)))
+      .withColumn("level", call_function("div",
+        col("b") - col("spent"), col("m") - col("jstar")))
+      .withColumn("rem", (col("b") - col("spent"))
+        - col("level") * (col("m") - col("jstar")))
+      .withColumn("alloc", when(col("sat"), col("cap"))
+        .otherwise(col("level") +
+          when(col("rn") - col("jstar") <= col("rem"), 1L).otherwise(0L)))
+    lv.select(col("source"), col("n_tok"), col("cap"), col("alloc"),
+        (intRoundHalfAway(col("alloc") * 10000L, col("n_tok"))
+          .cast("double") / 1e4).as("epochs"),
+        col("sat").as("saturated"))
+      .orderBy(col("source"))
+  }
+
   /** X126: winnowing fingerprint audit — the index-compression report
     * for [[graft.dedup.NearDup.winnowedFingerprints]] (MOSS's
     * selection rule), CORPUS-WIDE: per doc, the k-gram count,
@@ -6132,6 +6178,7 @@ object TrainingData {
     "x138_clf_roc" -> x138ClfRoc,
     "x139_uncertainty_sample" -> x139UncertaintySample,
     "x140_blocklist_filter" -> x140BlocklistFilter,
+    "x141_unimax_alloc" -> x141UnimaxAlloc,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x107_bpe_segment" -> x107BpeSegment,
@@ -6907,6 +6954,36 @@ object TrainingData {
     "x108_quality_classifier" -> s"""$clfTrainedSql
       SELECT b AS bucket, ROUND(w[b + 1], 6) AS weight
       FROM w20, range(0, 68) t(b) ORDER BY bucket""",
+    "x141_unimax_alloc" -> """
+      WITH caps AS (SELECT source,
+          CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+            AS BIGINT) AS n_tok
+        FROM documents GROUP BY source),
+      c2 AS (SELECT source, n_tok, n_tok * 2 AS cap FROM caps),
+      tot AS (SELECT CAST(SUM(n_tok) // 2 AS BIGINT) AS b,
+          CAST(COUNT(*) AS BIGINT) AS m FROM c2),
+      rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cap, source) AS rn,
+          SUM(cap) OVER (ORDER BY cap, source) AS cum
+        FROM c2, tot),
+      st AS (SELECT *, (cum + cap * (m - rn) <= b) AS sat FROM rk),
+      sg AS (SELECT COALESCE(SUM(CASE WHEN sat THEN 1 ELSE 0 END), 0)
+            AS jstar,
+          COALESCE(SUM(CASE WHEN sat THEN cap END), 0) AS spent
+        FROM st),
+      al AS (SELECT st.*, sg.jstar,
+          (b - spent) // (m - jstar) AS level,
+          (b - spent) - ((b - spent) // (m - jstar)) * (m - jstar) AS rem
+        FROM st, sg),
+      fin AS (SELECT source, n_tok, cap,
+          CASE WHEN sat THEN cap ELSE level
+            + (CASE WHEN rn - jstar <= rem THEN 1 ELSE 0 END) END AS alloc,
+          sat
+        FROM al)
+      SELECT source, n_tok, cap, CAST(alloc AS BIGINT) AS alloc,
+        CAST(((2 * alloc * 10000 + n_tok) // (2 * n_tok)) AS DOUBLE) / 1e4
+          AS epochs,
+        sat AS saturated
+      FROM fin ORDER BY source""",
     "x140_blocklist_filter" -> """
       WITH t AS (SELECT source,
           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

@@ -2393,6 +2393,32 @@ class EngineSpec extends AnyFunSuite {
     assert(sel <= n / 20, s"budget: $sel of $n exceeds 5%")
   }
 
+  test("x141 waterfilling: budget met exactly, caps respected, unsaturated allocs within 1") {
+    val rows = TrainingData.defs("x141_unimax_alloc")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totTok = rows.map(_.getAs[Long]("n_tok")).sum
+    val b = totTok / 2
+    assert(rows.map(_.getAs[Long]("alloc")).sum == b,
+      "waterfilling must spend the budget exactly")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc") <= r.getAs[Long]("cap"))
+      assert(r.getAs[Long]("alloc") >= 0)
+      if (r.getAs[Boolean]("saturated"))
+        assert(r.getAs[Long]("alloc") == r.getAs[Long]("cap"))
+    }
+    val unsat = rows.filter(!_.getAs[Boolean]("saturated"))
+      .map(_.getAs[Long]("alloc"))
+    if (unsat.nonEmpty)
+      assert(unsat.max - unsat.min <= 1,
+        s"uniform split violated: ${unsat.min}..${unsat.max}")
+    // every saturated cap sits below every unsaturated allocation
+    // (the waterline property)
+    val satCaps = rows.filter(_.getAs[Boolean]("saturated"))
+      .map(_.getAs[Long]("cap"))
+    if (satCaps.nonEmpty && unsat.nonEmpty)
+      assert(satCaps.max <= unsat.min + 1)
+  }
+
   test("x128 pairing consistency flags exactly the planted divergent copies") {
     val rows = TrainingData.defs("x128_pairing_consistency")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
