@@ -5080,6 +5080,51 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  /** X142: label-noise detection by confident learning (Northcutt et
+    * al. 2021 — cleanlab's core rule): the rule gate LABELLED x108's
+    * seed set, and this audits those labels with the trained model —
+    * per class j, the confidence threshold t_j is the mean predicted
+    * probability of class j among examples GIVEN label j; an example
+    * whose predicted probability of the OTHER class clears that
+    * class's threshold is a suspected label error (the
+    * confident-joint off-diagonal). On this corpus the "errors" are
+    * where the linear model confidently contradicts its own teacher
+    * — exactly the review queue a label-repair pass works through
+    * (and the complement of x139: uncertainty samples where the
+    * model doesn't know, this flags where it disagrees). Integer
+    * thresholds (mean of 1e-6-quantized probs, half-away), so the
+    * flag decision is engine-exact. One scoring scan, two global
+    * means, one per-source aggregation. */
+  val x142LabelNoise: Q = (s, d) => {
+    val wdf = s.read.parquet(ensureClfWeights(s, d))
+    val docs = Tables.documents(s, d)
+    val scored = clfScores(clfFeatures(docs), wdf)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .localCheckpoint()
+    val th = scored.agg(
+      intRoundHalfAway(sum(when(col("y") === 1L, col("pq")).otherwise(0L)),
+        sum(when(col("y") === 1L, 1L).otherwise(0L))).as("t1"),
+      intRoundHalfAway(
+        sum(when(col("y") === 0L, lit(1000000L) - col("pq")).otherwise(0L)),
+        sum(when(col("y") === 0L, 1L).otherwise(0L))).as("t0"))
+    scored.crossJoin(broadcast(th))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 0L && col("pq") >= col("t1"), 1L)
+          .otherwise(0L)).as("n_sus_0to1"),
+        sum(when(col("y") === 1L && lit(1000000L) - col("pq") >= col("t0"),
+          1L).otherwise(0L)).as("n_sus_1to0"),
+        max(col("t1")).as("t1"), max(col("t0")).as("t0"))
+      .select(col("source"), col("n_docs"), col("n_sus_0to1"),
+        col("n_sus_1to0"),
+        (intRoundHalfAway(
+          (col("n_sus_0to1") + col("n_sus_1to0")) * 10000L, col("n_docs"))
+          .cast("double") / 1e4).as("noise_rate"),
+        (col("t1").cast("double") / 1e6).as("t1"),
+        (col("t0").cast("double") / 1e6).as("t0"))
+      .orderBy(col("source"))
+  }
+
   /** X126: winnowing fingerprint audit — the index-compression report
     * for [[graft.dedup.NearDup.winnowedFingerprints]] (MOSS's
     * selection rule), CORPUS-WIDE: per doc, the k-gram count,
@@ -6179,6 +6224,7 @@ object TrainingData {
     "x139_uncertainty_sample" -> x139UncertaintySample,
     "x140_blocklist_filter" -> x140BlocklistFilter,
     "x141_unimax_alloc" -> x141UnimaxAlloc,
+    "x142_label_noise" -> x142LabelNoise,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x107_bpe_segment" -> x107BpeSegment,
@@ -6954,6 +7000,39 @@ object TrainingData {
     "x108_quality_classifier" -> s"""$clfTrainedSql
       SELECT b AS bucket, ROUND(w[b + 1], 6) AS weight
       FROM w20, range(0, 68) t(b) ORDER BY bucket""",
+    "x142_label_noise" -> s"""$clfTrainedSql,
+      zs AS (SELECT doc_id, y,
+          CAST(SUM(CAST(ROUND(w[bucket + 1] * x * 1e9, 0) AS BIGINT))
+            AS BIGINT) AS zq
+        FROM tf, w20 GROUP BY doc_id, y),
+      ps AS (SELECT doc_id, y,
+          CAST(ROUND((1 / (1 + exp(-(CAST(zq AS DOUBLE) / 1e9)))) * 1e6, 0)
+            AS BIGINT) AS pq
+        FROM zs),
+      sc AS (SELECT p.doc_id, p.y, p.pq, d.source
+        FROM ps p JOIN documents d USING (doc_id)),
+      th AS (SELECT
+          CAST((2 * SUM(CASE WHEN y = 1 THEN pq ELSE 0 END)
+              + SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END))
+            // (2 * SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END)) AS BIGINT)
+            AS t1,
+          CAST((2 * SUM(CASE WHEN y = 0 THEN 1000000 - pq ELSE 0 END)
+              + SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END))
+            // (2 * SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END)) AS BIGINT)
+            AS t0
+        FROM sc)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN y = 0 AND pq >= t1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_sus_0to1,
+        CAST(SUM(CASE WHEN y = 1 AND 1000000 - pq >= t0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_sus_1to0,
+        CAST(((2 * (SUM(CASE WHEN y = 0 AND pq >= t1 THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN y = 1 AND 1000000 - pq >= t0 THEN 1 ELSE 0 END))
+            * 10000 + COUNT(*)) // (2 * COUNT(*))) AS DOUBLE) / 1e4
+          AS noise_rate,
+        CAST(t1 AS DOUBLE) / 1e6 AS t1,
+        CAST(t0 AS DOUBLE) / 1e6 AS t0
+      FROM sc, th GROUP BY source, t1, t0 ORDER BY source""",
     "x141_unimax_alloc" -> """
       WITH caps AS (SELECT source,
           CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))

@@ -2419,6 +2419,30 @@ class EngineSpec extends AnyFunSuite {
       assert(satCaps.max <= unsat.min + 1)
   }
 
+  test("x142 label noise: thresholds ≡ driver replay, flags are the confident off-diagonal") {
+    val wdf = spark.read.parquet(TrainingData.ensureClfWeights(spark, sf))
+    val (tf, _) = TrainingData.qualityClfTf(spark, sf)
+    val scored = TrainingData.clfScores(tf, wdf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    def meanQ(vs: Seq[Long]): Long =
+      ((2 * BigInt(vs.sum) + vs.length) / (2 * BigInt(vs.length))).toLong
+    val t1 = meanQ(scored.filter(_._1 == 1L).map(_._2).toSeq)
+    val t0 = meanQ(scored.filter(_._1 == 0L).map(_._2).map(1000000L - _).toSeq)
+    val want0to1 = scored.count { case (y, pq) => y == 0L && pq >= t1 }
+    val want1to0 = scored.count { case (y, pq) => y == 1L && 1000000L - pq >= t0 }
+    val rows = TrainingData.defs("x142_label_noise")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("t1") - t1 / 1e6) < 1e-9)
+      assert(math.abs(r.getAs[Double]("t0") - t0 / 1e6) < 1e-9)
+    }
+    assert(rows.map(_.getAs[Long]("n_sus_0to1")).sum == want0to1)
+    assert(rows.map(_.getAs[Long]("n_sus_1to0")).sum == want1to0)
+    // confident thresholds sit above chance — the flags are genuinely
+    // confident contradictions, not half-sure ones
+    assert(t1 > 500000L && t0 > 500000L)
+  }
+
   test("x128 pairing consistency flags exactly the planted divergent copies") {
     val rows = TrainingData.defs("x128_pairing_consistency")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
