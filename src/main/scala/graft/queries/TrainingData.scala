@@ -5125,6 +5125,64 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  /** The Vendi-score arithmetic over a similarity matrix `k` (already
+    * divided by m): clip eigenvalues at 0, normalize to a
+    * distribution IN EXTRACTION ORDER (left-to-right folds — the
+    * oracle's list_sum order), quantize each −p·ln p term at 1e-6
+    * AFTER evaluation (the x39 rule), and return (entropySum1e6,
+    * eigenvalues). Shared by the x143 carrier replica in EngineSpec
+    * so the formula is pinned once. */
+  private[graft] def vendiEntropy(k: Array[Array[Double]]): (Long, Seq[Double]) = {
+    val eigs = graft.ml.Opq.eigensolve(k, k.length).map(_._2)
+    val lp = eigs.map(l => math.max(l, 0.0))
+    val ssum = lp.sum
+    val terms = lp.filter(_ > 0)
+      .map { l => val p = l / ssum; math.round(-p * math.log(p) * 1e6) }
+    (terms.sum, eigs)
+  }
+
+  /** X143: Vendi diversity score (Friedman & Dieng 2022) — the
+    * reference-free diversity metric a mixture designer reads as
+    * "how many EFFECTIVELY DISTINCT populations am I training on":
+    * exp of the von Neumann entropy of the label-centroid cosine
+    * similarity matrix K/m — m when all populations are orthogonal,
+    * 1 when they collapse to a point; x45's size-entropy can't see
+    * the difference between ten distinct clusters and ten copies of
+    * one. Shape: centroids by x28's exact-integer recipe (one
+    * corpus scan onto |labels|·dims cells), then EVERYTHING is
+    * dimension-bounded: the 10×10 Gram, the x65/x99b power-iteration
+    * + deflation eigensolve (driver and oracle run the SAME
+    * approximation — bit-exact by the proven recipe), and the
+    * quantized entropy fold. The corpus is touched exactly once. */
+  val x143VendiDiversity: Q = (s, d) => {
+    val cen = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(floor(col("v").cast("double") * (1 << 24))).as("sv"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (col("sv").cast("double") / (col("n").cast("double") * (1 << 24)))
+          .as("comp"))
+      .collect()
+    val labels = cen.map(_.getInt(0)).distinct.sorted
+    val dims = cen.map(_.getInt(1)).max + 1
+    val c = Array.ofDim[Double](labels.length, dims)
+    cen.foreach(r =>
+      c(labels.indexOf(r.getInt(0)))(r.getInt(1)) = r.getDouble(2))
+    val nrm = c.map { row =>
+      val n = math.sqrt(row.map(x => x * x).sum); row.map(_ / n) }
+    val m = labels.length
+    val k = Array.tabulate(m, m)((i, j) =>
+      nrm(i).zip(nrm(j)).map { case (a, b) => a * b }.sum / m)
+    val (h6, _) = vendiEntropy(k)
+    val h = h6.toDouble / 1e6
+    s.createDataFrame(Seq((m.toLong,
+        math.round(h * 1e4) / 1e4.toDouble,
+        math.round(math.exp(h) * 1e4) / 1e4.toDouble,
+        math.round(math.exp(h) / m * 1e4) / 1e4.toDouble)))
+      .toDF("n_labels", "entropy", "vendi", "vendi_ratio")
+  }
+
   /** X126: winnowing fingerprint audit — the index-compression report
     * for [[graft.dedup.NearDup.winnowedFingerprints]] (MOSS's
     * selection rule), CORPUS-WIDE: per doc, the k-gram count,
@@ -6225,6 +6283,7 @@ object TrainingData {
     "x140_blocklist_filter" -> x140BlocklistFilter,
     "x141_unimax_alloc" -> x141UnimaxAlloc,
     "x142_label_noise" -> x142LabelNoise,
+    "x143_vendi_diversity" -> x143VendiDiversity,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x107_bpe_segment" -> x107BpeSegment,
@@ -7000,6 +7059,74 @@ object TrainingData {
     "x108_quality_classifier" -> s"""$clfTrainedSql
       SELECT b AS bucket, ROUND(w[b + 1], 6) AS weight
       FROM w20, range(0, 68) t(b) ORDER BY bucket""",
+    "x143_vendi_diversity" -> {
+      // x65/x99b's power-iteration + deflation chains over the 10×10
+      // label-centroid Gram (mat0) — structure copied verbatim from
+      // opqRotationCtes so driver and oracle run the same approximation
+      val eig = new StringBuilder
+      for (c <- 0 until 10) eig ++= s""",
+      it$c(k, v) AS (
+        SELECT 0, list_transform(m[1], x -> CAST(1.0 AS DOUBLE)) FROM mat$c
+        UNION ALL
+        SELECT k + 1, list_transform(w, x ->
+            x / list_max(list_transform(w, y -> abs(y))))
+        FROM (SELECT k, list_transform(range(1, len(m) + 1), i ->
+            list_sum(list_transform(list_zip(m[i], v), p -> p[1] * p[2]))) AS w
+          FROM it$c, mat$c WHERE k < 50)),
+      uvec$c AS MATERIALIZED (SELECT list_transform(v, x ->
+          x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+        FROM it$c WHERE k = 50),
+      lamt$c AS MATERIALIZED (SELECT
+          list_sum(list_transform(list_zip(u, w), p -> p[1] * p[2])) AS lam
+        FROM (SELECT u, list_transform(range(1, len(m) + 1), i ->
+            list_sum(list_transform(list_zip(m[i], u), p -> p[1] * p[2]))) AS w
+          FROM uvec$c, mat$c)),
+      mat${c + 1} AS MATERIALIZED (
+        SELECT list_transform(range(1, len(m) + 1), i ->
+            list_transform(range(1, len(m) + 1), j ->
+              m[i][j] - lam * u[i] * u[j])) AS m
+        FROM mat$c, uvec$c, lamt$c)"""
+      val lamUnion = (0 until 10).map(c =>
+        s"SELECT $c AS c, (SELECT lam FROM lamt$c) AS lam FROM uvec$c")
+        .mkString(" UNION ALL ")
+      s"""WITH RECURSIVE d1 AS (SELECT label,
+          unnest(range(0, len(embedding))) AS pos,
+          unnest(embedding) AS v
+        FROM embeddings),
+      cen AS MATERIALIZED (SELECT label, pos,
+          SUM(FLOOR(CAST(v AS DOUBLE) * 16777216)) AS sv, COUNT(*) AS n
+        FROM d1 GROUP BY label, pos),
+      cmp AS (SELECT label, pos,
+          CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * 16777216) AS comp
+        FROM cen),
+      rl AS MATERIALIZED (SELECT label, list(comp ORDER BY pos) AS r
+        FROM cmp GROUP BY label),
+      nr AS MATERIALIZED (SELECT label, list_transform(r, x ->
+          x / sqrt(list_sum(list_transform(r, y -> y * y)))) AS u
+        FROM rl),
+      mc AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM nr),
+      kv AS (SELECT a.label AS li, b.label AS lj,
+          list_sum(list_transform(list_zip(a.u, b.u), p -> p[1] * p[2]))
+            / mc.m AS kvv
+        FROM nr a, nr b, mc),
+      kr AS (SELECT li, list(kvv ORDER BY lj) AS krow FROM kv GROUP BY li),
+      mat0 AS MATERIALIZED (SELECT list(krow ORDER BY li) AS m FROM kr)
+      $eig,
+      lams AS MATERIALIZED ($lamUnion),
+      ll AS (SELECT list(GREATEST(lam, CAST(0 AS DOUBLE)) ORDER BY c) AS ls
+        FROM lams),
+      hs AS (SELECT CAST(list_sum(list_transform(ls, l ->
+          CASE WHEN l > 0 THEN CAST(ROUND(-(l / list_sum(ls))
+              * ln(l / list_sum(ls)) * 1e6, 0) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS h6
+        FROM ll)
+      SELECT mc.m AS n_labels,
+        ROUND(CAST(h6 AS DOUBLE) / 1e6 * 1e4) / 1e4 AS entropy,
+        ROUND(exp(CAST(h6 AS DOUBLE) / 1e6) * 1e4) / 1e4 AS vendi,
+        ROUND(exp(CAST(h6 AS DOUBLE) / 1e6) / mc.m * 1e4) / 1e4
+          AS vendi_ratio
+      FROM hs, mc"""
+    },
     "x142_label_noise" -> s"""$clfTrainedSql,
       zs AS (SELECT doc_id, y,
           CAST(SUM(CAST(ROUND(w[bucket + 1] * x * 1e9, 0) AS BIGINT))

@@ -166,6 +166,27 @@ object DocStream {
       "dedup_aprox" -> nd, "modelo" -> gated)
   }
 
+  /** Ingest-time winnow fingerprinting for one admitted micro-batch:
+    * compute each doc's winnowed fingerprints (the
+    * [[graft.dedup.NearDup.winnowedFingerprints]] selection, schema-
+    * identical to the batch pipeline's staged store — doc_id, m,
+    * n_sel, fps) and APPEND them to the store directory. This is the
+    * missing streaming half of the x126/x134 staging contract:
+    * production fingerprints each doc ONCE, at the moment it is
+    * admitted, so the downstream audits never rescan text — a stream
+    * that admits docs without fingerprinting them silently grows a
+    * corpus the winnow audits can't see. Row-local per batch (the
+    * selection is a per-doc array fold; the write is the only I/O),
+    * so it chains after [[curateStages]] inside the same
+    * foreachBatch. StreamingSpec proves the streamed store ≡ the
+    * batch-computed fingerprints row-for-row. */
+  def winnowIngest(batch: DataFrame, storeDir: String): Unit =
+    graft.dedup.NearDup
+      .winnowedFingerprints(batch.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("m"),
+        size(col("sel")).cast("long").as("n_sel"), col("fps"))
+      .write.mode("append").parquet(storeDir)
+
   /** Quality decile on the integer-1e4 score representation — the
     * x68 binning (pure integer: no engine or batch/stream replay can
     * disagree on a bin edge). */

@@ -2443,6 +2443,36 @@ class EngineSpec extends AnyFunSuite {
     assert(t1 > 500000L && t0 > 500000L)
   }
 
+  test("x143 Vendi: near-orthogonal populations score ≈ m, a collapsed pair scores ≈ m−1") {
+    // crafted populations in R^8: near-orthogonal basis vectors with a
+    // deterministic jitter (exact orthogonality would start the power
+    // iteration exactly perpendicular to the deflated eigenspace)
+    val m = 5
+    def vecs(dupLast: Boolean) = Array.tabulate(m, 8) { (i, j) =>
+      val ii = if (dupLast && i == m - 1) 0 else i
+      (if (j == ii) 1.0 else 0.0) + ((ii * 7 + j * 13) % 11) / 500.0
+    }
+    def gram(v: Array[Array[Double]]) = {
+      val nrm = v.map { r => val n = math.sqrt(r.map(x => x * x).sum); r.map(_ / n) }
+      Array.tabulate(m, m)((i, j) =>
+        nrm(i).zip(nrm(j)).map { case (a, b) => a * b }.sum / m)
+    }
+    val (hOrth, _) = TrainingData.vendiEntropy(gram(vecs(false)))
+    val vOrth = math.exp(hOrth / 1e6)
+    assert(vOrth > m - 0.5 && vOrth <= m + 1e-6,
+      s"near-orthogonal Vendi $vOrth should approach $m")
+    val (hDup, _) = TrainingData.vendiEntropy(gram(vecs(true)))
+    val vDup = math.exp(hDup / 1e6)
+    assert(vDup < m - 0.5 && vDup > m - 1.6,
+      s"one collapsed pair should cost ≈ one effective population: $vDup")
+    // carrier: 10 labels, score within [1, m]
+    val r = TrainingData.defs("x143_vendi_diversity")(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_labels") == 10L)
+    val v = r(0).getAs[Double]("vendi")
+    assert(v >= 1.0 && v <= 10.0 + 1e-9, s"vendi $v out of range")
+  }
+
   test("x128 pairing consistency flags exactly the planted divergent copies") {
     val rows = TrainingData.defs("x128_pairing_consistency")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

@@ -350,6 +350,32 @@ class StreamingSpec extends AnyFunSuite {
       s"stream admitted ${out.count()} vs x122 kept $x122Kept")
   }
 
+  test("winnow ingest: streamed fingerprint store ≡ batch-computed, admitted docs only") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter(col("doc_id") < 200)
+    val tmp = java.nio.file.Files.createTempDirectory("docs_winnow").toString
+    docs.write.mode("overwrite").parquet(tmp)
+    val storeDir = java.nio.file.Files.createTempDirectory("winnow_ing").toString + "/store"
+    val q = graft.streaming.DocStream.readDocStream(spark, tmp)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.DocStream.winnowIngest(b, storeDir)
+      }
+      .option("checkpointLocation", storeDir + "_chk")
+      .start()
+    q.awaitTermination(120000L); q.stop()
+    val streamed = spark.read.parquet(storeDir)
+    val batch = graft.dedup.NearDup.winnowedFingerprints(docs)
+      .select(col("doc_id"), col("m"),
+        org.apache.spark.sql.functions.size(col("sel")).cast("long")
+          .as("n_sel"), col("fps"))
+    assert(streamed.count() == docs.count())
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streamed store must equal the batch fingerprints row-for-row")
+  }
+
   test("end-to-end curation pipeline: stream ≡ batch, funnel reconciles per stage") {
     val stop = Seq("the", "a", "of", "and")
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
