@@ -5183,6 +5183,53 @@ object TrainingData {
       .toDF("n_labels", "entropy", "vendi", "vendi_ratio")
   }
 
+  /** X144: filter-rule attribution — the threshold-tuning table
+    * behind every rule-based curation stack (the Dolma/RedPajama
+    * releases publish exactly this): per rule, how many docs it
+    * fails, and how many it UNIQUELY fails (no other rule fires) —
+    * the marginal mass that rule alone removes. A rule with high
+    * fail count but near-zero unique mass is redundant (its kills
+    * are already dead); a rule with high unique mass is the one
+    * whose threshold deserves review. Five engine rules (language,
+    * minimum length, quality score, punctuation, x140's blocklist)
+    * plus the 'any' union row, computed as row-local flags in ONE
+    * corpus scan, a single aggregate, and a stack unpivot — the x21
+    * one-pass funnel discipline applied across rules instead of down
+    * a pipeline. */
+  val x144FilterAttribution: Q = (s, d) => {
+    val ltoks = filter(wsTokens(lower(col("text"))), w => w =!= "")
+    val flags = Tables.documents(s, d).select(
+        (col("lang") =!= "en").cast("long").as("f1"),
+        (tokenCount(col("text")) < 10).cast("long").as("f2"),
+        (qualityScore(col("text"), stopwords) < 0.5).cast("long").as("f3"),
+        (punctRatio(col("text")) > 0.1).cast("long").as("f4"),
+        (size(filter(ltoks, w => w.isin(blocklist.map(x => x: Any): _*)))
+          > 0).cast("long").as("f5"))
+      .withColumn("nf", (1 to 5).map(i => col(s"f$i")).reduce(_ + _))
+    val aggs = Seq(count(lit(1)).as("n_docs"),
+        sum(when(col("nf") > 0, 1L).otherwise(0L)).as("n_any")) ++
+      (1 to 5).flatMap(i => Seq(sum(col(s"f$i")).as(s"nf$i"),
+        sum(when(col(s"f$i") === 1L && col("nf") === 1L, 1L).otherwise(0L))
+          .as(s"nu$i")))
+    flags.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_docs", """stack(6,
+        1, 'lang', nf1, nu1,
+        2, 'min_len', nf2, nu2,
+        3, 'quality', nf3, nu3,
+        4, 'punct', nf4, nu4,
+        5, 'blocklist', nf5, nu5,
+        6, 'any', n_any, CAST(NULL AS BIGINT))
+        AS (ordem, rule, n_fail, n_unique)""")
+      .select(col("ordem"), col("rule"), col("n_docs"), col("n_fail"),
+        (intRoundHalfAway(col("n_fail") * 10000L, col("n_docs"))
+          .cast("double") / 1e4).as("fail_rate"),
+        col("n_unique"),
+        when(col("n_unique").isNotNull,
+          intRoundHalfAway(col("n_unique") * 10000L, col("n_docs"))
+            .cast("double") / 1e4).as("unique_share"))
+      .orderBy(col("ordem"))
+  }
+
   /** X126: winnowing fingerprint audit — the index-compression report
     * for [[graft.dedup.NearDup.winnowedFingerprints]] (MOSS's
     * selection rule), CORPUS-WIDE: per doc, the k-gram count,
@@ -6284,6 +6331,7 @@ object TrainingData {
     "x141_unimax_alloc" -> x141UnimaxAlloc,
     "x142_label_noise" -> x142LabelNoise,
     "x143_vendi_diversity" -> x143VendiDiversity,
+    "x144_filter_attribution" -> x144FilterAttribution,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x107_bpe_segment" -> x107BpeSegment,
@@ -7059,6 +7107,60 @@ object TrainingData {
     "x108_quality_classifier" -> s"""$clfTrainedSql
       SELECT b AS bucket, ROUND(w[b + 1], 6) AS weight
       FROM w20, range(0, 68) t(b) ORDER BY bucket""",
+    "x144_filter_attribution" -> """
+      WITH t AS (SELECT doc_id, lang, text,
+          regexp_split_to_array(trim(text), '\s+') AS toks,
+          list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+            w -> w <> '') AS ltoks
+        FROM documents),
+      fl AS (SELECT
+          CASE WHEN lang <> 'en' THEN 1 ELSE 0 END AS f1,
+          CASE WHEN len(toks) < 10 THEN 1 ELSE 0 END AS f2,
+          CASE WHEN ROUND(LEAST(len(toks) / 50.0, 1.0) * 0.4
+              + (1.0 - LEAST(CAST(length(text) - length(regexp_replace(text,
+                    '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                  / GREATEST(length(text), 1) * 5.0, 1.0)) * 0.3
+              + LEAST(CAST(len(list_filter(toks,
+                    t2 -> t2 IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+                  / GREATEST(len(toks), 1) * 10.0, 1.0) * 0.3, 4) < 0.5
+            THEN 1 ELSE 0 END AS f3,
+          CASE WHEN CAST(length(text) - length(regexp_replace(text,
+                '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+              / GREATEST(length(text), 1) > 0.1 THEN 1 ELSE 0 END AS f4,
+          CASE WHEN len(list_filter(ltoks,
+              w -> w IN ('slow', 'dup', 'hash'))) > 0 THEN 1 ELSE 0 END AS f5
+        FROM t),
+      f2l AS (SELECT *, f1 + f2 + f3 + f4 + f5 AS nf FROM fl),
+      ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN nf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_any,
+          CAST(SUM(f1) AS BIGINT) AS nf1, CAST(SUM(CASE WHEN f1 = 1
+            AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nu1,
+          CAST(SUM(f2) AS BIGINT) AS nf2, CAST(SUM(CASE WHEN f2 = 1
+            AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nu2,
+          CAST(SUM(f3) AS BIGINT) AS nf3, CAST(SUM(CASE WHEN f3 = 1
+            AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nu3,
+          CAST(SUM(f4) AS BIGINT) AS nf4, CAST(SUM(CASE WHEN f4 = 1
+            AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nu4,
+          CAST(SUM(f5) AS BIGINT) AS nf5, CAST(SUM(CASE WHEN f5 = 1
+            AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nu5
+        FROM f2l),
+      st AS (
+        SELECT 1 AS ordem, 'lang' AS rule, n_docs, nf1 AS n_fail,
+          nu1 AS n_unique FROM ag
+        UNION ALL SELECT 2, 'min_len', n_docs, nf2, nu2 FROM ag
+        UNION ALL SELECT 3, 'quality', n_docs, nf3, nu3 FROM ag
+        UNION ALL SELECT 4, 'punct', n_docs, nf4, nu4 FROM ag
+        UNION ALL SELECT 5, 'blocklist', n_docs, nf5, nu5 FROM ag
+        UNION ALL SELECT 6, 'any', n_docs, n_any, CAST(NULL AS BIGINT)
+          FROM ag)
+      SELECT ordem, rule, n_docs, n_fail,
+        CAST(((2 * n_fail * 10000 + n_docs) // (2 * n_docs)) AS DOUBLE)
+          / 1e4 AS fail_rate,
+        n_unique,
+        CASE WHEN n_unique IS NOT NULL THEN
+          CAST(((2 * n_unique * 10000 + n_docs) // (2 * n_docs)) AS DOUBLE)
+            / 1e4 END AS unique_share
+      FROM st ORDER BY ordem""",
     "x143_vendi_diversity" -> {
       // x65/x99b's power-iteration + deflation chains over the 10×10
       // label-centroid Gram (mat0) — structure copied verbatim from

@@ -2443,6 +2443,48 @@ class EngineSpec extends AnyFunSuite {
     assert(t1 > 500000L && t0 > 500000L)
   }
 
+  test("x144 filter attribution: counts reconcile with independently composed rule sets") {
+    import graft.text.TextFunctions._
+    val rows = TrainingData.defs("x144_filter_attribution")(spark, sf)
+      .collect()
+    assert(rows.length == 6)
+    val byRule = rows.map(r => r.getAs[String]("rule") -> r).toMap
+    val nDocs = rows.head.getAs[Long]("n_docs")
+    val ruleNames = Seq("lang", "min_len", "quality", "punct", "blocklist")
+    // independent recount: each rule as a SEPARATE filter over
+    // documents (set algebra on doc_id), not the carrier's row-local
+    // flag vector — the same public predicates composed differently
+    val docs = Tables.documents(spark, sf)
+    val ltoks = filter(wsTokens(lower(col("text"))), w => w =!= "")
+    val preds = Map[String, org.apache.spark.sql.Column](
+      "lang" -> (col("lang") =!= "en"),
+      "min_len" -> (tokenCount(col("text")) < 10),
+      "quality" -> (qualityScore(col("text"), Seq("the", "a", "of", "and")) < 0.5),
+      "punct" -> (punctRatio(col("text")) > 0.1),
+      "blocklist" -> (size(filter(ltoks,
+        w => w.isin("slow", "dup", "hash"))) > 0))
+    val sets: Map[String, Set[Long]] = preds.map { case (n, p) =>
+      n -> docs.filter(p).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+    }
+    val anySet = sets.values.reduce(_ union _)
+    ruleNames.foreach { rn =>
+      val r = byRule(rn)
+      assert(r.getAs[Long]("n_fail") == sets(rn).size.toLong,
+        s"$rn fail count vs independent filter")
+      val others = (sets - rn).values.reduce(_ union _)
+      assert(r.getAs[Long]("n_unique") == (sets(rn) -- others).size.toLong,
+        s"$rn unique count vs set difference")
+    }
+    val anyRow = byRule("any")
+    assert(anyRow.getAs[Long]("n_fail") == anySet.size.toLong)
+    assert(anyRow.isNullAt(anyRow.fieldIndex("n_unique")))
+    // structural invariants of an attribution table
+    assert(docs.count() == nDocs)
+    assert(ruleNames.map(rn => byRule(rn).getAs[Long]("n_unique")).sum
+      <= anySet.size.toLong)
+  }
+
   test("x143 Vendi: near-orthogonal populations score ≈ m, a collapsed pair scores ≈ m−1") {
     // crafted populations in R^8: near-orthogonal basis vectors with a
     // deterministic jitter (exact orthogonality would start the power
