@@ -4540,6 +4540,37 @@ object TrainingData {
       .orderBy(col("step"))
   }
 
+  /** X145: WordPiece merge-table training (Schuster & Nakajima 2012,
+    * "Japanese and Korean voice search"; the BERT tokenizer's
+    * trainer) — x106's BPE loop under the published LIKELIHOOD
+    * selection rule: merge the adjacent pair maximizing
+    * count(ab) / (count(a)·count(b)) — the pair whose fusion most
+    * increases unigram-LM corpus likelihood — instead of raw pair
+    * frequency. Ranking is the exact integer floor-quotient
+    * cnt·10¹² / (ca·cb) (ties: cnt DESC, lhs, rhs in byte order), so
+    * both engines replay the same argmax with no float anywhere in
+    * the loop; unit counts are frequency-weighted symbol occurrences
+    * in the CURRENT segmentation state, recomputed per iteration.
+    * Scale shape ≡ x106: ONE corpus scan builds the top-1024 word
+    * vocabulary, then all 50 iterations are driver-side integer
+    * arithmetic on that dimension-bounded relation — cost independent
+    * of corpus size past the scan. Output adds the unit counts and
+    * score — the audit columns that distinguish a likelihood merge
+    * from a frequency merge (see the EngineSpec crafted-vocab pin
+    * where the two rules provably diverge). Oracle: all 50 iterations
+    * unrolled (pair counts + unit counts + HUGEINT quotient argmax +
+    * run-parity greedy apply). */
+  val x145WordpieceTrain: Q = (s, d) => {
+    val merges = graft.text.Bpe.trainWordPieceOnVocab(
+      bpeVocab(Tables.documents(s, d), 1024), 50)
+    s.createDataFrame(merges.map(m =>
+        (m.step.toLong, m.lhs, m.rhs, m.lhs + m.rhs, m.pairFreq,
+         m.lhsFreq, m.rhsFreq, m.scoreQ.toDouble / 1e12)))
+      .toDF("step", "lhs", "rhs", "merged", "pair_freq", "lhs_freq",
+        "rhs_freq", "score")
+      .orderBy(col("step"))
+  }
+
   /** X107: BPE segmentation + learned-vocab fertility — x54's
     * tokenizer-fertility audit re-derived on the vocabulary x106
     * LEARNS instead of the fixed regex proxy. Segmentation is a
@@ -6334,6 +6365,7 @@ object TrainingData {
     "x144_filter_attribution" -> x144FilterAttribution,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
+    "x145_wordpiece_train" -> x145WordpieceTrain,
     "x107_bpe_segment" -> x107BpeSegment,
     "x117_unigram_viterbi" -> x117UnigramViterbi,
     "x135_unigram_em" -> x135UnigramEm,
@@ -6632,6 +6664,51 @@ object TrainingData {
         COALESCE((SELECT cnt FROM pc$k ORDER BY cnt DESC, a, b LIMIT 1),
           CAST(0 AS BIGINT)) AS cnt),
       v$k AS MATERIALIZED (${bpeApplySql(s"v${k - 1}, m$k m")})"""
+    }
+    sb.toString
+  }
+
+  /** x145's WordPiece trainer unrolled: like [[bpeTrainCtes]] but each
+    * iteration also materializes frequency-weighted unit counts and
+    * ranks candidate pairs by the exact HUGEINT floor-quotient
+    * cnt·10¹² / (ca·cb); sentinel/apply contract identical. */
+  private def wpTrainCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""wf AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+              FROM documents)
+        WHERE w <> '' GROUP BY w ORDER BY f DESC, w LIMIT 1024),
+      y0 AS MATERIALIZED (SELECT w, f,
+        list_transform(range(1, length(w)+1), i ->
+          substring(w, CAST(i AS INT), 1)) AS syms FROM wf)"""
+    for (k <- 1 to bpeK) {
+      sb ++= s""",
+      yu$k AS MATERIALIZED (
+        SELECT syms[i] AS s, CAST(SUM(f) AS BIGINT) AS c
+        FROM y${k - 1}, unnest(range(1, len(syms)+1)) AS t(i) GROUP BY 1),
+      yp$k AS MATERIALIZED (
+        SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(f) AS BIGINT) AS cnt
+        FROM y${k - 1}, unnest(range(1, len(syms))) AS t(i) GROUP BY 1, 2),
+      ys$k AS MATERIALIZED (
+        SELECT p.a, p.b, p.cnt, ua.c AS ca, ub.c AS cb,
+          CAST(CAST(p.cnt AS HUGEINT) * 1000000000000 //
+            (CAST(ua.c AS HUGEINT) * ub.c) AS BIGINT) AS q
+        FROM yp$k p JOIN yu$k ua ON ua.s = p.a JOIN yu$k ub ON ub.s = p.b),
+      ym$k AS MATERIALIZED (SELECT
+        COALESCE((SELECT a FROM ys$k ORDER BY q DESC, cnt DESC, a, b
+          LIMIT 1), chr(1)) AS a,
+        COALESCE((SELECT b FROM ys$k ORDER BY q DESC, cnt DESC, a, b
+          LIMIT 1), chr(1)) AS b,
+        COALESCE((SELECT cnt FROM ys$k ORDER BY q DESC, cnt DESC, a, b
+          LIMIT 1), CAST(0 AS BIGINT)) AS cnt,
+        COALESCE((SELECT ca FROM ys$k ORDER BY q DESC, cnt DESC, a, b
+          LIMIT 1), CAST(1 AS BIGINT)) AS ca,
+        COALESCE((SELECT cb FROM ys$k ORDER BY q DESC, cnt DESC, a, b
+          LIMIT 1), CAST(1 AS BIGINT)) AS cb,
+        COALESCE((SELECT q FROM ys$k ORDER BY q DESC, cnt DESC, a, b
+          LIMIT 1), CAST(0 AS BIGINT)) AS q),
+      y$k AS MATERIALIZED (${bpeApplySql(s"y${k - 1}, ym$k m")})"""
     }
     sb.toString
   }
@@ -7735,6 +7812,16 @@ object TrainingData {
             a || b AS merged, cnt AS pair_freq FROM m$k""")
         .mkString(" UNION ALL ")
       s"""WITH $bpeTrainCtes
+        SELECT * FROM ($union) WHERE lhs <> chr(1) ORDER BY step"""
+    },
+    "x145_wordpiece_train" -> {
+      val union = (1 to bpeK).map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS step, a AS lhs, b AS rhs,
+            a || b AS merged, cnt AS pair_freq, ca AS lhs_freq,
+            cb AS rhs_freq, CAST(q AS DOUBLE) / 1e12 AS score
+            FROM ym$k""")
+        .mkString(" UNION ALL ")
+      s"""WITH $wpTrainCtes
         SELECT * FROM ($union) WHERE lhs <> chr(1) ORDER BY step"""
     },
     "x123_bpe_scaling" -> {

@@ -122,6 +122,73 @@ object Bpe {
     merges.result()
   }
 
+  /** One learned WordPiece merge: at `step`, the adjacent pair
+    * (lhs, rhs) maximized the likelihood-ratio score
+    * count(lhs·rhs) / (count(lhs)·count(rhs)) (Schuster & Nakajima
+    * 2012; the BERT trainer's selection rule). `scoreQ` is the exact
+    * integer floor-quotient count·10¹² / (ca·cb) both engines rank
+    * by. */
+  final case class WpMerge(step: Int, lhs: String, rhs: String,
+      pairFreq: Long, lhsFreq: Long, rhsFreq: Long, scoreQ: Long)
+
+  /** Fixed-point scale for the WordPiece likelihood score: the score
+    * cnt/(ca·cb) is ≤ 1, so the quotient fits a BIGINT and its double
+    * image is exact (< 2⁵³). */
+  val wpScale: Long = 1000000000000L
+
+  /** Train up to `k` WordPiece merges on a word-frequency vocabulary.
+    * Same greedy left-to-right application and exhaustion contract as
+    * [[trainOnVocab]]; the SELECTION rule differs: argmax of the
+    * exact integer quotient cnt·wpScale / (ca·cb) (floor division —
+    * deterministic on both engines), ties broken by
+    * (cnt DESC, lhs ASC, rhs ASC) under UTF-8 byte order. Unit counts
+    * ca/cb are frequency-weighted symbol occurrences in the CURRENT
+    * segmentation state, recomputed per iteration — the quantity the
+    * published score divides by. */
+  def trainWordPieceOnVocab(vocab0: Seq[(String, Long)], k: Int): Seq[WpMerge] = {
+    var vocab = vocab0.map { case (w, f) => (codepoints(w), f) }
+    val merges = Seq.newBuilder[WpMerge]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      val uc = scala.collection.mutable.HashMap.empty[String, Long]
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length) {
+          uc.update(syms(i), uc.getOrElse(syms(i), 0L) + f)
+          if (i < syms.length - 1) {
+            val key = (syms(i), syms(i + 1))
+            pc.update(key, pc.getOrElse(key, 0L) + f)
+          }
+          i += 1
+        }
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        def quot(cnt: Long, ca: Long, cb: Long): Long =
+          (BigInt(cnt) * wpScale / (BigInt(ca) * BigInt(cb))).toLong
+        val best = pc.iterator.map { case ((a, b), cnt) =>
+          (a, b, cnt, uc(a), uc(b), quot(cnt, uc(a), uc(b)))
+        }.foldLeft(Option.empty[(String, String, Long, Long, Long, Long)]) {
+          case (None, kv) => Some(kv)
+          case (Some(cur), kv) =>
+            val better = kv._6 > cur._6 ||
+              (kv._6 == cur._6 && (kv._3 > cur._3 ||
+                (kv._3 == cur._3 && (byteLt(kv._1, cur._1) ||
+                  (kv._1 == cur._1 && byteLt(kv._2, cur._2))))))
+            Some(if (better) kv else cur)
+        }.get
+        merges += WpMerge(step, best._1, best._2, best._3, best._4,
+          best._5, best._6)
+        vocab = vocab.map { case (syms, f) =>
+          (applyMerge(syms, best._1, best._2), f) }
+        step += 1
+      }
+    }
+    merges.result()
+  }
+
   /** Column expression: codepoint symbols of `w` (non-empty string). */
   def charSyms(w: Column): Column =
     transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))

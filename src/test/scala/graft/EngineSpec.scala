@@ -2443,6 +2443,34 @@ class EngineSpec extends AnyFunSuite {
     assert(t1 > 500000L && t0 > 500000L)
   }
 
+  test("x145 WordPiece: likelihood rule diverges from BPE frequency rule on a crafted vocab") {
+    import graft.text.Bpe
+    // (x,y) is 10x more frequent, but its units are common; (q,z) is
+    // rare with rare units — likelihood 3/(3*3)=0.333 beats 10/(10*10)
+    // =0.1, so WordPiece and BPE provably pick DIFFERENT first merges
+    val vocab = Seq(("xy", 10L), ("qz", 3L))
+    val bpe = Bpe.trainOnVocab(vocab, 1)
+    val wp = Bpe.trainWordPieceOnVocab(vocab, 1)
+    assert(bpe.head.lhs == "x" && bpe.head.rhs == "y")
+    assert(wp.head.lhs == "q" && wp.head.rhs == "z")
+    assert(wp.head.scoreQ == 3L * Bpe.wpScale / 9L)
+    // exhaustion: both words fully merged after 2 steps
+    assert(Bpe.trainWordPieceOnVocab(vocab, 50).size == 2)
+    // carrier: score column IS the floor-quotient of the count columns,
+    // steps are consecutive from 1, merged = lhs+rhs
+    val rows = TrainingData.defs("x145_wordpiece_train")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("step") == i + 1L)
+      val q = BigInt(r.getAs[Long]("pair_freq")) * Bpe.wpScale /
+        (BigInt(r.getAs[Long]("lhs_freq")) * r.getAs[Long]("rhs_freq"))
+      assert(r.getAs[Double]("score") == q.toLong.toDouble / 1e12)
+      assert(r.getAs[String]("merged") ==
+        r.getAs[String]("lhs") + r.getAs[String]("rhs"))
+    }
+  }
+
   test("x144 filter attribution: counts reconcile with independently composed rule sets") {
     import graft.text.TextFunctions._
     val rows = TrainingData.defs("x144_filter_attribution")(spark, sf)
