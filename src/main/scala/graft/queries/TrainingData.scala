@@ -5261,6 +5261,140 @@ object TrainingData {
       .orderBy(col("ordem"))
   }
 
+  /** X146: k-center greedy coreset selection (Gonzalez 1985's
+    * farthest-point 2-approximation; Sener & Savarese 2018's
+    * active-learning coverage rule) over the IVF store's CELL
+    * REPRESENTATIVES — the diversity-maximizing counterpart of x45's
+    * per-cluster diversity report: which k cells, drawn in order,
+    * minimize the worst-case distance of any cell to its nearest
+    * selected one. Scale shape: the candidates are the persisted
+    * quantizer's 16 centroids ([[ensureIvfIndex]] — dimension-bounded
+    * by construction), so selection is a driver-side integer loop
+    * over a K-row relation; the corpus appears only through the
+    * already-built store. Distances are 6dp-quantized 1−cos with the
+    * shared index-order summation ([[graft.ml.Coreset.cosDouble]]),
+    * first pick = smallest cid, ties = smallest cid — the oracle
+    * replays every step as unrolled argmax SQL over the same Lloyd
+    * chain the x13/x31 oracles rebuild. Output: pick order, chosen
+    * cell, covering radius after each pick (non-increasing — the
+    * Gonzalez guarantee, pinned in EngineSpec with a crafted
+    * 3-cluster set where the first picks provably hit distinct
+    * clusters). */
+  val x146KcenterCoreset: Q = (s, d) => {
+    val idx = graft.ml.IvfIndex.loadCached(s, ensureIvfIndex(s, d))
+    val cents = idx.centroids.collect()
+      .map(r => (r.getAs[Long]("cid"),
+        r.getAs[scala.collection.Seq[Float]]("ce").toIndexedSeq))
+    val byId = cents.toMap
+    def dist(a: Long, b: Long): Double =
+      if (a == b) 0.0
+      else graft.ml.Coreset.round6(
+        1.0 - graft.ml.Coreset.cosDouble(byId(a), byId(b)))
+    val picks = graft.ml.Coreset.kcenterGreedy(
+      cents.map(_._1).toSeq, dist, 6)
+    s.createDataFrame(picks.map(p => (p.step.toLong, p.cid, p.radius)))
+      .toDF("step", "cid", "radius")
+      .orderBy(col("step"))
+  }
+
+  /** X147: k-anonymity risk audit (Sweeney 2002) — the privacy-side
+    * counterpart of x26's PII redaction: treat (source, lang,
+    * length-band) as the quasi-identifier tuple and measure, for the
+    * standard k ladder (2, 5, 10, 20), how many equivalence classes
+    * fall below k members and how much document mass sits in them —
+    * the re-identification risk a release under that k-anonymity
+    * target would carry. Scale shape: ONE corpus scan into a
+    * map-side-combinable class aggregation whose output is
+    * dimension-bounded (|source|x|lang|x9 length bands), then the
+    * k-sweep runs on that tiny class table against a broadcast 4-row
+    * k ladder — nothing after the first aggregate scales with the
+    * corpus. */
+  val x147KAnonymity: Q = (s, d) => {
+    val cls = Tables.documents(s, d)
+      .select(col("source"), col("lang"),
+        least(call_function("div", tokenCount(col("text")).cast("long"),
+          lit(16L)), lit(8L)).as("len_band"))
+      .groupBy(col("source"), col("lang"), col("len_band"))
+      .agg(count(lit(1)).as("n"))
+    val ks = s.createDataFrame(Seq(Tuple1(2L), Tuple1(5L), Tuple1(10L),
+      Tuple1(20L))).toDF("k")
+    cls.crossJoin(broadcast(ks))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("n") < col("k"), 1L).otherwise(0L))
+          .as("n_classes_risk"),
+        sum(when(col("n") < col("k"), col("n")).otherwise(0L))
+          .as("n_docs_risk"),
+        sum(col("n")).as("n_docs"))
+      .select(col("k"), col("n_classes"), col("n_classes_risk"),
+        col("n_docs_risk"),
+        (intRoundHalfAway(col("n_docs_risk") * 10000L, col("n_docs"))
+          .cast("double") / 1e4).as("risk_share"))
+      .orderBy(col("k"))
+  }
+
+  /** Margin scoring for [[x148MarginMining]] (exposed for the
+    * EngineSpec crafted-hub pin): given cell-bounded candidate pairs
+    * (qid, match_id, cu) with cu = ROUND(cos·10⁴) > 0, compute each
+    * side's top-4 neighborhood sums and the RATIO MARGIN
+    * margin = cos / ((kNN̄_a + kNN̄_b)/2) = 2·cu·na·nb /
+    * (sumA·nb + sumB·na) — an exact integer rational, 4dp half-away
+    * ([[intRoundHalfAway]]) — then keep the margin-argmax match per
+    * query. Two windowed top-4 passes + one join over the candidate
+    * table; nothing here rescans vectors. */
+  private[graft] def marginTopPairs(cand: DataFrame): DataFrame = {
+    val wq = Window.partitionBy("qid").orderBy(col("cu").desc, col("match_id"))
+    val wm = Window.partitionBy("match_id").orderBy(col("cu").desc, col("qid"))
+    val aSums = cand.withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= 4).groupBy("qid")
+      .agg(sum(col("cu")).as("sum_a"), count(lit(1)).as("na"))
+    val bSums = cand.withColumn("rk", row_number().over(wm))
+      .filter(col("rk") <= 4).groupBy("match_id")
+      .agg(sum(col("cu")).as("sum_b"), count(lit(1)).as("nb"))
+    val scored = cand.join(aSums, "qid").join(bSums, "match_id")
+      .withColumn("margin_q", intRoundHalfAway(
+        lit(2L) * col("cu") * col("na") * col("nb") * lit(10000L),
+        col("sum_a") * col("nb") + col("sum_b") * col("na")))
+    val wbest = Window.partitionBy("qid")
+      .orderBy(col("margin_q").desc, col("cu").desc, col("match_id"))
+    scored.withColumn("rk", row_number().over(wbest)).filter(col("rk") === 1)
+      .select(col("qid"), col("match_id"),
+        (col("cu").cast("double") / 1e4).as("cos"),
+        (col("margin_q").cast("double") / 1e4).as("margin"),
+        (col("margin_q") >= 10500L).as("accepted"))
+  }
+
+  /** X148: margin-based pair mining (Artetxe & Schwenk 2019,
+    * "Margin-based parallel corpus mining with multilingual sentence
+    * embeddings" — the LASER/CCMatrix bitext rule): x111 scores
+    * candidate pairs by ABSOLUTE cosine, which hub vectors defeat —
+    * a vector generically close to everything tops every query's
+    * ranking without being anyone's translation. The published fix
+    * normalizes by both sides' average similarity to their own k=4
+    * nearest candidates: margin = cos / ((kNN̄_q + kNN̄_m)/2); a hub's
+    * own dense neighborhood deflates every margin it appears in (the
+    * EngineSpec crafted-hub pin shows raw-cos preferring the hub and
+    * margin flipping to the true match). The two halves of the vector
+    * space (vec_id parity) stand in for the two languages. Scale
+    * shape: candidates are bounded by the persisted IVF index's cells
+    * (the x35/x119 contract — never corpus²); the margin adds two
+    * windowed top-4 passes over that candidate table; acceptance at
+    * margin ≥ 1.05 (CCMatrix operates ≈1.06). */
+  val x148MarginMining: Q = (s, d) => {
+    val cells = graft.ml.IvfIndex.loadCached(s, ensureIvfIndex(s, d)).cells
+    val a = cells.filter(pmod(col("vec_id"), lit(2L)) === 0)
+      .select(col("cell"), col("vec_id").as("qid"), col("embedding").as("ea"))
+    val b = cells.filter(pmod(col("vec_id"), lit(2L)) === 1)
+      .select(col("cell"), col("vec_id").as("match_id"),
+        col("embedding").as("eb"))
+    val cand = a.join(b, Seq("cell"))
+      .withColumn("cu",
+        round(cosineSim(col("ea"), col("eb")) * 1e4, 0).cast("long"))
+      .filter(col("cu") > 0)
+      .select(col("qid"), col("match_id"), col("cu"))
+    marginTopPairs(cand).orderBy(col("qid"))
+  }
+
   /** X126: winnowing fingerprint audit — the index-compression report
     * for [[graft.dedup.NearDup.winnowedFingerprints]] (MOSS's
     * selection rule), CORPUS-WIDE: per doc, the k-gram count,
@@ -6363,6 +6497,9 @@ object TrainingData {
     "x142_label_noise" -> x142LabelNoise,
     "x143_vendi_diversity" -> x143VendiDiversity,
     "x144_filter_attribution" -> x144FilterAttribution,
+    "x146_kcenter_coreset" -> x146KcenterCoreset,
+    "x147_k_anonymity" -> x147KAnonymity,
+    "x148_margin_mining" -> x148MarginMining,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -7238,6 +7375,97 @@ object TrainingData {
           CAST(((2 * n_unique * 10000 + n_docs) // (2 * n_docs)) AS DOUBLE)
             / 1e4 END AS unique_share
       FROM st ORDER BY ordem""",
+    "x146_kcenter_coreset" -> {
+      // every step CTE is MATERIALIZED: un-materialized, c$k inlines
+      // c${k-1} three times over and each copy bottoms out in the
+      // full Lloyd chain — the exponential inline-expansion trap
+      val sb = new StringBuilder
+      sb ++= s"""WITH $ivfAssignedCtes,
+        dm AS MATERIALIZED (
+          SELECT a.cid AS ca, b.cid AS cb,
+            CASE WHEN a.cid = b.cid THEN 0.0
+                 ELSE ROUND(1 - ${cosSql("a.ce", "b.ce")}, 6) END AS d
+          FROM cent2 a, cent2 b),
+        ids AS MATERIALIZED (SELECT DISTINCT ca AS cid FROM dm),
+        p1 AS MATERIALIZED (SELECT MIN(cid) AS cid FROM ids),
+        c1 AS MATERIALIZED (SELECT cid FROM p1)"""
+      for (k <- 2 to 6) sb ++= s""",
+        m$k AS MATERIALIZED (SELECT c.cid, MIN(d.d) AS md
+          FROM ids c JOIN dm d ON d.ca = c.cid
+          JOIN c${k - 1} p ON d.cb = p.cid
+          WHERE c.cid NOT IN (SELECT cid FROM c${k - 1})
+          GROUP BY c.cid),
+        p$k AS MATERIALIZED (
+          SELECT cid FROM m$k ORDER BY md DESC, cid LIMIT 1),
+        c$k AS MATERIALIZED (
+          SELECT cid FROM c${k - 1} UNION ALL SELECT cid FROM p$k)"""
+      for (k <- 1 to 6) sb ++= s""",
+        r$k AS MATERIALIZED (SELECT MAX(md) AS r FROM (
+          SELECT c.cid, MIN(d.d) AS md FROM ids c
+          JOIN dm d ON d.ca = c.cid JOIN c$k p ON d.cb = p.cid
+          GROUP BY c.cid))"""
+      val union = (1 to 6).map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS step, p$k.cid AS cid,
+            r$k.r AS radius FROM p$k, r$k""").mkString(" UNION ALL ")
+      sb.toString + s" SELECT * FROM ($union) ORDER BY step"
+    },
+    "x148_margin_mining" -> s"""
+      WITH $ivfAssignedCtes,
+      aa AS (SELECT cell, vec_id AS qid, embedding AS ea
+        FROM assigned WHERE vec_id % 2 = 0),
+      bb AS (SELECT cell, vec_id AS match_id, embedding AS eb
+        FROM assigned WHERE vec_id % 2 = 1),
+      cand AS MATERIALIZED (
+        SELECT qid, match_id, cu FROM (
+          SELECT qid, match_id,
+            CAST(ROUND(${cosSql("ea", "eb")} * 1e4, 0) AS BIGINT) AS cu
+          FROM aa JOIN bb USING (cell))
+        WHERE cu > 0),
+      asums AS (SELECT qid, CAST(SUM(cu) AS BIGINT) AS sum_a,
+          CAST(COUNT(*) AS BIGINT) AS na
+        FROM (SELECT qid, cu, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY cu DESC, match_id) AS rk FROM cand)
+        WHERE rk <= 4 GROUP BY qid),
+      bsums AS (SELECT match_id, CAST(SUM(cu) AS BIGINT) AS sum_b,
+          CAST(COUNT(*) AS BIGINT) AS nb
+        FROM (SELECT match_id, cu, ROW_NUMBER() OVER (PARTITION BY
+            match_id ORDER BY cu DESC, qid) AS rk FROM cand)
+        WHERE rk <= 4 GROUP BY match_id),
+      scored AS (SELECT qid, match_id, cu,
+          ((2 * num + den) // (2 * den)) AS margin_q
+        FROM (SELECT c.qid, c.match_id, c.cu,
+            2 * c.cu * a.na * b.nb * 10000 AS num,
+            a.sum_a * b.nb + b.sum_b * a.na AS den
+          FROM cand c JOIN asums a USING (qid)
+          JOIN bsums b USING (match_id))),
+      best AS (SELECT qid, match_id, cu, margin_q,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY margin_q DESC, cu DESC, match_id) AS rk
+        FROM scored)
+      SELECT qid, match_id, CAST(cu AS DOUBLE) / 1e4 AS cos,
+        CAST(margin_q AS DOUBLE) / 1e4 AS margin,
+        margin_q >= 10500 AS accepted
+      FROM best WHERE rk = 1 ORDER BY qid""",
+    "x147_k_anonymity" -> """
+      WITH cls AS (
+        SELECT source, lang,
+          LEAST(len(regexp_split_to_array(trim(text), '\s+')) // 16, 8)
+            AS len_band,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2, 3),
+      ks AS (SELECT unnest([2, 5, 10, 20]) AS k),
+      ag AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_classes,
+          CAST(SUM(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_classes_risk,
+          CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+            AS n_docs_risk,
+          CAST(SUM(n) AS BIGINT) AS n_docs
+        FROM cls, ks GROUP BY k)
+      SELECT CAST(k AS BIGINT) AS k, n_classes, n_classes_risk,
+        n_docs_risk,
+        CAST(((2 * n_docs_risk * 10000 + n_docs) // (2 * n_docs))
+          AS DOUBLE) / 1e4 AS risk_share
+      FROM ag ORDER BY k""",
     "x143_vendi_diversity" -> {
       // x65/x99b's power-iteration + deflation chains over the 10×10
       // label-centroid Gram (mat0) — structure copied verbatim from

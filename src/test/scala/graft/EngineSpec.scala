@@ -2443,6 +2443,99 @@ class EngineSpec extends AnyFunSuite {
     assert(t1 > 500000L && t0 > 500000L)
   }
 
+  test("x148 margin demotes a crafted hub that raw cosine prefers") {
+    import spark.implicits._
+    // queries 0,2,4; hub match 101 sits at cos .85 to ALL queries
+    // (beating each true match at .80), but its dense neighborhood
+    // deflates its margin below the true matches'
+    val cand = Seq(
+      (0L, 101L, 8500L), (0L, 11L, 8000L), (0L, 13L, 1000L), (0L, 15L, 1000L),
+      (2L, 101L, 8500L), (2L, 13L, 8000L), (2L, 11L, 1000L), (2L, 15L, 1000L),
+      (4L, 101L, 8500L), (4L, 15L, 8000L), (4L, 13L, 900L), (4L, 11L, 900L))
+      .toDF("qid", "match_id", "cu")
+    // raw-cos argmax would pick the hub for every query
+    assert(cand.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cu").desc, col("match_id"))))
+      .filter(col("rk") === 1).collect()
+      .forall(_.getAs[Long]("match_id") == 101L))
+    val top = TrainingData.marginTopPairs(cand).collect()
+      .map(r => r.getAs[Long]("qid") -> r).toMap
+    // margin flips every query to its true (non-hub) match
+    assert(top(0L).getAs[Long]("match_id") == 11L)
+    assert(top(2L).getAs[Long]("match_id") == 13L)
+    assert(top(4L).getAs[Long]("match_id") == 15L)
+    top.values.foreach(r => assert(r.getAs[Boolean]("accepted")))
+    // carrier: one row per even-id query with candidates; margins
+    // positive; accepted ⇔ margin ≥ 1.05
+    val rows = TrainingData.defs("x148_margin_mining")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("qid") % 2 == 0)
+      assert(r.getAs[Long]("match_id") % 2 == 1)
+      assert(r.getAs[Double]("margin") > 0)
+      assert(r.getAs[Boolean]("accepted") ==
+        (r.getAs[Double]("margin") >= 1.05))
+    }
+    assert(rows.map(_.getAs[Long]("qid")).distinct.length == rows.length)
+  }
+
+  test("x146 k-center: crafted clusters are covered before densifying; radius non-increasing") {
+    import graft.ml.Coreset
+    // three tight clusters on near-orthogonal axes; greedy must visit
+    // all three clusters in the first three picks (farthest-point
+    // coverage), then densify — and the covering radius never grows
+    val pts: Map[Long, IndexedSeq[Float]] = (0L to 8L).map { id =>
+      val axis = (id % 3).toInt
+      val v = Array.fill(6)(0.02f * ((id * 7 % 5).toInt + 1))
+      v(axis) = 1.0f
+      v(axis + 3) = 0.05f * (id / 3).toInt
+      id -> v.toIndexedSeq
+    }.toMap
+    def dist(a: Long, b: Long): Double =
+      if (a == b) 0.0
+      else Coreset.round6(1.0 - Coreset.cosDouble(pts(a), pts(b)))
+    val picks = Coreset.kcenterGreedy(pts.keys.toSeq, dist, 5)
+    assert(picks.map(_.step) == Seq(1, 2, 3, 4, 5))
+    assert(picks.take(3).map(_.cid % 3).toSet.size == 3,
+      s"first 3 picks must hit 3 distinct clusters: ${picks.map(_.cid)}")
+    assert(picks.sliding(2).forall(p => p(1).radius <= p(0).radius),
+      "covering radius must be non-increasing")
+    // after one pick per cluster the radius collapses to intra-cluster
+    // scale — an order of magnitude under the inter-cluster floor
+    assert(picks(2).radius < picks(0).radius / 5)
+    // carrier: 6 picks over the 16 IVF cells, distinct, radius final ≤ first
+    val rows = TrainingData.defs("x146_kcenter_coreset")(spark, sf).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getAs[Long]("cid")).distinct.length == 6)
+    val rads = rows.sortBy(_.getAs[Long]("step")).map(_.getAs[Double]("radius"))
+    assert(rads.sliding(2).forall(p => p(1) <= p(0)))
+  }
+
+  test("x147 k-anonymity: counts reconcile with an independent class census; risk monotone in k") {
+    import graft.text.TextFunctions._
+    val cls = Tables.documents(spark, sf)
+      .select(col("source"), col("lang"),
+        least(call_function("div", tokenCount(col("text")).cast("long"),
+          lit(16L)), lit(8L)).as("len_band"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = cls.values.sum
+    val rows = TrainingData.defs("x147_k_anonymity")(spark, sf).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k")
+      assert(r.getAs[Long]("n_classes") == cls.size.toLong)
+      assert(r.getAs[Long]("n_classes_risk") == cls.values.count(_ < k).toLong)
+      assert(r.getAs[Long]("n_docs_risk") == cls.values.filter(_ < k).sum)
+    }
+    assert(rows.map(_.getAs[Long]("n_docs_risk")).sum / 4 <= total)
+    val byK = rows.sortBy(_.getAs[Long]("k"))
+    assert(byK.sliding(2).forall(p =>
+      p(1).getAs[Double]("risk_share") >= p(0).getAs[Double]("risk_share")),
+      "risk mass must be monotone in the k target")
+  }
+
   test("x145 WordPiece: likelihood rule diverges from BPE frequency rule on a crafted vocab") {
     import graft.text.Bpe
     // (x,y) is 10x more frequent, but its units are common; (q,z) is
