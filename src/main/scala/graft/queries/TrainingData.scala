@@ -1596,8 +1596,11 @@ object TrainingData {
     * WHICH WAY an engine rounds an exact-.5 double is version-
     * dependent: the round-6 judge measured 7 parity-divergent docs in
     * x42 and 5 here at sf0.01. Integer arithmetic closes the hole.) */
-  val x39UnigramLogppl: Q = (s, d) => {
-    val tok = Tables.documents(s, d)
+  /** x39's per-doc mean unigram NLL kept in INTEGER 1e-4 units
+    * (shared with x149's reducible-loss difference, which must
+    * subtract the two model scores before any double conversion). */
+  private[graft] def uniDocNllQ(docs: DataFrame): DataFrame = {
+    val tok = docs
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
     val cnt = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
     // corpus token total = Σ vocabulary counts — derived from `cnt`
@@ -1611,10 +1614,14 @@ object TrainingData {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"), sum(col("lp_q")).as("s_lp"))
       .select(col("doc_id"), col("n_tok"),
-        (intRoundHalfAway(col("s_lp"), col("n_tok")).cast("double") / 1e4)
-          .as("ppl_proxy"))
-      .orderBy(col("doc_id"))
+        intRoundHalfAway(col("s_lp"), col("n_tok")).as("u_q"))
   }
+
+  val x39UnigramLogppl: Q = (s, d) =>
+    uniDocNllQ(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_tok"),
+        (col("u_q").cast("double") / 1e4).as("ppl_proxy"))
+      .orderBy(col("doc_id"))
 
   /** X40: BIGRAM log-perplexity proxy — one LM order closer to CCNet's
     * KenLM than x39's unigram: per-doc mean of −ln P(wᵢ | wᵢ₋₁) under
@@ -1630,9 +1637,10 @@ object TrainingData {
     * unigram table AQE-broadcasts. Same determinism contract as x39:
     * per-step logp quantized to 1e-4 units via ROUND (order-free
     * integer sum; c2 ≤ c1 by construction so every step ≥ 0). */
-  val x40BigramLogppl: Q = (s, d) => {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+  /** x40's per-doc mean bigram NLL in INTEGER 1e-4 units (shared
+    * with x149 — see [[uniDocNllQ]]). */
+  private[graft] def biDocNllQ(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
     val uni = toks.select(explode(col("toks")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val bi = toks
@@ -1645,8 +1653,13 @@ object TrainingData {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_q")).as("s_lp"))
       .select(col("doc_id"), col("n_bigrams"),
-        (intRoundHalfAway(col("s_lp"), col("n_bigrams")).cast("double") / 1e4)
-          .as("ppl2_proxy"))
+        intRoundHalfAway(col("s_lp"), col("n_bigrams")).as("b_q"))
+  }
+
+  val x40BigramLogppl: Q = (s, d) => {
+    biDocNllQ(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("b_q").cast("double") / 1e4).as("ppl2_proxy"))
       .orderBy(col("doc_id"))
   }
 
@@ -5395,6 +5408,96 @@ object TrainingData {
     marginTopPairs(cand).orderBy(col("qid"))
   }
 
+  /** Reducible loss in integer 1e-4 units for [[x149RholossSelect]]
+    * (exposed for the EngineSpec crafted-corpus pin): current-model
+    * loss = unigram MLE NLL over the POOL itself ([[uniDocNllQ]] —
+    * RHO's training loss, the model HAS seen its own batch), minus
+    * reference loss = add-one (Laplace) bigram NLL under counts from
+    * the HELD-OUT train split — p(w₂|w₁) = (c₂+1)/(c₁+V), defined for
+    * unseen grams, and crucially NEVER trained on the pool docs being
+    * scored: a corpus-wide MLE reference would memorize singleton
+    * gibberish to zero loss and invert the selection (the mistake
+    * RHO-LOSS's held-out irreducible-loss model exists to prevent).
+    * Pool docs need ≥1 bigram (inner semantics). */
+  private[graft] def rholossRedQ(pool: DataFrame, train: DataFrame): DataFrame = {
+    val u = uniDocNllQ(pool).select(col("doc_id"), col("u_q"))
+    val tr = train.select(wsTokens(col("text")).as("toks"))
+    val uni = tr.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vv = uni.agg((count(lit(1)) + 1L).as("v"))
+    val cnt2 = tr.select(explode(allShinglesOfToks(col("toks"), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val poolBi = pool.select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(allShinglesOfToks(col("toks"), 2)).as("g"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+    val r = poolBi
+      .join(cnt2, Seq("g"), "left").join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vv))
+      .withColumn("lp_q", round(-log(
+          (coalesce(col("c2"), lit(0L)).cast("double") + 1.0) /
+          (coalesce(col("c1"), lit(0L)).cast("double")
+            + col("v").cast("double"))) * 1e4, 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nb"), sum(col("lp_q")).as("s2"))
+      .select(col("doc_id"), intRoundHalfAway(col("s2"), col("nb")).as("r_q"))
+    u.join(r, Seq("doc_id"))
+      .select(col("doc_id"), (col("u_q") - col("r_q")).as("red_q"))
+  }
+
+  /** X149: reducible-loss data selection (RHO-LOSS — Mindermann et
+    * al. 2022, "Prioritized training on points that are learnable,
+    * worth learning, and not yet learnt"): prioritize pool documents
+    * where the current model's own-batch loss is high but a reference
+    * model trained on HELD-OUT data scores them low — high-loss-
+    * everywhere points are noise (unlearnable), low-loss-everywhere
+    * points are already learnt; the gap is what training can still
+    * buy. Pool = x36's val+test hash split (the incoming batch);
+    * reference counts come from the train split only (see
+    * [[rholossRedQ]] for why held-out matters). Scores stay in
+    * integer 1e-4 units so the difference is exact; selection is the
+    * global top decile by the x131 histogram nearest-rank cut (never
+    * a window over raw docs). Scale shape: one scan per model (both
+    * map-side-combinable gram aggregations; the pool-vs-train split
+    * is a row-local hash predicate on the same scan), a
+    * value-histogram cut, and a per-source rollup — nothing pairwise
+    * anywhere. */
+  val x149RholossSelect: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val balde = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long"), lit(100L))
+    // checkpointed once: feeds the cut histogram AND the per-source
+    // aggregation (the x131 precedent)
+    val scored = rholossRedQ(docs.filter(balde >= 90),
+        docs.filter(balde < 90))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .localCheckpoint()
+    val hist = scored.groupBy(col("red_q")).agg(count(lit(1)).as("cnt"))
+    val tot = hist.agg(sum(col("cnt")).as("n"))
+    val cut = hist
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("red_q"))))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * 10L >= col("n") * 9L)
+      .agg(min(col("red_q")).as("cut90"))
+    scored.crossJoin(broadcast(cut))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("red_q") > col("cut90"), 1L).otherwise(0L))
+          .as("n_sel"),
+        sum(col("red_q")).as("sum_red"),
+        sum(when(col("red_q") > col("cut90"), col("red_q")).otherwise(0L))
+          .as("sum_red_sel"))
+      .select(col("source"), col("n_docs"), col("n_sel"),
+        (intRoundHalfAway(col("n_sel") * 10000L, col("n_docs"))
+          .cast("double") / 1e4).as("sel_rate"),
+        (intRoundHalfAway(col("sum_red"), col("n_docs"))
+          .cast("double") / 1e4).as("mean_red"),
+        when(col("n_sel") > 0,
+          intRoundHalfAway(col("sum_red_sel"), col("n_sel"))
+            .cast("double") / 1e4).as("mean_red_sel"))
+      .orderBy(col("source"))
+  }
+
   /** X126: winnowing fingerprint audit — the index-compression report
     * for [[graft.dedup.NearDup.winnowedFingerprints]] (MOSS's
     * selection rule), CORPUS-WIDE: per doc, the k-gram count,
@@ -6500,6 +6603,7 @@ object TrainingData {
     "x146_kcenter_coreset" -> x146KcenterCoreset,
     "x147_k_anonymity" -> x147KAnonymity,
     "x148_margin_mining" -> x148MarginMining,
+    "x149_rholoss_select" -> x149RholossSelect,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -7409,6 +7513,83 @@ object TrainingData {
             r$k.r AS radius FROM p$k, r$k""").mkString(" UNION ALL ")
       sb.toString + s" SELECT * FROM ($union) ORDER BY step"
     },
+    "x149_rholoss_select" -> """
+      WITH dd AS (SELECT doc_id, source, text,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+            AS b
+        FROM documents),
+      pool AS (SELECT doc_id, source, text FROM dd WHERE b >= 90),
+      tr AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM dd WHERE b < 90),
+      ptok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+'))
+          AS token
+        FROM pool),
+      cnt AS (SELECT token, COUNT(*) AS c FROM ptok GROUP BY token),
+      tot AS (SELECT COUNT(*) AS n FROM ptok),
+      uagg AS (SELECT doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_tok,
+          CAST(SUM(CAST(ROUND(-LN(CAST(c AS DOUBLE) / n) * 1e4, 0)
+            AS BIGINT)) AS BIGINT) AS s1
+        FROM ptok JOIN cnt USING (token) CROSS JOIN tot
+        GROUP BY doc_id),
+      u AS (SELECT doc_id,
+          (CASE WHEN s1 < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(s1) + n_tok) // (2 * n_tok)) AS u_q
+        FROM uagg),
+      uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+              FROM (SELECT unnest(toks) AS w1 FROM tr) GROUP BY w1),
+      vv AS (SELECT CAST(COUNT(*) + 1 AS BIGINT) AS v FROM uni),
+      cnt2 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+          SELECT unnest(list_transform(range(1, greatest(len(toks) - 1, 0)
+            + 1), i -> toks[i] || ' ' || toks[i+1])) AS g FROM tr)
+        GROUP BY g),
+      pbi AS (SELECT doc_id, g, split_part(g, ' ', 1) AS w1 FROM (
+          SELECT doc_id,
+            unnest(list_transform(range(1, greatest(len(toks) - 1, 0)
+              + 1), i -> toks[i] || ' ' || toks[i+1])) AS g
+          FROM (SELECT doc_id,
+              regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM pool))),
+      ragg AS (SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS nb,
+          CAST(SUM(CAST(ROUND(-LN(
+            (CAST(COALESCE(c2, 0) AS DOUBLE) + 1.0)
+            / (CAST(COALESCE(c1, 0) AS DOUBLE) + CAST(v AS DOUBLE)))
+            * 1e4, 0) AS BIGINT)) AS BIGINT) AS s2
+        FROM pbi p LEFT JOIN cnt2 USING (g) LEFT JOIN uni USING (w1)
+        CROSS JOIN vv GROUP BY p.doc_id),
+      r AS (SELECT doc_id,
+          (CASE WHEN s2 < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(s2) + nb) // (2 * nb)) AS r_q
+        FROM ragg),
+      sc AS MATERIALIZED (
+        SELECT d.source, u.doc_id, u.u_q - r.r_q AS red_q
+        FROM u JOIN r USING (doc_id) JOIN pool d USING (doc_id)),
+      hist AS (SELECT red_q, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM sc GROUP BY red_q),
+      cum AS (SELECT red_q, SUM(cnt) OVER (ORDER BY red_q) AS cum
+        FROM hist),
+      nn2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sc),
+      cut AS (SELECT MIN(red_q) AS cut90 FROM cum, nn2
+        WHERE cum * 10 >= n * 9),
+      ag AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN red_q > cut90 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_sel,
+          CAST(SUM(red_q) AS BIGINT) AS sum_red,
+          CAST(SUM(CASE WHEN red_q > cut90 THEN red_q ELSE 0 END)
+            AS BIGINT) AS sum_red_sel
+        FROM sc, cut GROUP BY source)
+      SELECT source, n_docs, n_sel,
+        CAST(((2 * n_sel * 10000 + n_docs) // (2 * n_docs)) AS DOUBLE)
+          / 1e4 AS sel_rate,
+        CAST((CASE WHEN sum_red < 0 THEN -1 ELSE 1 END)
+          * ((2 * abs(sum_red) + n_docs) // (2 * n_docs)) AS DOUBLE) / 1e4
+          AS mean_red,
+        CASE WHEN n_sel > 0 THEN
+          CAST((CASE WHEN sum_red_sel < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(sum_red_sel) + n_sel) // (2 * n_sel)) AS DOUBLE)
+            / 1e4 END AS mean_red_sel
+      FROM ag ORDER BY source""",
     "x148_margin_mining" -> s"""
       WITH $ivfAssignedCtes,
       aa AS (SELECT cell, vec_id AS qid, embedding AS ea

@@ -2443,6 +2443,46 @@ class EngineSpec extends AnyFunSuite {
     assert(t1 > 500000L && t0 > 500000L)
   }
 
+  test("x149 RHO-loss: learnable structure outranks gibberish; cut replayed driver-side") {
+    import spark.implicits._
+    // reference (train) split: a well-attested pattern + vocab filler;
+    // pool: docA repeats the attested pattern with rare-for-the-pool
+    // tokens (high current loss, LOW reference loss — learnable),
+    // docB is gibberish unseen everywhere (high loss under BOTH)
+    val train = ((1 to 10).map(i => (100L + i, "xx yy xx yy")) :+
+      (200L, (1 to 20).map(i => s"f$i").mkString(" "))).toDF("doc_id", "text")
+    val pool = Seq((1L, "xx yy xx yy xx yy"), (2L, "pp qq rr ss"))
+      .toDF("doc_id", "text")
+    val red = TrainingData.rholossRedQ(pool, train).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(red(1L) > red(2L),
+      s"structured doc must out-score gibberish: $red")
+    // carrier: replay the global top-decile cut on the pool scores
+    val docs = Tables.documents(spark, sf)
+    val balde = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long"), lit(100L))
+    val scores = TrainingData.rholossRedQ(docs.filter(balde >= 90),
+        docs.filter(balde < 90))
+      .collect().map(_.getLong(1)).sorted
+    val n = scores.length
+    val cut = scores.zipWithIndex
+      .collectFirst { case (v, i) if scores.count(_ <= v) * 10 >= n * 9 => v }
+      .get
+    val wantSel = scores.count(_ > cut)
+    val rows = TrainingData.defs("x149_rholoss_select")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == n.toLong)
+    assert(rows.map(_.getAs[Long]("n_sel")).sum == wantSel.toLong)
+    assert(wantSel <= n / 10, "strict top-decile selection")
+    // selected values all sit above the global cut, so every source's
+    // selected mean dominates its overall mean
+    rows.filter(_.getAs[Long]("n_sel") > 0).foreach { r =>
+      assert(r.getAs[Double]("mean_red_sel") >=
+        r.getAs[Double]("mean_red") - 2e-4)
+    }
+  }
+
   test("x148 margin demotes a crafted hub that raw cosine prefers") {
     import spark.implicits._
     // queries 0,2,4; hub match 101 sits at cos .85 to ALL queries
