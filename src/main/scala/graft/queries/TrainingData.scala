@@ -5875,6 +5875,58 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  /** X150: EL2N data-diet pruning (Paul et al. 2021, "Deep learning
+    * on a data diet") — the x131/x139 selection family's PRUNING
+    * member: score every training doc by its error L2 norm under the
+    * registry model (binary LR ⇒ EL2N = |p − y|, exact in the 1e-6
+    * integer units [[clfScores]] already emits), then drop the
+    * EASIEST fifth (lowest EL2N — the confidently-correct examples
+    * training no longer needs) via the x131 histogram nearest-rank
+    * cut at the 20th percentile. Reports, per source, the prune mass
+    * and the CLASS-BALANCE SHIFT (positive share before vs after) —
+    * the documented data-diet hazard: easy examples concentrate in
+    * the majority class, so naive pruning skews labels. Scale shape:
+    * one registry-scoring scan (broadcast 68-row weight table), a
+    * value histogram (≤10⁶+1 distinct values regardless of corpus
+    * size), one rollup. Production scores against the registry copy
+    * — never retrains (the x98 staged contract); the oracle retrains
+    * from scratch, re-proving the registry every run. */
+  val x150El2nPrune: Q = (s, d) => {
+    val wdf = s.read.parquet(ensureClfWeights(s, d))
+    val (tf, _) = qualityClfTf(s, d)
+    // checkpointed once: feeds the cut histogram AND the rollup
+    val scored = clfScores(tf, wdf)
+      .withColumn("el2n_q", abs(col("pq") - col("y") * 1000000L))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .localCheckpoint()
+    val hist = scored.groupBy(col("el2n_q")).agg(count(lit(1)).as("cnt"))
+    val tot = hist.agg(sum(col("cnt")).as("n"))
+    val cut = hist
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("el2n_q"))))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * 5L >= col("n"))
+      .agg(min(col("el2n_q")).as("cut20"))
+    scored.crossJoin(broadcast(cut))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("el2n_q") < col("cut20"), 1L).otherwise(0L))
+          .as("n_pruned"),
+        sum(col("y")).as("n_pos"),
+        sum(when(col("el2n_q") >= col("cut20"), col("y")).otherwise(0L))
+          .as("pos_kept"))
+      .select(col("source"), col("n_docs"), col("n_pruned"),
+        (intRoundHalfAway(col("n_pruned") * 10000L, col("n_docs"))
+          .cast("double") / 1e4).as("prune_rate"),
+        (intRoundHalfAway(col("n_pos") * 10000L, col("n_docs"))
+          .cast("double") / 1e4).as("pos_share_before"),
+        when(col("n_docs") > col("n_pruned"),
+          intRoundHalfAway(col("pos_kept") * 10000L,
+            col("n_docs") - col("n_pruned")).cast("double") / 1e4)
+          .as("pos_share_after"))
+      .orderBy(col("source"))
+  }
+
   /** X123: tokenizer vocabulary-size scaling curve — the budget-
     * pricing table for x106's BPE: per source, fertility under the
     * FIRST 10, 25, and all 50 learned merges (more merges = bigger
@@ -6604,6 +6656,7 @@ object TrainingData {
     "x147_k_anonymity" -> x147KAnonymity,
     "x148_margin_mining" -> x148MarginMining,
     "x149_rholoss_select" -> x149RholossSelect,
+    "x150_el2n_prune" -> x150El2nPrune,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -8285,6 +8338,41 @@ object TrainingData {
             * 10000 + COUNT(*)) // (2 * COUNT(*))) AS DOUBLE) / 1e4
           AS agree_rate
       FROM j GROUP BY source ORDER BY source""",
+    "x150_el2n_prune" -> s"""$clfTrainedSql,
+      zs AS (SELECT doc_id, y,
+          CAST(SUM(CAST(ROUND(w[bucket + 1] * x * 1e9, 0) AS BIGINT))
+            AS BIGINT) AS zq
+        FROM tf, w20 GROUP BY doc_id, y),
+      ps AS (SELECT doc_id, y,
+          CAST(ROUND((1 / (1 + exp(-(CAST(zq AS DOUBLE) / 1e9)))) * 1e6, 0)
+            AS BIGINT) AS pq
+        FROM zs),
+      sc AS MATERIALIZED (SELECT d.source, p.y,
+          abs(p.pq - p.y * 1000000) AS el2n_q
+        FROM ps p JOIN documents d USING (doc_id)),
+      hist AS (SELECT el2n_q, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM sc GROUP BY el2n_q),
+      cum AS (SELECT el2n_q, SUM(cnt) OVER (ORDER BY el2n_q) AS cum
+        FROM hist),
+      nn2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sc),
+      cut AS (SELECT MIN(el2n_q) AS cut20 FROM cum, nn2 WHERE cum * 5 >= n),
+      ag AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN el2n_q < cut20 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_pruned,
+          CAST(SUM(y) AS BIGINT) AS n_pos,
+          CAST(SUM(CASE WHEN el2n_q >= cut20 THEN y ELSE 0 END) AS BIGINT)
+            AS pos_kept
+        FROM sc, cut GROUP BY source)
+      SELECT source, n_docs, n_pruned,
+        CAST(((2 * n_pruned * 10000 + n_docs) // (2 * n_docs)) AS DOUBLE)
+          / 1e4 AS prune_rate,
+        CAST(((2 * n_pos * 10000 + n_docs) // (2 * n_docs)) AS DOUBLE)
+          / 1e4 AS pos_share_before,
+        CASE WHEN n_docs > n_pruned THEN
+          CAST(((2 * pos_kept * 10000 + (n_docs - n_pruned))
+            // (2 * (n_docs - n_pruned))) AS DOUBLE) / 1e4 END
+          AS pos_share_after
+      FROM ag ORDER BY source""",
     "x135_unigram_em" -> {
       // one decode chain (suffix DP + leftmost walk) under `scoresCte`,
       // mirroring unigramDecode column-for-column; CTE prefix c<chain>

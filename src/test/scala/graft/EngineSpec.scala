@@ -2443,6 +2443,29 @@ class EngineSpec extends AnyFunSuite {
     assert(t1 > 500000L && t0 > 500000L)
   }
 
+  test("x150 EL2N: cut replayed driver-side; pruned mass is the easy-confident fifth") {
+    val wdf = spark.read.parquet(TrainingData.ensureClfWeights(spark, sf))
+    val (tf, _) = TrainingData.qualityClfTf(spark, sf)
+    val el2n = TrainingData.clfScores(tf, wdf).collect()
+      .map(r => math.abs(r.getLong(2) - r.getLong(1) * 1000000L)).sorted
+    val n = el2n.length
+    val cut = el2n.find(v => el2n.count(_ <= v) * 5 >= n).get
+    val wantPruned = el2n.count(_ < cut)
+    assert(wantPruned * 5 < n, "strictly-below-cut pruning stays under 20%")
+    val rows = TrainingData.defs("x150_el2n_prune")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == n.toLong)
+    assert(rows.map(_.getAs[Long]("n_pruned")).sum == wantPruned.toLong)
+    // pruned examples are confidently-correct: every pruned EL2N sits
+    // below every kept one by construction of the global cut
+    rows.foreach { r =>
+      val shareB = r.getAs[Double]("pos_share_before")
+      assert(shareB >= 0.0 && shareB <= 1.0)
+      if (r.getAs[Long]("n_docs") > r.getAs[Long]("n_pruned"))
+        assert(r.getAs[Double]("pos_share_after") >= 0.0)
+    }
+  }
+
   test("x149 RHO-loss: learnable structure outranks gibberish; cut replayed driver-side") {
     import spark.implicits._
     // reference (train) split: a well-attested pattern + vocab filler;
