@@ -5927,6 +5927,50 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  /** X151: Good-Turing frequency re-estimation (Good 1953; Gale &
+    * Sampson 1995's presentation) — the unseen-mass measurement the
+    * engine's discount families (x64 backoff, x83 Kneser-Ney) are
+    * calibrated against: from the frequency-of-frequencies table
+    * N_r, the Turing estimate r* = (r+1)·N_{r+1}/N_r and the
+    * probability mass GT assigns each count class,
+    * mass(r) = (r+1)·N_{r+1}/N — one formula that at r = 0 IS the
+    * unseen-token mass P₀ = N₁/N. Every quantity is an exact integer
+    * rational ([[intRoundHalfAway]] at presentation). Honesty note:
+    * the raw Turing estimator degenerates where the FoF tail has gaps
+    * (N_{r+1} = 0 ⇒ r* = 0) — the exact defect Gale & Sampson's
+    * log-linear smoothing exists to fix; what this operator ships is
+    * the smoother's INPUT table plus the raw estimates, which on the
+    * contiguous low-r head (the region LM discounts actually read)
+    * are the estimator of record. EngineSpec pins the exact census
+    * identity Σ r·N_r = N, P₀ = N₁/N, the r* replay, and the partial
+    * telescope Σ_{r<R} mass(r) = (Σ_{r'≤R} r'·N_{r'})/N over the
+    * gapless head ending at the first empty class R. Scale shape:
+    * one corpus scan
+    * into the vocabulary count table (map-side combinable), then the
+    * FoF histogram is DOUBLY bounded (≲ 2√N distinct r values — the
+    * classic FoF tail bound); everything after is row-local on that
+    * tiny relation plus a self-join shifted by one. */
+  val x151GoodTuring: Q = (s, d) => {
+    val cnt = Tables.documents(s, d)
+      .select(explode(wsTokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val fof = cnt.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+      .localCheckpoint()
+    val tot = fof.agg(sum(col("r") * col("n_r")).as("n"))
+    val withZero = fof.unionByName(
+      s.range(1).select(lit(0L).as("r"), lit(0L).as("n_r")))
+    val nxt = fof.select((col("r") - 1L).as("r"), col("n_r").as("n_next"))
+    withZero.join(nxt, Seq("r"), "left").crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"),
+        when(col("n_r") > 0 && col("n_next").isNotNull,
+          intRoundHalfAway((col("r") + 1L) * col("n_next") * 10000L,
+            col("n_r")).cast("double") / 1e4).as("r_star"),
+        (intRoundHalfAway(
+          (col("r") + 1L) * coalesce(col("n_next"), lit(0L)) * 1000000L,
+          col("n")).cast("double") / 1e6).as("gt_mass"))
+      .orderBy(col("r"))
+  }
+
   /** X123: tokenizer vocabulary-size scaling curve — the budget-
     * pricing table for x106's BPE: per source, fertility under the
     * FIRST 10, 25, and all 50 learned merges (more merges = bigger
@@ -6657,6 +6701,7 @@ object TrainingData {
     "x148_margin_mining" -> x148MarginMining,
     "x149_rholoss_select" -> x149RholossSelect,
     "x150_el2n_prune" -> x150El2nPrune,
+    "x151_good_turing" -> x151GoodTuring,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -8338,6 +8383,28 @@ object TrainingData {
             * 10000 + COUNT(*)) // (2 * COUNT(*))) AS DOUBLE) / 1e4
           AS agree_rate
       FROM j GROUP BY source ORDER BY source""",
+    "x151_good_turing" -> """
+      WITH cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+              FROM documents)
+        GROUP BY w),
+      fof AS MATERIALIZED (
+        SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+        FROM cnt GROUP BY c),
+      tot AS (SELECT CAST(SUM(r * n_r) AS BIGINT) AS n FROM fof),
+      wz AS (SELECT r, n_r FROM fof
+        UNION ALL SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT))
+      SELECT wz.r, wz.n_r,
+        CASE WHEN wz.n_r > 0 AND nx.n_next IS NOT NULL THEN
+          CAST(((2 * (wz.r + 1) * nx.n_next * 10000 + wz.n_r)
+            // (2 * wz.n_r)) AS DOUBLE) / 1e4 END AS r_star,
+        CAST(((2 * (wz.r + 1) * COALESCE(nx.n_next, 0) * 1000000 + tot.n)
+          // (2 * tot.n)) AS DOUBLE) / 1e6 AS gt_mass
+      FROM wz
+      LEFT JOIN (SELECT r - 1 AS r, n_r AS n_next FROM fof) nx
+        USING (r)
+      CROSS JOIN tot
+      ORDER BY r""",
     "x150_el2n_prune" -> s"""$clfTrainedSql,
       zs AS (SELECT doc_id, y,
           CAST(SUM(CAST(ROUND(w[bucket + 1] * x * 1e9, 0) AS BIGINT))

@@ -2443,6 +2443,48 @@ class EngineSpec extends AnyFunSuite {
     assert(t1 > 500000L && t0 > 500000L)
   }
 
+  test("x151 Good-Turing: FoF census exact; head telescope and Turing replay hold") {
+    import graft.text.TextFunctions._
+    // independent FoF census
+    val counts = Tables.documents(spark, sf)
+      .select(explode(wsTokens(col("text"))).as("w"))
+      .collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fof = counts.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val total = counts.values.sum
+    val rows = TrainingData.defs("x151_good_turing")(spark, sf).collect()
+    assert(rows.length == fof.size + 1)
+    val byR = rows.map(r => r.getAs[Long]("r") -> r).toMap
+    fof.foreach { case (r, nr) =>
+      assert(byR(r).getAs[Long]("n_r") == nr, s"N_$r")
+    }
+    // unseen mass row: r = 0 carries P0 = N1/N
+    val p0 = byR(0L).getAs[Double]("gt_mass")
+    assert(math.abs(p0 - fof.getOrElse(1L, 0L).toDouble / total) <= 1e-6)
+    // (the sf0.001 fixture has no singleton tokens — P0 = 0 there is
+    // correct, not a bug; sf0.01+ corpora carry a live unseen mass)
+    // exact census identity: sum of r·N_r over the FoF table is N
+    assert(fof.map { case (r, nr) => r * nr }.sum == total)
+    // partial telescope over the gapless head [0, R): the quantized
+    // class masses sum to the head token share (Σ_{r'≤R} r'·N_{r'})/N
+    val gap = (1L to fof.keys.max).find(r => !fof.contains(r))
+      .getOrElse(fof.keys.max + 1)
+    val headRows = rows.filter(_.getAs[Long]("r") < gap)
+    val headSum = headRows.map(_.getAs[Double]("gt_mass")).sum
+    val headWant = fof.filter(_._1 <= gap).map { case (r, nr) => r * nr }
+      .sum.toDouble / total
+    assert(math.abs(headSum - headWant) <= headRows.length * 1e-6,
+      s"head telescope: $headSum vs $headWant (gap at $gap)")
+    // r* is the Turing estimate where defined
+    rows.filter(r => !r.isNullAt(r.fieldIndex("r_star"))).foreach { r =>
+      val rr = r.getAs[Long]("r")
+      val want = (BigInt(2) * (rr + 1) * fof(rr + 1) * 10000 + fof(rr)) /
+        (BigInt(2) * fof(rr))
+      assert(r.getAs[Double]("r_star") == want.toLong.toDouble / 1e4)
+    }
+  }
+
   test("x150 EL2N: cut replayed driver-side; pruned mass is the easy-confident fifth") {
     val wdf = spark.read.parquet(TrainingData.ensureClfWeights(spark, sf))
     val (tf, _) = TrainingData.qualityClfTf(spark, sf)
