@@ -289,4 +289,52 @@ object DocStream {
       .agg(max(col("n")).as("n_docs"),
         (sum(col("contrib_q")).cast("double") / 1e8).as("psi"))
   }
+
+  /** Streaming count-min sketch (Cormode & Muthukrishnan) — x102's
+    * d=4 × w=1024 CMS rebuilt as a WATERMARKED WINDOWED aggregation:
+    * per event-time window, the (hrow, bucket) counter cells. This
+    * is the sketch's whole reason to exist at 100 TB/day: state is
+    * windows-in-flight × 4096 counters — bounded regardless of
+    * vocabulary size or throughput — where an exact per-window token
+    * count would carry the unbounded vocabulary as state. Hashes are
+    * x102's verbatim (bucket_r(w) = md5₃₂("r:" ∥ w) mod 1024), so a
+    * drained stream's cells are identical to the batch CMS over the
+    * same slice (pinned in StreamingSpec). */
+  def windowedCmsCells(docs: DataFrame, tsCol: String, windowDur: String,
+      watermark: String): DataFrame =
+    docs
+      .select(col(tsCol),
+        explode(graft.text.TextFunctions.wsTokens(col("text"))).as("w"))
+      .select(col(tsCol), col("w"),
+        explode(sequence(lit(0), lit(3))).as("hrow"))
+      .select(col(tsCol), col("hrow"),
+        pmod(graft.dedup.NearDup.md5Hash32(
+          concat(col("hrow").cast("string"), lit(":"), col("w"))),
+          lit(1024L)).as("bucket"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col("hrow"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-estimate query over [[windowedCmsCells]] output: per
+    * (window, candidate token), the CMS estimate = min over the 4
+    * hash rows' bucket counters; a candidate missing any cell in a
+    * window was provably absent there (CMS counters only ever
+    * overcount), so the estimate clamps to 0 rather than taking a
+    * min over the surviving rows. Runs downstream of the windowed
+    * aggregation (foreachBatch in a live stream — the cell table is
+    * the bounded handoff, the qualityPsi pattern). */
+  def cmsEstimate(cells: DataFrame, candidates: Seq[String]): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val cand = candidates.toDF("w")
+      .select(col("w"), explode(sequence(lit(0), lit(3))).as("hrow"))
+      .withColumn("bucket", pmod(graft.dedup.NearDup.md5Hash32(
+        concat(col("hrow").cast("string"), lit(":"), col("w"))),
+        lit(1024L)))
+    cells.join(broadcast(cand), Seq("hrow", "bucket"))
+      .groupBy(col("window"), col("w"))
+      .agg(min(col("cnt")).as("mn"), count(lit(1)).as("nr"))
+      .select(col("window"), col("w"),
+        when(col("nr") === 4L, col("mn")).otherwise(0L).as("c_cms"))
+  }
 }

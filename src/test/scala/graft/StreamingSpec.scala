@@ -281,6 +281,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming CMS: windowed cells equal batch; estimates dominate exact per-window counts") {
+    import graft.streaming.DocStream
+    val arriving = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 3).select("doc_id", "text")
+      .withColumn("ts", (col("doc_id") * 60).cast("timestamp"))
+    val tmp = java.nio.file.Files.createTempDirectory("docs_cms").toString
+    arriving.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "2").parquet(tmp)
+    val streamCells = EventStream.runToMemory(spark,
+      DocStream.windowedCmsCells(stream, "ts", "1 hour", "30 minutes"),
+      "cms_cells", OutputMode.Complete)
+    val batchCells = DocStream.windowedCmsCells(
+      spark.read.parquet(tmp), "ts", "1 hour", "30 minutes")
+    assert(streamCells.count() == batchCells.count())
+    assert(streamCells.exceptAll(batchCells).count() == 0,
+      "drained stream cells must equal the batch CMS")
+    // one-sided sketch guarantee per window: estimate ≥ exact for
+    // EVERY (window, token) the slice contains
+    val exact = spark.read.parquet(tmp)
+      .select(col("ts"), explode(
+        graft.text.TextFunctions.wsTokens(col("text"))).as("w"))
+      .groupBy(window(col("ts"), "1 hour"), col("w"))
+      .agg(count(lit(1)).as("c_exact"))
+    val cand = exact.select("w").distinct().collect().map(_.getString(0))
+    val est = DocStream.cmsEstimate(streamCells, cand.toSeq)
+    val joined = exact.join(est, Seq("window", "w")).collect()
+    assert(joined.length == exact.count(),
+      "every live (window, token) must get an estimate")
+    joined.foreach { r =>
+      assert(r.getAs[Long]("c_cms") >= r.getAs[Long]("c_exact"),
+        s"CMS must never undercount: $r")
+    }
+    // a token the slice never saw estimates 0 in every window (the
+    // missing-cell clamp), unless all 4 of its buckets collide
+    val ghost = DocStream.cmsEstimate(streamCells,
+      Seq("zz-never-in-any-fixture-zz")).collect()
+    ghost.foreach(r => assert(r.getAs[Long]("c_cms") >= 0))
+  }
+
   test("streaming OOV drift: windowed counts equal batch, totals reconcile with a direct count") {
     import graft.streaming.DocStream
     // the frozen vocabulary: base-slice training words (x115's
