@@ -179,6 +179,39 @@ object TrainingData {
       .select(col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
 
+  /** X152: quality-aware dedup survivor policy — modern curation
+    * stacks (FineWeb, Dolma, SlimPajama) keep ONE member per near-dup
+    * cluster, and WHICH member matters: x24's min-id rule is
+    * arbitrary, while production pipelines keep the highest-quality
+    * member (longest / cleanest — the re-crawl of a page with less
+    * boilerplate should win over the first-crawled copy). Same
+    * cluster machinery as x14/x24 ([[graft.dedup.NearDup.clusters]] —
+    * banded candidates, O(log diameter) CC, never all-pairs), then a
+    * per-cluster argmax of the x8 quality score (q4 DESC, doc_id ASC
+    * tie) via a map-side-combinable max_by — no window over raw docs.
+    * Output per multi-member cluster: size, the quality keeper, its
+    * score, and whether the policy DIFFERS from min-id — the audit
+    * column that prices switching survivor rules on an existing
+    * corpus. */
+  val x152QualitySurvivor: Q = (s, d) => {
+    val corpus = corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200)
+    val cl = graft.dedup.NearDup.clusters(corpus, ngramJaccardPairs(s, d))
+    val q = corpus.select(col("doc_id"),
+      round(qualityScore(col("text"), stopwords) * 1e4, 0).cast("long")
+        .as("q4"))
+    cl.select(col("doc_id"), col("canonico")).join(q, Seq("doc_id"))
+      .groupBy(col("canonico"))
+      .agg(count(lit(1)).as("n_membros"),
+        max_by(struct(col("doc_id").as("keeper"), col("q4").as("keeper_q4")),
+          struct(col("q4"), (-col("doc_id")).as("tb"))).as("best"))
+      .filter(col("n_membros") >= 2)
+      .select(col("canonico"), col("n_membros"),
+        col("best.keeper").as("keeper"),
+        (col("best.keeper_q4").cast("double") / 1e4).as("keeper_q"),
+        (col("best.keeper") =!= col("canonico")).as("policy_differs"))
+      .orderBy(col("canonico"))
+  }
+
   /** X2: MinHash + LSH near-dup detection (shingle → k=16 minhashes →
     * 4 bands × 4 rows → bucket join → exact-Jaccard verify ≥ 0.5) —
     * [[graft.dedup.NearDup.minhashLshPairs]]. Candidate generation
@@ -6702,6 +6735,7 @@ object TrainingData {
     "x149_rholoss_select" -> x149RholossSelect,
     "x150_el2n_prune" -> x150El2nPrune,
     "x151_good_turing" -> x151GoodTuring,
+    "x152_quality_survivor" -> x152QualitySurvivor,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -11378,6 +11412,35 @@ object TrainingData {
       FROM labels l JOIN corpus c ON l.doc_id = c.doc_id
       WHERE l.doc_id = l.canonico
       ORDER BY l.doc_id""",
+    "x152_quality_survivor" -> s"""
+      $dedupClusterCtes,
+      q AS (SELECT doc_id, CAST(ROUND(ROUND(
+          LEAST(len(toks) / 50.0, 1.0) * 0.4
+          + (1.0 - LEAST(CAST(length(text) - length(regexp_replace(text,
+                '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+              / GREATEST(length(text), 1) * 5.0, 1.0)) * 0.3
+          + LEAST(CAST(len(list_filter(toks,
+                t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+              / GREATEST(len(toks), 1) * 10.0, 1.0) * 0.3, 4) * 1e4, 0)
+          AS BIGINT) AS q4
+        FROM (SELECT doc_id, text,
+            regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM corpus)),
+      mem AS (SELECT l.canonico, l.doc_id, q.q4
+        FROM labels l JOIN q USING (doc_id)),
+      sz AS (SELECT canonico, CAST(COUNT(*) AS BIGINT) AS n_membros
+        FROM mem GROUP BY canonico),
+      keep AS (SELECT canonico, doc_id AS keeper, q4 AS keeper_q4 FROM (
+          SELECT canonico, doc_id, q4, ROW_NUMBER() OVER (
+            PARTITION BY canonico ORDER BY q4 DESC, doc_id) AS rk
+          FROM mem)
+        WHERE rk = 1)
+      SELECT k.canonico, s.n_membros, k.keeper,
+        CAST(k.keeper_q4 AS DOUBLE) / 1e4 AS keeper_q,
+        k.keeper <> k.canonico AS policy_differs
+      FROM keep k JOIN sz s USING (canonico)
+      WHERE s.n_membros >= 2
+      ORDER BY k.canonico""",
     "x12_dedup_cosine" -> """
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         ROUND(

@@ -2443,6 +2443,44 @@ class EngineSpec extends AnyFunSuite {
     assert(t1 > 500000L && t0 > 500000L)
   }
 
+  test("x152 quality survivor: keeper is the exact per-cluster quality argmax") {
+    val rows = TrainingData.defs("x152_quality_survivor")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // independent replay: cluster membership + per-doc quality argmax
+    val corpus = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val withDupes = corpus
+      .unionByName(corpus.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text")))
+      .unionByName(corpus.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text")))
+      .filter(col("doc_id") % 1000000 < 200)
+    val q = withDupes.select(col("doc_id"),
+        round(graft.text.TextFunctions.qualityScore(col("text"),
+          Seq("the", "a", "of", "and")) * 1e4, 0).cast("long").as("q4"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = graft.dedup.NearDup.clusters(withDupes,
+        TrainingData.defs("x4_ngram_jaccard")(spark, sf))
+      .select(col("doc_id"), col("canonico")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byCluster = labels.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    rows.foreach { r =>
+      val members = byCluster(r.getAs[Long]("canonico"))
+      assert(members.size.toLong == r.getAs[Long]("n_membros"))
+      val want = members.maxBy(id => (q(id), -id))
+      assert(r.getAs[Long]("keeper") == want,
+        s"cluster ${r.getAs[Long]("canonico")}: keeper vs argmax")
+      assert(r.getAs[Boolean]("policy_differs") ==
+        (want != r.getAs[Long]("canonico")))
+    }
+    // the synthesized near-copies append a token, which lifts the
+    // length band below 50 tokens — the quality policy must actually
+    // DIVERGE from min-id somewhere on this corpus
+    assert(rows.exists(_.getAs[Boolean]("policy_differs")),
+      "quality policy should differ from min-id on the dup corpus")
+  }
+
   test("x151 Good-Turing: FoF census exact; head telescope and Turing replay hold") {
     import graft.text.TextFunctions._
     // independent FoF census
