@@ -3966,6 +3966,63 @@ object TrainingData {
       .orderBy(col("bucket"))
   }
 
+  /** X153: Heaps'-law fit (Heaps 1978; Herdan) — the SCALING SUMMARY
+    * of x67's vocabulary-growth curve: fit V = K·Nᵝ by exact-integer
+    * OLS over the quantized log-log curve points
+    * ([[graft.ml.LogFit]]), and extrapolate the vocabulary a 10×
+    * corpus would carry — the number a data lead actually asks the
+    * growth curve for ("do we keep finding new types at the next
+    * order of magnitude?"). β ≈ 0.4–0.6 for natural text; β → 0
+    * flags a corpus that only repeats itself. Everything after x67's
+    * one corpus scan is a 10-row driver-side regression; the single
+    * transcendental seam (ln, exp) follows the x39
+    * quantize-after-evaluation recipe. */
+  val x153HeapsFit: Q = (s, d) => {
+    import graft.ml.LogFit
+    val curve = x67VocabGrowth(s, d)
+      .select(col("cum_tok"), col("cum_types")).collect()
+    val pts = curve.map(r => (LogFit.lq(r.getLong(0).toDouble),
+      LogFit.lq(r.getLong(1).toDouble))).toSeq
+    val f = LogFit.fit(pts)
+    val nTot = curve.map(_.getLong(0)).max
+    val tq = LogFit.predictQ(f, LogFit.lq(10.0 * nTot))
+    val pred = BigDecimal(math.exp(tq.toDouble / 1e6))
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    s.createDataFrame(Seq((f.n, f.slopeQ.toDouble / 1e6,
+        f.interceptQ.toDouble / 1e6, pred)))
+      .toDF("n_points", "beta", "ln_k", "v_pred_10x")
+  }
+
+  /** X154: Zipf rank-frequency fit (Zipf 1949) — the corpus-health
+    * twin of x153 on the OTHER power law: over the top-30 token
+    * ranks, fit ln f = a + s·ln r with the same exact-integer OLS
+    * ([[graft.ml.LogFit]]) plus R² on the shared quantized
+    * predictions. Natural text sits near s ≈ −1 with high R²;
+    * template/boilerplate-dominated corpora flatten the head (s → 0)
+    * and synthetic repetition breaks the linearity (low R²) — the
+    * one-row signal a feed monitor thresholds. Top-30 via
+    * TakeOrdered (never a vocabulary-wide window); the regression is
+    * 30 driver-side rows. */
+  val x154ZipfFit: Q = (s, d) => {
+    import graft.ml.LogFit
+    val top = Tables.documents(s, d)
+      .select(explode(wsTokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(30)
+      .collect()
+    val pts = top.zipWithIndex.map { case (r, i) =>
+      (LogFit.lq((i + 1).toDouble), LogFit.lq(r.getLong(1).toDouble))
+    }.toSeq
+    val f = LogFit.fit(pts)
+    val r2 = LogFit.r2Q(pts, f)
+    s.createDataFrame(Seq((f.n, f.slopeQ.toDouble / 1e6,
+        f.interceptQ.toDouble / 1e6,
+        r2.map(_.toDouble / 1e6).getOrElse(Double.NaN))))
+      .toDF("n_points", "slope", "intercept", "r2")
+      .select(col("n_points"), col("slope"), col("intercept"),
+        when(!isnan(col("r2")), col("r2")).as("r2"))
+  }
+
   /** X68: quality-distribution drift (PSI) — the population-stability
     * index between the quality-score histograms of the early and late
     * corpus halves, the monitoring number a production ingest alarms
@@ -6736,6 +6793,8 @@ object TrainingData {
     "x150_el2n_prune" -> x150El2nPrune,
     "x151_good_turing" -> x151GoodTuring,
     "x152_quality_survivor" -> x152QualitySurvivor,
+    "x153_heaps_fit" -> x153HeapsFit,
+    "x154_zipf_fit" -> x154ZipfFit,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -9112,6 +9171,101 @@ object TrainingData {
         CAST((2 * n_boiler * 10000 + n_seg) // (2 * n_seg) AS DOUBLE) / 1e4
           AS boiler_frac
       FROM agg ORDER BY doc_id""",
+    "x153_heaps_fit" -> """
+      WITH mx AS (SELECT MAX(doc_id) // 10 + 1 AS width FROM documents),
+      tok AS (SELECT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents),
+      arrivals AS (SELECT doc_id // (SELECT width FROM mx) AS bucket,
+          COUNT(*) AS n_tok FROM tok GROUP BY 1),
+      firsts AS (SELECT w, MIN(doc_id) AS first_doc FROM tok GROUP BY w),
+      fresh AS (SELECT first_doc // (SELECT width FROM mx) AS bucket,
+          COUNT(*) AS n_new_types FROM firsts GROUP BY 1),
+      curve AS (SELECT
+          CAST(SUM(a.n_tok) OVER (ORDER BY a.bucket) AS BIGINT) AS cum_tok,
+          CAST(SUM(COALESCE(f.n_new_types, 0)) OVER (ORDER BY a.bucket)
+            AS BIGINT) AS cum_types
+        FROM arrivals a LEFT JOIN fresh f USING (bucket)),
+      pts AS (SELECT
+          CAST(ROUND(LN(CAST(cum_tok AS DOUBLE)) * 1e6, 0) AS BIGINT)
+            AS lx,
+          CAST(ROUND(LN(CAST(cum_types AS DOUBLE)) * 1e6, 0) AS BIGINT)
+            AS ly
+        FROM curve),
+      sums AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+          CAST(SUM(lx) AS HUGEINT) AS sx, CAST(SUM(ly) AS HUGEINT) AS sy,
+          CAST(SUM(CAST(lx AS HUGEINT) * ly) AS HUGEINT) AS sxy,
+          CAST(SUM(CAST(lx AS HUGEINT) * lx) AS HUGEINT) AS sxx
+        FROM pts),
+      ft AS (SELECT n, sx, sy,
+          (CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(n * sxy - sx * sy) * 1000000
+              + (n * sxx - sx * sx)) // (2 * (n * sxx - sx * sx)))
+            AS slope_q
+        FROM sums),
+      ft2 AS (SELECT n, slope_q,
+          (CASE WHEN sy * 1000000 - slope_q * sx < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(sy * 1000000 - slope_q * sx) + n * 1000000)
+              // (2 * n * 1000000)) AS a_q
+        FROM ft),
+      pr AS (SELECT CAST(ROUND(LN(CAST(10 * MAX(cum_tok) AS DOUBLE))
+          * 1e6, 0) AS HUGEINT) AS lx10 FROM curve)
+      SELECT CAST(n AS BIGINT) AS n_points,
+        CAST(slope_q AS DOUBLE) / 1e6 AS beta,
+        CAST(a_q AS DOUBLE) / 1e6 AS ln_k,
+        ROUND(EXP(CAST(a_q + (CASE WHEN slope_q * lx10 < 0 THEN -1
+            ELSE 1 END) * ((2 * abs(slope_q * lx10) + 1000000)
+            // 2000000) AS DOUBLE) / 1e6), 2) AS v_pred_10x
+      FROM ft2, pr""",
+    "x154_zipf_fit" -> """
+      WITH cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+              FROM documents)
+        GROUP BY w),
+      top AS (SELECT c, rk FROM (
+          SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk
+          FROM cnt)
+        WHERE rk <= 30),
+      pts AS (SELECT
+          CAST(ROUND(LN(CAST(rk AS DOUBLE)) * 1e6, 0) AS BIGINT) AS lx,
+          CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1e6, 0) AS BIGINT) AS ly
+        FROM top),
+      sums AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+          CAST(SUM(lx) AS HUGEINT) AS sx, CAST(SUM(ly) AS HUGEINT) AS sy,
+          CAST(SUM(CAST(lx AS HUGEINT) * ly) AS HUGEINT) AS sxy,
+          CAST(SUM(CAST(lx AS HUGEINT) * lx) AS HUGEINT) AS sxx
+        FROM pts),
+      ft AS (SELECT n, sx, sy,
+          (CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(n * sxy - sx * sy) * 1000000
+              + (n * sxx - sx * sx)) // (2 * (n * sxx - sx * sx)))
+            AS slope_q
+        FROM sums),
+      ft2 AS (SELECT n, slope_q,
+          (CASE WHEN sy * 1000000 - slope_q * sx < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(sy * 1000000 - slope_q * sx) + n * 1000000)
+              // (2 * n * 1000000)) AS a_q
+        FROM ft),
+      res AS (SELECT p.ly,
+          f.a_q + (CASE WHEN f.slope_q * p.lx < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(f.slope_q * p.lx) + 1000000) // 2000000) AS pred
+        FROM pts p, ft2 f),
+      yb AS (SELECT (CASE WHEN sy < 0 THEN -1 ELSE 1 END)
+          * ((2 * abs(sy) + n) // (2 * n)) AS ybar FROM sums),
+      ss AS (SELECT
+          CAST(SUM((CAST(ly AS HUGEINT) - yb.ybar)
+            * (CAST(ly AS HUGEINT) - yb.ybar)) AS HUGEINT) AS sstot,
+          CAST(SUM((CAST(ly AS HUGEINT) - pred)
+            * (CAST(ly AS HUGEINT) - pred)) AS HUGEINT) AS ssres
+        FROM res, yb GROUP BY ALL)
+      SELECT CAST(f.n AS BIGINT) AS n_points,
+        CAST(f.slope_q AS DOUBLE) / 1e6 AS slope,
+        CAST(f.a_q AS DOUBLE) / 1e6 AS intercept,
+        CASE WHEN ss.sstot > 0 THEN
+          CAST((CASE WHEN ss.sstot - ss.ssres < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs((ss.sstot - ss.ssres) * 1000000) + ss.sstot)
+              // (2 * ss.sstot)) AS DOUBLE) / 1e6 END AS r2
+      FROM ft2 f, ss""",
     "x67_vocab_growth" -> """
       WITH mx AS (SELECT MAX(doc_id) // 10 + 1 AS width FROM documents),
       tok AS (SELECT doc_id,

