@@ -27,7 +27,23 @@ object LogFit {
     math.round(math.log(x) * 1e6)
   }
 
-  private def halfAway(s: BigInt, d: BigInt): BigInt = {
+  /** ln(x)·1e6 for ANY positive x (x155's Z_r values sit below 1 in
+    * sparse tails, where ln is negative): BigDecimal HALF_UP — away
+    * from zero on ties — is DuckDB's ROUND semantics on both signs,
+    * unlike Math.round's toward-+∞ half-up. */
+  def lqSigned(x: Double): Long = {
+    require(x > 0.0, s"log domain is x > 0, got $x")
+    qScaled(math.log(x), 1e6)
+  }
+
+  /** ROUND(v·scale, 0) exactly as both engines compute it: the DOUBLE
+    * multiplication first (shared representation), then decimal
+    * HALF_UP (≡ DuckDB half-away on the double's exact value). */
+  def qScaled(v: Double, scale: Double): Long =
+    BigDecimal(v * scale).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+      .toLong
+
+  private[graft] def halfAway(s: BigInt, d: BigInt): BigInt = {
     require(d > 0)
     val sign = if (s < 0) BigInt(-1) else BigInt(1)
     sign * ((2 * s.abs + d) / (2 * d))

@@ -4023,6 +4023,81 @@ object TrainingData {
         when(!isnan(col("r2")), col("r2")).as("r2"))
   }
 
+  /** X155: Simple Good-Turing smoothing (Gale & Sampson 1995, "Good-
+    * Turing frequency estimation without tears") — the SMOOTHER x151
+    * documents the need for: raw Turing r* degenerates on gappy FoF
+    * tails, so SGT (a) spreads each N_r over its empty neighborhood
+    * (Z_r = 2·N_r/(t−q) with q/t the adjacent nonzero ranks), (b)
+    * fits ln Z = a + b·ln r with [[graft.ml.LogFit]]'s exact-integer
+    * OLS, giving the log-linear estimate r_LGT = r·(1+1/r)^(b+1), and
+    * (c) switches from Turing to LGT at the FIRST rank where Turing
+    * is undefined or the two agree within 1.65·σ(r_T) (the published
+    * rule, "once switched, stay switched"). Probabilities renormalize
+    * the seen mass to 1−P₀ as ONE exact integer rational per class:
+    * p(r) = (N−N₁)·e₄(r) / (N·Σ N_r·e₄(r)) — pinned to telescope in
+    * EngineSpec (the identity x151's raw estimator provably fails).
+    * Determinism: the only double seams are ln/exp/sqrt, each
+    * quantized immediately after evaluation with both engines sharing
+    * the op order (x39 rule); the fit, switch scan, and
+    * renormalization are pure integer arithmetic on the
+    * dimension-bounded FoF relation (≲2√N rows), driver-side — the
+    * corpus is touched exactly once. */
+  val x155SgtSmoothing: Q = (s, d) => {
+    import graft.ml.LogFit
+    val fof = Tables.documents(s, d)
+      .select(explode(wsTokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val byR = fof.toMap
+    val n = fof.map { case (r, nr) => r * nr }.sum
+    val n1 = byR.getOrElse(1L, 0L)
+    val rs = fof.map(_._1)
+    val zPts = fof.zipWithIndex.map { case ((r, nr), i) =>
+      val q = if (i == 0) 0L else rs(i - 1)
+      val t = if (i == rs.length - 1) 2 * r - q else rs(i + 1)
+      (LogFit.lq(r.toDouble),
+        LogFit.lqSigned(2.0 * nr.toDouble / (t - q).toDouble))
+    }
+    val f = LogFit.fit(zPts.toSeq)
+    val b = f.slopeQ.toDouble / 1e6
+    def lgt4(r: Long): Long = LogFit.qScaled(
+      r.toDouble * math.exp((b + 1.0) * math.log(1.0 + 1.0 / r.toDouble)),
+      1e4)
+    def turing4(r: Long): Option[Long] = byR.get(r + 1).map { nn =>
+      ((BigInt(2) * (r + 1) * nn * 10000 + byR(r)) /
+        (BigInt(2) * byR(r))).toLong
+    }
+    def thr4(r: Long): Long = byR.get(r + 1).map { nn =>
+      val nr = byR(r).toDouble
+      LogFit.qScaled(1.65 * math.sqrt(
+        ((r + 1) * (r + 1)).toDouble * (nn.toDouble / (nr * nr))
+          * (1.0 + nn.toDouble / nr)), 1e4)
+    }.getOrElse(0L)
+    val switchR = rs.find { r =>
+      turing4(r) match {
+        case None => true
+        case Some(t4) => (t4 - lgt4(r)).abs <= thr4(r)
+      }
+    }.getOrElse(Long.MaxValue)
+    val est = fof.map { case (r, nr) =>
+      val e4 = if (r < switchR) turing4(r).get else lgt4(r)
+      (r, nr, turing4(r), lgt4(r), e4)
+    }
+    val bigS = est.map { case (_, nr, _, _, e4) => BigInt(nr) * e4 }.sum
+    val rows = est.map { case (r, nr, t4, l4, e4) =>
+      val pq = (BigInt(2) * (BigInt(n - n1) * e4 * 100000000L)
+        + BigInt(n) * bigS) / (BigInt(2) * BigInt(n) * bigS)
+      (r, nr, t4.map(_.toDouble / 1e4), l4.toDouble / 1e4,
+        e4.toDouble / 1e4, pq.toDouble / 1e8, r >= switchR)
+    }
+    s.createDataFrame(rows.toSeq)
+      .toDF("r", "n_r", "r_turing", "r_lgt", "r_sgt", "p_sgt", "lgt_used")
+      .select(col("r"), col("n_r"), col("r_turing"), col("r_lgt"),
+        col("r_sgt"), col("p_sgt"), col("lgt_used"))
+      .orderBy(col("r"))
+  }
+
   /** X68: quality-distribution drift (PSI) — the population-stability
     * index between the quality-score histograms of the early and late
     * corpus halves, the monitoring number a production ingest alarms
@@ -6795,6 +6870,7 @@ object TrainingData {
     "x152_quality_survivor" -> x152QualitySurvivor,
     "x153_heaps_fit" -> x153HeapsFit,
     "x154_zipf_fit" -> x154ZipfFit,
+    "x155_sgt_smoothing" -> x155SgtSmoothing,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -9171,6 +9247,71 @@ object TrainingData {
         CAST((2 * n_boiler * 10000 + n_seg) // (2 * n_seg) AS DOUBLE) / 1e4
           AS boiler_frac
       FROM agg ORDER BY doc_id""",
+    "x155_sgt_smoothing" -> """
+      WITH cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+              FROM documents)
+        GROUP BY w),
+      fof AS MATERIALIZED (
+        SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+        FROM cnt GROUP BY c),
+      tot AS (SELECT CAST(SUM(r * n_r) AS BIGINT) AS n,
+          CAST(COALESCE(SUM(CASE WHEN r = 1 THEN n_r END), 0) AS BIGINT)
+            AS n1
+        FROM fof),
+      zt AS (SELECT r, n_r,
+          COALESCE(LAG(r) OVER (ORDER BY r), 0) AS q,
+          COALESCE(LEAD(r) OVER (ORDER BY r),
+            2 * r - COALESCE(LAG(r) OVER (ORDER BY r), 0)) AS t
+        FROM fof),
+      pts AS (SELECT
+          CAST(ROUND(LN(CAST(r AS DOUBLE)) * 1e6, 0) AS BIGINT) AS lx,
+          CAST(ROUND(LN(2 * CAST(n_r AS DOUBLE) / CAST(t - q AS DOUBLE))
+            * 1e6, 0) AS BIGINT) AS ly
+        FROM zt),
+      sums AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+          CAST(SUM(lx) AS HUGEINT) AS sx, CAST(SUM(ly) AS HUGEINT) AS sy,
+          CAST(SUM(CAST(lx AS HUGEINT) * ly) AS HUGEINT) AS sxy,
+          CAST(SUM(CAST(lx AS HUGEINT) * lx) AS HUGEINT) AS sxx
+        FROM pts),
+      ft AS (SELECT
+          (CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(n * sxy - sx * sy) * 1000000
+              + (n * sxx - sx * sx)) // (2 * (n * sxx - sx * sx)))
+            AS slope_q
+        FROM sums),
+      est AS (SELECT z.r, z.n_r,
+          CASE WHEN nx.nn IS NOT NULL THEN
+            (2 * (z.r + 1) * nx.nn * 10000 + z.n_r) // (2 * z.n_r)
+          END AS t4,
+          CAST(ROUND(CAST(z.r AS DOUBLE)
+            * EXP((CAST(f.slope_q AS DOUBLE) / 1e6 + 1)
+              * LN(1 + 1 / CAST(z.r AS DOUBLE))) * 1e4, 0) AS BIGINT)
+            AS l4,
+          CASE WHEN nx.nn IS NOT NULL THEN
+            CAST(ROUND(1.65 * SQRT(CAST((z.r + 1) * (z.r + 1) AS DOUBLE)
+              * (CAST(nx.nn AS DOUBLE) / (CAST(z.n_r AS DOUBLE) * z.n_r))
+              * (1 + CAST(nx.nn AS DOUBLE) / z.n_r)) * 1e4, 0) AS BIGINT)
+          ELSE CAST(0 AS BIGINT) END AS thr4
+        FROM fof z
+        LEFT JOIN (SELECT r - 1 AS r, n_r AS nn FROM fof) nx USING (r),
+        ft f),
+      sw AS (SELECT COALESCE(MIN(r), 9223372036854775807) AS sr
+        FROM est WHERE t4 IS NULL OR abs(t4 - l4) <= thr4),
+      fin AS (SELECT r, n_r, t4, l4,
+          CASE WHEN r < sw.sr THEN t4 ELSE l4 END AS e4
+        FROM est, sw),
+      ssum AS (SELECT CAST(SUM(CAST(n_r AS HUGEINT) * e4) AS HUGEINT)
+          AS s
+        FROM fin)
+      SELECT f.r, f.n_r, CAST(f.t4 AS DOUBLE) / 1e4 AS r_turing,
+        CAST(f.l4 AS DOUBLE) / 1e4 AS r_lgt,
+        CAST(f.e4 AS DOUBLE) / 1e4 AS r_sgt,
+        CAST((2 * (CAST(t.n - t.n1 AS HUGEINT) * f.e4 * 100000000)
+            + CAST(t.n AS HUGEINT) * s.s)
+          // (2 * CAST(t.n AS HUGEINT) * s.s) AS DOUBLE) / 1e8 AS p_sgt,
+        f.r >= sw.sr AS lgt_used
+      FROM fin f, tot t, ssum s, sw ORDER BY f.r""",
     "x153_heaps_fit" -> """
       WITH mx AS (SELECT MAX(doc_id) // 10 + 1 AS width FROM documents),
       tok AS (SELECT doc_id,

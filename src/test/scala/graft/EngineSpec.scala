@@ -2443,6 +2443,39 @@ class EngineSpec extends AnyFunSuite {
     assert(t1 > 500000L && t0 > 500000L)
   }
 
+  test("x155 SGT: seen mass renormalizes to 1−P0; switch is a clean prefix; estimates positive") {
+    import graft.text.TextFunctions._
+    val rows = TrainingData.defs("x155_sgt_smoothing")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("r"))
+    assert(rows.nonEmpty)
+    val counts = Tables.documents(spark, sf)
+      .select(explode(wsTokens(col("text"))).as("w"))
+      .collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = counts.values.sum
+    val n1 = counts.values.count(_ == 1L).toLong
+    // the renormalization identity x151's RAW estimator provably
+    // fails on gappy tails: Σ N_r·p_sgt(r) = 1 − P0, to quantization
+    val seenMass = rows.map(r =>
+      r.getAs[Long]("n_r").toDouble * r.getAs[Double]("p_sgt")).sum
+    assert(math.abs(seenMass - (1.0 - n1.toDouble / total)) <=
+      total.toDouble * 1e-8 + 1e-9,
+      s"seen mass $seenMass vs ${1.0 - n1.toDouble / total}")
+    // once switched to LGT, stay switched (the published rule)
+    val used = rows.map(_.getAs[Boolean]("lgt_used"))
+    assert(used.sliding(2).forall(p => !p(0) || p(1)),
+      "lgt_used must be a suffix of the rank order")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("r_sgt") > 0)
+      assert(r.getAs[Double]("p_sgt") > 0)
+      // the switched estimator IS the advertised branch
+      if (r.getAs[Boolean]("lgt_used"))
+        assert(r.getAs[Double]("r_sgt") == r.getAs[Double]("r_lgt"))
+      else
+        assert(r.getAs[Double]("r_sgt") == r.getAs[Double]("r_turing"))
+    }
+  }
+
   test("x153/x154 power-law fits: exact crafted law recovered; carriers replay driver-side") {
     import graft.ml.LogFit
     // exactly collinear quantized points (y = 3·x^0.5 in log space):
