@@ -4098,6 +4098,40 @@ object TrainingData {
       .orderBy(col("r"))
   }
 
+  /** X156: repeat-value curve under data-constrained scaling
+    * (Muennighoff et al. 2023, "Scaling data-constrained language
+    * models"): their fitted decay law prices REPEATED epochs of a
+    * source against fresh tokens — effective data
+    * D_eff = U·(1 + R*·(1−e^{−R/R*})) with the published R* = 15.39,
+    * so ~4 epochs are nearly as good as fresh data and value decays
+    * to the U·(1+R*) asymptote by ~16-32 (the paper's headline). Per
+    * source and epoch grid R ∈ {0,1,2,4,8,16,32}: unique-token mass,
+    * effective tokens, and efficiency = D_eff / (U·(1+R)) — the
+    * discount a mixture planner (x141's UniMax, x50) should apply to
+    * a repeated source before allocating budget. Scale shape: U is
+    * one map-side-combinable scan onto |sources| rows; the grid is a
+    * broadcast 7-row literal; the single transcendental (a per-R
+    * CONSTANT e^{−R/R*}) follows the quantize-after-evaluation rule,
+    * and efficiency is an exact integer rational of the quantized
+    * D_eff. */
+  val x156RepeatValue: Q = (s, d) => {
+    val u = Tables.documents(s, d)
+      .select(col("source"), tokenCount(col("text")).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("u_tok"))
+    val grid = s.createDataFrame(Seq(0L, 1L, 2L, 4L, 8L, 16L, 32L)
+      .map(Tuple1(_))).toDF("epochs")
+    u.crossJoin(broadcast(grid))
+      .withColumn("d_eff", round(col("u_tok").cast("double")
+        * (lit(1.0) + lit(15.39) * (lit(1.0)
+          - exp(-col("epochs").cast("double") / lit(15.39)))), 0)
+        .cast("long"))
+      .select(col("source"), col("epochs"), col("u_tok"), col("d_eff"),
+        (intRoundHalfAway(col("d_eff") * 10000L,
+          col("u_tok") * (lit(1L) + col("epochs"))).cast("double") / 1e4)
+          .as("efficiency"))
+      .orderBy(col("source"), col("epochs"))
+  }
+
   /** X68: quality-distribution drift (PSI) — the population-stability
     * index between the quality-score histograms of the early and late
     * corpus halves, the monitoring number a production ingest alarms
@@ -6871,6 +6905,7 @@ object TrainingData {
     "x153_heaps_fit" -> x153HeapsFit,
     "x154_zipf_fit" -> x154ZipfFit,
     "x155_sgt_smoothing" -> x155SgtSmoothing,
+    "x156_repeat_value" -> x156RepeatValue,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -9247,6 +9282,23 @@ object TrainingData {
         CAST((2 * n_boiler * 10000 + n_seg) // (2 * n_seg) AS DOUBLE) / 1e4
           AS boiler_frac
       FROM agg ORDER BY doc_id""",
+    "x156_repeat_value" -> """
+      WITH u AS (SELECT source,
+          CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+            AS BIGINT) AS u_tok
+        FROM documents GROUP BY source),
+      grid AS (SELECT CAST(unnest([0, 1, 2, 4, 8, 16, 32]) AS BIGINT)
+          AS epochs),
+      eff AS (SELECT source, epochs, u_tok,
+          CAST(ROUND(CAST(u_tok AS DOUBLE)
+            * (1.0 + 15.39 * (1.0
+              - EXP(-CAST(epochs AS DOUBLE) / 15.39))), 0) AS BIGINT)
+            AS d_eff
+        FROM u, grid)
+      SELECT source, epochs, u_tok, d_eff,
+        CAST(((2 * d_eff * 10000 + u_tok * (1 + epochs))
+          // (2 * (u_tok * (1 + epochs)))) AS DOUBLE) / 1e4 AS efficiency
+      FROM eff ORDER BY source, epochs""",
     "x155_sgt_smoothing" -> """
       WITH cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
         FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w

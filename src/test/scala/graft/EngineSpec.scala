@@ -2443,6 +2443,34 @@ class EngineSpec extends AnyFunSuite {
     assert(t1 > 500000L && t0 > 500000L)
   }
 
+  test("x156 repeat value: D_eff monotone to the U·(1+R*) asymptote, efficiency decays from 1") {
+    val rows = TrainingData.defs("x156_repeat_value")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val byE = rs.sortBy(_.getAs[Long]("epochs"))
+      val u = byE.head.getAs[Long]("u_tok")
+      // R = 0 is exactly fresh data: D_eff = U, efficiency 1
+      assert(byE.head.getAs[Long]("epochs") == 0L)
+      assert(byE.head.getAs[Long]("d_eff") == u)
+      assert(byE.head.getAs[Double]("efficiency") == 1.0)
+      // monotone increasing effective data, decaying efficiency,
+      // bounded by the published asymptote U·(1+R*)
+      assert(byE.sliding(2).forall(p =>
+        p(1).getAs[Long]("d_eff") >= p(0).getAs[Long]("d_eff")))
+      assert(byE.sliding(2).forall(p =>
+        p(1).getAs[Double]("efficiency") <= p(0).getAs[Double]("efficiency")
+          + 1e-9))
+      assert(byE.last.getAs[Long]("d_eff") <=
+        math.ceil(u.toDouble * 16.39).toLong)
+      // the paper's headline: 4 epochs still buy ≥ 85% of fresh value
+      val e4 = byE.find(_.getAs[Long]("epochs") == 4L).get
+      assert(e4.getAs[Double]("efficiency") > 0.85)
+      // ... while 32 epochs are deeply discounted
+      val e32 = byE.find(_.getAs[Long]("epochs") == 32L).get
+      assert(e32.getAs[Double]("efficiency") < 0.55)
+    }
+  }
+
   test("x155 SGT: seen mass renormalizes to 1−P0; switch is a clean prefix; estimates positive") {
     import graft.text.TextFunctions._
     val rows = TrainingData.defs("x155_sgt_smoothing")(spark, sf)

@@ -116,7 +116,8 @@ class PlansSpec extends AnyFunSuite {
     // would silently turn them into corpus-squared scans
     for (q <- Seq("x33_substring_dedup", "x35_semantic_dedup",
         "x85_dhash_neardup", "x83_kn_logppl", "x87_boilerplate_strip",
-        "x91_lsh_precision", "x92_dhash_store")) {
+        "x91_lsh_precision", "x92_dhash_store", "x148_margin_mining",
+        "x152_quality_survivor", "x149_rholoss_select")) {
       val plan = graft.queries.TrainingData.defs(q)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
