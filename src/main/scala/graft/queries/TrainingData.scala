@@ -545,6 +545,7 @@ object TrainingData {
     ensureIvfBaseStore(s, d); ensurePlantedFixtures(s, d)
     ensureOpqPqStore(s, d); ensureClfWeights(s, d)
     ensureWinnowStore(s, d); ensureClfTemp(s, d)
+    ensureClfTrajectory(s, d)
     ()
   }
 
@@ -6170,6 +6171,61 @@ object TrainingData {
       .orderBy(col("r"))
   }
 
+  /** X157: dataset cartography (Swayamdipta et al. 2020, "Dataset
+    * cartography: mapping and diagnosing datasets with training
+    * dynamics") — the one consumer of a training TRAJECTORY rather
+    * than a final model: score every doc's true-label probability
+    * under each of the 20 persisted GD snapshots
+    * ([[ensureClfTrajectory]] — the same trainer run as the registry,
+    * snapshots kept), then per doc confidence = mean over steps and
+    * variability = population std; the (conf, var) map splits the
+    * corpus into easy-to-learn (high conf, low var — prunable, cf.
+    * x150), hard-to-learn (low conf, low var — the label-noise
+    * region x142 flags), and ambiguous (high var — the examples
+    * worth keeping). Per (region, label) rollup. Determinism: probs
+    * are the trainer's own 1e-6-quantized σ; mean is an exact
+    * integer rational; std's one sqrt seam is quantized after
+    * evaluation on an exact-integer argument (k·Σp² − (Σp)²). Scale
+    * shape: ONE feature scan joined to the broadcast 20×68 snapshot
+    * relation (a single aggregation keyed by (doc, step) — 20× the
+    * x122 scoring mass, map-side combinable), then doc-sized and
+    * region-sized rollups. */
+  val x157Cartography: Q = (s, d) => {
+    val traj = s.read.parquet(ensureClfTrajectory(s, d))
+    val (tf, _) = qualityClfTf(s, d)
+    val z = tf.join(broadcast(traj), Seq("bucket"))
+      .groupBy(col("doc_id"), col("y"), col("step"))
+      .agg(sum(round(col("wb") * col("x") * 1e9, 0).cast("long")).as("zq"))
+    val pq = round((lit(1.0) / (lit(1.0)
+        + exp(-(col("zq").cast("double") / 1e9)))) * 1e6, 0).cast("long")
+    val perDoc = z
+      .select(col("doc_id"), col("y"),
+        when(col("y") === 1L, pq).otherwise(lit(1000000L) - pq).as("ptq"))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(count(lit(1)).as("k"), sum(col("ptq")).as("sp"),
+        sum(col("ptq") * col("ptq")).as("spp"))
+      .select(col("doc_id"), col("y"),
+        intRoundHalfAway(col("sp"), col("k")).as("conf_q"),
+        round(sqrt((col("k") * col("spp") - col("sp") * col("sp"))
+          .cast("double")) / col("k").cast("double"), 0).cast("long")
+          .as("vari_q"))
+    perDoc
+      .withColumn("region",
+        when(col("vari_q") >= 100000L, "ambiguous")
+          .when(col("conf_q") >= 700000L, "easy_to_learn")
+          .when(col("conf_q") <= 300000L, "hard_to_learn")
+          .otherwise("middle"))
+      .groupBy(col("region"), col("y"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("conf_q")).as("sc"), sum(col("vari_q")).as("sv"))
+      .select(col("region"), col("y"), col("n_docs"),
+        (intRoundHalfAway(col("sc"), col("n_docs")).cast("double") / 1e6)
+          .as("mean_conf"),
+        (intRoundHalfAway(col("sv"), col("n_docs")).cast("double") / 1e6)
+          .as("mean_vari"))
+      .orderBy(col("region"), col("y"))
+  }
+
   /** X123: tokenizer vocabulary-size scaling curve — the budget-
     * pricing table for x106's BPE: per source, fertility under the
     * FIRST 10, 25, and all 50 learned merges (more merges = bigger
@@ -6528,8 +6584,19 @@ object TrainingData {
     * identical double chain on those integers, so driver and the
     * oracle's unrolled per-iteration SQL agree exactly. */
   private[graft] def trainQualityClf(tf: DataFrame, n: Long,
-      dFeat: Int = 68, iters: Int = 20, eta: Double = 16.0): Array[Double] = {
+      dFeat: Int = 68, iters: Int = 20, eta: Double = 16.0): Array[Double] =
+    trainQualityClfSteps(tf, n, dFeat, iters, eta).last
+
+  /** [[trainQualityClf]] with the full per-step weight TRAJECTORY
+    * (snapshot after each update — w₁…w₂₀): identical numerics, one
+    * extra array copy per step. x157's dataset cartography scores
+    * every doc under every snapshot, which is the published use of a
+    * training trajectory nobody else consumes. */
+  private[graft] def trainQualityClfSteps(tf: DataFrame, n: Long,
+      dFeat: Int = 68, iters: Int = 20,
+      eta: Double = 16.0): Seq[Array[Double]] = {
     val s = tf.sparkSession
+    val out = Seq.newBuilder[Array[Double]]
     var w = Array.fill(dFeat)(0.0)
     for (_ <- 1 to iters) {
       // weights travel as a broadcast RELATION, not embedded
@@ -6562,8 +6629,30 @@ object TrainingData {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       w = Array.tabulate(dFeat)(b =>
         w(b) - eta * ((g.getOrElse(b.toLong, 0L).toDouble / 1e6) / n.toDouble))
+      out += w
     }
-    w
+    out.result()
+  }
+
+  /** The persisted per-step weight trajectory (step 1..20, bucket,
+    * wb) beside the final-weight registry — built once per fixture
+    * like [[ensureClfWeights]] (the same trainer run, all snapshots
+    * kept). */
+  private[graft] def ensureClfTrajectory(s: SparkSession, d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"target/clftraj_${tag}_${fixtureFp(d, "documents")}"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path/_SUCCESS"))) {
+      val (tf, n) = qualityClfTf(s, d)
+      val steps = trainQualityClfSteps(tf, n)
+      s.createDataFrame(steps.zipWithIndex.flatMap { case (w, i) =>
+          w.toSeq.zipWithIndex.map { case (v, b) =>
+            ((i + 1).toLong, b.toLong, v) }
+        }.toSeq)
+        .toDF("step", "bucket", "wb")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+    path
   }
 
   /** X108: quality-classifier training — the model-based filter step
@@ -6906,6 +6995,7 @@ object TrainingData {
     "x154_zipf_fit" -> x154ZipfFit,
     "x155_sgt_smoothing" -> x155SgtSmoothing,
     "x156_repeat_value" -> x156RepeatValue,
+    "x157_cartography" -> x157Cartography,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -8609,6 +8699,45 @@ object TrainingData {
         USING (r)
       CROSS JOIN tot
       ORDER BY r""",
+    "x157_cartography" -> {
+      val stepUnion = (2 to 20).map(k => s"SELECT doc_id, y, zq FROM z$k")
+        .mkString(" UNION ALL ")
+      s"""$clfTrainedSql,
+      zf AS MATERIALIZED (SELECT doc_id, y,
+          CAST(SUM(CAST(ROUND(w[bucket + 1] * x * 1e9, 0) AS BIGINT))
+            AS BIGINT) AS zq
+        FROM tf, w20 GROUP BY doc_id, y),
+      trajz AS ($stepUnion UNION ALL SELECT doc_id, y, zq FROM zf),
+      ptr AS (SELECT doc_id, y,
+          CASE WHEN y = 1 THEN pq ELSE 1000000 - pq END AS ptq
+        FROM (SELECT doc_id, y,
+            CAST(ROUND((1 / (1 + exp(-(CAST(zq AS DOUBLE) / 1e9))))
+              * 1e6, 0) AS BIGINT) AS pq
+          FROM trajz)),
+      pd AS (SELECT doc_id, y, CAST(COUNT(*) AS BIGINT) AS k,
+          CAST(SUM(ptq) AS BIGINT) AS sp,
+          CAST(SUM(ptq * ptq) AS BIGINT) AS spp
+        FROM ptr GROUP BY doc_id, y),
+      cv AS (SELECT doc_id, y,
+          (2 * sp + k) // (2 * k) AS conf_q,
+          CAST(ROUND(SQRT(CAST(k * spp - sp * sp AS DOUBLE))
+            / CAST(k AS DOUBLE), 0) AS BIGINT) AS vari_q
+        FROM pd),
+      rg AS (SELECT y,
+          CASE WHEN vari_q >= 100000 THEN 'ambiguous'
+               WHEN conf_q >= 700000 THEN 'easy_to_learn'
+               WHEN conf_q <= 300000 THEN 'hard_to_learn'
+               ELSE 'middle' END AS region,
+          conf_q, vari_q
+        FROM cv)
+      SELECT region, CAST(y AS BIGINT) AS y,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(((2 * SUM(conf_q) + COUNT(*)) // (2 * COUNT(*)))
+          AS DOUBLE) / 1e6 AS mean_conf,
+        CAST(((2 * SUM(vari_q) + COUNT(*)) // (2 * COUNT(*)))
+          AS DOUBLE) / 1e6 AS mean_vari
+      FROM rg GROUP BY region, y ORDER BY region, y"""
+    },
     "x150_el2n_prune" -> s"""$clfTrainedSql,
       zs AS (SELECT doc_id, y,
           CAST(SUM(CAST(ROUND(w[bucket + 1] * x * 1e9, 0) AS BIGINT))

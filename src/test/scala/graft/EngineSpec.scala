@@ -2443,6 +2443,42 @@ class EngineSpec extends AnyFunSuite {
     assert(t1 > 500000L && t0 > 500000L)
   }
 
+  test("x157 cartography: trajectory snapshots replay; regions partition the corpus") {
+    // the persisted trajectory is exactly the trainer's snapshots —
+    // step 20 must equal the serving registry bit-for-bit
+    val traj = spark.read.parquet(TrainingData.ensureClfTrajectory(spark, sf))
+    val steps = traj.select("step").distinct().collect()
+      .map(_.getLong(0)).sorted
+    assert(steps.toSeq == (1L to 20L))
+    val w20 = traj.filter(col("step") === 20L)
+      .select("bucket", "wb").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val reg = spark.read.parquet(TrainingData.ensureClfWeights(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w20 == reg, "final snapshot must equal the serving registry")
+    val rows = TrainingData.defs("x157_cartography")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val (tf, _) = TrainingData.qualityClfTf(spark, sf)
+    val nDocs = tf.select("doc_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "regions must partition every doc exactly once")
+    rows.foreach { r =>
+      val c = r.getAs[Double]("mean_conf"); val v = r.getAs[Double]("mean_vari")
+      assert(c >= 0.0 && c <= 1.0); assert(v >= 0.0 && v <= 0.5 + 1e-9)
+      r.getAs[String]("region") match {
+        case "easy_to_learn" => assert(c >= 0.7)
+        case "hard_to_learn" => assert(c <= 0.3)
+        case _ => ()
+      }
+    }
+    // signature property of the map: when both poles exist, the easy
+    // region's confidence dominates the hard region's
+    val byRegion = rows.groupBy(_.getAs[String]("region"))
+    for (e <- byRegion.get("easy_to_learn"); h <- byRegion.get("hard_to_learn"))
+      assert(e.map(_.getAs[Double]("mean_conf")).min >
+        h.map(_.getAs[Double]("mean_conf")).max)
+  }
+
   test("x156 repeat value: D_eff monotone to the U·(1+R*) asymptote, efficiency decays from 1") {
     val rows = TrainingData.defs("x156_repeat_value")(spark, sf).collect()
     assert(rows.nonEmpty)
