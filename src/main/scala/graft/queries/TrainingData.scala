@@ -6226,6 +6226,57 @@ object TrainingData {
       .orderBy(col("region"), col("y"))
   }
 
+  /** X158: forgetting events (Toneva et al. 2019, "An empirical study
+    * of example forgetting during deep neural network learning") —
+    * x157's trajectory read along the TIME axis: a doc is correct at
+    * step t when its true-label probability clears 0.5, and a
+    * forgetting event is a correct→incorrect transition between
+    * consecutive snapshots. The paper's operational finding:
+    * never-forgotten examples are safely prunable, high-forget
+    * examples carry the signal (and mislabeled data forgets
+    * chronically) — the trajectory-native complement of x150's
+    * final-state EL2N cut. Per label: never-learned docs (no correct
+    * step — x142's noise region), unforgettable docs (learned, zero
+    * forgets), forgotten-at-least-once mass, mean and max forget
+    * counts. All-integer off the trainer's own quantized σ; the
+    * step scan is a 20-row-per-doc window (bounded frame, never
+    * corpus-wide). */
+  val x158ForgettingEvents: Q = (s, d) => {
+    val traj = s.read.parquet(ensureClfTrajectory(s, d))
+    val (tf, _) = qualityClfTf(s, d)
+    val z = tf.join(broadcast(traj), Seq("bucket"))
+      .groupBy(col("doc_id"), col("y"), col("step"))
+      .agg(sum(round(col("wb") * col("x") * 1e9, 0).cast("long")).as("zq"))
+    val pq = round((lit(1.0) / (lit(1.0)
+        + exp(-(col("zq").cast("double") / 1e9)))) * 1e6, 0).cast("long")
+    val correct = z.select(col("doc_id"), col("y"), col("step"),
+      (when(col("y") === 1L, pq).otherwise(lit(1000000L) - pq)
+        >= 500000L).as("ok"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("step"))
+    val perDoc = correct
+      .withColumn("forgot",
+        when(lag(col("ok"), 1).over(w) && !col("ok"), 1L).otherwise(0L))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+        sum(col("forgot")).as("forgets"))
+    perDoc.groupBy(col("y"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_ok") === 0L, 1L).otherwise(0L))
+          .as("n_never_learned"),
+        sum(when(col("n_ok") > 0L && col("forgets") === 0L, 1L)
+          .otherwise(0L)).as("n_unforgettable"),
+        sum(when(col("forgets") > 0L, 1L).otherwise(0L))
+          .as("n_forgotten"),
+        sum(col("forgets")).as("sf"),
+        max(col("forgets")).as("max_forgets"))
+      .select(col("y"), col("n_docs"), col("n_never_learned"),
+        col("n_unforgettable"), col("n_forgotten"),
+        (intRoundHalfAway(col("sf") * 10000L, col("n_docs"))
+          .cast("double") / 1e4).as("mean_forgets"),
+        col("max_forgets"))
+      .orderBy(col("y"))
+  }
+
   /** X123: tokenizer vocabulary-size scaling curve — the budget-
     * pricing table for x106's BPE: per source, fertility under the
     * FIRST 10, 25, and all 50 learned merges (more merges = bigger
@@ -6996,6 +7047,7 @@ object TrainingData {
     "x155_sgt_smoothing" -> x155SgtSmoothing,
     "x156_repeat_value" -> x156RepeatValue,
     "x157_cartography" -> x157Cartography,
+    "x158_forgetting_events" -> x158ForgettingEvents,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -8699,6 +8751,43 @@ object TrainingData {
         USING (r)
       CROSS JOIN tot
       ORDER BY r""",
+    "x158_forgetting_events" -> {
+      val stepUnion = (2 to 20)
+        .map(k => s"SELECT doc_id, y, CAST(${k - 1} AS BIGINT) AS step, zq FROM z$k")
+        .mkString(" UNION ALL ")
+      s"""$clfTrainedSql,
+      zf AS MATERIALIZED (SELECT doc_id, y,
+          CAST(SUM(CAST(ROUND(w[bucket + 1] * x * 1e9, 0) AS BIGINT))
+            AS BIGINT) AS zq
+        FROM tf, w20 GROUP BY doc_id, y),
+      trajz AS ($stepUnion
+        UNION ALL SELECT doc_id, y, CAST(20 AS BIGINT), zq FROM zf),
+      okt AS (SELECT doc_id, y, step,
+          (CASE WHEN y = 1 THEN pq ELSE 1000000 - pq END) >= 500000 AS ok
+        FROM (SELECT doc_id, y, step,
+            CAST(ROUND((1 / (1 + exp(-(CAST(zq AS DOUBLE) / 1e9))))
+              * 1e6, 0) AS BIGINT) AS pq
+          FROM trajz)),
+      fg AS (SELECT doc_id, y, ok,
+          CASE WHEN LAG(ok) OVER (PARTITION BY doc_id ORDER BY step)
+            AND NOT ok THEN 1 ELSE 0 END AS forgot
+        FROM okt),
+      pd AS (SELECT doc_id, y,
+          CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+          CAST(SUM(forgot) AS BIGINT) AS forgets
+        FROM fg GROUP BY doc_id, y)
+      SELECT CAST(y AS BIGINT) AS y, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN n_ok = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_never_learned,
+        CAST(SUM(CASE WHEN n_ok > 0 AND forgets = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_unforgettable,
+        CAST(SUM(CASE WHEN forgets > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_forgotten,
+        CAST(((2 * SUM(forgets) * 10000 + COUNT(*)) // (2 * COUNT(*)))
+          AS DOUBLE) / 1e4 AS mean_forgets,
+        CAST(MAX(forgets) AS BIGINT) AS max_forgets
+      FROM pd GROUP BY y ORDER BY y"""
+    },
     "x157_cartography" -> {
       val stepUnion = (2 to 20).map(k => s"SELECT doc_id, y, zq FROM z$k")
         .mkString(" UNION ALL ")

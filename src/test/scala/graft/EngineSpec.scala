@@ -2443,6 +2443,26 @@ class EngineSpec extends AnyFunSuite {
     assert(t1 > 500000L && t0 > 500000L)
   }
 
+  test("x158 forgetting: never-learned/unforgettable/forgotten partition each label exactly") {
+    val rows = TrainingData.defs("x158_forgetting_events")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val (tf, _) = TrainingData.qualityClfTf(spark, sf)
+    val nDocs = tf.select("doc_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      // the three states are mutually exclusive and exhaustive: a
+      // forget requires a prior correct step, so forgotten ∧
+      // never-learned is impossible
+      assert(r.getAs[Long]("n_never_learned")
+        + r.getAs[Long]("n_unforgettable")
+        + r.getAs[Long]("n_forgotten") == r.getAs[Long]("n_docs"))
+      // at most one forget per correct→incorrect boundary in 20 steps
+      assert(r.getAs[Long]("max_forgets") <= 10L)
+      assert(r.getAs[Double]("mean_forgets") >= 0.0)
+    }
+  }
+
   test("x157 cartography: trajectory snapshots replay; regions partition the corpus") {
     // the persisted trajectory is exactly the trainer's snapshots —
     // step 20 must equal the serving registry bit-for-bit
