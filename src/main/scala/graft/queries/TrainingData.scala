@@ -6277,6 +6277,49 @@ object TrainingData {
       .orderBy(col("y"))
   }
 
+  /** X159: TracIn self-influence (Pruthi et al. 2020, "Estimating
+    * training data influence by tracing gradient descent") — the
+    * trajectory trio's third member (x157 maps, x158 counts, this
+    * RANKS): self-influence = Σ_t η·‖∇loss_t(doc)‖², which for the
+    * logistic trainer is η·Σ_t (p_t − y)²·‖x‖² — the published
+    * mislabeled/outlier detector (chronically-wrong examples with
+    * big feature mass accumulate the largest self-gradient). Top-20
+    * by (si DESC, doc_id) via TakeOrdered — the audit queue a
+    * labeling team actually works. Determinism: p_t is the trainer's
+    * own 1e-6-quantized σ per snapshot; ‖x‖² is an order-free
+    * integer sum of 1e-6-quantized squares; the Σ(p−y)² mass is
+    * re-quantized to 1e-6 before the product so everything stays in
+    * BIGINT range (two-stage quantization, replayed identically by
+    * the oracle). One 20-snapshot scoring join (x157's shape) + one
+    * feature-mass aggregate; nothing pairwise. */
+  val x159TracinSelf: Q = (s, d) => {
+    val traj = s.read.parquet(ensureClfTrajectory(s, d))
+    val (tf, _) = qualityClfTf(s, d)
+    val z = tf.join(broadcast(traj), Seq("bucket"))
+      .groupBy(col("doc_id"), col("y"), col("step"))
+      .agg(sum(round(col("wb") * col("x") * 1e9, 0).cast("long")).as("zq"))
+    val pq = round((lit(1.0) / (lit(1.0)
+        + exp(-(col("zq").cast("double") / 1e9)))) * 1e6, 0).cast("long")
+    val aMass = z
+      .select(col("doc_id"), col("y"), (pq - col("y") * 1000000L).as("dq"))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(col("dq") * col("dq")).as("a"))
+      .select(col("doc_id"), col("y"),
+        intRoundHalfAway(col("a"), lit(1000000L)).as("a6"))
+    val xsq = tf.groupBy(col("doc_id"))
+      .agg(sum(round(col("x") * col("x") * 1e6, 0).cast("long")).as("b6"))
+    aMass.join(xsq, Seq("doc_id"))
+      .select(col("doc_id"), col("y"),
+        intRoundHalfAway(lit(16L) * col("a6") * col("b6"), lit(1000000L))
+          .as("si_q"))
+      .orderBy(col("si_q").desc, col("doc_id")).limit(20)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("si_q").desc, col("doc_id"))).cast("long"))
+      .select(col("rk"), col("doc_id"), col("y"),
+        (col("si_q").cast("double") / 1e6).as("self_influence"))
+      .orderBy(col("rk"))
+  }
+
   /** X123: tokenizer vocabulary-size scaling curve — the budget-
     * pricing table for x106's BPE: per source, fertility under the
     * FIRST 10, 25, and all 50 learned merges (more merges = bigger
@@ -7048,6 +7091,7 @@ object TrainingData {
     "x156_repeat_value" -> x156RepeatValue,
     "x157_cartography" -> x157Cartography,
     "x158_forgetting_events" -> x158ForgettingEvents,
+    "x159_tracin_self" -> x159TracinSelf,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -8751,6 +8795,36 @@ object TrainingData {
         USING (r)
       CROSS JOIN tot
       ORDER BY r""",
+    "x159_tracin_self" -> {
+      val stepUnion = (2 to 20).map(k => s"SELECT doc_id, y, zq FROM z$k")
+        .mkString(" UNION ALL ")
+      s"""$clfTrainedSql,
+      zf AS MATERIALIZED (SELECT doc_id, y,
+          CAST(SUM(CAST(ROUND(w[bucket + 1] * x * 1e9, 0) AS BIGINT))
+            AS BIGINT) AS zq
+        FROM tf, w20 GROUP BY doc_id, y),
+      trajz AS ($stepUnion UNION ALL SELECT doc_id, y, zq FROM zf),
+      dqt AS (SELECT doc_id, y,
+          CAST(ROUND((1 / (1 + exp(-(CAST(zq AS DOUBLE) / 1e9))))
+            * 1e6, 0) AS BIGINT) - y * 1000000 AS dq
+        FROM trajz),
+      am AS (SELECT doc_id, y,
+          (2 * CAST(SUM(dq * dq) AS BIGINT) + 1000000) // 2000000 AS a6
+        FROM dqt GROUP BY doc_id, y),
+      xs AS (SELECT doc_id,
+          CAST(SUM(CAST(ROUND(x * x * 1e6, 0) AS BIGINT)) AS BIGINT)
+            AS b6
+        FROM tf GROUP BY doc_id),
+      si AS (SELECT a.doc_id, a.y,
+          (2 * (16 * a.a6 * x.b6) + 1000000) // 2000000 AS si_q
+        FROM am a JOIN xs x USING (doc_id)),
+      top AS (SELECT doc_id, y, si_q,
+          ROW_NUMBER() OVER (ORDER BY si_q DESC, doc_id) AS rk
+        FROM si)
+      SELECT CAST(rk AS BIGINT) AS rk, doc_id, CAST(y AS BIGINT) AS y,
+        CAST(si_q AS DOUBLE) / 1e6 AS self_influence
+      FROM top WHERE rk <= 20 ORDER BY rk"""
+    },
     "x158_forgetting_events" -> {
       val stepUnion = (2 to 20)
         .map(k => s"SELECT doc_id, y, CAST(${k - 1} AS BIGINT) AS step, zq FROM z$k")

@@ -2443,6 +2443,43 @@ class EngineSpec extends AnyFunSuite {
     assert(t1 > 500000L && t0 > 500000L)
   }
 
+  test("x159 TracIn: full driver replica reproduces the top-20 self-influence queue") {
+    import graft.ml.LogFit
+    val trajW = spark.read.parquet(TrainingData.ensureClfTrajectory(spark, sf))
+      .collect().groupBy(_.getLong(0)).view.mapValues { rs =>
+        val w = Array.fill(68)(0.0)
+        rs.foreach(r => w(r.getLong(1).toInt) = r.getDouble(2))
+        w
+      }.toMap
+    val (tf, _) = TrainingData.qualityClfTf(spark, sf)
+    val rows = tf.select("doc_id", "y", "bucket", "x").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt,
+        r.getDouble(3)))
+    val byDoc = rows.groupBy(_._1)
+    val si = byDoc.map { case (doc, rs) =>
+      val y = rs.head._2
+      val a = (1L to 20L).map { step =>
+        val w = trajW(step)
+        val zq = rs.map(t => LogFit.qScaled(w(t._3) * t._4, 1e9)).sum
+        val pq = LogFit.qScaled(
+          1.0 / (1.0 + math.exp(-(zq.toDouble / 1e9))), 1e6)
+        val dq = pq - y * 1000000L
+        dq * dq
+      }.sum
+      val a6 = (2 * a + 1000000L) / 2000000L
+      val b6 = rs.map(t => LogFit.qScaled(t._4 * t._4, 1e6)).sum
+      (doc, y, (2 * (16L * a6 * b6) + 1000000L) / 2000000L)
+    }.toSeq
+    val want = si.sortBy { case (doc, _, s) => (-s, doc) }.take(20)
+    val got = TrainingData.defs("x159_tracin_self")(spark, sf).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, (doc, y, s)) =>
+      assert(g.getAs[Long]("doc_id") == doc, s"rank ${g.getAs[Long]("rk")}")
+      assert(g.getAs[Long]("y") == y)
+      assert(g.getAs[Double]("self_influence") == s.toDouble / 1e6)
+    }
+  }
+
   test("x158 forgetting: never-learned/unforgettable/forgotten partition each label exactly") {
     val rows = TrainingData.defs("x158_forgetting_events")(spark, sf)
       .collect()
