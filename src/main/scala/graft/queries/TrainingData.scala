@@ -6127,6 +6127,46 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  /** X160: KMV distinct-count sketch (Bar-Yossef et al. 2002's
+    * k-minimum-values estimator; Beyer et al. 2007's unbiased form
+    * (k−1)·M/h_k) — the DISTINCT-count member of the sketch-twin
+    * family (a20b approx-percentile, x76 vocab sketch, x102 CMS):
+    * per source, keep only the k = 64 smallest 32-bit token hashes —
+    * the bounded state a shard ships for a mergeable union-distinct
+    * at 100 TB (union = merge-and-keep-k-smallest; exact distinct
+    * would ship the vocabulary) — and estimate the distinct count as
+    * the exact integer rational (k−1)·2³²/h_k, with the standard
+    * exact fallback when a source holds fewer than k distinct
+    * tokens. Reported beside exact truth + relative error, the
+    * sketch-vs-truth contract. Hash = the engine-portable md5₃₂ both
+    * engines already share; the k-smallest selection is a
+    * per-source window over the DISTINCT-token relation (vocabulary-
+    * sized, never corpus-sized). */
+  val x160KmvDistinct: Q = (s, d) => {
+    val hv = Tables.documents(s, d)
+      .select(col("source"), explode(wsTokens(col("text"))).as("w"))
+      .distinct()
+      .select(col("source"), graft.dedup.NearDup.md5Hash32(col("w")).as("h"))
+    val exact = hv.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    // ties on h leave WHICH row sits at rank 64 arbitrary, but the h
+    // VALUE at multiset rank 64 is deterministic — and h is all we keep
+    val kth = hv
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"))))
+      .filter(col("rk") === 64)
+      .select(col("source"), col("h").as("h_k"))
+    exact.join(kth, Seq("source"), "left")
+      .select(col("source"), col("n_exact"),
+        when(col("h_k").isNotNull,
+          intRoundHalfAway(lit(63L) * 4294967296L,
+            greatest(col("h_k"), lit(1L))))
+          .otherwise(col("n_exact")).as("est"))
+      .select(col("source"), col("n_exact"), col("est"),
+        (intRoundHalfAway(abs(col("est") - col("n_exact")) * 10000L,
+          col("n_exact")).cast("double") / 1e4).as("rel_error"))
+      .orderBy(col("source"))
+  }
+
   /** X151: Good-Turing frequency re-estimation (Good 1953; Gale &
     * Sampson 1995's presentation) — the unseen-mass measurement the
     * engine's discount families (x64 backoff, x83 Kneser-Ney) are
@@ -7092,6 +7132,7 @@ object TrainingData {
     "x157_cartography" -> x157Cartography,
     "x158_forgetting_events" -> x158ForgettingEvents,
     "x159_tracin_self" -> x159TracinSelf,
+    "x160_kmv_distinct" -> x160KmvDistinct,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -8795,6 +8836,29 @@ object TrainingData {
         USING (r)
       CROSS JOIN tot
       ORDER BY r""",
+    "x160_kmv_distinct" -> s"""
+      WITH hv AS (SELECT source, ${md5Hash32Sql("w")} AS h
+        FROM (SELECT DISTINCT source, w
+          FROM (SELECT source,
+              unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents))),
+      exact AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM hv GROUP BY source),
+      kth AS (SELECT source, CAST(h AS BIGINT) AS h_k FROM (
+          SELECT source, h,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+          FROM hv)
+        WHERE rk = 64),
+      es AS (SELECT e.source, e.n_exact,
+          CASE WHEN k.h_k IS NOT NULL THEN
+            (2 * 63 * 4294967296 + GREATEST(k.h_k, 1))
+              // (2 * GREATEST(k.h_k, 1))
+          ELSE e.n_exact END AS est
+        FROM exact e LEFT JOIN kth k USING (source))
+      SELECT source, n_exact, est,
+        CAST(((2 * abs(est - n_exact) * 10000 + n_exact)
+          // (2 * n_exact)) AS DOUBLE) / 1e4 AS rel_error
+      FROM es ORDER BY source""",
     "x159_tracin_self" -> {
       val stepUnion = (2 to 20).map(k => s"SELECT doc_id, y, zq FROM z$k")
         .mkString(" UNION ALL ")

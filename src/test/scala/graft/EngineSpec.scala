@@ -2443,6 +2443,39 @@ class EngineSpec extends AnyFunSuite {
     assert(t1 > 500000L && t0 > 500000L)
   }
 
+  test("x160 KMV: driver replica reproduces every estimate; small sources fall back to exact") {
+    def h32(s: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (0 until 4).map(i => (h(i) & 0xffL) << (8 * (3 - i))).sum
+    }
+    val pairs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .flatMap { r =>
+        r.getString(1).trim.split("\\s+")
+          .map(w => (r.getString(0), w))
+      }.distinct
+    val bySource = pairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rows = TrainingData.defs("x160_kmv_distinct")(spark, sf).collect()
+    assert(rows.length == bySource.size)
+    rows.foreach { r =>
+      val words = bySource(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_exact") == words.length.toLong)
+      val hs = words.map(h32).sorted
+      val want =
+        if (hs.length < 64) words.length.toLong
+        else {
+          val hk = math.max(hs(63), 1L)
+          (2 * 63L * 4294967296L + hk) / (2 * hk)
+        }
+      assert(r.getAs[Long]("est") == want,
+        s"${r.getAs[String]("source")}: est vs replica")
+      if (words.length < 64)
+        assert(r.getAs[Double]("rel_error") == 0.0,
+          "sub-k sources must report exactly")
+    }
+  }
+
   test("x159 TracIn: full driver replica reproduces the top-20 self-influence queue") {
     import graft.ml.LogFit
     val trajW = spark.read.parquet(TrainingData.ensureClfTrajectory(spark, sf))
