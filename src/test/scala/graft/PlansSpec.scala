@@ -97,6 +97,26 @@ class PlansSpec extends AnyFunSuite {
       s"packing must not collapse to one partition:\n$plan")
   }
 
+  test("trajectory scoring broadcasts the snapshot relation; KMV windows per source") {
+    // x157/x159: the 20x68 weight trajectory must ride a broadcast —
+    // a shuffled join would move the corpus-sized feature table for a
+    // 1360-row model relation
+    for (q <- Seq("x157_cartography", "x159_tracin_self")) {
+      val plan = graft.queries.TrainingData.defs(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q must broadcast the trajectory:\n$plan")
+      assert(!plan.contains("CartesianProduct"), q)
+    }
+    // x160: the k-smallest scan partitions by source — a global
+    // single-partition sort over the vocabulary would serialize at
+    // scale
+    val p = graft.queries.TrainingData.defs("x160_kmv_distinct")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(source"),
+      s"expected the rank window keyed by source:\n$p")
+  }
+
   test("bloom dedup probes map-side: might_contain filters before the join") {
     val plan = graft.queries.TrainingData.x29BloomDedup(spark, sf)
       .queryExecution.executedPlan.toString
