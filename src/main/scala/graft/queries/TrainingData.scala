@@ -6167,6 +6167,35 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  /** X161: weighted reservoir sampling (Efraimidis & Spirakis 2006's
+    * A-ES: key = u^{1/w}, keep the top-k keys) — the distributed
+    * weighted-sampling-WITHOUT-replacement primitive the mixture
+    * operators (x16 stratified, x70 hash-Bernoulli) don't cover:
+    * Bernoulli thinning can't hit an exact k, and naive
+    * weight-proportional draws need sequential state; A-ES is one
+    * row-local key per doc + a mergeable top-k — THE shape for "give
+    * me exactly 50 docs, probability ∝ length" at 100 TB (TakeOrdered
+    * partial heaps, no global sort). Determinism: u = (md5₃₂+1)/2³²
+    * (engine-portable, never 0), the log-domain key ln(u)/w (the
+    * monotone image of u^{1/w}) is ONE composite double expression
+    * quantized at 1e-6 after evaluation (x39 rule), ties by doc_id.
+    * Weights = token counts. EngineSpec replays the full top-50
+    * driver-side, value-for-value. */
+  val x161WeightedReservoir: Q = (s, d) => {
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tok"),
+        graft.dedup.NearDup.md5Hash32(col("doc_id").cast("string")).as("h"))
+      .withColumn("key_q",
+        round(log((col("h").cast("double") + 1.0) / 4294967296.0)
+          / col("n_tok").cast("double") * 1e6, 0).cast("long"))
+    keyed.orderBy(col("key_q").desc, col("doc_id")).limit(50)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("key_q").desc, col("doc_id"))).cast("long"))
+      .select(col("rk"), col("doc_id"), col("n_tok"),
+        (col("key_q").cast("double") / 1e6).as("aes_key"))
+      .orderBy(col("rk"))
+  }
+
   /** X151: Good-Turing frequency re-estimation (Good 1953; Gale &
     * Sampson 1995's presentation) — the unseen-mass measurement the
     * engine's discount families (x64 backoff, x83 Kneser-Ney) are
@@ -7133,6 +7162,7 @@ object TrainingData {
     "x158_forgetting_events" -> x158ForgettingEvents,
     "x159_tracin_self" -> x159TracinSelf,
     "x160_kmv_distinct" -> x160KmvDistinct,
+    "x161_weighted_reservoir" -> x161WeightedReservoir,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -8836,6 +8866,22 @@ object TrainingData {
         USING (r)
       CROSS JOIN tot
       ORDER BY r""",
+    "x161_weighted_reservoir" -> s"""
+      WITH keyed AS (SELECT doc_id,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+            AS n_tok,
+          ${md5Hash32Sql("CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents),
+      kq AS (SELECT doc_id, n_tok,
+          CAST(ROUND(LN((CAST(h AS DOUBLE) + 1.0) / 4294967296.0)
+            / CAST(n_tok AS DOUBLE) * 1e6, 0) AS BIGINT) AS key_q
+        FROM keyed),
+      top AS (SELECT doc_id, n_tok, key_q,
+          ROW_NUMBER() OVER (ORDER BY key_q DESC, doc_id) AS rk
+        FROM kq)
+      SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_tok,
+        CAST(key_q AS DOUBLE) / 1e6 AS aes_key
+      FROM top WHERE rk <= 50 ORDER BY rk""",
     "x160_kmv_distinct" -> s"""
       WITH hv AS (SELECT source, ${md5Hash32Sql("w")} AS h
         FROM (SELECT DISTINCT source, w

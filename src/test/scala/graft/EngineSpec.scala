@@ -2443,6 +2443,35 @@ class EngineSpec extends AnyFunSuite {
     assert(t1 > 500000L && t0 > 500000L)
   }
 
+  test("x161 A-ES reservoir: driver replica reproduces the top-50; weights lift keys") {
+    import graft.ml.LogFit
+    def h32(s: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (0 until 4).map(i => (h(i) & 0xffL) << (8 * (3 - i))).sum
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map { r =>
+        val id = r.getLong(0)
+        val w = r.getString(1).trim.split("\\s+").length.toLong
+        val u = (h32(id.toString).toDouble + 1.0) / 4294967296.0
+        (id, w, LogFit.qScaled(math.log(u) / w.toDouble, 1e6))
+      }
+    val want = docs.sortBy { case (id, _, k) => (-k, id) }.take(50)
+    val got = TrainingData.defs("x161_weighted_reservoir")(spark, sf)
+      .collect()
+    assert(got.length == math.min(50, docs.length))
+    got.zip(want).foreach { case (g, (id, w, k)) =>
+      assert(g.getAs[Long]("doc_id") == id)
+      assert(g.getAs[Long]("n_tok") == w)
+      assert(g.getAs[Double]("aes_key") == k.toDouble / 1e6)
+    }
+    // the A-ES property that makes it WEIGHTED: for a fixed u, a
+    // larger weight yields a larger (less negative) key
+    val u = 0.25
+    assert(math.log(u) / 100.0 > math.log(u) / 10.0)
+  }
+
   test("x160 KMV: driver replica reproduces every estimate; small sources fall back to exact") {
     def h32(s: String): Long = {
       val h = java.security.MessageDigest.getInstance("MD5")
