@@ -6196,6 +6196,52 @@ object TrainingData {
       .orderBy(col("rk"))
   }
 
+  /** X162: Neyman optimal stratified allocation (Neyman 1934;
+    * Cochran's standard form n_h ∝ N_h·σ_h) — the sampling DESIGN
+    * member of the sampling family (x16 executes a stratified sample,
+    * x61/x161 draw; this decides HOW MANY per stratum): given a 1000-
+    * doc audit budget, allocate to sources proportional to size ×
+    * quality-score spread — high-variance sources need more
+    * inspection per the published variance-minimizing rule. Per-
+    * source σ is the population std of the 1e-4-integer quality
+    * score (exact integer variance, one sqrt seam quantized after
+    * evaluation — the x157 recipe); the allocation lands on the
+    * budget EXACTLY via largest-remainder rounding on exact integer
+    * rationals (floor quotas + top remainders, ties by source — the
+    * x141 integer-allocation discipline; Σ alloc = 1000 pinned).
+    * Scale shape: one corpus scan onto |sources| rows; everything
+    * after is arithmetic on that tiny relation. */
+  val x162NeymanAlloc: Q = (s, d) => {
+    val st = Tables.documents(s, d)
+      .select(col("source"),
+        round(qualityScore(col("text"), stopwords) * 1e4, 0).cast("long")
+          .as("q4"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("q4")).as("sq"),
+        sum(col("q4") * col("q4")).as("sqq"))
+      .select(col("source"), col("n"),
+        round(sqrt((col("n") * col("sqq") - col("sq") * col("sq"))
+          .cast("double")) / col("n").cast("double"), 0).cast("long")
+          .as("sd4"))
+      .withColumn("a", col("n") * col("sd4"))
+    val tot = st.agg(sum(col("a")).as("s_tot"))
+    val base = st.crossJoin(broadcast(tot))
+      .withColumn("base", call_function("div", lit(1000L) * col("a"),
+        col("s_tot")))
+      .withColumn("rem", pmod(lit(1000L) * col("a"), col("s_tot")))
+    val kdf = base.agg((lit(1000L) - sum(col("base"))).as("k"))
+    base.crossJoin(broadcast(kdf))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+      .select(col("source"), col("n").as("n_docs"),
+        (col("sd4").cast("double") / 1e4).as("sd_quality"),
+        (intRoundHalfAway(col("a") * 10000L, col("s_tot")).cast("double")
+          / 1e4).as("weight"),
+        (col("base") + when(col("rn") <= col("k"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy(col("source"))
+  }
+
   /** X151: Good-Turing frequency re-estimation (Good 1953; Gale &
     * Sampson 1995's presentation) — the unseen-mass measurement the
     * engine's discount families (x64 backoff, x83 Kneser-Ney) are
@@ -7163,6 +7209,7 @@ object TrainingData {
     "x159_tracin_self" -> x159TracinSelf,
     "x160_kmv_distinct" -> x160KmvDistinct,
     "x161_weighted_reservoir" -> x161WeightedReservoir,
+    "x162_neyman_alloc" -> x162NeymanAlloc,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -8866,6 +8913,42 @@ object TrainingData {
         USING (r)
       CROSS JOIN tot
       ORDER BY r""",
+    "x162_neyman_alloc" -> """
+      WITH q AS (SELECT source, CAST(ROUND(ROUND(
+          LEAST(len(toks) / 50.0, 1.0) * 0.4
+          + (1.0 - LEAST(CAST(length(text) - length(regexp_replace(text,
+                '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+              / GREATEST(length(text), 1) * 5.0, 1.0)) * 0.3
+          + LEAST(CAST(len(list_filter(toks,
+                t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+              / GREATEST(len(toks), 1) * 10.0, 1.0) * 0.3, 4) * 1e4, 0)
+          AS BIGINT) AS q4
+        FROM (SELECT source, text,
+            regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents)),
+      st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(q4) AS BIGINT) AS sq,
+          CAST(SUM(q4 * q4) AS BIGINT) AS sqq
+        FROM q GROUP BY source),
+      sd AS (SELECT source, n,
+          CAST(ROUND(SQRT(CAST(n * sqq - sq * sq AS DOUBLE))
+            / CAST(n AS DOUBLE), 0) AS BIGINT) AS sd4
+        FROM st),
+      aw AS (SELECT source, n, sd4, n * sd4 AS a FROM sd),
+      tt AS (SELECT CAST(SUM(a) AS BIGINT) AS s_tot FROM aw),
+      bs AS (SELECT source, n, sd4, a,
+          (1000 * a) // s_tot AS base, (1000 * a) % s_tot AS rem
+        FROM aw, tt),
+      kk AS (SELECT 1000 - CAST(SUM(base) AS BIGINT) AS k FROM bs),
+      rn AS (SELECT source, n, sd4, a, base,
+          ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rn
+        FROM bs)
+      SELECT r.source, r.n AS n_docs,
+        CAST(r.sd4 AS DOUBLE) / 1e4 AS sd_quality,
+        CAST(((2 * r.a * 10000 + t.s_tot) // (2 * t.s_tot)) AS DOUBLE)
+          / 1e4 AS weight,
+        r.base + (CASE WHEN r.rn <= kk.k THEN 1 ELSE 0 END) AS alloc
+      FROM rn r, tt t, kk ORDER BY r.source""",
     "x161_weighted_reservoir" -> s"""
       WITH keyed AS (SELECT doc_id,
           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)

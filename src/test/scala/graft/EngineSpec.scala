@@ -2443,6 +2443,44 @@ class EngineSpec extends AnyFunSuite {
     assert(t1 > 500000L && t0 > 500000L)
   }
 
+  test("x162 Neyman: budget landed exactly; allocation tracks N_h·sigma_h; replica agrees") {
+    import graft.text.TextFunctions._
+    val rows = TrainingData.defs("x162_neyman_alloc")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("alloc")).sum == 1000L,
+      "largest-remainder rounding must land the budget exactly")
+    // independent replica of the whole design
+    val q4s = Tables.documents(spark, sf)
+      .select(col("source"),
+        round(qualityScore(col("text"), Seq("the", "a", "of", "and"))
+          * 1e4, 0).cast("long").as("q4"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val aByS = q4s.map { case (src, qs) =>
+      val n = qs.length.toLong
+      val sq = qs.sum; val sqq = qs.map(v => v * v).sum
+      val sd4 = graft.ml.LogFit.qScaled(
+        math.sqrt((n * sqq - sq * sq).toDouble) / n.toDouble, 1.0)
+      src -> n * sd4
+    }
+    val sTot = aByS.values.sum
+    val base = aByS.view.mapValues(a => 1000L * a / sTot).toMap
+    val k = 1000L - base.values.sum
+    val extras = aByS.toSeq
+      .sortBy { case (src, a) => (-(1000L * a % sTot), src) }
+      .take(k.toInt).map(_._1).toSet
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("alloc") ==
+        base(src) + (if (extras(src)) 1L else 0L), src)
+    }
+    // the Neyman property: allocation order follows N_h·σ_h order
+    val byA = rows.sortBy(r => -aByS(r.getAs[String]("source")))
+      .map(_.getAs[Long]("alloc"))
+    assert(byA.sliding(2).forall(p => p(0) >= p(1) - 1),
+      "allocation must track the N·sigma ranking (within rounding)")
+  }
+
   test("x161 A-ES reservoir: driver replica reproduces the top-50; weights lift keys") {
     import graft.ml.LogFit
     def h32(s: String): Long = {
