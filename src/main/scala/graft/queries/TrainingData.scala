@@ -6224,6 +6224,10 @@ object TrainingData {
           .cast("double")) / col("n").cast("double"), 0).cast("long")
           .as("sd4"))
       .withColumn("a", col("n") * col("sd4"))
+      // pinned once: the |sources|-row stat table feeds FOUR consumers
+      // (total, quotas, the budget remainder, the output) — without
+      // the pin the corpus scan re-runs per consumer (x131 precedent)
+      .localCheckpoint()
     val tot = st.agg(sum(col("a")).as("s_tot"))
     val base = st.crossJoin(broadcast(tot))
       .withColumn("base", call_function("div", lit(1000L) * col("a"),
