@@ -6439,6 +6439,43 @@ object TrainingData {
       .orderBy(col("rk"))
   }
 
+  /** X163: Cohen's kappa (Cohen 1960) between the rule gate and the
+    * trained classifier — the chance-corrected member of the
+    * evaluation family (x122 reports raw agreement, x138 ROC, x118/
+    * x136 calibration, x142 noise): on a source whose labels are 95%
+    * one class, 95% raw agreement is CHANCE, and kappa is the number
+    * that says so — κ = (p_o − p_e)/(1 − p_e) with p_e the marginal-
+    * product chance rate. Everything is an exact integer rational of
+    * four counts per source (n, agreements, rater-1 positives,
+    * rater-2 positives); κ is NULL when both raters are constant
+    * (p_e = 1 leaves it undefined — the documented degenerate case).
+    * One registry-scoring scan onto |sources| rows. */
+  val x163CohenKappa: Q = (s, d) => {
+    val wdf = s.read.parquet(ensureClfWeights(s, d))
+    val (tf, _) = qualityClfTf(s, d)
+    val ct = clfScores(tf, wdf)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .select(col("source"), col("y"),
+        (col("pq") >= 500000L).cast("long").as("yhat"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === col("yhat"), 1L).otherwise(0L)).as("agree"),
+        sum(col("y")).as("p1"), sum(col("yhat")).as("p2"))
+    val chance = col("p1") * col("p2") +
+      (col("n") - col("p1")) * (col("n") - col("p2"))
+    ct.select(col("source"), col("n").as("n_docs"),
+        (intRoundHalfAway(col("agree") * 10000L, col("n"))
+          .cast("double") / 1e4).as("po"),
+        (intRoundHalfAway(chance * 10000L, col("n") * col("n"))
+          .cast("double") / 1e4).as("pe"),
+        when(col("n") * col("n") =!= chance,
+          intRoundHalfAway((col("n") * col("agree") - chance) * 10000L,
+            col("n") * col("n") - chance).cast("double") / 1e4)
+          .as("kappa"))
+      .orderBy(col("source"))
+  }
+
   /** X123: tokenizer vocabulary-size scaling curve — the budget-
     * pricing table for x106's BPE: per source, fertility under the
     * FIRST 10, 25, and all 50 learned merges (more merges = bigger
@@ -7214,6 +7251,7 @@ object TrainingData {
     "x160_kmv_distinct" -> x160KmvDistinct,
     "x161_weighted_reservoir" -> x161WeightedReservoir,
     "x162_neyman_alloc" -> x162NeymanAlloc,
+    "x163_cohen_kappa" -> x163CohenKappa,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -8917,6 +8955,34 @@ object TrainingData {
         USING (r)
       CROSS JOIN tot
       ORDER BY r""",
+    "x163_cohen_kappa" -> s"""$clfTrainedSql,
+      zs AS (SELECT doc_id, y,
+          CAST(SUM(CAST(ROUND(w[bucket + 1] * x * 1e9, 0) AS BIGINT))
+            AS BIGINT) AS zq
+        FROM tf, w20 GROUP BY doc_id, y),
+      ps AS (SELECT doc_id, y,
+          CASE WHEN CAST(ROUND((1 / (1 + exp(-(CAST(zq AS DOUBLE)
+            / 1e9)))) * 1e6, 0) AS BIGINT) >= 500000
+          THEN 1 ELSE 0 END AS yhat
+        FROM zs),
+      ct AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN p.y = p.yhat THEN 1 ELSE 0 END) AS BIGINT)
+            AS agree,
+          CAST(SUM(p.y) AS BIGINT) AS p1,
+          CAST(SUM(p.yhat) AS BIGINT) AS p2
+        FROM ps p JOIN documents d USING (doc_id) GROUP BY d.source)
+      SELECT source, n AS n_docs,
+        CAST(((2 * agree * 10000 + n) // (2 * n)) AS DOUBLE) / 1e4 AS po,
+        CAST(((2 * (p1 * p2 + (n - p1) * (n - p2)) * 10000 + n * n)
+          // (2 * n * n)) AS DOUBLE) / 1e4 AS pe,
+        CASE WHEN n * n <> p1 * p2 + (n - p1) * (n - p2) THEN
+          CAST((CASE WHEN n * agree - (p1 * p2 + (n - p1) * (n - p2)) < 0
+              THEN -1 ELSE 1 END)
+            * ((2 * abs((n * agree - (p1 * p2 + (n - p1) * (n - p2)))
+                * 10000) + (n * n - (p1 * p2 + (n - p1) * (n - p2))))
+              // (2 * (n * n - (p1 * p2 + (n - p1) * (n - p2)))))
+            AS DOUBLE) / 1e4 END AS kappa
+      FROM ct ORDER BY source""",
     "x162_neyman_alloc" -> """
       WITH q AS (SELECT source, CAST(ROUND(ROUND(
           LEAST(len(toks) / 50.0, 1.0) * 0.4

@@ -2443,6 +2443,42 @@ class EngineSpec extends AnyFunSuite {
     assert(t1 > 500000L && t0 > 500000L)
   }
 
+  test("x163 kappa: chance correction bites on skewed sources; replica agrees") {
+    val wdf = spark.read.parquet(TrainingData.ensureClfWeights(spark, sf))
+    val (tf, _) = TrainingData.qualityClfTf(spark, sf)
+    val scored = TrainingData.clfScores(tf, wdf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .select(col("source"), col("y"), col("pq")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.getLong(2) >= 500000L) 1L else 0L))
+    val rows = TrainingData.defs("x163_cohen_kappa")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val s = scored.filter(_._1 == src)
+      val n = s.length.toLong
+      val agree = s.count(t => t._2 == t._3).toLong
+      val p1 = s.map(_._2).sum; val p2 = s.map(_._3).sum
+      val chance = p1 * p2 + (n - p1) * (n - p2)
+      assert(r.getAs[Long]("n_docs") == n)
+      def q4(num: Long, den: Long): Double = {
+        val sign = if (num < 0) -1L else 1L
+        sign * ((2 * math.abs(num) + den) / (2 * den)) / 1e4
+      }
+      assert(r.getAs[Double]("po") == q4(agree * 10000, n))
+      assert(r.getAs[Double]("pe") == q4(chance * 10000, n * n))
+      if (n * n != chance)
+        assert(r.getAs[Double]("kappa") ==
+          q4((n * agree - chance) * 10000, n * n - chance), src)
+      // kappa ≤ po: chance correction never inflates agreement when
+      // agreement beats chance, and it is the whole point of the stat
+      if (!r.isNullAt(r.fieldIndex("kappa")) &&
+          r.getAs[Double]("po") > r.getAs[Double]("pe"))
+        assert(r.getAs[Double]("kappa") <= r.getAs[Double]("po") + 1e-9)
+    }
+  }
+
   test("x162 Neyman: budget landed exactly; allocation tracks N_h·sigma_h; replica agrees") {
     import graft.text.TextFunctions._
     val rows = TrainingData.defs("x162_neyman_alloc")(spark, sf).collect()
