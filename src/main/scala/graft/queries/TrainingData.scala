@@ -6476,6 +6476,39 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  /** X164: Wilson score lower bound (Wilson 1927; the small-sample-
+    * corrected ranking rule) on per-source classifier keep rates —
+    * the monitoring fix for x122's raw keep_rate: a 3-doc source at
+    * 3/3 kept outranks a 1000-doc source at 96% under the naive
+    * share, and the Wilson 95% lower bound is the standard one-line
+    * correction (rank by what the rate is AT LEAST, with confidence).
+    * One registry-scoring scan onto |sources| rows; the bound is one
+    * fixed-op-order double expression (z = 1.96) quantized 4dp after
+    * evaluation (x39 rule), everything else exact counts. EngineSpec
+    * replays every bound and pins lb ≤ p̂ (the correction only ever
+    * shrinks) plus the small-sample demotion it exists for. */
+  val x164WilsonBound: Q = (s, d) => {
+    val wdf = s.read.parquet(ensureClfWeights(s, d))
+    val (tf, _) = qualityClfTf(s, d)
+    val ct = clfScores(tf, wdf)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pq") >= 500000L, 1L).otherwise(0L)).as("k"))
+    val nD = col("n").cast("double"); val z2 = lit(3.8416)
+    val ph = col("k").cast("double") / nD
+    val lb = (ph + z2 / (lit(2.0) * nD)
+      - lit(1.96) * sqrt((ph * (lit(1.0) - ph) + z2 / (lit(4.0) * nD)) / nD)) /
+      (lit(1.0) + z2 / nD)
+    ct.select(col("source"), col("n").as("n_docs"), col("k").as("n_kept"),
+        (intRoundHalfAway(col("k") * 10000L, col("n")).cast("double")
+          / 1e4).as("keep_rate"),
+        (round(lb * 1e4, 0).cast("long").cast("double") / 1e4)
+          .as("wilson_lb"))
+      .orderBy(col("source"))
+  }
+
   /** X123: tokenizer vocabulary-size scaling curve — the budget-
     * pricing table for x106's BPE: per source, fertility under the
     * FIRST 10, 25, and all 50 learned merges (more merges = bigger
@@ -7252,6 +7285,7 @@ object TrainingData {
     "x161_weighted_reservoir" -> x161WeightedReservoir,
     "x162_neyman_alloc" -> x162NeymanAlloc,
     "x163_cohen_kappa" -> x163CohenKappa,
+    "x164_wilson_bound" -> x164WilsonBound,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -8955,6 +8989,31 @@ object TrainingData {
         USING (r)
       CROSS JOIN tot
       ORDER BY r""",
+    "x164_wilson_bound" -> s"""$clfTrainedSql,
+      zs AS (SELECT doc_id, y,
+          CAST(SUM(CAST(ROUND(w[bucket + 1] * x * 1e9, 0) AS BIGINT))
+            AS BIGINT) AS zq
+        FROM tf, w20 GROUP BY doc_id, y),
+      ps AS (SELECT doc_id,
+          CASE WHEN CAST(ROUND((1 / (1 + exp(-(CAST(zq AS DOUBLE)
+            / 1e9)))) * 1e6, 0) AS BIGINT) >= 500000
+          THEN 1 ELSE 0 END AS kept
+        FROM zs),
+      ct AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(p.kept) AS BIGINT) AS k
+        FROM ps p JOIN documents d USING (doc_id) GROUP BY d.source)
+      SELECT source, n AS n_docs, k AS n_kept,
+        CAST(((2 * k * 10000 + n) // (2 * n)) AS DOUBLE) / 1e4
+          AS keep_rate,
+        CAST(CAST(ROUND(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+            + 3.8416 / (2.0 * CAST(n AS DOUBLE))
+            - 1.96 * SQRT(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                + 3.8416 / (4.0 * CAST(n AS DOUBLE)))
+              / CAST(n AS DOUBLE)))
+            / (1.0 + 3.8416 / CAST(n AS DOUBLE))) * 1e4, 0) AS BIGINT)
+          AS DOUBLE) / 1e4 AS wilson_lb
+      FROM ct ORDER BY source""",
     "x163_cohen_kappa" -> s"""$clfTrainedSql,
       zs AS (SELECT doc_id, y,
           CAST(SUM(CAST(ROUND(w[bucket + 1] * x * 1e9, 0) AS BIGINT))

@@ -2443,6 +2443,33 @@ class EngineSpec extends AnyFunSuite {
     assert(t1 > 500000L && t0 > 500000L)
   }
 
+  test("x164 Wilson: bound only shrinks; small samples are demoted; replica agrees") {
+    import graft.ml.LogFit
+    def wilson(k: Long, n: Long): Double = {
+      val nD = n.toDouble; val ph = k.toDouble / nD
+      val lb = (ph + 3.8416 / (2.0 * nD)
+        - 1.96 * math.sqrt((ph * (1.0 - ph) + 3.8416 / (4.0 * nD)) / nD)) /
+        (1.0 + 3.8416 / nD)
+      LogFit.qScaled(lb, 1e4).toDouble / 1e4
+    }
+    val rows = TrainingData.defs("x164_wilson_bound")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs"); val k = r.getAs[Long]("n_kept")
+      assert(r.getAs[Double]("wilson_lb") == wilson(k, n),
+        r.getAs[String]("source"))
+      assert(r.getAs[Double]("wilson_lb") <=
+        r.getAs[Double]("keep_rate") + 1e-9,
+        "the correction must only ever shrink")
+      assert(r.getAs[Double]("wilson_lb") >= -1e-9)
+    }
+    // the small-sample demotion the bound exists for: a perfect 3/3
+    // ranks BELOW a 96% 1000-sample under the lower bound, even
+    // though the naive shares say the opposite
+    assert(wilson(3, 3) < wilson(960, 1000))
+    assert(3.0 / 3.0 > 960.0 / 1000.0)
+  }
+
   test("x163 kappa: chance correction bites on skewed sources; replica agrees") {
     val wdf = spark.read.parquet(TrainingData.ensureClfWeights(spark, sf))
     val (tf, _) = TrainingData.qualityClfTf(spark, sf)
