@@ -6509,6 +6509,35 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  /** X165: truncation-loss table — the number x38's length histogram
+    * motivates but never states: at training sequence length L, how
+    * many tokens does each source LOSE to truncation (docs longer
+    * than L drop their tail), and what share of its mass is that —
+    * the table that prices the L ∈ {128, 512, 2048} choice against
+    * x25's packing budget (short L wastes long docs; long L wastes
+    * padding — this is the first half of that trade, exactly). ONE
+    * corpus scan onto |sources| rows × a broadcast 3-row grid;
+    * all-integer (loss = Σ max(n_tok − L, 0)). */
+  val x165TruncationLoss: Q = (s, d) => {
+    val nt = Tables.documents(s, d)
+      .select(col("source"), tokenCount(col("text")).cast("long").as("n_tok"))
+    val grid = s.createDataFrame(Seq(128L, 512L, 2048L).map(Tuple1(_)))
+      .toDF("seq_len")
+    nt.crossJoin(broadcast(grid))
+      .groupBy(col("source"), col("seq_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_tok") > col("seq_len"), 1L).otherwise(0L))
+          .as("n_truncated"),
+        sum(col("n_tok")).as("n_tok"),
+        sum(greatest(col("n_tok") - col("seq_len"), lit(0L)))
+          .as("tok_lost"))
+      .select(col("source"), col("seq_len"), col("n_docs"),
+        col("n_truncated"), col("n_tok"), col("tok_lost"),
+        (intRoundHalfAway(col("tok_lost") * 10000L, col("n_tok"))
+          .cast("double") / 1e4).as("loss_share"))
+      .orderBy(col("source"), col("seq_len"))
+  }
+
   /** X123: tokenizer vocabulary-size scaling curve — the budget-
     * pricing table for x106's BPE: per source, fertility under the
     * FIRST 10, 25, and all 50 learned merges (more merges = bigger
@@ -7286,6 +7315,7 @@ object TrainingData {
     "x162_neyman_alloc" -> x162NeymanAlloc,
     "x163_cohen_kappa" -> x163CohenKappa,
     "x164_wilson_bound" -> x164WilsonBound,
+    "x165_truncation_loss" -> x165TruncationLoss,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -8989,6 +9019,23 @@ object TrainingData {
         USING (r)
       CROSS JOIN tot
       ORDER BY r""",
+    "x165_truncation_loss" -> """
+      WITH nt AS (SELECT source,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+            AS n_tok
+        FROM documents),
+      grid AS (SELECT CAST(unnest([128, 512, 2048]) AS BIGINT)
+          AS seq_len)
+      SELECT source, seq_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN n_tok > seq_len THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_truncated,
+        CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+        CAST(SUM(GREATEST(n_tok - seq_len, 0)) AS BIGINT) AS tok_lost,
+        CAST(((2 * SUM(GREATEST(n_tok - seq_len, 0)) * 10000
+            + SUM(n_tok)) // (2 * SUM(n_tok))) AS DOUBLE) / 1e4
+          AS loss_share
+      FROM nt, grid GROUP BY source, seq_len
+      ORDER BY source, seq_len""",
     "x164_wilson_bound" -> s"""$clfTrainedSql,
       zs AS (SELECT doc_id, y,
           CAST(SUM(CAST(ROUND(w[bucket + 1] * x * 1e9, 0) AS BIGINT))

@@ -2443,6 +2443,31 @@ class EngineSpec extends AnyFunSuite {
     assert(t1 > 500000L && t0 > 500000L)
   }
 
+  test("x165 truncation loss: census replica; loss monotone down in L; identities hold") {
+    import graft.text.TextFunctions._
+    val lens = Tables.documents(spark, sf)
+      .select(col("source"), tokenCount(col("text")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rows = TrainingData.defs("x165_truncation_loss")(spark, sf)
+      .collect()
+    assert(rows.length == lens.size * 3)
+    rows.foreach { r =>
+      val ls = lens(r.getAs[String]("source"))
+      val sl = r.getAs[Long]("seq_len")
+      assert(r.getAs[Long]("n_docs") == ls.length.toLong)
+      assert(r.getAs[Long]("n_truncated") == ls.count(_ > sl).toLong)
+      assert(r.getAs[Long]("tok_lost") ==
+        ls.map(n => math.max(n - sl, 0L)).sum)
+    }
+    // longer sequence lengths can only lose less
+    rows.groupBy(r => r.getAs[String]("source")).values.foreach { rs =>
+      val byL = rs.sortBy(_.getAs[Long]("seq_len"))
+        .map(_.getAs[Long]("tok_lost"))
+      assert(byL.sliding(2).forall(p => p(1) <= p(0)))
+    }
+  }
+
   test("x164 Wilson: bound only shrinks; small samples are demoted; replica agrees") {
     import graft.ml.LogFit
     def wilson(k: Long, n: Long): Double = {
