@@ -247,8 +247,12 @@ object Bench {
     // a sub-0.1s-receipt query can post a 5x ratio while sitting well
     // under it — but without the query name every reader had to
     // re-derive that. The argmax makes the artifact self-explaining.
+    // Charset-pinned (ADVICE r10): the name is string-interpolated
+    // into the JSON sentinel, so anything outside the query-key
+    // charset is dropped rather than risking a corrupt contract line.
     val ratioArgmax =
-      if (ratios.isEmpty) "" else ratios.maxBy(_._2)._1
+      (if (ratios.isEmpty) "" else ratios.maxBy(_._2)._1)
+        .filter(c => c.isLetterOrDigit || c == '_')
     // locale-pinned: the f-interpolator uses the JVM default locale,
     // which under comma-decimal locales (pt_BR, de_DE) would print
     // "0,322" and break the JSON contract line

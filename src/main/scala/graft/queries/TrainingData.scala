@@ -6538,6 +6538,154 @@ object TrainingData {
       .orderBy(col("source"), col("seq_len"))
   }
 
+  /** x166's per-domain EXCESS LOSS table: for every source, the mean
+    * held-out per-token NLL under the weak PROXY model (add-one
+    * unigram) minus under the stronger REFERENCE model (add-one
+    * bigram, x149's reference recipe), both trained on the md5-balde
+    * train split (< 90) and evaluated on the held-out split (≥ 90) —
+    * never on their own training text (the [[rholossRedQ]]
+    * self-memorization lesson). excess = max(0, ℓ_proxy − ℓ_ref) in
+    * integer 1e-4 nats: the headroom training can still buy on that
+    * domain, DoReMi's per-domain reward signal. Inner semantics: a
+    * domain needs ≥ 1 held-out bigram (every fixture source has
+    * thousands). Shape: the x64/x149 gram-table joins — two
+    * map-side-combinable gram aggregations on the train slice, two
+    * held-out scoring scans, all collapsing onto |sources| rows. */
+  private[graft] def doremiExcessQ(docs: DataFrame): DataFrame = {
+    val balde = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long"), lit(100L))
+    val tr = docs.filter(balde < 90)
+      .select(wsTokens(col("text")).as("toks"))
+    val ho = docs.filter(balde >= 90).select(col("source"), col("text"))
+    val uni = tr.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val scal = uni.agg(sum(col("c1")).as("nn"),
+      (count(lit(1)) + 1L).as("v"))
+    val cnt2 = tr.select(explode(allShinglesOfToks(col("toks"), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val eu = ho.select(col("source"), explode(wsTokens(col("text"))).as("w1"))
+      .join(uni, Seq("w1"), "left").crossJoin(broadcast(scal))
+      .withColumn("lp", round(-log(
+          (coalesce(col("c1"), lit(0L)).cast("double") + 1.0) /
+          (col("nn") + col("v")).cast("double")) * 1e4, 0).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("nu"), sum(col("lp")).as("su"))
+      .select(col("source"), intRoundHalfAway(col("su"), col("nu"))
+        .as("ell_uni_q"))
+    val eb = ho.select(col("source"), wsTokens(col("text")).as("toks"))
+      .select(col("source"),
+        explode(allShinglesOfToks(col("toks"), 2)).as("g"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(cnt2, Seq("g"), "left").join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(scal))
+      .withColumn("lp", round(-log(
+          (coalesce(col("c2"), lit(0L)).cast("double") + 1.0) /
+          (coalesce(col("c1"), lit(0L)).cast("double")
+            + col("v").cast("double"))) * 1e4, 0).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("nb"), sum(col("lp")).as("sb"))
+      .select(col("source"), intRoundHalfAway(col("sb"), col("nb"))
+        .as("ell_bi_q"))
+    eu.join(eb, Seq("source"))
+      .select(col("source"), col("ell_uni_q"), col("ell_bi_q"),
+        greatest(col("ell_uni_q") - col("ell_bi_q"), lit(0L))
+          .as("excess_q"))
+  }
+
+  /** Largest-remainder landing of the rationals vals_i/den onto the
+    * `grid` simplex (Σ out = grid EXACTLY): floor quotas + one unit to
+    * the top-(grid − Σfloor) remainders, ties by source ascending —
+    * the x141/x162 integer-allocation discipline, here as a reusable
+    * step for [[doremiWeights]]'s per-iteration renormalization. All
+    * arithmetic BigInt: the step numerators reach ~10²¹ (99·S·α·w·10⁶)
+    * — past Int64, exactly the Opq round-9 hazard — so the oracle twin
+    * runs on HUGEINT. */
+  private def doremiLand(vals: Seq[(String, BigInt)], den: BigInt,
+      grid: Long): Seq[(String, Long)] = {
+    val base = vals.map { case (src, v) =>
+      (src, (v * grid / den).toLong, v * grid % den) }
+    val k = grid - base.map(_._2).sum
+    val bump = base.sortBy { case (src, _, r) => (r, src) }(
+        Ordering.Tuple2(Ordering[BigInt].reverse, Ordering[String]))
+      .take(k.toInt).map(_._1).toSet
+    base.map { case (src, b, _) => (src, b + (if (bump(src)) 1L else 0L)) }
+  }
+
+  /** x166's multiplicative-weights loop (exposed for the EngineSpec
+    * crafted-corpus pin): from the exact uniform landing α⁰, `iters`
+    * DoReMi steps α ← normalize(α·exp(η·excess)) smoothed with the
+    * published c = 1/100 uniform mixture — the smoothed target weight
+    * is the EXACT rational (99·S·α_s·w_s + Σα·w) / (100·S·Σα·w), so
+    * normalize-and-smooth is ONE largest-remainder landing per step
+    * and every iterate sits on the 10⁶ simplex exactly. The per-domain
+    * multiplier w_s = round(exp(η·excess_s)·10⁶) is the loop's single
+    * transcendental, quantized AFTER evaluation once per domain (x39
+    * rule; [[graft.ml.LogFit.qScaled]] for the engine-shared HALF_UP).
+    * Returns every iterate plus DoReMi's published output — the
+    * per-step AVERAGE weight vector, landed back on the simplex.
+    * Driver-side on the |domains|-row vector by design (the
+    * m1-knotScan pattern: per-iteration Spark jobs over ≤ 10 rows are
+    * pure scheduling overhead); the corpus-sized work all lives in
+    * [[doremiExcessQ]]. */
+  private[graft] def doremiWeights(ex: Seq[(String, Long)],
+      eta: Double = 0.1, iters: Int = 10)
+      : (Seq[Seq[(String, Long)]], Seq[(String, Long)]) = {
+    val srcs = ex.map(_._1)
+    val sN = BigInt(srcs.size)
+    val wq = ex.map { case (src, e) =>
+      src -> BigInt(graft.ml.LogFit.qScaled(
+        math.exp(eta * e.toDouble / 1e4), 1e6)) }.toMap
+    var alpha = doremiLand(srcs.map(s => (s, BigInt(1))), sN, 1000000L)
+    val steps = (1 to iters).map { _ =>
+      val m = alpha.map { case (src, a) => (src, BigInt(a) * wq(src)) }
+      val sm = m.map(_._2).sum
+      val n = m.map { case (src, v) => (src, BigInt(99) * sN * v + sm) }
+      alpha = doremiLand(n, BigInt(100) * sN * sm, 1000000L)
+      alpha
+    }
+    val acc = srcs.map(src =>
+      (src, steps.map(st => BigInt(st.toMap.apply(src))).sum))
+    // mean over steps: Σacc = iters·10⁶, so acc/iters already sums to
+    // the grid — den = iters·grid makes doremiLand's v·grid/den reduce
+    // to exactly acc/iters (the oracle's a // 10)
+    (steps, doremiLand(acc, BigInt(iters) * 1000000L, 1000000L))
+  }
+
+  /** X166: DoReMi domain reweighting (Xie et al. 2023, "DoReMi:
+    * optimizing data mixtures speeds up language model pretraining")
+    * — the EXCESS-LOSS member of the mixture family: x27/x50/x141
+    * weight domains by counts, x42/x133 by importance ratios; DoReMi
+    * weights them by how much a domain's loss under the training
+    * proxy still exceeds what a stronger reference model achieves —
+    * domains with headroom get data, already-easy and noise domains
+    * lose it (the published method behind production mixture tuning).
+    * This engine's instantiation: proxy = add-one unigram, reference
+    * = add-one bigram, both held-out-evaluated ([[doremiExcessQ]]);
+    * 10 multiplicative-weight steps with exp-quantized multipliers
+    * and exact largest-remainder renormalize-and-smooth
+    * ([[doremiWeights]] — every iterate AND the final per-step
+    * average sum to 10⁶ exactly, pinned in EngineSpec along with
+    * high-excess-gains-weight on a crafted skewed corpus). Output:
+    * per domain, both held-out losses, the excess, and the DoReMi
+    * weight. Scale shape: one train-slice gram build + one held-out
+    * scoring pass onto |domains| rows; the loop is driver-side
+    * arithmetic on that vector (data-volume free). Oracle: the same
+    * gram NLLs + all 10 steps unrolled on HUGEINT. */
+  val x166DoremiWeights: Q = (s, d) => {
+    val ex = doremiExcessQ(Tables.documents(s, d))
+      .orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val (_, fin) = doremiWeights(ex.map(t => (t._1, t._4)))
+    val fm = fin.toMap
+    s.createDataFrame(ex.map { case (src, eu, eb, e) =>
+        (src, eu.toDouble / 1e4, eb.toDouble / 1e4, e.toDouble / 1e4,
+          fm(src).toDouble / 1e6) })
+      .toDF("source", "ell_proxy", "ell_ref", "excess", "weight")
+      .orderBy(col("source"))
+  }
+
   /** X123: tokenizer vocabulary-size scaling curve — the budget-
     * pricing table for x106's BPE: per source, fertility under the
     * FIRST 10, 25, and all 50 learned merges (more merges = bigger
@@ -7316,6 +7464,7 @@ object TrainingData {
     "x163_cohen_kappa" -> x163CohenKappa,
     "x164_wilson_bound" -> x164WilsonBound,
     "x165_truncation_loss" -> x165TruncationLoss,
+    "x166_doremi_weights" -> x166DoremiWeights,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -9036,6 +9185,102 @@ object TrainingData {
           AS loss_share
       FROM nt, grid GROUP BY source, seq_len
       ORDER BY source, seq_len""",
+    // x166: the gram NLL CTEs mirror doremiExcessQ; the 10
+    // multiplicative-weight steps are unrolled with EVERY step CTE
+    // MATERIALIZED (the x146 lesson — un-materialized multi-referenced
+    // step CTEs inline exponentially) on HUGEINT (the step numerators
+    // reach ~10^21).
+    "x166_doremi_weights" -> {
+      val steps = (1 to 10).map { t =>
+        s"""
+      m$t AS MATERIALIZED (SELECT w.source,
+          CAST(a.aq AS HUGEINT) * w.wq AS m
+        FROM a${t - 1} a JOIN wts w USING (source)),
+      sm$t AS (SELECT CAST(SUM(m) AS HUGEINT) AS sm FROM m$t),
+      n$t AS MATERIALIZED (SELECT source, 99 * s * m + sm AS nm,
+          100 * s * sm AS den FROM m$t, sm$t, sc),
+      b$t AS MATERIALIZED (SELECT source,
+          (nm * 1000000) // den AS base, (nm * 1000000) % den AS rem
+        FROM n$t),
+      k$t AS (SELECT 1000000 - SUM(base) AS k FROM b$t),
+      a$t AS MATERIALIZED (SELECT source, base + CASE WHEN ROW_NUMBER()
+          OVER (ORDER BY rem DESC, source) <= k THEN 1 ELSE 0 END AS aq
+        FROM b$t, k$t)"""
+      }.mkString(",")
+      val unions = (1 to 10).map(t => s"SELECT source, aq FROM a$t")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH dd AS (SELECT source, text,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+            % 100 AS b
+        FROM documents),
+      tr AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM dd WHERE b < 90),
+      ho AS (SELECT source, text FROM dd WHERE b >= 90),
+      uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(toks) AS w1 FROM tr) GROUP BY w1),
+      scal AS (SELECT CAST(SUM(c1) AS BIGINT) AS nn,
+          CAST(COUNT(*) + 1 AS BIGINT) AS v FROM uni),
+      cnt2 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+          SELECT unnest(list_transform(range(1, greatest(len(toks) - 1, 0)
+            + 1), i -> toks[i] || ' ' || toks[i+1])) AS g FROM tr)
+        GROUP BY g),
+      htok AS (SELECT source,
+          unnest(regexp_split_to_array(trim(text), '\\s+')) AS w1
+        FROM ho),
+      eu AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nu,
+          CAST(SUM(CAST(ROUND(-LN(
+            (CAST(COALESCE(c1, 0) AS DOUBLE) + 1.0)
+            / CAST(nn + v AS DOUBLE)) * 1e4, 0) AS BIGINT)) AS BIGINT)
+            AS su
+        FROM htok LEFT JOIN uni USING (w1) CROSS JOIN scal
+        GROUP BY source),
+      ellu AS (SELECT source, (2 * su + nu) // (2 * nu) AS ell_uni_q
+        FROM eu),
+      hbi AS (SELECT source, g, split_part(g, ' ', 1) AS w1 FROM (
+          SELECT source,
+            unnest(list_transform(range(1, greatest(len(toks) - 1, 0)
+              + 1), i -> toks[i] || ' ' || toks[i+1])) AS g
+          FROM (SELECT source,
+              regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM ho))),
+      ebb AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nb,
+          CAST(SUM(CAST(ROUND(-LN(
+            (CAST(COALESCE(c2, 0) AS DOUBLE) + 1.0)
+            / (CAST(COALESCE(c1, 0) AS DOUBLE) + CAST(v AS DOUBLE)))
+            * 1e4, 0) AS BIGINT)) AS BIGINT) AS sb
+        FROM hbi LEFT JOIN cnt2 USING (g) LEFT JOIN uni USING (w1)
+        CROSS JOIN scal GROUP BY source),
+      ellb AS (SELECT source, (2 * sb + nb) // (2 * nb) AS ell_bi_q
+        FROM ebb),
+      exc AS MATERIALIZED (SELECT source, ell_uni_q, ell_bi_q,
+          GREATEST(ell_uni_q - ell_bi_q, 0) AS excess_q
+        FROM ellu JOIN ellb USING (source)),
+      wts AS MATERIALIZED (SELECT source,
+          CAST(ROUND(EXP(0.1 * CAST(excess_q AS DOUBLE) / 1e4) * 1e6, 0)
+            AS HUGEINT) AS wq
+        FROM exc),
+      sc AS (SELECT CAST(COUNT(*) AS HUGEINT) AS s FROM wts),
+      u0 AS (SELECT source, CAST(1000000 AS HUGEINT) // s AS base,
+          CAST(1000000 AS HUGEINT) % s AS rem FROM wts, sc),
+      k0 AS (SELECT 1000000 - SUM(base) AS k FROM u0),
+      a0 AS MATERIALIZED (SELECT source, base + CASE WHEN ROW_NUMBER()
+          OVER (ORDER BY rem DESC, source) <= k THEN 1 ELSE 0 END AS aq
+        FROM u0, k0),$steps,
+      acc AS (SELECT source, CAST(SUM(aq) AS HUGEINT) AS a
+        FROM ($unions) GROUP BY source),
+      fb AS MATERIALIZED (SELECT source, a // 10 AS base, a % 10 AS rem
+        FROM acc),
+      fk AS (SELECT 1000000 - SUM(base) AS k FROM fb),
+      fin AS (SELECT source, base + CASE WHEN ROW_NUMBER()
+          OVER (ORDER BY rem DESC, source) <= k THEN 1 ELSE 0 END AS fq
+        FROM fb, fk)
+      SELECT e.source, CAST(ell_uni_q AS DOUBLE) / 1e4 AS ell_proxy,
+        CAST(ell_bi_q AS DOUBLE) / 1e4 AS ell_ref,
+        CAST(excess_q AS DOUBLE) / 1e4 AS excess,
+        CAST(fq AS DOUBLE) / 1e6 AS weight
+      FROM exc e JOIN fin USING (source) ORDER BY e.source"""
+    },
     "x164_wilson_bound" -> s"""$clfTrainedSql,
       zs AS (SELECT doc_id, y,
           CAST(SUM(CAST(ROUND(w[bucket + 1] * x * 1e9, 0) AS BIGINT))

@@ -178,14 +178,26 @@ object DocStream {
     * corpus the winnow audits can't see. Row-local per batch (the
     * selection is a per-doc array fold; the write is the only I/O),
     * so it chains after [[curateStages]] inside the same
-    * foreachBatch. StreamingSpec proves the streamed store ≡ the
-    * batch-computed fingerprints row-for-row. */
-  def winnowIngest(batch: DataFrame, storeDir: String): Unit =
+    * foreachBatch. Idempotent under foreachBatch's at-least-once
+    * delivery (ADVICE r10): docs already in the store are left-anti
+    * filtered out before fingerprinting, so a replayed micro-batch
+    * appends nothing — the anti-join reads only the store's doc_id
+    * column (column-pruned) and its cost is store-ingest-sized, not
+    * corpus-sized. StreamingSpec proves the streamed store ≡ the
+    * batch-computed fingerprints row-for-row AND that a replay leaves
+    * the store unchanged. */
+  def winnowIngest(batch: DataFrame, storeDir: String): Unit = {
+    val fresh =
+      if (new java.io.File(storeDir).exists())
+        batch.join(batch.sparkSession.read.parquet(storeDir)
+          .select(col("doc_id")), Seq("doc_id"), "left_anti")
+      else batch
     graft.dedup.NearDup
-      .winnowedFingerprints(batch.select(col("doc_id"), col("text")))
+      .winnowedFingerprints(fresh.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("m"),
         size(col("sel")).cast("long").as("n_sel"), col("fps"))
       .write.mode("append").parquet(storeDir)
+  }
 
   /** Quality decile on the integer-1e4 score representation — the
     * x68 binning (pure integer: no engine or batch/stream replay can
@@ -317,12 +329,18 @@ object DocStream {
 
   /** Point-estimate query over [[windowedCmsCells]] output: per
     * (window, candidate token), the CMS estimate = min over the 4
-    * hash rows' bucket counters; a candidate missing any cell in a
-    * window was provably absent there (CMS counters only ever
-    * overcount), so the estimate clamps to 0 rather than taking a
-    * min over the surviving rows. Runs downstream of the windowed
-    * aggregation (foreachBatch in a live stream — the cell table is
-    * the bounded handoff, the qualityPsi pattern). */
+    * hash rows' bucket counters; a counter cell absent from a window
+    * means that bucket counted nothing there (CMS counters only ever
+    * overcount), so missing cells coalesce to 0 before the min —
+    * EVERY (window, candidate) pair gets a row, including candidates
+    * whose 4 cells are all absent (estimate 0), via candidates ×
+    * distinct-windows left-joined to the cell table (ADVICE r10: the
+    * old inner join emitted NO row in the all-absent case, making the
+    * clamp claim vacuous). Both sides of the cross product are
+    * bounded — windows-in-flight × |candidates| — so the estimate
+    * table stays tiny regardless of throughput. Runs downstream of
+    * the windowed aggregation (foreachBatch in a live stream — the
+    * cell table is the bounded handoff, the qualityPsi pattern). */
   def cmsEstimate(cells: DataFrame, candidates: Seq[String]): DataFrame = {
     val spark = cells.sparkSession
     import spark.implicits._
@@ -331,10 +349,19 @@ object DocStream {
       .withColumn("bucket", pmod(graft.dedup.NearDup.md5Hash32(
         concat(col("hrow").cast("string"), lit(":"), col("w"))),
         lit(1024L)))
-    cells.join(broadcast(cand), Seq("hrow", "bucket"))
+    // two-sided read of `cells` (windows + counters): the counter side
+    // renames every column so the self-join's outputs share no
+    // attribute — the plain self-join trips Catalyst's conflicting-
+    // reference resolution on the shared view lineage
+    val ctr = cells.select(col("window").as("c_win"),
+      col("hrow").as("c_hrow"), col("bucket").as("c_bucket"),
+      col("cnt").as("c_cnt"))
+    cells.select(col("window")).distinct()
+      .crossJoin(broadcast(cand))
+      .join(ctr, col("window") === col("c_win") &&
+        col("hrow") === col("c_hrow") &&
+        col("bucket") === col("c_bucket"), "left")
       .groupBy(col("window"), col("w"))
-      .agg(min(col("cnt")).as("mn"), count(lit(1)).as("nr"))
-      .select(col("window"), col("w"),
-        when(col("nr") === 4L, col("mn")).otherwise(0L).as("c_cms"))
+      .agg(min(coalesce(col("c_cnt"), lit(0L))).as("c_cms"))
   }
 }

@@ -2966,6 +2966,37 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("x166 DoReMi: high-excess domain gains weight; every iterate lands on the simplex exactly") {
+    import spark.implicits._
+    // crafted skew: "grammar" docs cycle a deterministic 4-token
+    // pattern — the bigram reference nails it while the unigram proxy
+    // pays ln(8) per token (HIGH excess); "flat" docs shuffle two
+    // tokens with no sequential structure — bigram ≈ coin flip, so
+    // the excess is the much smaller ln(8)−ln(2) gap
+    val docs = ((0 until 200).map(i =>
+        (i.toLong, "grammar", "a b c d a b c d a b c d")) ++
+      (0 until 200).map(i =>
+        (1000L + i, "flat", "p q q p p q q p q p q p")))
+      .toDF("doc_id", "source", "text")
+    val ex = TrainingData.doremiExcessQ(docs).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(3))).toSeq
+    val exm = ex.toMap
+    assert(exm("grammar") > exm("flat") && exm("flat") >= 0L,
+      s"bigram-structured domain must carry the larger excess: $exm")
+    val (steps, fin) = TrainingData.doremiWeights(ex)
+    steps.foreach(st => assert(st.map(_._2).sum == 1000000L,
+      s"step iterate must sum to 1e6 exactly: $st"))
+    assert(fin.map(_._2).sum == 1000000L,
+      s"final average must sum to 1e6 exactly: $fin")
+    val fm = fin.toMap
+    assert(fm("grammar") > 500000L && fm("flat") < 500000L,
+      s"excess-loss domain must end above uniform: $fm")
+    // fixed positive multipliers: the high-excess share never shrinks
+    val traj = steps.map(_.toMap.apply("grammar"))
+    assert(traj.zip(traj.tail).forall { case (a, b) => b >= a },
+      s"grammar weight must be non-decreasing: $traj")
+  }
+
   test("x148 margin demotes a crafted hub that raw cosine prefers") {
     import spark.implicits._
     // queries 0,2,4; hub match 101 sits at cos .85 to ALL queries

@@ -315,10 +315,14 @@ class StreamingSpec extends AnyFunSuite {
       assert(r.getAs[Long]("c_cms") >= r.getAs[Long]("c_exact"),
         s"CMS must never undercount: $r")
     }
-    // a token the slice never saw estimates 0 in every window (the
-    // missing-cell clamp), unless all 4 of its buckets collide
+    // a token the slice never saw still gets one row PER WINDOW (the
+    // ADVICE-r10 fix: all-absent cells no longer drop the candidate),
+    // estimating 0 unless all 4 of its buckets collide
+    val nWindows = streamCells.select("window").distinct().count()
     val ghost = DocStream.cmsEstimate(streamCells,
       Seq("zz-never-in-any-fixture-zz")).collect()
+    assert(ghost.length == nWindows,
+      s"ghost token must estimate in all $nWindows windows, got ${ghost.length}")
     ghost.foreach(r => assert(r.getAs[Long]("c_cms") >= 0))
   }
 
@@ -415,6 +419,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0 &&
       batch.exceptAll(streamed).count() == 0,
       "streamed store must equal the batch fingerprints row-for-row")
+    // at-least-once replay (ADVICE r10): re-delivering the same batch
+    // must append nothing — the store is doc_id-idempotent
+    graft.streaming.DocStream.winnowIngest(docs, storeDir)
+    assert(spark.read.parquet(storeDir).count() == docs.count(),
+      "a replayed micro-batch must leave the store unchanged")
   }
 
   test("end-to-end curation pipeline: stream ≡ batch, funnel reconciles per stage") {
