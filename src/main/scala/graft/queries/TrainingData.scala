@@ -4975,12 +4975,22 @@ object TrainingData {
     * count decodes as np = 32·s_L − e_L. Like x107 this is a
     * DICTIONARY computation: the merges replay once per distinct
     * word, never per occurrence. */
-  private[graft] def viterbiDict(docs: DataFrame): DataFrame = {
-    val scores = unigramPieceScores(docs)
-    val words = docs
+  private[graft] def viterbiDict(docs: DataFrame): DataFrame =
+    viterbiDictOn(unigramPieceScores(docs), docs
       .select(explode(wsTokens(lower(col("text")))).as("w"))
       .filter(col("w") =!= "" && length(col("w")) <= ViterbiMaxW)
-      .distinct()
+      .distinct())
+
+  /** [[viterbiDict]] decoupled: decode `words` (a distinct single-
+    * column `w` relation, each ≤ [[ViterbiMaxW]] chars) under an
+    * ARBITRARY piece-score table — the split x167 needs (scores from
+    * the train slice, words from held-out). A word with a position no
+    * scored piece covers decodes to NULL wq/np (max-plus over an
+    * empty candidate set), and a word with NO scored piece at all
+    * drops from the output entirely (inner piece join) — both are the
+    * closed-inventory OOV signal x167 reports. */
+  private[graft] def viterbiDictOn(scores: DataFrame,
+      words: DataFrame): DataFrame = {
     val cand = words.select(col("w"),
         explode(flatten(transform(sequence(lit(0), length(col("w")) - 1),
           j => transform(sequence(lit(1),
@@ -6686,6 +6696,86 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  /** X167: tokenizer selection audit — the engine trains all three
+    * published subword tokenizers (BPE x106, WordPiece x145, unigram
+    * x117/x135) but until now nothing COMPARED them; this is the
+    * table a data-pipeline owner actually decides on. All three train
+    * on the md5-balde train split (< 90: BPE/WordPiece = 50 merges
+    * over the top-1024 vocabulary, unigram = the full 1-4-char piece
+    * inventory) and are measured on the HELD-OUT split (≥ 90), over
+    * word occurrences ≤ [[ViterbiMaxW]] chars (the x117 dictionary
+    * contract, applied to every tokenizer so the denominators are
+    * identical). Per tokenizer: OOV rate (occurrences the learned
+    * inventory cannot represent — BPE/WordPiece are char-open, so 0
+    * by construction; unigram's closed piece inventory is not),
+    * fertility = subtokens per covered word, compression = chars per
+    * subtoken, and the fully-merged single-token rate — fertility and
+    * compression computed over COVERED occurrences only so the three
+    * rows compare like for like. Scale shape: one train scan (vocab +
+    * piece inventory), one held-out counting scan, three vocabulary-
+    * sized dictionaries broadcast-joined back to the held-out word
+    * counts — the classic tokenizer layout; nothing after the scans
+    * is corpus-sized. Oracle: both merge trainers + the 16-level DP
+    * unrolled on the same split (≈ 500 bounded CTEs). */
+  val x167TokenizerAudit: Q = (s, d) =>
+    tokenizerAuditOn(s, Tables.documents(s, d))
+
+  /** [[x167TokenizerAudit]] core over any (doc_id, source, text) frame
+    * (exposed for the EngineSpec crafted-OOV pin). */
+  private[graft] def tokenizerAuditOn(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val balde = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long"), lit(100L))
+    val train = docs.filter(balde < 90)
+    val vocab = bpeVocab(train, 1024)
+    val bpeM = graft.text.Bpe.trainOnVocab(vocab, 50)
+      .map(m => (m.lhs, m.rhs))
+    val wpM = graft.text.Bpe.trainWordPieceOnVocab(vocab, 50)
+      .map(m => (m.lhs, m.rhs))
+    val hw = docs.filter(balde >= 90)
+      .select(explode(wsTokens(lower(col("text")))).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) <= ViterbiMaxW)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .localCheckpoint()
+    val words = hw.select(col("w"))
+    val bd = graft.text.Bpe.segmentDict(words, bpeM)
+      .select(col("w"), size(col("syms")).cast("long").as("n_bpe"))
+    val wd = graft.text.Bpe.segmentDict(words, wpM)
+      .select(col("w"), size(col("syms")).cast("long").as("n_wp"))
+    val ud = viterbiDictOn(unigramPieceScores(train), words)
+      .select(col("w"), col("np").as("n_uni"))
+    hw.join(broadcast(bd), Seq("w")).join(broadcast(wd), Seq("w"))
+      .join(broadcast(ud), Seq("w"), "left")
+      .withColumn("len", length(col("w")).cast("long"))
+      .select(col("f"), col("len"), explode(array(
+        struct(lit("bpe").as("tok"), col("n_bpe").as("ns")),
+        struct(lit("unigram").as("tok"), col("n_uni").as("ns")),
+        struct(lit("wordpiece").as("tok"), col("n_wp").as("ns")))).as("e"))
+      .select(col("e.tok").as("tokenizer"), col("f"), col("len"),
+        col("e.ns").as("ns"))
+      .groupBy(col("tokenizer"))
+      .agg(sum(col("f")).as("n_words"),
+        sum(when(col("ns").isNull, col("f")).otherwise(0L)).as("n_oov"),
+        sum(when(col("ns").isNotNull, col("f")).otherwise(0L)).as("n_cov"),
+        sum(when(col("ns").isNotNull, col("f") * col("ns")).otherwise(0L))
+          .as("n_subtok"),
+        sum(when(col("ns").isNotNull, col("f") * col("len")).otherwise(0L))
+          .as("n_chars"),
+        sum(when(col("ns") === 1L, col("f")).otherwise(0L)).as("n_single"))
+      .select(col("tokenizer"), col("n_words"), col("n_oov"),
+        (intRoundHalfAway(col("n_oov") * 10000L, col("n_words"))
+          .cast("double") / 1e4).as("oov_rate"),
+        col("n_subtok"),
+        (intRoundHalfAway(col("n_subtok") * 10000L, col("n_cov"))
+          .cast("double") / 1e4).as("fertility"),
+        (intRoundHalfAway(col("n_chars") * 10000L, col("n_subtok"))
+          .cast("double") / 1e4).as("compression"),
+        (intRoundHalfAway(col("n_single") * 10000L, col("n_cov"))
+          .cast("double") / 1e4).as("single_rate"))
+      .orderBy(col("tokenizer"))
+  }
+
   /** X123: tokenizer vocabulary-size scaling curve — the budget-
     * pricing table for x106's BPE: per source, fertility under the
     * FIRST 10, 25, and all 50 learned merges (more merges = bigger
@@ -7465,6 +7555,7 @@ object TrainingData {
     "x164_wilson_bound" -> x164WilsonBound,
     "x165_truncation_loss" -> x165TruncationLoss,
     "x166_doremi_weights" -> x166DoremiWeights,
+    "x167_tokenizer_audit" -> x167TokenizerAudit,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -7745,14 +7836,22 @@ object TrainingData {
 
   private def bpeTrainCtes: String = bpeTrainCtesOn("1 = 1", 1024)
 
-  private def bpeTrainCtesOn(where: String, topV: Int): String = {
-    val sb = new StringBuilder
-    sb ++= s"""wf AS MATERIALIZED (
+  /** The shared frequency-weighted training-vocabulary CTE (`wf`) both
+    * merge trainers consume — split out so x167 can train BPE AND
+    * WordPiece on the SAME slice inside one query (CTE names must be
+    * unique per query — the round-9 collision lesson). */
+  private def bpeWfCte(where: String, topV: Int): String =
+    s"""wf AS MATERIALIZED (
         SELECT w, CAST(COUNT(*) AS BIGINT) AS f
         FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
               FROM documents WHERE $where)
-        WHERE w <> '' GROUP BY w ORDER BY f DESC, w LIMIT $topV),
-      v0 AS MATERIALIZED (SELECT w, f,
+        WHERE w <> '' GROUP BY w ORDER BY f DESC, w LIMIT $topV)"""
+
+  /** The 50 unrolled BPE training iterations over `wf` (v0 … v50 with
+    * per-iteration pair counts pc_k and argmax merge m_k). */
+  private def bpeIterCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""v0 AS MATERIALIZED (SELECT w, f,
         list_transform(range(1, length(w)+1), i ->
           substring(w, CAST(i AS INT), 1)) AS syms FROM wf)"""
     for (k <- 1 to bpeK) {
@@ -7770,18 +7869,21 @@ object TrainingData {
     sb.toString
   }
 
+  private def bpeTrainCtesOn(where: String, topV: Int): String =
+    bpeWfCte(where, topV) + ",\n      " + bpeIterCtes
+
   /** x145's WordPiece trainer unrolled: like [[bpeTrainCtes]] but each
     * iteration also materializes frequency-weighted unit counts and
     * ranks candidate pairs by the exact HUGEINT floor-quotient
     * cnt·10¹² / (ca·cb); sentinel/apply contract identical. */
-  private def wpTrainCtes: String = {
+  private def wpTrainCtes: String =
+    bpeWfCte("1 = 1", 1024) + ",\n      " + wpIterCtes
+
+  /** The 50 unrolled WordPiece iterations over `wf` (y0 … y50, unit
+    * counts yu_k, HUGEINT likelihood argmax ym_k). */
+  private def wpIterCtes: String = {
     val sb = new StringBuilder
-    sb ++= s"""wf AS MATERIALIZED (
-        SELECT w, CAST(COUNT(*) AS BIGINT) AS f
-        FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
-              FROM documents)
-        WHERE w <> '' GROUP BY w ORDER BY f DESC, w LIMIT 1024),
-      y0 AS MATERIALIZED (SELECT w, f,
+    sb ++= s"""y0 AS MATERIALIZED (SELECT w, f,
         list_transform(range(1, length(w)+1), i ->
           substring(w, CAST(i AS INT), 1)) AS syms FROM wf)"""
     for (k <- 1 to bpeK) {
@@ -9280,6 +9382,129 @@ object TrainingData {
         CAST(excess_q AS DOUBLE) / 1e4 AS excess,
         CAST(fq AS DOUBLE) / 1e6 AS weight
       FROM exc e JOIN fin USING (source) ORDER BY e.source"""
+    },
+    // x167: one query trains BOTH merge tables (shared wf on the train
+    // split) plus the unigram piece scores, replays all three on the
+    // held-out word table, and aggregates per tokenizer.
+    "x167_tokenizer_audit" -> {
+      val trainWhere =
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 90"
+      val hoWhere =
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 >= 90"
+      val segB = new StringBuilder
+      segB ++= """hb0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS f,
+          list_transform(range(1, length(w)+1), i ->
+            substring(w, CAST(i AS INT), 1)) AS syms
+          FROM (SELECT w FROM hw))"""
+      for (k <- 1 to bpeK)
+        segB ++= s""",
+        hb$k AS MATERIALIZED (${bpeApplySql(s"hb${k - 1}, m$k m")})"""
+      val segY = new StringBuilder
+      segY ++= """hy0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS f,
+          list_transform(range(1, length(w)+1), i ->
+            substring(w, CAST(i AS INT), 1)) AS syms
+          FROM (SELECT w FROM hw))"""
+      for (k <- 1 to bpeK)
+        segY ++= s""",
+        hy$k AS MATERIALIZED (${bpeApplySql(s"hy${k - 1}, ym$k m")})"""
+      val dp = new StringBuilder
+      for (i <- 1 to 16) {
+        val cands = (math.max(0, i - 4) until i).map { j =>
+          val k = j * 4 + (i - j)
+          (s"s$j + scl[$k]", s"e$j + scl[$k] * 32 - 1")
+        }
+        def mx(cs: Seq[String]) =
+          if (cs.size == 1) cs.head else cs.mkString("GREATEST(", ", ", ")")
+        dp ++= s""",
+      hd$i AS MATERIALIZED (SELECT *, ${mx(cands.map(_._1))} AS s$i,
+        ${mx(cands.map(_._2))} AS e$i FROM hd${i - 1})"""
+      }
+      val sList = (1 to 16).map(i => s"s$i").mkString("[", ", ", "]")
+      val eList = (1 to 16).map(i => s"e$i").mkString("[", ", ", "]")
+      s"""WITH ${bpeWfCte(trainWhere, 1024)},
+      $bpeIterCtes,
+      $wpIterCtes,
+      hw AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+            AS w
+          FROM documents WHERE $hoWhere)
+        WHERE w <> '' AND length(w) <= 16 GROUP BY w),
+      $segB,
+      $segY,
+      twf AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+            AS w
+          FROM documents WHERE $trainWhere)
+        WHERE w <> '' AND length(w) <= 16 GROUP BY w),
+      tcand AS MATERIALIZED (
+        SELECT w, f, (j * 4 + l) AS k, substring(w, CAST(j + 1 AS INT),
+          CAST(l AS INT)) AS p
+        FROM twf, unnest(range(0, length(w))) AS tj(j),
+          unnest(range(1, 5)) AS tl(l)
+        WHERE j + l <= length(w)),
+      tpc AS MATERIALIZED (SELECT p, CAST(SUM(f) AS BIGINT) AS cnt
+        FROM tcand GROUP BY p),
+      ttot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM tpc),
+      tscs AS MATERIALIZED (SELECT p,
+          CAST(ROUND(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)) * 1e4, 0)
+            AS BIGINT) AS sq
+        FROM tpc, ttot),
+      hcand AS MATERIALIZED (
+        SELECT w, (j * 4 + l) AS k, substring(w, CAST(j + 1 AS INT),
+          CAST(l AS INT)) AS p
+        FROM (SELECT w FROM hw), unnest(range(0, length(w))) AS tj(j),
+          unnest(range(1, 5)) AS tl(l)
+        WHERE j + l <= length(w)),
+      hkl AS MATERIALIZED (
+        SELECT c.w, c.k, s.sq FROM hcand c JOIN tscs s USING (p)),
+      hscl AS MATERIALIZED (
+        SELECT ww.w, list(hkl.sq ORDER BY r.k) AS scl
+        FROM (SELECT w FROM hw) ww
+        CROSS JOIN range(1, 65) r(k)
+        LEFT JOIN hkl ON hkl.w = ww.w AND hkl.k = r.k
+        GROUP BY ww.w),
+      hd0 AS (SELECT w, scl, CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS e0
+        FROM hscl)
+      $dp,
+      udict AS (SELECT w,
+          32 * ($sList[length(w)]) - ($eList[length(w)]) AS np
+        FROM hd16),
+      res AS (
+        SELECT 'bpe' AS tokenizer, hw.f,
+          CAST(length(hw.w) AS BIGINT) AS len,
+          CAST(len(b.syms) AS BIGINT) AS ns
+        FROM hw JOIN hb$bpeK b USING (w)
+        UNION ALL
+        SELECT 'wordpiece' AS tokenizer, hw.f,
+          CAST(length(hw.w) AS BIGINT) AS len,
+          CAST(len(y.syms) AS BIGINT) AS ns
+        FROM hw JOIN hy$bpeK y USING (w)
+        UNION ALL
+        SELECT 'unigram' AS tokenizer, hw.f,
+          CAST(length(hw.w) AS BIGINT) AS len, u.np AS ns
+        FROM hw LEFT JOIN udict u USING (w))
+      SELECT tokenizer, CAST(SUM(f) AS BIGINT) AS n_words,
+        CAST(SUM(CASE WHEN ns IS NULL THEN f ELSE 0 END) AS BIGINT)
+          AS n_oov,
+        CAST(((2 * SUM(CASE WHEN ns IS NULL THEN f ELSE 0 END) * 10000
+          + SUM(f)) // (2 * SUM(f))) AS DOUBLE) / 1e4 AS oov_rate,
+        CAST(SUM(CASE WHEN ns IS NOT NULL THEN f * ns ELSE 0 END)
+          AS BIGINT) AS n_subtok,
+        CAST(((2 * SUM(CASE WHEN ns IS NOT NULL THEN f * ns ELSE 0 END)
+            * 10000 + SUM(CASE WHEN ns IS NOT NULL THEN f ELSE 0 END))
+          // (2 * SUM(CASE WHEN ns IS NOT NULL THEN f ELSE 0 END)))
+          AS DOUBLE) / 1e4 AS fertility,
+        CAST(((2 * SUM(CASE WHEN ns IS NOT NULL THEN f * len ELSE 0 END)
+            * 10000 + SUM(CASE WHEN ns IS NOT NULL THEN f * ns ELSE 0 END))
+          // (2 * SUM(CASE WHEN ns IS NOT NULL THEN f * ns ELSE 0 END)))
+          AS DOUBLE) / 1e4 AS compression,
+        CAST(((2 * SUM(CASE WHEN ns = 1 THEN f ELSE 0 END) * 10000
+          + SUM(CASE WHEN ns IS NOT NULL THEN f ELSE 0 END))
+          // (2 * SUM(CASE WHEN ns IS NOT NULL THEN f ELSE 0 END)))
+          AS DOUBLE) / 1e4 AS single_rate
+      FROM res GROUP BY tokenizer ORDER BY tokenizer"""
     },
     "x164_wilson_bound" -> s"""$clfTrainedSql,
       zs AS (SELECT doc_id, y,

@@ -2997,6 +2997,47 @@ class EngineSpec extends AnyFunSuite {
       s"grammar weight must be non-decreasing: $traj")
   }
 
+  test("x167 tokenizer audit: cross-tokenizer orderings on the fixture; closed unigram inventory flags unseen-char OOV") {
+    import spark.implicits._
+    val rows = TrainingData.defs("x167_tokenizer_audit")(spark, sf).collect()
+    assert(rows.length == 3)
+    val m = rows.map(r => r.getString(0) -> r).toMap
+    assert(Set("bpe", "unigram", "wordpiece") == m.keySet)
+    // identical denominators across the three rows
+    assert(rows.map(_.getAs[Long]("n_words")).distinct.length == 1)
+    // the rich 1-4-char piece inventory beats 50 merges over the
+    // top-1024 vocab on fertility (the x117 Viterbi-optimality edge,
+    // re-asserted cross-tokenizer per the round-10 verdict)
+    assert(m("unigram").getAs[Double]("fertility") <=
+      m("bpe").getAs[Double]("fertility"))
+    assert(m("unigram").getAs[Double]("fertility") <=
+      m("wordpiece").getAs[Double]("fertility"))
+    // char-open tokenizers can always emit
+    assert(m("bpe").getAs[Long]("n_oov") == 0L)
+    assert(m("wordpiece").getAs[Long]("n_oov") == 0L)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("fertility") >= 1.0 - 1e-9)
+      assert(r.getAs[Double]("compression") >= 1.0 - 1e-9)
+    }
+    // crafted OOV: a held-out-only word carrying a char the train
+    // split never saw is unrepresentable for the closed unigram
+    // inventory but still segments under the char-open merge pair
+    val hoId = spark.range(1000, 2000)
+      .withColumn("b", pmod(conv(substring(md5(col("id")
+        .cast("string")), 1, 4), 16, 10).cast("long"), lit(100L)))
+      .filter(col("b") >= 90).head().getLong(0)
+    val docs = ((0L until 300L).map(i =>
+        (i, "src", "alpha beta gamma delta epsilon")) :+
+      ((hoId, "src", "weirdo" + "ø")))
+      .toDF("doc_id", "source", "text")
+    val out = TrainingData.tokenizerAuditOn(spark, docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("unigram").getAs[Long]("n_oov") > 0L,
+      s"unseen char must be unigram-OOV: ${out.values.toSeq}")
+    assert(out("bpe").getAs[Long]("n_oov") == 0L)
+    assert(out("wordpiece").getAs[Long]("n_oov") == 0L)
+  }
+
   test("x148 margin demotes a crafted hub that raw cosine prefers") {
     import spark.implicits._
     // queries 0,2,4; hub match 101 sits at cos .85 to ALL queries
