@@ -6406,6 +6406,89 @@ object TrainingData {
       .orderBy(col("y"))
   }
 
+  /** X168: curriculum schedule from training dynamics — the artifact
+    * a trainer actually CONSUMES from the trajectory family: x157
+    * labels regions and x158 counts forgets, but neither emits a
+    * run-order; this does. Per doc (ONE x157-shaped 20-snapshot
+    * scoring join): confidence, variability, and the x158 learned-
+    * at-least-once count. Stages follow the cartography curriculum
+    * (Swayamdipta et al. 2020 §6): stage 1 = easy-to-learn (warmup),
+    * stage 2 = middle + ambiguous (the high-value core — "ambiguous
+    * contributes the most"), stage 3 = hard-but-learned (polish);
+    * never-learned docs (no correct step, x158's noise region) are
+    * DROPPED — reported as stage 0 with alloc 0, never silently. The
+    * token budget (half the kept mass, the x141 convention) lands on
+    * the (stage, region) cells proportional to token mass by exact
+    * largest-remainder (x162's recipe: floor quotas + top remainders,
+    * ties by (stage, region); Σ alloc = B EXACTLY, pinned in
+    * EngineSpec). Scale shape: the x157 scoring join + one corpus
+    * token scan, collapsing onto ≤ 5 (stage, region) cells; the
+    * landing runs on that pinned tiny relation (b·n_tok stays in
+    * Int64 up to ~10⁹-token corpora; production id widths promote the
+    * quota products to decimal(38,0) — the Opq precedent). */
+  val x168CurriculumSchedule: Q = (s, d) => {
+    val traj = s.read.parquet(ensureClfTrajectory(s, d))
+    val (tf, _) = qualityClfTf(s, d)
+    val z = tf.join(broadcast(traj), Seq("bucket"))
+      .groupBy(col("doc_id"), col("y"), col("step"))
+      .agg(sum(round(col("wb") * col("x") * 1e9, 0).cast("long")).as("zq"))
+    val pq = round((lit(1.0) / (lit(1.0)
+        + exp(-(col("zq").cast("double") / 1e9)))) * 1e6, 0).cast("long")
+    val perDoc = z
+      .select(col("doc_id"),
+        when(col("y") === 1L, pq).otherwise(lit(1000000L) - pq).as("ptq"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("k"), sum(col("ptq")).as("sp"),
+        sum(col("ptq") * col("ptq")).as("spp"),
+        sum(when(col("ptq") >= 500000L, 1L).otherwise(0L)).as("n_ok"))
+      .select(col("doc_id"),
+        intRoundHalfAway(col("sp"), col("k")).as("conf_q"),
+        round(sqrt((col("k") * col("spp") - col("sp") * col("sp"))
+          .cast("double")) / col("k").cast("double"), 0).cast("long")
+          .as("vari_q"),
+        col("n_ok"))
+    val staged = perDoc
+      .withColumn("region",
+        when(col("vari_q") >= 100000L, "ambiguous")
+          .when(col("conf_q") >= 700000L, "easy_to_learn")
+          .when(col("conf_q") <= 300000L, "hard_to_learn")
+          .otherwise("middle"))
+      .withColumn("stage",
+        when(col("n_ok") === 0L, 0L)
+          .when(col("region") === "easy_to_learn", 1L)
+          .when(col("region") === "middle"
+            || col("region") === "ambiguous", 2L)
+          .otherwise(3L))
+    val nt = Tables.documents(s, d)
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("t"))
+    // pinned once: the cell table feeds the budget total, the quotas,
+    // and the remainder landing (the x162 stat-table lesson)
+    val cell = staged.join(nt, Seq("doc_id"))
+      .groupBy(col("stage"), col("region"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tok"))
+      .localCheckpoint()
+    val tot = cell.agg(
+      call_function("div",
+        sum(when(col("stage") >= 1L, col("n_tok")).otherwise(0L)),
+        lit(2L)).as("b"),
+      sum(when(col("stage") >= 1L, col("n_tok")).otherwise(0L)).as("kt"))
+    val base = cell.crossJoin(broadcast(tot))
+      .withColumn("basq", when(col("stage") >= 1L,
+        call_function("div", col("b") * col("n_tok"), col("kt")))
+        .otherwise(0L))
+      .withColumn("rem", when(col("stage") >= 1L,
+        pmod(col("b") * col("n_tok"), col("kt"))).otherwise(-1L))
+    val kdf = base.agg((max(col("b")) - sum(col("basq"))).as("kk"))
+    base.crossJoin(broadcast(kdf))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("rem").desc, col("stage"), col("region")))
+        .cast("long"))
+      .select(col("stage"), col("region"), col("n_docs"), col("n_tok"),
+        (col("basq") + when(col("rem") >= 0L && col("rn") <= col("kk"),
+          1L).otherwise(0L)).as("alloc"))
+      .orderBy(col("stage"), col("region"))
+  }
+
   /** X159: TracIn self-influence (Pruthi et al. 2020, "Estimating
     * training data influence by tracing gradient descent") — the
     * trajectory trio's third member (x157 maps, x158 counts, this
@@ -7556,6 +7639,7 @@ object TrainingData {
     "x165_truncation_loss" -> x165TruncationLoss,
     "x166_doremi_weights" -> x166DoremiWeights,
     "x167_tokenizer_audit" -> x167TokenizerAudit,
+    "x168_curriculum_schedule" -> x168CurriculumSchedule,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -9663,6 +9747,68 @@ object TrainingData {
       SELECT CAST(rk AS BIGINT) AS rk, doc_id, CAST(y AS BIGINT) AS y,
         CAST(si_q AS DOUBLE) / 1e6 AS self_influence
       FROM top WHERE rk <= 20 ORDER BY rk"""
+    },
+    "x168_curriculum_schedule" -> {
+      val stepUnion = (2 to 20).map(k => s"SELECT doc_id, y, zq FROM z$k")
+        .mkString(" UNION ALL ")
+      s"""$clfTrainedSql,
+      zf AS MATERIALIZED (SELECT doc_id, y,
+          CAST(SUM(CAST(ROUND(w[bucket + 1] * x * 1e9, 0) AS BIGINT))
+            AS BIGINT) AS zq
+        FROM tf, w20 GROUP BY doc_id, y),
+      trajz AS ($stepUnion UNION ALL SELECT doc_id, y, zq FROM zf),
+      ptr AS (SELECT doc_id, y,
+          CASE WHEN y = 1 THEN pq ELSE 1000000 - pq END AS ptq
+        FROM (SELECT doc_id, y,
+            CAST(ROUND((1 / (1 + exp(-(CAST(zq AS DOUBLE) / 1e9))))
+              * 1e6, 0) AS BIGINT) AS pq
+          FROM trajz)),
+      pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS k,
+          CAST(SUM(ptq) AS BIGINT) AS sp,
+          CAST(SUM(ptq * ptq) AS BIGINT) AS spp,
+          CAST(SUM(CASE WHEN ptq >= 500000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_ok
+        FROM ptr GROUP BY doc_id),
+      cv AS (SELECT doc_id,
+          (2 * sp + k) // (2 * k) AS conf_q,
+          CAST(ROUND(SQRT(CAST(k * spp - sp * sp AS DOUBLE))
+            / CAST(k AS DOUBLE), 0) AS BIGINT) AS vari_q,
+          n_ok
+        FROM pd),
+      st AS (SELECT doc_id, region,
+          CASE WHEN n_ok = 0 THEN 0
+               WHEN region = 'easy_to_learn' THEN 1
+               WHEN region IN ('middle', 'ambiguous') THEN 2
+               ELSE 3 END AS stage
+        FROM (SELECT doc_id, n_ok,
+            CASE WHEN vari_q >= 100000 THEN 'ambiguous'
+                 WHEN conf_q >= 700000 THEN 'easy_to_learn'
+                 WHEN conf_q <= 300000 THEN 'hard_to_learn'
+                 ELSE 'middle' END AS region
+          FROM cv)),
+      ntk AS (SELECT doc_id,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+            AS t
+        FROM documents),
+      cell AS MATERIALIZED (SELECT stage, region,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(t) AS BIGINT) AS n_tok
+        FROM st JOIN ntk USING (doc_id) GROUP BY stage, region),
+      tot AS (SELECT
+          SUM(CASE WHEN stage >= 1 THEN n_tok ELSE 0 END) // 2 AS b,
+          CAST(SUM(CASE WHEN stage >= 1 THEN n_tok ELSE 0 END) AS BIGINT)
+            AS kt
+        FROM cell),
+      bs AS MATERIALIZED (SELECT stage, region, n_docs, n_tok, b,
+          CASE WHEN stage >= 1 THEN (b * n_tok) // kt ELSE 0 END AS basq,
+          CASE WHEN stage >= 1 THEN (b * n_tok) % kt ELSE -1 END AS rem
+        FROM cell, tot),
+      kk AS (SELECT MAX(b) - SUM(basq) AS k FROM bs)
+      SELECT CAST(stage AS BIGINT) AS stage, region, n_docs, n_tok,
+        CAST(basq + CASE WHEN rem >= 0 AND ROW_NUMBER()
+          OVER (ORDER BY rem DESC, stage, region) <= k
+          THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      FROM bs, kk ORDER BY stage, region"""
     },
     "x158_forgetting_events" -> {
       val stepUnion = (2 to 20)

@@ -3038,6 +3038,34 @@ class EngineSpec extends AnyFunSuite {
     assert(out("wordpiece").getAs[Long]("n_oov") == 0L)
   }
 
+  test("x168 curriculum: budget lands exactly, stage composition honors the cartography regions, never-learned are dropped") {
+    val rows = TrainingData.defs("x168_curriculum_schedule")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val kept = rows.filter(_.getAs[Long]("stage") >= 1L)
+    val keptTok = kept.map(_.getAs[Long]("n_tok")).sum
+    // Σ alloc = half the kept token mass EXACTLY (largest remainder)
+    assert(rows.map(_.getAs[Long]("alloc")).sum == keptTok / 2L,
+      s"allocs must land on the budget: ${rows.toSeq}")
+    // dropped rows carry no budget
+    rows.filter(_.getAs[Long]("stage") == 0L)
+      .foreach(r => assert(r.getAs[Long]("alloc") == 0L))
+    // stage composition = the cartography curriculum
+    val want = Map(1L -> Set("easy_to_learn"),
+      2L -> Set("middle", "ambiguous"), 3L -> Set("hard_to_learn"))
+    kept.foreach { r =>
+      assert(want(r.getAs[Long]("stage"))(r.getAs[String]("region")),
+        s"stage/region mismatch: $r")
+    }
+    // the dropped mass reconciles with x158's never-learned count
+    val neverLearned = TrainingData.defs("x158_forgetting_events")(spark, sf)
+      .collect().map(_.getAs[Long]("n_never_learned")).sum
+    val dropped = rows.filter(_.getAs[Long]("stage") == 0L)
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(dropped == neverLearned,
+      s"stage-0 docs ($dropped) must equal x158 never-learned ($neverLearned)")
+  }
+
   test("x148 margin demotes a crafted hub that raw cosine prefers") {
     import spark.implicits._
     // queries 0,2,4; hub match 101 sits at cos .85 to ALL queries
