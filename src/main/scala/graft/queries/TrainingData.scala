@@ -6300,6 +6300,78 @@ object TrainingData {
       .orderBy(col("r"))
   }
 
+  /** x169's register coordinates — shared verbatim by the streaming
+    * half ([[graft.streaming.DocStream.windowedHllRegisters]]), the
+    * x102-CMS convention: register j = the md5₃₂ hash's top 6 bits
+    * (m = 64 registers); rank ρ = leading zeros of the remaining
+    * 26 bits + 1 (an all-zero remainder ranks 27). Pure integer: the
+    * leading-zero count rides `length(bin(r))`, identical in both
+    * engines (no leading zeros, bin(0) = "0"). */
+  private[graft] def hllJ(w: Column): Column =
+    call_function("div", graft.dedup.NearDup.md5Hash32(w), lit(67108864L))
+
+  private[graft] def hllRho(w: Column): Column = {
+    val r = pmod(graft.dedup.NearDup.md5Hash32(w), lit(67108864L))
+    when(r === 0L, lit(27L))
+      .otherwise(lit(27L) - length(bin(r)).cast("long"))
+  }
+
+  /** X169: HyperLogLog distinct sketch (Flajolet et al. 2007; the
+    * m = 64 register-max form) — x160's KMV sibling and the industry
+    * standard BECAUSE sketches MERGE: union of slices ≡ register-wise
+    * max, the property that lets per-window/per-shard sketches roll
+    * up without rescanning (pinned stream≡batch + merge law in
+    * StreamingSpec via [[graft.streaming.DocStream
+    * .windowedHllRegisters]]). Per source: exact distinct tokens, the
+    * HLL estimate, and the relative error. Estimator determinism: the
+    * register power sum Σ 2^(27−M_j) is an EXACT integer (a 28-entry
+    * literal power table indexed by register value — no float pow,
+    * no shift builtin), leaving exactly one double seam — the raw
+    * estimate α₆₄·m²·2²⁷/S (and LN(m/V) on the small-range linear-
+    * counting branch, Flajolet's published correction for E ≤ 2.5m
+    * with empty registers) — quantized 1e-4 after evaluation (x39
+    * rule); the branch predicate compares already-quantized integers.
+    * Scale shape: one scan onto (source, j ≤ 64) registers — map-side
+    * combinable max — plus the exact-distinct baseline for the error
+    * column (the sketch's own cost is 64 longs per source,
+    * constant-state at any corpus size; the exact count exists only
+    * to grade it). */
+  val x169HllDistinct: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("source"), explode(wsTokens(col("text"))).as("w"))
+      .distinct()
+    val regs = tok
+      .select(col("source"), hllJ(col("w")).as("j"),
+        hllRho(col("w")).as("rho"))
+      .groupBy(col("source"), col("j")).agg(max(col("rho")).as("m"))
+    val powArr = array((0 to 27).map(m => lit(1L << (27 - m))): _*)
+    val full = tok.select(col("source")).distinct()
+      .crossJoin(broadcast(s.range(0, 64).select(col("id").as("j"))))
+      .join(regs, Seq("source", "j"), "left")
+      .withColumn("m0", coalesce(col("m"), lit(0L)))
+    val st = full.groupBy(col("source"))
+      .agg(sum(element_at(powArr, (col("m0") + 1L).cast("int"))).as("ssum"),
+        sum(when(col("m0") === 0L, 1L).otherwise(0L)).as("v"))
+    val ex = tok.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_exact"))
+    ex.join(st, Seq("source"))
+      .withColumn("raw_q", round(lit(0.709) * lit(4096.0)
+        * lit(134217728.0) / col("ssum").cast("double") * 1e4, 0)
+        .cast("long"))
+      .withColumn("lc_branch",
+        col("v") > 0L && col("raw_q") <= 1600000L)
+      .withColumn("est_q", when(col("lc_branch"),
+          round(lit(64.0) * log(lit(64.0) / col("v").cast("double"))
+            * 1e4, 0).cast("long"))
+        .otherwise(col("raw_q")))
+      .select(col("source"), col("n_exact"), col("v").as("n_zero_regs"),
+        col("lc_branch"),
+        (col("est_q").cast("double") / 1e4).as("hll_estimate"),
+        (intRoundHalfAway(abs(col("est_q") - col("n_exact") * 10000L),
+          col("n_exact")).cast("double") / 1e4).as("rel_err"))
+      .orderBy(col("source"))
+  }
+
   /** X157: dataset cartography (Swayamdipta et al. 2020, "Dataset
     * cartography: mapping and diagnosing datasets with training
     * dynamics") — the one consumer of a training TRAJECTORY rather
@@ -7640,6 +7712,7 @@ object TrainingData {
     "x166_doremi_weights" -> x166DoremiWeights,
     "x167_tokenizer_audit" -> x167TokenizerAudit,
     "x168_curriculum_schedule" -> x168CurriculumSchedule,
+    "x169_hll_distinct" -> x169HllDistinct,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -9695,6 +9768,52 @@ object TrainingData {
       SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_tok,
         CAST(key_q AS DOUBLE) / 1e6 AS aes_key
       FROM top WHERE rk <= 50 ORDER BY rk""",
+    // x169: the register power table is a literal list (exact
+    // integers); the alpha constant is CAST to DOUBLE so both engines
+    // scale the same 0.709 double by exact powers of two (a DECIMAL
+    // literal would round differently at the division seam).
+    "x169_hll_distinct" -> {
+      val powList = (0 to 27).map(m => 1L << (27 - m))
+        .mkString("[", ", ", "]")
+      s"""
+      WITH tok AS (SELECT DISTINCT source, w FROM (
+          SELECT source,
+            unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+          FROM documents)),
+      hv AS (SELECT source, ${md5Hash32Sql("w")} AS h FROM tok),
+      reg AS (SELECT source, h // 67108864 AS j,
+          CASE WHEN h % 67108864 = 0 THEN 27
+               ELSE 27 - length(bin(h % 67108864)) END AS rho
+        FROM hv),
+      mx AS (SELECT source, j, CAST(MAX(rho) AS BIGINT) AS m
+        FROM reg GROUP BY source, j),
+      fl AS (SELECT s.source, r.j, COALESCE(mx.m, 0) AS m0
+        FROM (SELECT DISTINCT source FROM tok) s
+        CROSS JOIN range(0, 64) r(j)
+        LEFT JOIN mx ON mx.source = s.source AND mx.j = r.j),
+      st AS (SELECT source,
+          CAST(SUM($powList[CAST(m0 + 1 AS INT)]) AS BIGINT) AS ssum,
+          CAST(SUM(CASE WHEN m0 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+        FROM fl GROUP BY source),
+      ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM tok GROUP BY source),
+      es AS (SELECT e.source, e.n_exact, st.v,
+          CAST(ROUND(CAST(0.709 AS DOUBLE) * 4096 * 134217728
+            / CAST(ssum AS DOUBLE) * 1e4, 0) AS BIGINT) AS raw_q
+        FROM ex e JOIN st USING (source)),
+      fin AS (SELECT source, n_exact, v,
+          (v > 0 AND raw_q <= 1600000) AS lc_branch,
+          CASE WHEN v > 0 AND raw_q <= 1600000 THEN
+            CAST(ROUND(64.0 * LN(64.0 / CAST(v AS DOUBLE)) * 1e4, 0)
+              AS BIGINT)
+          ELSE raw_q END AS est_q
+        FROM es)
+      SELECT source, n_exact, v AS n_zero_regs, lc_branch,
+        CAST(est_q AS DOUBLE) / 1e4 AS hll_estimate,
+        CAST(((2 * abs(est_q - n_exact * 10000) + n_exact)
+          // (2 * n_exact)) AS DOUBLE) / 1e4 AS rel_err
+      FROM fin ORDER BY source"""
+    },
     "x160_kmv_distinct" -> s"""
       WITH hv AS (SELECT source, ${md5Hash32Sql("w")} AS h
         FROM (SELECT DISTINCT source, w

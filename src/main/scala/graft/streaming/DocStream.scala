@@ -327,6 +327,30 @@ object DocStream {
       .groupBy(window(col(tsCol), windowDur), col("hrow"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Streaming HyperLogLog registers (x169's sketch as a WATERMARKED
+    * WINDOWED aggregation): per event-time window, the (register j,
+    * max rank) pairs under x169's md5₃₂ coordinates
+    * ([[graft.queries.TrainingData.hllJ]]/[[graft.queries
+    * .TrainingData.hllRho]] — shared verbatim, the CMS convention).
+    * State is windows-in-flight × ≤ 64 registers — bounded regardless
+    * of vocabulary or throughput — and the registers MERGE: the union
+    * of any window set is their register-wise max, HLL's defining
+    * law, so per-window sketches roll up to any coarser granularity
+    * without rescanning text (pinned in StreamingSpec: drained stream
+    * ≡ batch, and max-merging the per-window registers ≡ the sketch
+    * of the whole slice). */
+  def windowedHllRegisters(docs: DataFrame, tsCol: String,
+      windowDur: String, watermark: String): DataFrame =
+    docs
+      .select(col(tsCol),
+        explode(graft.text.TextFunctions.wsTokens(col("text"))).as("w"))
+      .select(col(tsCol),
+        graft.queries.TrainingData.hllJ(col("w")).as("j"),
+        graft.queries.TrainingData.hllRho(col("w")).as("rho"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col("j"))
+      .agg(max(col("rho")).as("m"))
+
   /** Point-estimate query over [[windowedCmsCells]] output: per
     * (window, candidate token), the CMS estimate = min over the 4
     * hash rows' bucket counters; a counter cell absent from a window

@@ -281,6 +281,43 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming HLL: windowed registers equal batch; max-merge of windows equals the whole-slice sketch") {
+    import graft.streaming.DocStream
+    val arriving = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 3).select("doc_id", "text")
+      .withColumn("ts", (col("doc_id") * 60).cast("timestamp"))
+    val tmp = java.nio.file.Files.createTempDirectory("docs_hll").toString
+    arriving.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "2").parquet(tmp)
+    val streamRegs = EventStream.runToMemory(spark,
+      DocStream.windowedHllRegisters(stream, "ts", "1 hour", "30 minutes"),
+      "hll_regs", OutputMode.Complete)
+    val batchRegs = DocStream.windowedHllRegisters(
+      spark.read.parquet(tmp), "ts", "1 hour", "30 minutes")
+    assert(streamRegs.count() == batchRegs.count())
+    assert(streamRegs.exceptAll(batchRegs).count() == 0 &&
+      batchRegs.exceptAll(streamRegs).count() == 0,
+      "drained stream registers must equal the batch sketch")
+    assert(streamRegs.select("window").distinct().count() > 1,
+      "merge law needs multiple windows to say anything")
+    // HLL's defining MERGE law: register-wise max over the per-window
+    // sketches == the sketch of the whole slice, computed from text
+    val merged = streamRegs.groupBy(col("j"))
+      .agg(org.apache.spark.sql.functions.max(col("m")).as("m"))
+    val whole = spark.read.parquet(tmp)
+      .select(explode(graft.text.TextFunctions.wsTokens(col("text")))
+        .as("w"))
+      .select(graft.queries.TrainingData.hllJ(col("w")).as("j"),
+        graft.queries.TrainingData.hllRho(col("w")).as("rho"))
+      .groupBy(col("j"))
+      .agg(org.apache.spark.sql.functions.max(col("rho")).as("m"))
+    assert(merged.exceptAll(whole).count() == 0 &&
+      whole.exceptAll(merged).count() == 0,
+      "union of windows must equal register-wise max (sketch merge)")
+  }
+
   test("streaming CMS: windowed cells equal batch; estimates dominate exact per-window counts") {
     import graft.streaming.DocStream
     val arriving = Tables.documents(spark, sf)
