@@ -4133,6 +4133,82 @@ object TrainingData {
       .orderBy(col("source"), col("epochs"))
   }
 
+  /** X170: data-constrained novelty-decay fit (the measurement behind
+    * Muennighoff et al. 2023's L(N,D) law, fitted FROM this corpus
+    * instead of assuming the paper's R* = 15.39 the way [[x156
+    * RepeatValue]] does): per source, the marginal trigram novelty
+    * m_i across the 10 ingestion deciles (x153's decile machinery on
+    * the n-gram space — the whitespace vocabulary saturates in one
+    * decile on this corpus, a correct signal x153 already records)
+    * follows the exponential decay ln m_i = ln A − i/R*; the fit is
+    * [[graft.ml.LogFit]]'s exact-integer OLS with x = decile·10⁶ and
+    * y = the quantized log novelty, over POSITIVE deciles only (log
+    * domain — exhausted deciles drop, and a source with < 2 distinct
+    * positive deciles reports NULL fit columns rather than a fake
+    * decay). Emitted per source: the decay slope, R* = −1/slope (the
+    * deciles of fresh ingestion until marginal novelty falls by e —
+    * the source's effective-data scale; NULL when the slope is not
+    * negative), the half-life R*·ln 2, and R² on the shared quantized
+    * predictions. This is the number that prices x168's stage budgets
+    * and x141's repeat caps per source from the source's OWN data.
+    * Scale shape: one shingle scan → (source, gram)-keyed first-
+    * occurrence min — map-side combinable, the x52 shuffle — onto a
+    * |sources|×10 relation; the regressions are driver-side on that
+    * bounded table (the LogFit contract). Oracle: the per-source OLS
+    * replayed GROUP BY source on HUGEINT. */
+  val x170ScalingFit: Q = (s, d) =>
+    scalingFitOn(s, Tables.documents(s, d))
+
+  /** [[x170ScalingFit]] core over any (doc_id, source, text) frame
+    * (exposed for the EngineSpec exactly-collinear pin). */
+  private[graft] def scalingFitOn(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import graft.ml.LogFit
+    val width = docs.agg(max(col("doc_id"))).head().getLong(0) / 10L + 1L
+    val fresh = docs
+      .select(col("source"), col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("source"), col("doc_id"),
+        explode(allShinglesOfToks(col("toks"), 3)).as("g"))
+      .groupBy(col("source"), col("g"))
+      .agg(min(col("doc_id")).as("fd"))
+      .groupBy(col("source"),
+        call_function("div", col("fd"), lit(width)).as("bucket"))
+      .agg(count(lit(1)).as("m"))
+      .collect()
+    val rows = fresh.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (src, bs) =>
+        val pts = bs.sortBy(_._2)
+          .map { case (_, b, m) => (b * 1000000L, LogFit.lq(m.toDouble)) }
+          .toSeq
+        val nPos = pts.size.toLong
+        if (pts.map(_._1).distinct.size < 2)
+          (src, nPos, Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+        else {
+          val f = LogFit.fit(pts)
+          val r2 = LogFit.r2Q(pts, f)
+            .map(_.toDouble / 1e6).getOrElse(Double.NaN)
+          val slope = f.slopeQ.toDouble / 1e6
+          if (f.slopeQ < 0L) {
+            val rstar = LogFit.halfAway(BigInt(1000000L) * 10000L,
+              BigInt(-f.slopeQ)).toDouble / 1e4
+            val hl = LogFit.qScaled(
+              math.log(2.0) * 1e6 / (-f.slopeQ).toDouble, 1e4)
+              .toDouble / 1e4
+            (src, nPos, slope, rstar, hl, r2)
+          } else (src, nPos, slope, Double.NaN, Double.NaN, r2)
+        }
+      }
+    s.createDataFrame(rows)
+      .toDF("source", "n_points", "slope_raw", "rstar_raw", "hl_raw",
+        "r2_raw")
+      .select(col("source"), col("n_points"),
+        when(!isnan(col("slope_raw")), col("slope_raw")).as("slope"),
+        when(!isnan(col("rstar_raw")), col("rstar_raw")).as("r_star"),
+        when(!isnan(col("hl_raw")), col("hl_raw")).as("half_life"),
+        when(!isnan(col("r2_raw")), col("r2_raw")).as("r2"))
+      .orderBy(col("source"))
+  }
+
   /** X68: quality-distribution drift (PSI) — the population-stability
     * index between the quality-score histograms of the early and late
     * corpus halves, the monitoring number a production ingest alarms
@@ -7713,6 +7789,7 @@ object TrainingData {
     "x167_tokenizer_audit" -> x167TokenizerAudit,
     "x168_curriculum_schedule" -> x168CurriculumSchedule,
     "x169_hll_distinct" -> x169HllDistinct,
+    "x170_scaling_fit" -> x170ScalingFit,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -9768,6 +9845,73 @@ object TrainingData {
       SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_tok,
         CAST(key_q AS DOUBLE) / 1e6 AS aes_key
       FROM top WHERE rk <= 50 ORDER BY rk""",
+    // x170: x154's HUGEINT OLS replayed GROUP BY source over the
+    // per-source decile novelty points.
+    "x170_scaling_fit" -> """
+      WITH mx AS (SELECT MAX(doc_id) // 10 + 1 AS width FROM documents),
+      tri AS (SELECT source, doc_id,
+          unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+        FROM (SELECT source, doc_id,
+            regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents)),
+      firsts AS (SELECT source, g, MIN(doc_id) AS fd FROM tri
+        GROUP BY source, g),
+      fresh AS MATERIALIZED (SELECT source,
+          fd // (SELECT width FROM mx) AS bucket,
+          CAST(COUNT(*) AS BIGINT) AS m
+        FROM firsts GROUP BY 1, 2),
+      pts AS MATERIALIZED (SELECT source,
+          CAST(bucket * 1000000 AS BIGINT) AS lx,
+          CAST(ROUND(LN(CAST(m AS DOUBLE)) * 1e6, 0) AS BIGINT) AS ly
+        FROM fresh),
+      sums AS MATERIALIZED (SELECT source,
+          CAST(COUNT(*) AS HUGEINT) AS n,
+          CAST(SUM(lx) AS HUGEINT) AS sx, CAST(SUM(ly) AS HUGEINT) AS sy,
+          CAST(SUM(CAST(lx AS HUGEINT) * ly) AS HUGEINT) AS sxy,
+          CAST(SUM(CAST(lx AS HUGEINT) * lx) AS HUGEINT) AS sxx,
+          CAST(COUNT(DISTINCT lx) AS HUGEINT) AS ndx
+        FROM pts GROUP BY source),
+      ft AS (SELECT source, n, sx, sy,
+          CASE WHEN ndx >= 2 THEN
+            (CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+              * ((2 * abs(n * sxy - sx * sy) * 1000000
+                + (n * sxx - sx * sx)) // (2 * (n * sxx - sx * sx)))
+          END AS slope_q
+        FROM sums),
+      ft2 AS (SELECT source, n, slope_q,
+          CASE WHEN slope_q IS NOT NULL THEN
+            (CASE WHEN sy * 1000000 - slope_q * sx < 0 THEN -1 ELSE 1 END)
+              * ((2 * abs(sy * 1000000 - slope_q * sx) + n * 1000000)
+                // (2 * n * 1000000))
+          END AS a_q
+        FROM ft),
+      res AS (SELECT p.source, p.ly,
+          f.a_q + (CASE WHEN f.slope_q * p.lx < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(f.slope_q * p.lx) + 1000000) // 2000000) AS pred
+        FROM pts p JOIN ft2 f USING (source)
+        WHERE f.slope_q IS NOT NULL),
+      yb AS (SELECT source, (CASE WHEN sy < 0 THEN -1 ELSE 1 END)
+          * ((2 * abs(sy) + n) // (2 * n)) AS ybar FROM sums),
+      ss AS (SELECT r.source,
+          CAST(SUM((CAST(r.ly AS HUGEINT) - y.ybar)
+            * (CAST(r.ly AS HUGEINT) - y.ybar)) AS HUGEINT) AS sstot,
+          CAST(SUM((CAST(r.ly AS HUGEINT) - r.pred)
+            * (CAST(r.ly AS HUGEINT) - r.pred)) AS HUGEINT) AS ssres
+        FROM res r JOIN yb y USING (source) GROUP BY r.source)
+      SELECT f.source, CAST(f.n AS BIGINT) AS n_points,
+        CAST(f.slope_q AS DOUBLE) / 1e6 AS slope,
+        CASE WHEN f.slope_q < 0 THEN
+          CAST((2 * 10000000000 + (-f.slope_q)) // (2 * (-f.slope_q))
+            AS DOUBLE) / 1e4 END AS r_star,
+        CASE WHEN f.slope_q < 0 THEN
+          CAST(ROUND(LN(2) * 1e6 / CAST(-f.slope_q AS DOUBLE) * 1e4, 0)
+            AS DOUBLE) / 1e4 END AS half_life,
+        CASE WHEN ss.sstot > 0 THEN
+          CAST((CASE WHEN ss.sstot - ss.ssres < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs((ss.sstot - ss.ssres) * 1000000) + ss.sstot)
+              // (2 * ss.sstot)) AS DOUBLE) / 1e6 END AS r2
+      FROM ft2 f LEFT JOIN ss USING (source) ORDER BY f.source""",
     // x169: the register power table is a literal list (exact
     // integers); the alpha constant is CAST to DOUBLE so both engines
     // scale the same 0.709 double by exact powers of two (a DECIMAL

@@ -3066,6 +3066,47 @@ class EngineSpec extends AnyFunSuite {
       s"stage-0 docs ($dropped) must equal x158 never-learned ($neverLearned)")
   }
 
+  test("x170 scaling fit: exactly-collinear decay recovers slope/R*/half-life exactly; flat novelty yields NULL decay") {
+    import spark.implicits._
+    // decay source: deciles 0/1/2 introduce exactly 1000/100/10 new
+    // trigrams (docs of 1002/102/12 unique tokens, max id 2 → width 1)
+    // — lq(10^k) quantizes to exactly k·2302585, so the log points are
+    // EXACTLY collinear and the integer OLS recovers them exactly
+    def toks(src: String, id: Long, n: Int): String =
+      (0 until n).map(i => s"${src}_${id}_t$i").mkString(" ")
+    val docs = Seq(
+      (0L, "decay", toks("d", 0, 1002)),
+      (1L, "decay", toks("d", 1, 102)),
+      (2L, "decay", toks("d", 2, 12)),
+      (0L, "flat", toks("f", 0, 12)),
+      (1L, "flat", toks("f", 1, 12)),
+      (2L, "flat", toks("f", 2, 12)))
+      .toDF("doc_id", "source", "text")
+    val out = TrainingData.scalingFitOn(spark, docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val dRow = out("decay")
+    assert(dRow.getAs[Long]("n_points") == 3L)
+    assert(dRow.getAs[Double]("slope") == -2.302585,
+      s"collinear decade decay must recover ln10 exactly: $dRow")
+    assert(dRow.getAs[Double]("r_star") == 0.4343, s"R* replay: $dRow")
+    assert(dRow.getAs[Double]("half_life") == 0.301, s"half-life: $dRow")
+    assert(dRow.getAs[Double]("r2") == 1.0,
+      s"zero residual on collinear points: $dRow")
+    val fRow = out("flat")
+    assert(fRow.getAs[Double]("slope") == 0.0)
+    assert(fRow.isNullAt(fRow.fieldIndex("r_star"))
+      && fRow.isNullAt(fRow.fieldIndex("half_life")),
+      s"non-negative slope must report no decay scale: $fRow")
+    // carrier on the fixture: every emitted R* is positive and the
+    // half-life sits below it (ln 2 < 1)
+    val rows = TrainingData.defs("x170_scaling_fit")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      assert(r.getAs[Double]("r_star") > 0.0)
+      assert(r.getAs[Double]("half_life") < r.getAs[Double]("r_star"))
+    }
+  }
+
   test("x148 margin demotes a crafted hub that raw cosine prefers") {
     import spark.implicits._
     // queries 0,2,4; hub match 101 sits at cos .85 to ALL queries
