@@ -3568,28 +3568,34 @@ object TrainingData {
     val toks = spread(s, Tables.documents(s, d))
       .select(col("doc_id"), wsTokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
+    // pair generation is ONE row-local projection (4 zip_with'd shifted
+    // slices concatenated) + a single explode of the finished (w1, w2)
+    // structs: the earlier two-stage explode chain carried the whole
+    // token array through 4·n generated rows per doc, and copying that
+    // array dominated the query (round-10 verdict item 7)
+    val pairCols = (1 to 4).map { k =>
+      zip_with(
+        slice(col("toks"), lit(1), greatest(col("n") - k, lit(0))),
+        slice(col("toks"), lit(k + 1), greatest(col("n") - k, lit(0))),
+        (a, b) => struct(least(a, b).as("w1"), greatest(a, b).as("w2")))
+    }
     val pairs = toks
-      .select(col("toks"), col("n"),
-        explode(sequence(lit(1), col("n"))).as("i"))
-      .select(col("toks"), col("n"), col("i"),
-        explode(sequence(lit(1), lit(4))).as("k"))
-      .filter(col("i") + col("k") <= col("n"))
-      .select(
-        least(element_at(col("toks"), col("i")),
-          element_at(col("toks"), col("i") + col("k"))).as("w1"),
-        greatest(element_at(col("toks"), col("i")),
-          element_at(col("toks"), col("i") + col("k"))).as("w2"))
+      .select(explode(concat(pairCols: _*)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_pair"))
     val uni = toks
       .select(explode(col("toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
     val nPairs = pairs.agg(sum(col("c_pair")).as("n_pairs"))
     val mToks = uni.agg(sum(col("c_w")).as("m_toks"))
-    pairs
+    // df-threshold applied BEFORE the unigram joins (round-10 verdict
+    // item 7): the REPORTED c_pair ≥ 5 cut already defines the output,
+    // so filtering the pair table first shrinks both join probes for
+    // free; n_pairs (the PMI denominator) still counts the full mass
+    pairs.filter(col("c_pair") >= 5)
       .join(uni.select(col("w").as("w1"), col("c_w").as("c1")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("c_w").as("c2")), Seq("w2"))
       .crossJoin(broadcast(nPairs)).crossJoin(broadcast(mToks))
-      .filter(col("c_pair") >= 5)
       .withColumn("pmi_q",
         round(log((col("c_pair").cast("double") / col("n_pairs").cast("double"))
           / ((col("c1").cast("double") / col("m_toks").cast("double"))
