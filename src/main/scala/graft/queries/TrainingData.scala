@@ -542,7 +542,8 @@ object TrainingData {
   def prebuildCaches(s: SparkSession, d: String): Unit = {
     ensureIvfIndex(s, d); ensureSigStore(s, d); ensureCuratedStaged(s, d)
     ensureDHashStore(s, d); ensureDedupLabels(s, d); ensureIvfPqStore(s, d)
-    ensureIvfBaseStore(s, d); ensurePlantedFixtures(s, d)
+    ensureIvfBaseStore(s, d); ensureIvfPqBase(s, d)
+    ensurePlantedFixtures(s, d)
     ensureOpqPqStore(s, d); ensureClfWeights(s, d)
     ensureWinnowStore(s, d); ensureClfTemp(s, d)
     ensureClfTrajectory(s, d)
@@ -2998,16 +2999,16 @@ object TrainingData {
     * broadcast codebooks + an id-only scan of the store's codes,
     * collapsing onto the m·k code grid.
     *
-    * Audit premise (ADVICE r9, documented deliberately): the store's
-    * codebooks were trained on the FULL corpus, so the batch slice
-    * was seen at train time and the drift comparison is
-    * base-vs-batch occupancy under a shared quantizer — a staleness
-    * SIGNAL, weaker than x109's strict held-out design (whose store
-    * is trained base-only). Kept full-corpus here because the store
-    * under audit IS x100's production serving store; auditing a
-    * store nobody serves from would answer a different question. */
+    * The store under audit is the BASE-ONLY twin
+    * ([[ensureIvfPqBase]], round-10 verdict item 5): its codebooks
+    * were trained with the batch slice held out, so the occupancy
+    * comparison measures genuine quantizer drift — rounds ≤ 10 read
+    * x100's full-corpus serving store here, which had seen the batch
+    * at train time and weakened the audit to a staleness signal
+    * (ADVICE r9 option 2, now closed). PlansSpec pins that the base
+    * store contains no batch id. */
   val x110IvfPqAddBatch: Q = (s, d) => {
-    val path = ensureIvfPqStore(s, d)
+    val path = ensureIvfPqBase(s, d)
     val coarse = s.read.parquet(s"$path/coarse")
     val pqCents = s.read.parquet(s"$path/pqcents")
     val storeCodes = s.read.parquet(s"$path/codes")
@@ -3021,7 +3022,8 @@ object TrainingData {
           (x, y) => (x.cast("double") - y.cast("double")).cast("float"))
           .as("embedding"))
     val newCodes = graft.ml.PqIndex.encode(resEmb, pqCents)
-    val baseCnt = storeCodes.filter(col("vec_id") % 10 =!= 7)
+    // the base store holds base ids ONLY (build-time held-out)
+    val baseCnt = storeCodes
       .groupBy(col("m"), col("code")).agg(count(lit(1)).as("n_base"))
     val addCnt = newCodes
       .groupBy(col("m"), col("code")).agg(count(lit(1)).as("n_add"))
@@ -3094,6 +3096,44 @@ object TrainingData {
       codes.write.mode("overwrite").parquet(s"$path/codes")
       resEmb.select(col("vec_id"), col("cell")).write.mode("overwrite")
         .parquet(s"$path/cells")
+    }
+    path
+  }
+
+  /** x110's BASE-ONLY twin of [[ensureIvfPqStore]] (round-10 verdict
+    * item 5, closing ADVICE r9 option 2 for real): identical build —
+    * coarse quantizer, residual PQ codebooks, codes — but trained and
+    * encoded on the base slice ONLY (vec_id % 10 ≠ 7), x109's
+    * held-out pattern, so the x110 drift audit measures the batch
+    * against a quantizer that provably never saw it. Seeds follow
+    * [[graft.ml.PqIndex.trainCodebook]]'s vec_id < 16 rule on the
+    * BASE relation (id 7 is batch → 15 coarse cells; the oracle
+    * mirrors the same seed set). The full-corpus store stays what
+    * x100/x129 serve from; this store exists for the audit. */
+  private[graft] def ensureIvfPqBase(s: SparkSession, d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"target/ivfpqbase_${tag}_${fixtureFp(d, "embeddings")}"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path/codes/_SUCCESS"))) {
+      val emb = spread(s, Tables.embeddings(s, d)
+        .filter(col("vec_id") % 10 =!= 7))
+      val coarse = graft.ml.PqIndex.trainCodebook(emb, m = 1, dsub = 64)
+      val assigned = graft.ml.PqIndex.assign(
+        graft.ml.PqIndex.subvectors(emb, 1, 64), coarse)
+      val resEmb = assigned.as("a").join(broadcast(coarse.as("c")),
+          col("a.m") === col("c.m") && col("a.cell") === col("c.cid"))
+        .select(col("a.vec_id").as("vec_id"), col("a.cell").as("cell"),
+          zip_with(col("a.sub"), col("c.ce"),
+            (x, y) => (x.cast("double") - y.cast("double")).cast("float"))
+            .as("embedding"))
+        .localCheckpoint()
+      val pqCents = graft.ml.PqIndex.trainCodebook(
+        resEmb.select(col("vec_id"), col("embedding")))
+      val codes = graft.ml.PqIndex.encode(
+        resEmb.select(col("vec_id"), col("embedding")), pqCents)
+      coarse.coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+      pqCents.coalesce(1).write.mode("overwrite").parquet(s"$path/pqcents")
+      codes.write.mode("overwrite").parquet(s"$path/codes")
     }
     path
   }
@@ -9215,8 +9255,13 @@ object TrainingData {
         n_total * 16 > tot * 2 AS over_2x
       FROM st, tt ORDER BY cell"""
     },
+    // x110: the store chain trains on the BASE slice only (vec_id
+    // % 10 <> 7 — the seed set is vec_id < 16 of that relation, 15
+    // seeds); the batch then flows through a SEPARATE frozen-codebook
+    // encode chain (assign against c2f/c2 with no recenter step).
     "x110_ivfpq_addbatch" -> s"""
-      WITH f AS (SELECT vec_id, 0 AS m, embedding AS sub FROM embeddings),
+      WITH f AS (SELECT vec_id, 0 AS m, embedding AS sub FROM embeddings
+        WHERE vec_id % 10 <> 7),
       c0f AS (SELECT m, CAST(vec_id AS INT) AS cid, sub AS ce
         FROM f WHERE vec_id < 16),
       ${pqAssignSql("f", "c0f", "a0f")},
@@ -9238,14 +9283,26 @@ object TrainingData {
       ${pqAssignSql("rsub", "c1", "a1")},
       ${pqCentSql("a1", "c2")},
       ${pqAssignSql("rsub", "c2", "codes")},
+      fa AS (SELECT vec_id, 0 AS m, embedding AS sub FROM embeddings
+        WHERE vec_id % 10 = 7),
+      ${pqAssignSql("fa", "c2f", "aa")},
+      resa AS (SELECT a.vec_id, a.cell,
+          list_transform(list_zip(a.sub, c.ce),
+            p -> CAST(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) AS FLOAT))
+            AS r
+        FROM aa a JOIN c2f c ON c.m = a.m AND c.cid = a.cell),
+      rsuba AS (SELECT vec_id, m, list_slice(r, m * 8 + 1, m * 8 + 8)
+          AS sub
+        FROM resa, UNNEST(range(0, 8)) AS t(m)),
+      ${pqAssignSql("rsuba", "c2", "codesa")},
       tb AS (SELECT COUNT(*) AS tot_base FROM embeddings
         WHERE vec_id % 10 <> 7),
       ta AS (SELECT COUNT(*) AS tot_add FROM embeddings
         WHERE vec_id % 10 = 7),
       bc AS (SELECT m, cell AS code, COUNT(*) AS n_base FROM codes
-        WHERE vec_id % 10 <> 7 GROUP BY 1, 2),
-      ac AS (SELECT m, cell AS code, COUNT(*) AS n_add FROM codes
-        WHERE vec_id % 10 = 7 GROUP BY 1, 2)
+        GROUP BY 1, 2),
+      ac AS (SELECT m, cell AS code, COUNT(*) AS n_add FROM codesa
+        GROUP BY 1, 2)
       SELECT CAST(c.m AS BIGINT) AS m, CAST(c.cid AS BIGINT) AS code,
         CAST(COALESCE(bc.n_base, 0) AS BIGINT) AS n_base,
         CAST(COALESCE(ac.n_add, 0) AS BIGINT) AS n_add,

@@ -1695,12 +1695,23 @@ class EngineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == asg(base))
   }
 
-  test("x110 frozen-codebook add: fresh batch codes ≡ the store's codes") {
+  test("x110 base-only store: build excludes the batch; frozen-codebook encode covers every batch id; audit totals reconcile") {
     import graft.ml.PqIndex
-    val p = TrainingData.ensureIvfPqStore(spark, sf)
+    val p = TrainingData.ensureIvfPqBase(spark, sf)
     val coarse = spark.read.parquet(s"$p/coarse")
     val pqc = spark.read.parquet(s"$p/pqcents")
-    val batch = Tables.embeddings(spark, sf).filter(col("vec_id") % 10 === 7)
+    val emb = Tables.embeddings(spark, sf)
+    val batch = emb.filter(col("vec_id") % 10 === 7)
+    val nBase = emb.filter(col("vec_id") % 10 =!= 7).count()
+    val nBatch = batch.count()
+    // the held-out design the round-10 verdict asked for: the store
+    // was trained and encoded with the batch slice EXCLUDED
+    val stored = spark.read.parquet(s"$p/codes")
+    assert(stored.filter(col("vec_id") % 10 === 7).count() == 0,
+      "base store must contain no batch id")
+    assert(stored.select("vec_id").distinct().count() == nBase)
+    // frozen-codebook add: the batch encodes deterministically and
+    // completely under codebooks that never saw it
     val assigned = PqIndex.assign(PqIndex.subvectors(batch, 1, 64), coarse)
     val resEmb = assigned.as("a").join(broadcast(coarse.as("c")),
         col("a.m") === col("c.m") && col("a.cell") === col("c.cid"))
@@ -1709,11 +1720,14 @@ class EngineSpec extends AnyFunSuite {
           (x, y) => (x.cast("double") - y.cast("double")).cast("float"))
           .as("embedding"))
     val fresh = PqIndex.encode(resEmb, pqc)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
-    val stored = spark.read.parquet(s"$p/codes")
-      .filter(col("vec_id") % 10 === 7)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
-    assert(fresh.nonEmpty && fresh == stored)
+    assert(fresh.select("vec_id").distinct().count() == nBatch)
+    // carrier totals reconcile with the slice sizes per subspace
+    val rows = TrainingData.defs("x110_ivfpq_addbatch")(spark, sf).collect()
+    val byM = rows.groupBy(_.getAs[Long]("m"))
+    byM.values.foreach { g =>
+      assert(g.map(_.getAs[Long]("n_base")).sum == nBase)
+      assert(g.map(_.getAs[Long]("n_add")).sum == nBatch)
+    }
   }
 
   test("x111 alignment sweep: one curve per source, monotone, x104-consistent") {

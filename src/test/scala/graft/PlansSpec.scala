@@ -420,6 +420,34 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("x110 audits against the base-only store and its build excludes the batch slice") {
+    // round-10 verdict item 5: the drift audit must read codebooks the
+    // batch never influenced — the plan's store scans all point at the
+    // ivfpqbase store, and the store itself holds no batch id
+    val p = graft.queries.TrainingData.ensureIvfPqBase(spark, sf)
+    assert(spark.read.parquet(s"$p/codes")
+      .filter(col("vec_id") % 10 === 7).count() == 0,
+      "base store build must exclude the batch slice")
+    val q = graft.queries.TrainingData.defs("x110_ivfpq_addbatch")(spark, sf)
+    q.count()
+    def leaves(pl: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = pl match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        leaves(a.executedPlan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(leaves) ++
+        other.subqueries.flatMap(leaves)
+    }
+    val storeScans = leaves(q.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("ivfpq")))
+    assert(storeScans.nonEmpty, "expected store scans")
+    storeScans.foreach { f =>
+      assert(f.relation.location.rootPaths
+        .forall(_.toString.contains("ivfpqbase")),
+        s"x110 must read the base-only store, not the serving store:\n$f")
+    }
+  }
+
   test("x98 staged dedup reads labels only — no shingles, no pair join, no CC") {
     // the x32b contract applied to the dedup family: the read path
     // must be a labels-parquet scan + family window + sort — if any
