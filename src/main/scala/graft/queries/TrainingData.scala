@@ -4255,6 +4255,88 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  /** X171: Min-K% membership inference (Shi et al. 2023, "Detecting
+    * pretraining data from large language models") — the
+    * decontamination family's MISSING direction: x20/x41/x97/x119
+    * match eval text against the corpus; this detects it from the
+    * MODEL side, no corpus access — memorized text is likely even at
+    * its least-likely tokens, so the mean NLL of each doc's worst 20%
+    * of positions (Min-K%, k = 20) separates members from
+    * non-members. Instantiation: the scoring model is the add-one
+    * bigram trained on the md5 train split (x149's reference); the
+    * pool is the held-out split (true non-members) plus a planted
+    * re-presentation of train docs (doc_id % 7 = 0, re-keyed +3M —
+    * the x119/x128 deterministic-plant convention; they WERE
+    * trained on). Per class: doc count and the mean/min/max Min-K%
+    * NLL — planted mean provably below clean mean (pinned in
+    * EngineSpec). Determinism: per-position NLL is the x149 1e-4
+    * integer; the bottom-k cut is ROW_NUMBER over (NLL DESC,
+    * position) with k = ⌈n/5⌉ as the integer predicate 5·rk ≤ n+4;
+    * means are [[intRoundHalfAway]]. Scale shape: one train gram
+    * build, one pool scoring scan, a PER-DOC window (each partition
+    * is one doc's positions — never corpus-wide), doc-sized then
+    * class-sized rollups. */
+  val x171MinkMembership: Q = (s, d) =>
+    minkMembershipOn(Tables.documents(s, d))
+
+  /** [[x171MinkMembership]] core over any (doc_id, text) frame
+    * (exposed for the EngineSpec crafted-memorization pin). */
+  private[graft] def minkMembershipOn(docs: DataFrame): DataFrame = {
+    val balde = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long"), lit(100L))
+    val train = docs.filter(balde < 90)
+    val pool = docs.filter(balde >= 90)
+      .select(col("doc_id"), col("text"), lit("clean").as("cls"))
+      .unionByName(train.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+          lit("planted").as("cls")))
+    val tr = train.select(wsTokens(col("text")).as("toks"))
+    val uni = tr.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val scal = uni.agg(sum(col("c1")).as("nn"),
+      (count(lit(1)) + 1L).as("v"))
+    val cnt2 = tr.select(explode(allShinglesOfToks(col("toks"), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val poolBi = pool
+      .select(col("cls"), col("doc_id"), wsTokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks"))).filter(col("n") >= 2)
+      .select(col("cls"), col("doc_id"),
+        explode(sequence(lit(2), col("n"))).as("i"),
+        col("toks"))
+      .select(col("cls"), col("doc_id"), col("i"),
+        concat_ws(" ", element_at(col("toks"), col("i") - 1),
+          element_at(col("toks"), col("i"))).as("g"),
+        element_at(col("toks"), col("i") - 1).as("w1"))
+    val scored = poolBi
+      .join(cnt2, Seq("g"), "left").join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(scal))
+      .withColumn("lp", round(-log(
+          (coalesce(col("c2"), lit(0L)).cast("double") + 1.0) /
+          (coalesce(col("c1"), lit(0L)).cast("double")
+            + col("v").cast("double"))) * 1e4, 0).cast("long"))
+    val wD = Window.partitionBy(col("doc_id"))
+    val perDoc = scored
+      .withColumn("rk", row_number().over(
+        wD.orderBy(col("lp").desc, col("i"))).cast("long"))
+      .withColumn("nb", count(lit(1)).over(wD))
+      .filter(col("rk") * 5L <= col("nb") + 4L)
+      .groupBy(col("cls"), col("doc_id"))
+      .agg(count(lit(1)).as("k"), sum(col("lp")).as("sl"))
+      .select(col("cls"), col("doc_id"),
+        intRoundHalfAway(col("sl"), col("k")).as("mink_q"))
+    perDoc.groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("mink_q")).as("sm"),
+        min(col("mink_q")).as("mn"), max(col("mink_q")).as("mx"))
+      .select(col("cls"), col("n_docs"),
+        (intRoundHalfAway(col("sm"), col("n_docs")).cast("double") / 1e4)
+          .as("mean_mink_nll"),
+        (col("mn").cast("double") / 1e4).as("min_mink_nll"),
+        (col("mx").cast("double") / 1e4).as("max_mink_nll"))
+      .orderBy(col("cls"))
+  }
+
   /** X68: quality-distribution drift (PSI) — the population-stability
     * index between the quality-score histograms of the early and late
     * corpus halves, the monitoring number a production ingest alarms
@@ -7836,6 +7918,7 @@ object TrainingData {
     "x168_curriculum_schedule" -> x168CurriculumSchedule,
     "x169_hll_distinct" -> x169HllDistinct,
     "x170_scaling_fit" -> x170ScalingFit,
+    "x171_mink_membership" -> x171MinkMembership,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -9918,6 +10001,50 @@ object TrainingData {
       SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_tok,
         CAST(key_q AS DOUBLE) / 1e6 AS aes_key
       FROM top WHERE rk <= 50 ORDER BY rk""",
+    "x171_mink_membership" -> """
+      WITH dd AS (SELECT doc_id, text,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+            % 100 AS b
+        FROM documents),
+      tr AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM dd WHERE b < 90),
+      pool AS (SELECT doc_id, text, 'clean' AS cls FROM dd WHERE b >= 90
+        UNION ALL
+        SELECT doc_id + 3000000, text, 'planted' FROM dd
+        WHERE b < 90 AND doc_id % 7 = 0),
+      uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(toks) AS w1 FROM tr) GROUP BY w1),
+      scal AS (SELECT CAST(COUNT(*) + 1 AS BIGINT) AS v FROM uni),
+      cnt2 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+          SELECT unnest(list_transform(range(1, greatest(len(toks) - 1, 0)
+            + 1), i -> toks[i] || ' ' || toks[i+1])) AS g FROM tr)
+        GROUP BY g),
+      pbi AS (SELECT cls, doc_id, i,
+          toks[i-1] || ' ' || toks[i] AS g, toks[i-1] AS w1
+        FROM (SELECT cls, doc_id,
+            regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM pool), unnest(range(2, len(toks) + 1)) AS t(i)),
+      sc AS (SELECT cls, doc_id, i,
+          CAST(ROUND(-LN((CAST(COALESCE(c2, 0) AS DOUBLE) + 1.0)
+            / (CAST(COALESCE(c1, 0) AS DOUBLE) + CAST(v AS DOUBLE)))
+            * 1e4, 0) AS BIGINT) AS lp
+        FROM pbi LEFT JOIN cnt2 USING (g) LEFT JOIN uni USING (w1)
+        CROSS JOIN scal),
+      rk AS (SELECT cls, doc_id, lp,
+          ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY lp DESC, i) AS rk,
+          COUNT(*) OVER (PARTITION BY doc_id) AS nb
+        FROM sc),
+      pd AS (SELECT cls, doc_id,
+          (2 * CAST(SUM(lp) AS BIGINT) + COUNT(*)) // (2 * COUNT(*))
+            AS mink_q
+        FROM rk WHERE rk * 5 <= nb + 4 GROUP BY cls, doc_id)
+      SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(((2 * SUM(mink_q) + COUNT(*)) // (2 * COUNT(*)))
+          AS DOUBLE) / 1e4 AS mean_mink_nll,
+        CAST(MIN(mink_q) AS DOUBLE) / 1e4 AS min_mink_nll,
+        CAST(MAX(mink_q) AS DOUBLE) / 1e4 AS max_mink_nll
+      FROM pd GROUP BY cls ORDER BY cls""",
     // x170: x154's HUGEINT OLS replayed GROUP BY source over the
     // per-source decile novelty points.
     "x170_scaling_fit" -> """

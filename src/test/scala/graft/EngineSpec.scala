@@ -3121,6 +3121,39 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("x171 Min-K%: memorized text scores likelier at its worst positions; carrier separates planted from clean") {
+    import spark.implicits._
+    // crafted memorization: train docs share a rigid template, so a
+    // re-presented member's WORST bigrams are still well-attested;
+    // the clean doc chains tokens never seen adjacent in training
+    val train = (0 until 400).map(i =>
+      (i.toLong, s"begin alpha beta gamma delta end"))
+    val docs = train.toDF("doc_id", "text")
+    val out = TrainingData.minkMembershipOn(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // every pool doc here is either a re-keyed member (planted) or a
+    // held-out copy of the same template (clean) — identical text, so
+    // Min-K% must agree EXACTLY: the statistic depends only on text
+    assert(out("planted").getAs[Double]("mean_mink_nll") ==
+      out("clean").getAs[Double]("mean_mink_nll"),
+      s"identical text must score identically: $out")
+    // now make the clean side genuinely novel
+    val docs2 = (train ++ (10000 until 10400).map(i =>
+        (i.toLong, s"zz${i} qq${i} rr${i} ss${i} tt${i} uu${i}")))
+      .toDF("doc_id", "text")
+    val out2 = TrainingData.minkMembershipOn(docs2).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out2("planted").getAs[Double]("mean_mink_nll") <
+      out2("clean").getAs[Double]("mean_mink_nll"),
+      s"members must score likelier than novel text: $out2")
+    // fixture carrier: same ordering on the real corpus
+    val rows = TrainingData.defs("x171_mink_membership")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("planted").getAs[Double]("mean_mink_nll") <
+      rows("clean").getAs[Double]("mean_mink_nll"),
+      s"fixture separation: $rows")
+  }
+
   test("x148 margin demotes a crafted hub that raw cosine prefers") {
     import spark.implicits._
     // queries 0,2,4; hub match 101 sits at cos .85 to ALL queries
