@@ -4337,6 +4337,87 @@ object TrainingData {
       .orderBy(col("cls"))
   }
 
+  /** X172: leave-one-source-out data value — the datamodels/Shapley
+    * question ("what is each SOURCE worth to the model?") answered
+    * EXACTLY for the add-one unigram LM, no retraining: gram counts
+    * are additive sufficient statistics, so the model trained on
+    * train−s is just (c(w) − c_s(w) + 1)/(N − N_s + V − u_s) — global
+    * counts minus the source's own count table, vocabulary shrunk by
+    * the source's unique types. Per source: held-out NLL under the
+    * full model, under the LOO model, and Δ = NLL_loo − NLL_full —
+    * positive Δ means removing the source HURTS held-out loss (the
+    * source carries vocabulary/mass the rest can't cover), negative Δ
+    * means the source is dead weight whose mass only dilutes the
+    * model (pinned both ways on a crafted corpus in EngineSpec).
+    * This is the mixture family's causal complement: x166 DoReMi
+    * weights by excess loss, this prices each source's marginal
+    * contribution. Determinism: per-TYPE NLLs quantized 1e-4 (x39
+    * rule), weighted by exact held-out type counts, means
+    * [[intRoundHalfAway]] over the held-out token total. Scale
+    * shape: gram tables are map-side-combinable scans; the LOO
+    * evaluation is the held-out TYPE table × the |sources|-row stat
+    * table (vocabulary-sized × S — the classic working set, never
+    * corpus × S), one broadcast join against the (w, source) count
+    * table. */
+  val x172LooSourceValue: Q = (s, d) =>
+    looSourceValueOn(Tables.documents(s, d))
+
+  /** [[x172LooSourceValue]] core over any (doc_id, source, text)
+    * frame (exposed for the EngineSpec crafted pins). */
+  private[graft] def looSourceValueOn(docs: DataFrame): DataFrame = {
+    val balde = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long"), lit(100L))
+    val csw = docs.filter(balde < 90)
+      .select(col("source"), explode(wsTokens(col("text"))).as("w"))
+      .groupBy(col("w"), col("source")).agg(count(lit(1)).as("cs"))
+      .localCheckpoint()
+    val cw = csw.groupBy(col("w"))
+      .agg(sum(col("cs")).as("c"), count(lit(1)).as("nsrc"))
+    val srcs = csw.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+      .join(csw.join(cw.select(col("w"), col("nsrc")), Seq("w"))
+        .filter(col("nsrc") === 1L)
+        .groupBy(col("source")).agg(count(lit(1)).as("us")),
+        Seq("source"), "left")
+      .select(col("source"), col("ns"),
+        coalesce(col("us"), lit(0L)).as("us"))
+    val glob = cw.agg(sum(col("c")).as("n"), (count(lit(1)) + 1L).as("v"))
+    val hoT = docs.filter(balde >= 90)
+      .select(explode(wsTokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt_ho"))
+      .join(cw.select(col("w"), col("c")), Seq("w"), "left")
+      .select(col("w"), col("cnt_ho"), coalesce(col("c"), lit(0L)).as("c"))
+      .localCheckpoint()
+    val hn = hoT.agg(sum(col("cnt_ho")).as("hn"))
+    val full = hoT.crossJoin(broadcast(glob))
+      .select((col("cnt_ho") * round(-log(
+          (col("c") + 1L).cast("double")
+          / (col("n") + col("v")).cast("double")) * 1e4, 0).cast("long"))
+        .as("t"))
+      .agg(sum(col("t")).as("sfull"))
+    val loo = hoT.crossJoin(broadcast(srcs))
+      .join(csw, Seq("w", "source"), "left")
+      .crossJoin(broadcast(glob))
+      .select(col("source"),
+        (col("cnt_ho") * round(-log(
+          (col("c") - coalesce(col("cs"), lit(0L)) + 1L).cast("double")
+          / (col("n") - col("ns") + col("v") - col("us")).cast("double"))
+          * 1e4, 0).cast("long")).as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).as("sloo"))
+    loo.join(srcs, Seq("source"))
+      .crossJoin(broadcast(full)).crossJoin(broadcast(hn))
+      .select(col("source"), col("ns").as("n_tok_train"),
+        col("us").as("u_types"),
+        (intRoundHalfAway(col("sfull"), col("hn")).cast("double") / 1e4)
+          .as("nll_full"),
+        (intRoundHalfAway(col("sloo"), col("hn")).cast("double") / 1e4)
+          .as("nll_loo"),
+        ((intRoundHalfAway(col("sloo"), col("hn"))
+          - intRoundHalfAway(col("sfull"), col("hn"))).cast("double")
+          / 1e4).as("delta"))
+      .orderBy(col("source"))
+  }
+
   /** X68: quality-distribution drift (PSI) — the population-stability
     * index between the quality-score histograms of the early and late
     * corpus halves, the monitoring number a production ingest alarms
@@ -7919,6 +8000,7 @@ object TrainingData {
     "x169_hll_distinct" -> x169HllDistinct,
     "x170_scaling_fit" -> x170ScalingFit,
     "x171_mink_membership" -> x171MinkMembership,
+    "x172_loo_source_value" -> x172LooSourceValue,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -10001,6 +10083,58 @@ object TrainingData {
       SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_tok,
         CAST(key_q AS DOUBLE) / 1e6 AS aes_key
       FROM top WHERE rk <= 50 ORDER BY rk""",
+    "x172_loo_source_value" -> """
+      WITH dd AS (SELECT source, text,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+            % 100 AS b
+        FROM documents),
+      csw AS MATERIALIZED (SELECT w, source,
+          CAST(COUNT(*) AS BIGINT) AS cs
+        FROM (SELECT source,
+            unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          FROM dd WHERE b < 90)
+        GROUP BY w, source),
+      cw AS MATERIALIZED (SELECT w, CAST(SUM(cs) AS BIGINT) AS c,
+          CAST(COUNT(*) AS BIGINT) AS nsrc
+        FROM csw GROUP BY w),
+      srcs AS MATERIALIZED (SELECT s.source, s.ns,
+          COALESCE(u.us, 0) AS us
+        FROM (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns FROM csw
+          GROUP BY source) s
+        LEFT JOIN (SELECT source, CAST(COUNT(*) AS BIGINT) AS us
+          FROM csw JOIN cw USING (w) WHERE nsrc = 1 GROUP BY source) u
+        USING (source)),
+      gl AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+          CAST(COUNT(*) + 1 AS BIGINT) AS v FROM cw),
+      hot AS MATERIALIZED (SELECT w, cnt_ho, COALESCE(c, 0) AS c
+        FROM (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt_ho
+          FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+              AS w
+            FROM dd WHERE b >= 90)
+          GROUP BY w)
+        LEFT JOIN cw USING (w)),
+      hn AS (SELECT CAST(SUM(cnt_ho) AS BIGINT) AS hn FROM hot),
+      fl AS (SELECT CAST(SUM(cnt_ho * CAST(ROUND(-LN(
+            CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)) * 1e4, 0)
+            AS BIGINT)) AS BIGINT) AS sfull
+        FROM hot, gl),
+      loo AS (SELECT source, CAST(SUM(cnt_ho * CAST(ROUND(-LN(
+            CAST(c - COALESCE(cs, 0) + 1 AS DOUBLE)
+            / CAST(n - ns + v - us AS DOUBLE)) * 1e4, 0) AS BIGINT))
+            AS BIGINT) AS sloo
+        FROM (SELECT h.w, h.cnt_ho, h.c, s.source, s.ns, s.us
+            FROM hot h CROSS JOIN srcs s) x
+        LEFT JOIN csw USING (w, source)
+        CROSS JOIN gl
+        GROUP BY source)
+      SELECT l.source, s.ns AS n_tok_train, s.us AS u_types,
+        CAST(((2 * sfull + hn) // (2 * hn)) AS DOUBLE) / 1e4 AS nll_full,
+        CAST(((2 * sloo + hn) // (2 * hn)) AS DOUBLE) / 1e4 AS nll_loo,
+        CAST(((2 * sloo + hn) // (2 * hn))
+          - ((2 * sfull + hn) // (2 * hn)) AS DOUBLE) / 1e4 AS delta
+      FROM loo l JOIN srcs s USING (source)
+      CROSS JOIN fl CROSS JOIN hn
+      ORDER BY l.source""",
     "x171_mink_membership" -> """
       WITH dd AS (SELECT doc_id, text,
           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT

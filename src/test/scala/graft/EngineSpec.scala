@@ -3154,6 +3154,32 @@ class EngineSpec extends AnyFunSuite {
       s"fixture separation: $rows")
   }
 
+  test("x172 LOO value: a sole-holder source prices positive, dead weight prices negative") {
+    import spark.implicits._
+    // crit is the only holder of the token its held-out slice needs;
+    // junk shares its useful tokens with base but carries per-doc-
+    // unique gibberish whose mass only dilutes everyone else's probs
+    val docs = (
+      (0 until 300).map(i =>
+        (i.toLong, "crit", "needle needle needle needle")) ++
+      (1000 until 1300).map(i =>
+        (i.toLong, "base", "alpha beta gamma alpha beta")) ++
+      (2000 until 2300).map(i =>
+        (i.toLong, "junk", s"alpha beta jk${i}a jk${i}b jk${i}c jk${i}d")))
+      .toDF("doc_id", "source", "text")
+    val out = TrainingData.looSourceValueOn(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("crit").getAs[Double]("delta") > 0.0,
+      s"sole holder must price positive: ${out.values.toSeq}")
+    assert(out("junk").getAs[Double]("delta") < 0.0,
+      s"dead weight must price negative: ${out.values.toSeq}")
+    assert(out("crit").getAs[Double]("delta") >
+      out("base").getAs[Double]("delta"))
+    // u_types: junk's per-doc gibberish is unique to it
+    assert(out("junk").getAs[Long]("u_types") >
+      out("base").getAs[Long]("u_types"))
+  }
+
   test("x148 margin demotes a crafted hub that raw cosine prefers") {
     import spark.implicits._
     // queries 0,2,4; hub match 101 sits at cos .85 to ALL queries
