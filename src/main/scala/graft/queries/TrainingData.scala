@@ -4418,6 +4418,64 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  /** X173: gradient-noise scale (McCandlish et al. 2018, "An
+    * empirical model of large-batch training") — the number that
+    * prices a TRAINING BATCH SIZE from the data itself: B_simple =
+    * tr(Σ)/‖g‖², the ratio of per-example gradient variance to the
+    * squared mean gradient; batches below it are noise-dominated
+    * (cheap to grow), above it waste compute. Computed exactly for
+    * the registry logistic model: per-example gradient g_i =
+    * (p_i − y_i)·x_i over the 68 sparse feature dims, so ONE scoring
+    * scan yields per-dim Σg and Σg² (absent sparse entries contribute
+    * exactly 0), and n CANCELS in the ratio — B = Σ_d(n·S2_d − S1_d²)
+    * / Σ_d S1_d², an exact integer rational on decimal(38,0) sums
+    * (Cauchy-Schwarz keeps the numerator ≥ 0; identical examples ⇒ 0,
+    * pinned in EngineSpec via [[gradientNoiseOn]]). The quantization
+    * seam is one double product per (doc, dim) — (p−y)·x·10⁶, rounded
+    * after evaluation (x39 rule); p is the trainer's own quantized σ.
+    * Scale shape: scoring scan → (doc, dim) row-local products →
+    * dim-keyed map-side-combinable sums → a 68-row rollup; the final
+    * three divisions run driver-side on two BigInt scalars. */
+  val x173GradientNoise: Q = (s, d) => {
+    val wdf = s.read.parquet(ensureClfWeights(s, d))
+    val (tf, n) = qualityClfTf(s, d)
+    gradientNoiseOn(s, tf, wdf, n)
+  }
+
+  /** [[x173GradientNoise]] core over any sparse feature table +
+    * weight table (exposed for the EngineSpec zero-variance pin). */
+  private[graft] def gradientNoiseOn(s: SparkSession, tf: DataFrame,
+      wdf: DataFrame, n: Long): DataFrame = {
+    val scored = clfScores(tf, wdf)
+    val g = tf.join(scored.select(col("doc_id"), col("pq")), Seq("doc_id"))
+      .select(col("bucket"),
+        round((col("pq") - col("y") * 1000000L).cast("double") * col("x"),
+          0).cast("long").as("gq"))
+    val per = g.groupBy(col("bucket"))
+      .agg(sum(col("gq").cast("decimal(38,0)")).as("s1"),
+        sum(col("gq").cast("decimal(38,0)") * col("gq")).as("s2"))
+    val row = per.agg(
+        sum(lit(n).cast("decimal(38,0)") * col("s2")
+          - col("s1") * col("s1")).as("t"),
+        sum(col("s1") * col("s1")).as("sn"),
+        count(lit(1)).as("ndims"))
+      .head()
+    val t = BigInt(row.getDecimal(0).toBigIntegerExact)
+    val sn = BigInt(row.getDecimal(1).toBigIntegerExact)
+    val nd = row.getLong(2)
+    import graft.ml.LogFit.halfAway
+    val den = BigInt(n) * BigInt(n) * BigInt("1000000000000")
+    val traceQ = halfAway(t * 1000000L, den).toDouble / 1e6
+    val normQ = halfAway(sn * 1000000L, den).toDouble / 1e6
+    val gns =
+      if (sn > 0) halfAway(t * 10000L, sn).toDouble / 1e4 else Double.NaN
+    s.createDataFrame(Seq((n, nd, traceQ, normQ, gns)))
+      .toDF("n_docs", "n_dims", "grad_trace", "grad_norm2", "gns_raw")
+      .select(col("n_docs"), col("n_dims"), col("grad_trace"),
+        col("grad_norm2"),
+        when(!isnan(col("gns_raw")), col("gns_raw")).as("gns"))
+  }
+
   /** X68: quality-distribution drift (PSI) — the population-stability
     * index between the quality-score histograms of the early and late
     * corpus halves, the monitoring number a production ingest alarms
@@ -8001,6 +8059,7 @@ object TrainingData {
     "x170_scaling_fit" -> x170ScalingFit,
     "x171_mink_membership" -> x171MinkMembership,
     "x172_loo_source_value" -> x172LooSourceValue,
+    "x173_gradient_noise" -> x173GradientNoise,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -10083,6 +10142,37 @@ object TrainingData {
       SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_tok,
         CAST(key_q AS DOUBLE) / 1e6 AS aes_key
       FROM top WHERE rk <= 50 ORDER BY rk""",
+    "x173_gradient_noise" -> s"""$clfTrainedSql,
+      zs AS (SELECT doc_id, y,
+          CAST(SUM(CAST(ROUND(w[bucket + 1] * x * 1e9, 0) AS BIGINT))
+            AS BIGINT) AS zq
+        FROM tf, w20 GROUP BY doc_id, y),
+      ps AS (SELECT doc_id,
+          CAST(ROUND((1 / (1 + exp(-(CAST(zq AS DOUBLE) / 1e9)))) * 1e6, 0)
+            AS BIGINT) AS pq
+        FROM zs),
+      gg AS (SELECT t.bucket,
+          CAST(ROUND(CAST(p.pq - t.y * 1000000 AS DOUBLE) * t.x, 0)
+            AS BIGINT) AS gq
+        FROM tf t JOIN ps p USING (doc_id)),
+      x173n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS HUGEINT) AS n FROM tf),
+      per AS (SELECT bucket, CAST(SUM(CAST(gq AS HUGEINT)) AS HUGEINT)
+            AS s1,
+          CAST(SUM(CAST(gq AS HUGEINT) * gq) AS HUGEINT) AS s2
+        FROM gg GROUP BY bucket),
+      ag AS (SELECT CAST(SUM(n * s2 - s1 * s1) AS HUGEINT) AS t,
+          CAST(SUM(s1 * s1) AS HUGEINT) AS sn,
+          CAST(COUNT(*) AS BIGINT) AS ndims
+        FROM per, x173n)
+      SELECT CAST(n AS BIGINT) AS n_docs, ndims AS n_dims,
+        CAST((2 * t * 1000000 + n * n * 1000000000000)
+          // (2 * n * n * 1000000000000) AS DOUBLE) / 1e6 AS grad_trace,
+        CAST((2 * sn * 1000000 + n * n * 1000000000000)
+          // (2 * n * n * 1000000000000) AS DOUBLE) / 1e6 AS grad_norm2,
+        CASE WHEN sn > 0 THEN
+          CAST((2 * t * 10000 + sn) // (2 * sn) AS DOUBLE) / 1e4
+        END AS gns
+      FROM ag, x173n""",
     "x172_loo_source_value" -> """
       WITH dd AS (SELECT source, text,
           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT

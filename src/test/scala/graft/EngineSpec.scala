@@ -3180,6 +3180,29 @@ class EngineSpec extends AnyFunSuite {
       out("base").getAs[Long]("u_types"))
   }
 
+  test("x173 GNS: identical examples carry zero gradient variance; fixture GNS positive") {
+    import spark.implicits._
+    val wdf = spark.read.parquet(TrainingData.ensureClfWeights(spark, sf))
+    // 200 copies of one doc: every per-example gradient is identical,
+    // so tr(Sigma) = 0 exactly (n*S2 = S1^2 per dim) and B = 0
+    val docs = (0 until 200).map(i =>
+      (i.toLong, "the quick brown fox and the lazy dog"))
+      .toDF("doc_id", "text")
+    val tf = TrainingData.clfFeatures(docs)
+    val out = TrainingData.gradientNoiseOn(spark, tf, wdf, 200L)
+      .collect()(0)
+    assert(out.getAs[Double]("grad_trace") == 0.0,
+      s"identical examples must have zero variance: $out")
+    assert(out.isNullAt(out.fieldIndex("gns"))
+      || out.getAs[Double]("gns") == 0.0, s"B_simple must vanish: $out")
+    // the real corpus is heterogeneous: positive noise scale, and the
+    // trace obeys Cauchy-Schwarz
+    val fix = TrainingData.defs("x173_gradient_noise")(spark, sf)
+      .collect()(0)
+    assert(fix.getAs[Double]("grad_trace") >= 0.0)
+    assert(fix.getAs[Double]("gns") > 0.0, s"fixture GNS: $fix")
+  }
+
   test("x148 margin demotes a crafted hub that raw cosine prefers") {
     import spark.implicits._
     // queries 0,2,4; hub match 101 sits at cos .85 to ALL queries
