@@ -4476,6 +4476,45 @@ object TrainingData {
         when(!isnan(col("gns_raw")), col("gns_raw")).as("gns"))
   }
 
+  /** X174: token burstiness — the Fano factor (variance-to-mean
+    * ratio) of each token's per-document count over the WHOLE corpus
+    * (zeros included), the corpus-linguistics dispersion statistic
+    * behind Church & Gale's Poisson-mixture work: a Poisson
+    * (content-neutral) token sits at F ≈ 1, a once-per-doc template
+    * token UNDER-disperses (F = 1 − cf/n < 1), and a bursty token
+    * (its mass packed into few docs — the boilerplate/navigation
+    * signature x66 hunts structurally) over-disperses F ≫ 1. All
+    * moments are exact integers off the (doc, token) count table —
+    * F = (n·Σc² − cf²)/(n·cf), one [[intRoundHalfAway]] — making the
+    * ranking engine-exact. Top-30 by (F DESC, token) via TakeOrdered
+    * (never a vocabulary-wide window). Shape: one scan → (doc, token)
+    * counts → token-keyed moment rollup (both map-side combinable) →
+    * top-k. Crafted same-mass burst-vs-spread separation pinned in
+    * EngineSpec. */
+  val x174TokenBurstiness: Q = (s, d) =>
+    tokenBurstinessOn(Tables.documents(s, d))
+
+  /** [[x174TokenBurstiness]] core (exposed for the EngineSpec pin). */
+  private[graft] def tokenBurstinessOn(docs: DataFrame): DataFrame = {
+    val dc = docs
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val nTot = docs.agg(count(lit(1)).as("n"))
+    dc.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"),
+        sum(col("c") * col("c")).as("s2"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("fano_q", intRoundHalfAway(
+        (col("n") * col("s2") - col("cf") * col("cf")) * 10000L,
+        col("n") * col("cf")))
+      .orderBy(col("fano_q").desc, col("w")).limit(30)
+      .select(col("w"), col("df"), col("cf"),
+        (intRoundHalfAway(col("cf") * 10000L, col("n"))
+          .cast("double") / 1e4).as("mean_per_doc"),
+        (col("fano_q").cast("double") / 1e4).as("fano"))
+      .orderBy(col("fano").desc, col("w"))
+  }
+
   /** X68: quality-distribution drift (PSI) — the population-stability
     * index between the quality-score histograms of the early and late
     * corpus halves, the monitoring number a production ingest alarms
@@ -8060,6 +8099,7 @@ object TrainingData {
     "x171_mink_membership" -> x171MinkMembership,
     "x172_loo_source_value" -> x172LooSourceValue,
     "x173_gradient_noise" -> x173GradientNoise,
+    "x174_token_burstiness" -> x174TokenBurstiness,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -10142,6 +10182,27 @@ object TrainingData {
       SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_tok,
         CAST(key_q AS DOUBLE) / 1e6 AS aes_key
       FROM top WHERE rk <= 50 ORDER BY rk""",
+    "x174_token_burstiness" -> """
+      WITH dc AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id,
+            unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          FROM documents)
+        GROUP BY doc_id, w),
+      ntt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      mom AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+          CAST(SUM(c) AS BIGINT) AS cf,
+          CAST(SUM(c * c) AS BIGINT) AS s2
+        FROM dc GROUP BY w),
+      fq AS (SELECT w, df, cf,
+          (CASE WHEN (n * s2 - cf * cf) < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs((n * s2 - cf * cf) * 10000) + n * cf)
+              // (2 * n * cf)) AS fano_q,
+          (2 * cf * 10000 + n) // (2 * n) AS mq
+        FROM mom, ntt),
+      top AS (SELECT * FROM fq ORDER BY fano_q DESC, w LIMIT 30)
+      SELECT w, df, cf, CAST(mq AS DOUBLE) / 1e4 AS mean_per_doc,
+        CAST(fano_q AS DOUBLE) / 1e4 AS fano
+      FROM top ORDER BY fano DESC, w""",
     "x173_gradient_noise" -> s"""$clfTrainedSql,
       zs AS (SELECT doc_id, y,
           CAST(SUM(CAST(ROUND(w[bucket + 1] * x * 1e9, 0) AS BIGINT))

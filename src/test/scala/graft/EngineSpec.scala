@@ -3203,6 +3203,29 @@ class EngineSpec extends AnyFunSuite {
     assert(fix.getAs[Double]("gns") > 0.0, s"fixture GNS: $fix")
   }
 
+  test("x174 burstiness: same corpus mass, packed beats spread; once-per-doc token is sub-Poisson exactly") {
+    import spark.implicits._
+    // 100 docs; "burst" puts 50 occurrences into one doc, "spread"
+    // puts the same 50 one-per-doc; "tmpl" appears once in EVERY doc
+    val docs = (0 until 100).map { i =>
+      val burst = if (i == 0) (" burst" * 50) else ""
+      val sprd = if (i < 50) " spread" else ""
+      (i.toLong, s"tmpl filler$burst$sprd")
+    }.toDF("doc_id", "text")
+    val rows = TrainingData.tokenBurstinessOn(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val fB = rows("burst").getAs[Double]("fano")
+    val fS = rows("spread").getAs[Double]("fano")
+    val fT = rows("tmpl").getAs[Double]("fano")
+    assert(fB > fS, s"packed mass must over-disperse: $fB vs $fS")
+    // exact closed forms: burst F = (100*2500-2500)/(100*50) = 49.5;
+    // spread F = (100*50-2500)/(100*50) = 0.5; tmpl (once in all n)
+    // F = (100*100-10000)/(100*100) = 0 exactly
+    assert(fB == 49.5, s"burst: $fB")
+    assert(fS == 0.5, s"spread: $fS")
+    assert(fT == 0.0, s"template token must have zero dispersion: $fT")
+  }
+
   test("x148 margin demotes a crafted hub that raw cosine prefers") {
     import spark.implicits._
     // queries 0,2,4; hub match 101 sits at cos .85 to ALL queries
