@@ -4515,6 +4515,58 @@ object TrainingData {
       .orderBy(col("fano").desc, col("w"))
   }
 
+  /** X175: classifier two-sample drift test (C2ST — Lopez-Paz &
+    * Oquab 2017, "Revisiting classifier two-sample tests"): train the
+    * engine's own logistic model to DISTINGUISH the early and late
+    * corpus halves and read held-out accuracy as the drift statistic
+    * — at the null (stationary corpus) acc ≈ ½, and
+    * z = (2·acc − 1)·√n_test is standard normal, so z > 1.96 is a
+    * calibrated drift alarm. This is the model-powered member of the
+    * drift family: x68's PSI watches one engineered histogram, C2ST
+    * searches the classifier's whole feature space for ANY separating
+    * direction. Same trainer, features, and quantization contract as
+    * x108 (20 full-batch GD steps, 1e-6-quantized σ), labels = the
+    * x68 early/late halves, train/test = the md5-balde split. Output:
+    * one row — split sizes, held-out accuracy, z, and the alarm.
+    * Crafted vocabulary-shift corpus alarms and the stationary
+    * fixture stays calm (both pinned in EngineSpec). Scale shape:
+    * x108's exactly — feature scan + 20 driver-pinned gradient
+    * aggregations + one scoring scan. */
+  val x175DriftC2st: Q = (s, d) =>
+    driftC2stOn(s, Tables.documents(s, d))
+
+  /** [[x175DriftC2st]] core over any (doc_id, text) frame (exposed
+    * for the EngineSpec crafted-shift pin). */
+  private[graft] def driftC2stOn(s: SparkSession,
+      docs0: DataFrame): DataFrame = {
+    import graft.ml.LogFit
+    val docs = docs0.select(col("doc_id"), col("text"))
+    val split = (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) / 2L
+    val balde = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long"), lit(100L))
+    val tfall = clfFeatures(docs).drop("y")
+      .withColumn("y", when(col("doc_id") >= split, 1L).otherwise(0L))
+    val trainTf = tfall.filter(balde < 90).localCheckpoint()
+    val nTrain = trainTf.select(col("doc_id")).distinct().count()
+    val w = trainQualityClf(trainTf, nTrain)
+    val wdf = s.createDataFrame(
+        w.toSeq.zipWithIndex.map { case (v, b) => (b.toLong, v) })
+      .toDF("bucket", "wb")
+    val agg = clfScores(tfall.filter(balde >= 90), wdf)
+      .agg(count(lit(1)).as("n_test"),
+        sum(when((col("pq") >= 500000L) === (col("y") === 1L), 1L)
+          .otherwise(0L)).as("n_corr")).head()
+    val (nTest, nCorr) = (agg.getLong(0), agg.getLong(1))
+    val accQ = LogFit.halfAway(BigInt(nCorr) * 10000L, BigInt(nTest))
+      .toLong
+    val zQ = LogFit.qScaled((2.0 * (accQ.toDouble / 1e4) - 1.0)
+      * math.sqrt(nTest.toDouble), 1e4)
+    s.createDataFrame(Seq((nTrain, nTest, accQ.toDouble / 1e4,
+        zQ.toDouble / 1e4, zQ > 19600L)))
+      .toDF("n_train", "n_test", "test_acc", "z_score", "drift")
+  }
+
   /** X68: quality-distribution drift (PSI) — the population-stability
     * index between the quality-score histograms of the early and late
     * corpus halves, the monitoring number a production ingest alarms
@@ -8100,6 +8152,7 @@ object TrainingData {
     "x172_loo_source_value" -> x172LooSourceValue,
     "x173_gradient_noise" -> x173GradientNoise,
     "x174_token_burstiness" -> x174TokenBurstiness,
+    "x175_drift_c2st" -> x175DriftC2st,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -8933,6 +8986,77 @@ object TrainingData {
         UNION ALL SELECT n.doc_id, l.y, 67, 1.0
           FROM ntok n JOIN lab l USING (doc_id)),
       nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ntok),
+      w0 AS (SELECT list_transform(range(0, 68),
+        b -> CAST(0.0 AS DOUBLE)) AS w)
+      $iters"""
+  }
+
+  /** x175's trainer unroll: [[clfTrainedSql]]'s exact iteration
+    * template (same tfc/ntok/feat CTEs, same 20 z/g/gl/w steps) with
+    * the LABEL swapped to the early/late-half indicator and the
+    * training relation restricted to the md5-balde train split —
+    * `tfall` (all docs, C2ST labels) is exposed for the held-out
+    * scoring stage. */
+  private def c2stTrainedSql: String = {
+    val iters = new StringBuilder
+    for (k <- 1 to 20) iters ++= s""",
+      z$k AS MATERIALIZED (SELECT doc_id, y,
+          CAST(SUM(CAST(ROUND(w[bucket + 1] * x * 1e9, 0) AS BIGINT))
+            AS BIGINT) AS zq
+        FROM tf, w${k - 1} GROUP BY doc_id, y),
+      g$k AS MATERIALIZED (SELECT t.bucket,
+          CAST(SUM(CAST(ROUND((CAST(CAST(ROUND((1 / (1
+            + exp(-(CAST(z.zq AS DOUBLE) / 1e9)))) * 1e6, 0) AS BIGINT)
+            AS DOUBLE) / 1e6 - z.y) * t.x * 1e6, 0) AS BIGINT)) AS BIGINT)
+            AS gq
+        FROM tf t JOIN z$k z USING (doc_id) GROUP BY t.bucket),
+      gl$k AS MATERIALIZED (SELECT
+          list(COALESCE(g.gq, CAST(0 AS BIGINT)) ORDER BY t.b) AS gl
+        FROM range(0, 68) t(b) LEFT JOIN g$k g ON g.bucket = t.b),
+      w$k AS MATERIALIZED (SELECT list_transform(range(1, 69),
+          i -> w[i] - 16.0 * ((CAST(gl[i] AS DOUBLE) / 1e6)
+            / CAST(nn.n AS DOUBLE))) AS w
+        FROM w${k - 1}, gl$k, nn)"""
+    s"""WITH tfc AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT doc_id, (${md5Hash32Sql("w")}) % 64 AS bucket
+          FROM (SELECT doc_id,
+              unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents)
+          WHERE w <> '') GROUP BY 1, 2),
+      ntok AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tok
+        FROM tfc GROUP BY doc_id),
+      feat AS (SELECT doc_id,
+          LEAST(len(regexp_split_to_array(trim(text), '\\s+')) / 50.0, 1.0)
+            AS f_len,
+          1.0 - LEAST((CAST(length(text)
+              - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
+            AS DOUBLE) / GREATEST(length(text), 1)) * 5.0, 1.0) AS f_punct,
+          LEAST((CAST(len(list_filter(
+              regexp_split_to_array(trim(text), '\\s+'),
+              t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+            / GREATEST(len(regexp_split_to_array(trim(text), '\\s+')), 1))
+            * 10.0, 1.0) AS f_stop
+        FROM documents),
+      spl AS (SELECT (MAX(doc_id) + 1) // 2 AS sp FROM documents),
+      lab2 AS (SELECT doc_id,
+          CASE WHEN doc_id >= sp THEN 1 ELSE 0 END AS y
+        FROM documents, spl),
+      tfall AS (
+        SELECT t.doc_id, l.y, t.bucket,
+          CAST(t.cnt AS DOUBLE) / CAST(n.n_tok AS DOUBLE) AS x
+        FROM tfc t JOIN ntok n USING (doc_id) JOIN lab2 l USING (doc_id)
+        UNION ALL SELECT n.doc_id, l.y, 64, f.f_len
+          FROM ntok n JOIN lab2 l USING (doc_id) JOIN feat f USING (doc_id)
+        UNION ALL SELECT n.doc_id, l.y, 65, f.f_punct
+          FROM ntok n JOIN lab2 l USING (doc_id) JOIN feat f USING (doc_id)
+        UNION ALL SELECT n.doc_id, l.y, 66, f.f_stop
+          FROM ntok n JOIN lab2 l USING (doc_id) JOIN feat f USING (doc_id)
+        UNION ALL SELECT n.doc_id, l.y, 67, 1.0
+          FROM ntok n JOIN lab2 l USING (doc_id)),
+      tf AS (SELECT * FROM tfall
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+          % 100 < 90),
+      nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
       w0 AS (SELECT list_transform(range(0, 68),
         b -> CAST(0.0 AS DOUBLE)) AS w)
       $iters"""
@@ -10182,6 +10306,34 @@ object TrainingData {
       SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_tok,
         CAST(key_q AS DOUBLE) / 1e6 AS aes_key
       FROM top WHERE rk <= 50 ORDER BY rk""",
+    "x175_drift_c2st" -> s"""$c2stTrainedSql,
+      tst AS (SELECT * FROM tfall
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+          % 100 >= 90),
+      zt AS (SELECT doc_id, y,
+          CAST(SUM(CAST(ROUND(w[bucket + 1] * x * 1e9, 0) AS BIGINT))
+            AS BIGINT) AS zq
+        FROM tst, w20 GROUP BY doc_id, y),
+      pt AS (SELECT doc_id, y,
+          CAST(ROUND((1 / (1 + exp(-(CAST(zq AS DOUBLE) / 1e9)))) * 1e6, 0)
+            AS BIGINT) AS pq
+        FROM zt),
+      ag2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+          CAST(SUM(CASE WHEN (pq >= 500000) = (y = 1) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_corr
+        FROM pt),
+      ac AS (SELECT n_test,
+          (2 * n_corr * 10000 + n_test) // (2 * n_test) AS accq
+        FROM ag2),
+      zz AS (SELECT n_test, accq,
+          CAST(ROUND((2 * (CAST(accq AS DOUBLE) / 1e4) - 1)
+            * SQRT(CAST(n_test AS DOUBLE)) * 1e4, 0) AS BIGINT) AS zq
+        FROM ac)
+      SELECT nn.n AS n_train, n_test,
+        CAST(accq AS DOUBLE) / 1e4 AS test_acc,
+        CAST(zq AS DOUBLE) / 1e4 AS z_score,
+        zq > 19600 AS drift
+      FROM zz, nn""",
     "x174_token_burstiness" -> """
       WITH dc AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
         FROM (SELECT doc_id,

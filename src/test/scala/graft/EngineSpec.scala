@@ -3226,6 +3226,26 @@ class EngineSpec extends AnyFunSuite {
     assert(fT == 0.0, s"template token must have zero dispersion: $fT")
   }
 
+  test("x175 C2ST: a crafted vocabulary shift alarms; the stationary fixture stays calm") {
+    import spark.implicits._
+    // late half swaps the vocabulary wholesale — linearly separable
+    // in the hashed-bucket features, so held-out accuracy ≈ 1
+    val docs = ((0 until 500).map(i =>
+        (i.toLong, "alpha beta gamma delta the a of and")) ++
+      (500 until 1000).map(i =>
+        (i.toLong, "zulu yankee xray whiskey victor uniform tango sierra")))
+      .toDF("doc_id", "text")
+    val out = TrainingData.driftC2stOn(spark, docs).collect()(0)
+    assert(out.getAs[Boolean]("drift"),
+      s"vocabulary shift must alarm: $out")
+    assert(out.getAs[Double]("test_acc") > 0.9, s"separable shift: $out")
+    // stationary corpus: accuracy hugs chance, no alarm
+    val fix = TrainingData.defs("x175_drift_c2st")(spark, sf).collect()(0)
+    assert(!fix.getAs[Boolean]("drift"),
+      s"stationary corpus must stay calm: $fix")
+    assert(math.abs(fix.getAs[Double]("test_acc") - 0.5) < 0.1)
+  }
+
   test("x148 margin demotes a crafted hub that raw cosine prefers") {
     import spark.implicits._
     // queries 0,2,4; hub match 101 sits at cos .85 to ALL queries
