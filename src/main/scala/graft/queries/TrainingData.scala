@@ -4515,6 +4515,61 @@ object TrainingData {
       .orderBy(col("fano").desc, col("w"))
   }
 
+  /** X176: embedding-distribution drift over the learned quantizer
+    * (the measurement inside MAUVE — Pillutla et al. 2021: compare
+    * two populations by their histograms over a shared embedding
+    * QUANTIZATION, here the persisted 16-cell IVF coarse quantizer
+    * instead of MAUVE's ad-hoc k-means): Jensen-Shannon divergence in
+    * bits between the early and late vector halves' Laplace-smoothed
+    * cell occupancies. The drift-family slot this fills: x68 watches
+    * a quality histogram, x175 searches text features, this watches
+    * the EMBEDDING space — a feed whose vectors migrate cells (new
+    * topics, new encoder version) alarms here before any text
+    * statistic moves. Numerics are x55's JSD contract exactly
+    * (per-cell ln(p/m) quantized 1e-6, exact-integer KL halves,
+    * one dequantize + nats→bits seam). Identical populations ⇒ 0 and
+    * disjoint cells ⇒ 1 bit, both pinned in EngineSpec via
+    * [[embedDriftOn]]. Scale shape: one assignment read (the
+    * persisted store — no training here), a 16-row smoothed grid,
+    * driver-free. */
+  val x176EmbedDrift: Q = (s, d) => {
+    val cells = graft.ml.IvfIndex.loadCached(s, ensureIvfIndex(s, d)).cells
+    val split = (cells.agg(max(col("vec_id"))).head().getLong(0) + 1L) / 2L
+    val spine = graft.ml.IvfIndex.loadCached(s, ensureIvfIndex(s, d))
+      .centroids.select(col("cid").as("cell"))
+    embedDriftOn(cells.select(col("cell"),
+      when(col("vec_id") >= split, 1L).otherwise(0L).as("grp")), spine)
+  }
+
+  /** [[x176EmbedDrift]] core over any (cell, grp ∈ {0, 1}) assignment
+    * plus the cell spine (exposed for the EngineSpec pins). */
+  private[graft] def embedDriftOn(assign: DataFrame,
+      spine: DataFrame): DataFrame = {
+    val ln2 = 0.6931471805599453
+    val cnts = spine
+      .join(assign.groupBy(col("cell"))
+        .agg(sum(lit(1L) - col("grp")).as("a"), sum(col("grp")).as("bq")),
+        Seq("cell"), "left")
+      .na.fill(0L, Seq("a", "bq"))
+    val tot = cnts.agg(sum(col("a")).as("na"), sum(col("bq")).as("nb"),
+      count(lit(1)).as("k"))
+    val p = (col("a") + 1L).cast("double") / (col("na") + col("k")).cast("double")
+    val q = (col("bq") + 1L).cast("double") / (col("nb") + col("k")).cast("double")
+    val m = (p + q) / lit(2)
+    cnts.crossJoin(broadcast(tot))
+      .withColumn("tp", round(log(p / m) * 1e6, 0).cast("long"))
+      .withColumn("tq", round(log(q / m) * 1e6, 0).cast("long"))
+      .groupBy(lit(1).as("one"))
+      .agg(max(col("na")).as("n_early"), max(col("nb")).as("n_late"),
+        max(col("k")).as("kk"),
+        sum((col("a") + 1L) * col("tp")).as("hp"),
+        sum((col("bq") + 1L) * col("tq")).as("hq"))
+      .select(col("n_early"), col("n_late"),
+        ((intRoundHalfAway(col("hp"), col("n_early") + col("kk"))
+          + intRoundHalfAway(col("hq"), col("n_late") + col("kk")))
+          .cast("double") / lit(2e6) / lit(ln2)).as("jsd_bits"))
+  }
+
   /** X175: classifier two-sample drift test (C2ST — Lopez-Paz &
     * Oquab 2017, "Revisiting classifier two-sample tests"): train the
     * engine's own logistic model to DISTINGUISH the early and late
@@ -8153,6 +8208,7 @@ object TrainingData {
     "x173_gradient_noise" -> x173GradientNoise,
     "x174_token_burstiness" -> x174TokenBurstiness,
     "x175_drift_c2st" -> x175DriftC2st,
+    "x176_embed_drift" -> x176EmbedDrift,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -10306,6 +10362,45 @@ object TrainingData {
       SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_tok,
         CAST(key_q AS DOUBLE) / 1e6 AS aes_key
       FROM top WHERE rk <= 50 ORDER BY rk""",
+    "x176_embed_drift" -> s"""
+      WITH $ivfAssignedCtes,
+      spl AS (SELECT (MAX(vec_id) + 1) // 2 AS sp FROM assigned),
+      asg AS (SELECT cell,
+          CASE WHEN vec_id >= sp THEN 1 ELSE 0 END AS grp
+        FROM assigned, spl),
+      cnts AS (SELECT c.cid AS cell,
+          CAST(COALESCE(SUM(1 - grp), 0) AS BIGINT) AS a,
+          CAST(COALESCE(SUM(grp), 0) AS BIGINT) AS bq
+        FROM cent2 c LEFT JOIN asg ON asg.cell = c.cid GROUP BY c.cid),
+      tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+          CAST(SUM(bq) AS BIGINT) AS nb,
+          CAST(COUNT(*) AS BIGINT) AS k FROM cnts),
+      terms AS (SELECT a, bq, na, nb, k,
+          CAST(ROUND(LN(
+            (CAST(a + 1 AS DOUBLE) / CAST(na + k AS DOUBLE))
+            / ((CAST(a + 1 AS DOUBLE) / CAST(na + k AS DOUBLE)
+              + CAST(bq + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE)) / 2))
+            * 1e6, 0) AS BIGINT) AS tp,
+          CAST(ROUND(LN(
+            (CAST(bq + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE))
+            / ((CAST(a + 1 AS DOUBLE) / CAST(na + k AS DOUBLE)
+              + CAST(bq + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE)) / 2))
+            * 1e6, 0) AS BIGINT) AS tq
+        FROM cnts, tot),
+      agg AS (SELECT CAST(MAX(na) AS BIGINT) AS n_early,
+          CAST(MAX(nb) AS BIGINT) AS n_late,
+          CAST(MAX(k) AS BIGINT) AS kk,
+          CAST(SUM((a + 1) * tp) AS BIGINT) AS hp,
+          CAST(SUM((bq + 1) * tq) AS BIGINT) AS hq
+        FROM terms)
+      SELECT n_early, n_late,
+        CAST((CASE WHEN hp < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(hp) + (n_early + kk)) // (2 * (n_early + kk)))
+          + (CASE WHEN hq < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(hq) + (n_late + kk)) // (2 * (n_late + kk)))
+          AS DOUBLE)
+          / 2e6 / 0.6931471805599453 AS jsd_bits
+      FROM agg""",
     "x175_drift_c2st" -> s"""$c2stTrainedSql,
       tst AS (SELECT * FROM tfall
         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT

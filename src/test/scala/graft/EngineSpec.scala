@@ -3246,6 +3246,31 @@ class EngineSpec extends AnyFunSuite {
     assert(math.abs(fix.getAs[Double]("test_acc") - 0.5) < 0.1)
   }
 
+  test("x176 embedding drift: identical occupancies score ~0, disjoint cells score ~1 bit; fixture calm") {
+    import spark.implicits._
+    val spine = (0L until 4L).map(Tuple1(_)).toDF("cell")
+    // identical per-cell occupancy across groups → JSD = 0 exactly
+    // (every p equals q, all log terms quantize to 0)
+    val same = (0L until 4L).flatMap(c =>
+      Seq.fill(25)((c, 0L)) ++ Seq.fill(25)((c, 1L)))
+      .toDF("cell", "grp")
+    val j0 = TrainingData.embedDriftOn(same, spine).collect()(0)
+      .getAs[Double]("jsd_bits")
+    assert(j0 == 0.0, s"identical populations must score zero: $j0")
+    // disjoint: group 0 in cells {0,1}, group 1 in cells {2,3} —
+    // JSD approaches 1 bit (Laplace smoothing keeps it just below)
+    val disj = ((0L until 2L).flatMap(c => Seq.fill(500)((c, 0L))) ++
+      (2L until 4L).flatMap(c => Seq.fill(500)((c, 1L))))
+      .toDF("cell", "grp")
+    val j1 = TrainingData.embedDriftOn(disj, spine).collect()(0)
+      .getAs[Double]("jsd_bits")
+    assert(j1 > 0.9 && j1 <= 1.0, s"disjoint populations near 1 bit: $j1")
+    // the fixture's halves share the embedding distribution
+    val fix = TrainingData.defs("x176_embed_drift")(spark, sf)
+      .collect()(0).getAs[Double]("jsd_bits")
+    assert(fix >= 0.0 && fix < 0.1, s"stationary fixture: $fix")
+  }
+
   test("x148 margin demotes a crafted hub that raw cosine prefers") {
     import spark.implicits._
     // queries 0,2,4; hub match 101 sits at cos .85 to ALL queries
