@@ -4515,6 +4515,67 @@ object TrainingData {
       .orderBy(col("fano").desc, col("w"))
   }
 
+  /** X177: packing-policy efficiency table — the OTHER half of the
+    * decision x25/x121/x165 instrument: a trainer either concatenates
+    * and chunks (zero padding, x121's attention contamination) or
+    * packs whole documents into padded sequences (no contamination,
+    * padding waste — Krell et al. 2021's histogram-packing setting).
+    * Per policy at b = 256: sequences, padding tokens, and waste
+    * share. `single_doc` = one padded sequence per doc (the naive
+    * baseline); `nfd` = next-fit-decreasing bin packing computed
+    * EXACTLY on the bounded length histogram (per length class the
+    * fill is closed-form integer arithmetic — current-bin fill, full
+    * bins of ⌊b/L⌋, carry the remainder — so the whole simulation is
+    * ≤ 256 exact steps, driver-side on the collected histogram, and
+    * the oracle replays it as a recursive CTE); `concat_chunk` = x25's
+    * splitter (pads only the final sequence; its real cost is x121's
+    * boundary table). Padded policies truncate docs at b (that loss
+    * is x165's table); concat never truncates — stated per row by
+    * construction. Waste ordering nfd ≤ single_doc and the 100×100
+    * closed form (50 bins, 2800 pad) pinned in EngineSpec. Scale
+    * shape: one corpus scan onto a ≤ b-row histogram; everything
+    * after is bounded integer arithmetic. */
+  val x177PackingPolicies: Q = (s, d) =>
+    packingPoliciesOn(s, Tables.documents(s, d), 256L)
+
+  /** [[x177PackingPolicies]] core (exposed for the EngineSpec pins). */
+  private[graft] def packingPoliciesOn(s: SparkSession, docs: DataFrame,
+      b: Long): DataFrame = {
+    import graft.ml.LogFit
+    val hist = docs
+      .select(least(tokenCount(col("text")).cast("long"), lit(b)).as("l"))
+      .filter(col("l") > 0)
+      .groupBy(col("l")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    val nDocs = hist.map(_._2).sum
+    val used = hist.map { case (l, c) => l * c }.sum
+    val tot = docs.select(tokenCount(col("text")).cast("long").as("t"))
+      .filter(col("t") > 0).agg(sum(col("t"))).head().getLong(0)
+    val concatSeqs = (tot + b - 1) / b
+    var bins = 0L; var rem = 0L
+    for ((l, c0) <- hist) {
+      var c = c0
+      if (rem >= l) { val k1 = math.min(c, rem / l); c -= k1; rem -= k1 * l }
+      if (c > 0) {
+        val perBin = b / l
+        val nb = (c + perBin - 1) / perBin
+        bins += nb
+        rem = b - (c - (nb - 1) * perBin) * l
+      }
+    }
+    def waste(pad: Long, seqs: Long): Double =
+      LogFit.halfAway(BigInt(pad) * 10000L, BigInt(seqs) * b)
+        .toDouble / 1e4
+    s.createDataFrame(Seq(
+        ("concat_chunk", concatSeqs, concatSeqs * b - tot,
+          waste(concatSeqs * b - tot, concatSeqs)),
+        ("nfd", bins, bins * b - used, waste(bins * b - used, bins)),
+        ("single_doc", nDocs, nDocs * b - used,
+          waste(nDocs * b - used, nDocs))))
+      .toDF("policy", "n_seqs", "n_pad", "waste")
+      .orderBy(col("policy"))
+  }
+
   /** X176: embedding-distribution drift over the learned quantizer
     * (the measurement inside MAUVE — Pillutla et al. 2021: compare
     * two populations by their histograms over a shared embedding
@@ -8209,6 +8270,7 @@ object TrainingData {
     "x174_token_burstiness" -> x174TokenBurstiness,
     "x175_drift_c2st" -> x175DriftC2st,
     "x176_embed_drift" -> x176EmbedDrift,
+    "x177_packing_policies" -> x177PackingPolicies,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -10362,6 +10424,57 @@ object TrainingData {
       SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_tok,
         CAST(key_q AS DOUBLE) / 1e6 AS aes_key
       FROM top WHERE rk <= 50 ORDER BY rk""",
+    // x177: the NFD fill is a 1-row-per-length-class recursive CTE
+    // whose per-step update is closed-form integer arithmetic (the
+    // k1/c2/per_bin expressions are inlined — LATERAL inside a
+    // recursive member is not portable).
+    "x177_packing_policies" -> """
+      WITH RECURSIVE tl0 AS (SELECT
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+            AS lt
+        FROM documents),
+      tl AS (SELECT least(lt, 256) AS l FROM tl0 WHERE lt > 0),
+      hist AS (SELECT l, CAST(COUNT(*) AS BIGINT) AS c FROM tl GROUP BY l),
+      ord AS (SELECT l, c, ROW_NUMBER() OVER (ORDER BY l DESC) AS rn
+        FROM hist),
+      mxr AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ord),
+      nfd(rn, bins, rem) AS (
+        SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT o.rn,
+          nfd.bins + CASE WHEN o.c - (CASE WHEN nfd.rem >= o.l
+              THEN least(o.c, nfd.rem // o.l) ELSE 0 END) > 0
+            THEN ((o.c - (CASE WHEN nfd.rem >= o.l
+                THEN least(o.c, nfd.rem // o.l) ELSE 0 END))
+              + (256 // o.l) - 1) // (256 // o.l)
+            ELSE 0 END,
+          CASE WHEN o.c - (CASE WHEN nfd.rem >= o.l
+              THEN least(o.c, nfd.rem // o.l) ELSE 0 END) > 0
+            THEN 256 - ((o.c - (CASE WHEN nfd.rem >= o.l
+                THEN least(o.c, nfd.rem // o.l) ELSE 0 END))
+              - ((((o.c - (CASE WHEN nfd.rem >= o.l
+                  THEN least(o.c, nfd.rem // o.l) ELSE 0 END))
+                + (256 // o.l) - 1) // (256 // o.l)) - 1)
+                * (256 // o.l)) * o.l
+            ELSE nfd.rem - (CASE WHEN nfd.rem >= o.l
+              THEN least(o.c, nfd.rem // o.l) ELSE 0 END) * o.l END
+        FROM nfd JOIN ord o ON o.rn = nfd.rn + 1),
+      nfin AS (SELECT bins FROM nfd, mxr WHERE rn = m),
+      us AS (SELECT CAST(SUM(l * c) AS BIGINT) AS used,
+          CAST(SUM(c) AS BIGINT) AS ndocs FROM hist),
+      tt AS (SELECT CAST(SUM(lt) AS BIGINT) AS t FROM tl0 WHERE lt > 0),
+      outp AS (
+        SELECT 'concat_chunk' AS policy, (t + 255) // 256 AS n_seqs,
+          ((t + 255) // 256) * 256 - t AS n_pad
+        FROM tt
+        UNION ALL
+        SELECT 'nfd', bins, bins * 256 - used FROM nfin, us
+        UNION ALL
+        SELECT 'single_doc', ndocs, ndocs * 256 - used FROM us)
+      SELECT policy, n_seqs, n_pad,
+        CAST(((2 * n_pad * 10000 + n_seqs * 256)
+          // (2 * n_seqs * 256)) AS DOUBLE) / 1e4 AS waste
+      FROM outp ORDER BY policy""",
     "x176_embed_drift" -> s"""
       WITH $ivfAssignedCtes,
       spl AS (SELECT (MAX(vec_id) + 1) // 2 AS sp FROM assigned),

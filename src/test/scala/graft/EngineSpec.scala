@@ -3271,6 +3271,29 @@ class EngineSpec extends AnyFunSuite {
     assert(fix >= 0.0 && fix < 0.1, s"stationary fixture: $fix")
   }
 
+  test("x177 packing policies: NFD closed form exact; waste ordering concat <= nfd <= single") {
+    import spark.implicits._
+    // 100 docs of 100 tokens at b=256: NFD pairs them — 50 bins,
+    // 2800 pad; single_doc 100 bins, 15600 pad; concat 40 seqs
+    // (10000/256 → 40), 240 pad
+    val text = (0 until 100).map(i => s"t$i").mkString(" ")
+    val docs = (0 until 100).map(i => (i.toLong, text))
+      .toDF("doc_id", "text")
+    val out = TrainingData.packingPoliciesOn(spark, docs, 256L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("nfd").getAs[Long]("n_seqs") == 50L
+      && out("nfd").getAs[Long]("n_pad") == 2800L, s"nfd: ${out("nfd")}")
+    assert(out("single_doc").getAs[Long]("n_seqs") == 100L
+      && out("single_doc").getAs[Long]("n_pad") == 15600L)
+    assert(out("concat_chunk").getAs[Long]("n_seqs") == 40L
+      && out("concat_chunk").getAs[Long]("n_pad") == 240L)
+    // fixture: the policies order by construction
+    val fix = TrainingData.defs("x177_packing_policies")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("waste")).toMap
+    assert(fix("concat_chunk") <= fix("nfd") + 1e-9)
+    assert(fix("nfd") <= fix("single_doc") + 1e-9)
+  }
+
   test("x148 margin demotes a crafted hub that raw cosine prefers") {
     import spark.implicits._
     // queries 0,2,4; hub match 101 sits at cos .85 to ALL queries
