@@ -4515,6 +4515,78 @@ object TrainingData {
       .orderBy(col("fano").desc, col("w"))
   }
 
+  /** X178: PageRank canonical selection over the near-dup graph —
+    * the third survivor POLICY beside x24's min-id and x152's
+    * quality argmax: production dedup stacks pick the most CENTRAL
+    * member of a duplicate family (the page every mirror points at
+    * structurally — the copy of record), and PageRank over the
+    * similarity graph is the published way to rank that (Page et al.
+    * 1999; same x14 pair graph, x73's degree table upgraded to a
+    * stationary score). Ten unrolled power iterations with d = 0.85,
+    * ranks in integer 1e-9 units: the neighbor share is the exact
+    * integer floor r div deg, the damped update is
+    * tele + ⌈85·S/100⌋ ([[intRoundHalfAway]], tele precomputed once)
+    * — both engines replay the identical integer recurrence, so the
+    * per-cluster argmax (rank DESC, doc_id) is engine-exact. Output
+    * per multi-member family: size, the PR canonical, its rank, and
+    * whether it DIFFERS from min-id — the audit column that prices
+    * switching survivor rules (x152's convention). Scale shape: the
+    * x2/x14 pair graph (banded in production via the x6 LSH path),
+    * then 10 bounded join+aggregate rounds over the edge list —
+    * O(E) per round, no corpus-wide window, nothing driver-side but
+    * the two scalars. Crafted star graph (hub beats min-id leaf)
+    * pinned in EngineSpec. */
+  val x178PagerankCanonical: Q = (s, d) =>
+    pagerankCanonicalOn(s,
+      corpusWithDupes(s, d).filter(col("doc_id") % 1000000 < 200))
+
+  /** [[x178PagerankCanonical]] core over any (doc_id, text) frame. */
+  private[graft] def pagerankCanonicalOn(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import graft.ml.LogFit
+    val corpus = docs.select(col("doc_id"), col("text")).localCheckpoint()
+    val pairs = graft.dedup.NearDup.ngramJaccardPairs(corpus)
+      .localCheckpoint()
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("a").as("doc_id"))
+      .agg(count(lit(1)).as("dg"))
+    val nodes = corpus.select(col("doc_id"))
+      .join(deg, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dg")).localCheckpoint()
+    val nN = nodes.count()
+    val teleQ = LogFit.halfAway(BigInt(15L) * 1000000000L,
+      BigInt(100L) * nN).toLong
+    val r0 = LogFit.halfAway(BigInt(1000000000L), BigInt(nN)).toLong
+    var r = nodes.select(col("doc_id"), col("dg"), lit(r0).as("r"))
+    for (_ <- 1 to 10) {
+      // isolated nodes (dg = 0) send no mass — filter BEFORE the div
+      // so the projection never evaluates r div 0 (ANSI mode)
+      val sq = edges
+        .join(r.filter(col("dg") > 0L).select(col("doc_id").as("a"),
+          call_function("div", col("r"), col("dg")).as("share")), Seq("a"))
+        .groupBy(col("b").as("doc_id")).agg(sum(col("share")).as("sq"))
+      r = nodes.join(sq, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dg"),
+          (lit(teleQ) + intRoundHalfAway(
+            lit(85L) * coalesce(col("sq"), lit(0L)), lit(100L))).as("r"))
+        .localCheckpoint()
+    }
+    graft.dedup.NearDup.clusters(corpus, pairs)
+      .select(col("doc_id"), col("canonico").as("cluster"))
+      .join(r.select(col("doc_id"), col("r")), Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("size"),
+        max(struct(col("r"), (-col("doc_id")).as("nid"))).as("m"))
+      .filter(col("size") >= 2L)
+      .select(col("cluster"), col("size"),
+        (-col("m.nid")).as("pr_canonical"),
+        (col("m.r").cast("double") / 1e9).as("pr_rank"),
+        ((-col("m.nid")) === col("cluster")).as("agree"))
+      .orderBy(col("cluster"))
+  }
+
   /** X177: packing-policy efficiency table — the OTHER half of the
     * decision x25/x121/x165 instrument: a trainer either concatenates
     * and chunks (zero padding, x121's attention contamination) or
@@ -8271,6 +8343,7 @@ object TrainingData {
     "x175_drift_c2st" -> x175DriftC2st,
     "x176_embed_drift" -> x176EmbedDrift,
     "x177_packing_policies" -> x177PackingPolicies,
+    "x178_pagerank_canonical" -> x178PagerankCanonical,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -10424,6 +10497,43 @@ object TrainingData {
       SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_tok,
         CAST(key_q AS DOUBLE) / 1e6 AS aes_key
       FROM top WHERE rk <= 50 ORDER BY rk""",
+    // x178: x14's pair/label CTEs + 10 unrolled integer PageRank
+    // iterations (every step CTE MATERIALIZED — the x146 lesson).
+    "x178_pagerank_canonical" -> {
+      val iters = (1 to 10).map { k => s""",
+      s$k AS MATERIALIZED (SELECT e.b AS doc_id,
+          CAST(SUM(r.r // r.dg) AS BIGINT) AS sq
+        FROM edges2 e JOIN r${k - 1} r ON r.doc_id = e.a GROUP BY e.b),
+      r$k AS MATERIALIZED (SELECT n.doc_id, n.dg,
+          t.a + (2 * 85 * COALESCE(s.sq, 0) + 100) // 200 AS r
+        FROM nodes n LEFT JOIN s$k s USING (doc_id) CROSS JOIN tele t)"""
+      }.mkString
+      s"""$dedupClusterCtes,
+      deg AS (SELECT a AS doc_id, CAST(COUNT(*) AS BIGINT) AS dg
+        FROM edges2 GROUP BY a),
+      nodes AS (SELECT c.doc_id, COALESCE(d.dg, 0) AS dg
+        FROM corpus c LEFT JOIN deg d USING (doc_id)),
+      nct AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+      tele AS (SELECT (2 * 15 * CAST(1000000000 AS BIGINT) + 100 * n) // (2 * 100 * n)
+          AS a FROM nct),
+      r0 AS MATERIALIZED (SELECT doc_id, dg,
+          (2 * CAST(1000000000 AS BIGINT) + n) // (2 * n) AS r
+        FROM nodes, nct)$iters,
+      fam AS (SELECT l.canonico AS cluster, l.doc_id, r.r
+        FROM labels l JOIN r10 r USING (doc_id)),
+      sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size
+        FROM fam GROUP BY cluster),
+      pk AS (SELECT cluster, doc_id AS pr_canonical, r FROM (
+          SELECT cluster, doc_id, r, ROW_NUMBER() OVER
+            (PARTITION BY cluster ORDER BY r DESC, doc_id) AS rk
+          FROM fam)
+        WHERE rk = 1)
+      SELECT s.cluster, s.size, k.pr_canonical,
+        CAST(k.r AS DOUBLE) / 1e9 AS pr_rank,
+        (k.pr_canonical = s.cluster) AS agree
+      FROM sz s JOIN pk k USING (cluster)
+      WHERE s.size >= 2 ORDER BY s.cluster"""
+    },
     // x177: the NFD fill is a 1-row-per-length-class recursive CTE
     // whose per-step update is closed-form integer arithmetic (the
     // k1/c2/per_bin expressions are inlined — LATERAL inside a

@@ -3294,6 +3294,30 @@ class EngineSpec extends AnyFunSuite {
     assert(fix("nfd") <= fix("single_doc") + 1e-9)
   }
 
+  test("x178 PageRank canonical: hub centrality beats min-id on a crafted star") {
+    import spark.implicits._
+    // hub (id 10) shares exactly half its shingles with each leaf
+    // (ids 3, 5); the leaves share nothing — a star whose center is
+    // NOT the min id, so the PR policy must disagree with x24's
+    val docs = Seq(
+      (3L, "t1 t2 t3 t4 t5"),
+      (5L, "t4 t5 t6 t7 t8"),
+      (10L, "t1 t2 t3 t4 t5 t6 t7 t8"),
+      (100L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
+    val out = TrainingData.pagerankCanonicalOn(spark, docs).collect()
+    assert(out.length == 1, s"one multi-member family: ${out.toSeq}")
+    val r = out(0)
+    assert(r.getAs[Long]("cluster") == 3L && r.getAs[Long]("size") == 3L)
+    assert(r.getAs[Long]("pr_canonical") == 10L, s"hub must win: $r")
+    assert(!r.getAs[Boolean]("agree"))
+    // fixture families are symmetric triads — every rank ties back to
+    // min-id, and sizes are all >= 2 by the output contract
+    val fix = TrainingData.defs("x178_pagerank_canonical")(spark, sf)
+      .collect()
+    assert(fix.nonEmpty)
+    fix.foreach(row => assert(row.getAs[Long]("size") >= 2L))
+  }
+
   test("x148 margin demotes a crafted hub that raw cosine prefers") {
     import spark.implicits._
     // queries 0,2,4; hub match 101 sits at cos .85 to ALL queries
