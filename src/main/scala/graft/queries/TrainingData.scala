@@ -4515,6 +4515,68 @@ object TrainingData {
       .orderBy(col("fano").desc, col("w"))
   }
 
+  /** X179: greedy max-coverage source selection — the SUBMODULAR
+    * member of the mixture family (facility-location/coverage data
+    * selection, Nemhauser et al.'s 1−1/e greedy): given a budget of
+    * K = 5 sources, pick the set whose UNION of distinct trigrams is
+    * largest — x27/x141/x166 weight sources independently, but
+    * coverage is a set function and the second copy of a syndicated
+    * feed adds nothing; greedy marginal-gain selection is the
+    * published answer. Five unrolled steps, each ONE aggregation over
+    * the (trigram, source) incidence table joined anti the covered
+    * set (argmax by gain DESC, source ASC — engine-exact, no floats
+    * anywhere); the oracle replays all steps as MATERIALIZED CTEs
+    * (the x146 greedy discipline). Output per pick: rank, source,
+    * marginal gain, cumulative coverage and its share of the corpus
+    * trigram space. Subset sources add zero after their superset —
+    * greedy skips an individually-2nd-ranked subset source (pinned in
+    * EngineSpec on a crafted containment corpus). Scale shape: one
+    * shingle scan onto the distinct (gram, source) incidence — the
+    * x47 shuffle — then 5 bounded join+aggregate rounds; the only
+    * driver state is the ≤ 5 picked names. */
+  val x179CoverageSelect: Q = (s, d) =>
+    coverageSelectOn(s, Tables.documents(s, d), 5)
+
+  /** [[x179CoverageSelect]] core (exposed for the EngineSpec pin). */
+  private[graft] def coverageSelectOn(s: SparkSession, docs: DataFrame,
+      k: Int): DataFrame = {
+    val inc = docs
+      .select(col("source"), wsTokens(col("text")).as("toks"))
+      .select(col("source"),
+        explode(allShinglesOfToks(col("toks"), 3)).as("g"))
+      .distinct()
+      .localCheckpoint()
+    val totTypes = inc.select(col("g")).distinct().count()
+    var covered = inc.sparkSession.emptyDataFrame
+    var coveredInit = false
+    var cum = 0L
+    val picks = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long, Double)]()
+    val picked = scala.collection.mutable.Set[String]()
+    for (i <- 1 to k) {
+      val cand0 = if (coveredInit)
+        inc.join(covered, Seq("g"), "left_anti") else inc
+      val cand = if (picked.isEmpty) cand0
+        else cand0.filter(!col("source").isin(picked.toSeq: _*))
+      val top = cand.groupBy(col("source")).agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("source")).limit(1).collect()
+      if (top.nonEmpty && top(0).getLong(1) > 0L) {
+        val src = top(0).getString(0); val gain = top(0).getLong(1)
+        cum += gain
+        picks += ((i.toLong, src, gain, cum,
+          graft.ml.LogFit.halfAway(BigInt(cum) * 10000L, BigInt(totTypes))
+            .toDouble / 1e4))
+        picked += src
+        val add = inc.filter(col("source") === src).select(col("g"))
+        covered = (if (coveredInit) covered.unionByName(add) else add)
+          .distinct().localCheckpoint()
+        coveredInit = true
+      }
+    }
+    s.createDataFrame(picks.toSeq)
+      .toDF("rk", "source", "gain", "cum_types", "coverage")
+      .orderBy(col("rk"))
+  }
+
   /** X178: PageRank canonical selection over the near-dup graph —
     * the third survivor POLICY beside x24's min-id and x152's
     * quality argmax: production dedup stacks pick the most CENTRAL
@@ -8344,6 +8406,7 @@ object TrainingData {
     "x176_embed_drift" -> x176EmbedDrift,
     "x177_packing_policies" -> x177PackingPolicies,
     "x178_pagerank_canonical" -> x178PagerankCanonical,
+    "x179_coverage_select" -> x179CoverageSelect,
     "x115_bpe_drift" -> x115BpeDrift,
     "x106_bpe_train" -> x106BpeTrain,
     "x145_wordpiece_train" -> x145WordpieceTrain,
@@ -10497,6 +10560,46 @@ object TrainingData {
       SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_tok,
         CAST(key_q AS DOUBLE) / 1e6 AS aes_key
       FROM top WHERE rk <= 50 ORDER BY rk""",
+    // x179: 5 unrolled greedy max-coverage steps, every pick and
+    // covered set MATERIALIZED (the x146 greedy discipline).
+    "x179_coverage_select" -> {
+      val steps = new StringBuilder
+      for (i <- 1 to 5) {
+        val notPicked = (1 until i).map(j => s"SELECT source FROM p$j")
+          .mkString(" UNION ALL ")
+        val srcPred = if (i == 1) "1 = 1"
+          else s"source NOT IN ($notPicked)"
+        val covPred = if (i == 1) "1 = 1"
+          else s"g NOT IN (SELECT g FROM c${i - 1})"
+        steps ++= s""",
+      p$i AS MATERIALIZED (SELECT source, CAST(COUNT(*) AS BIGINT)
+          AS gain
+        FROM inc WHERE $srcPred AND $covPred
+        GROUP BY source ORDER BY gain DESC, source LIMIT 1),
+      c$i AS MATERIALIZED (${
+          if (i == 1) "SELECT DISTINCT i.g FROM inc i JOIN p1 ON i.source = p1.source"
+          else s"SELECT g FROM c${i - 1} UNION SELECT i.g FROM inc i JOIN p$i ON i.source = p$i.source"})"""
+      }
+      val outUnion = (1 to 5).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rk, source, gain FROM p$i")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH inc AS MATERIALIZED (SELECT DISTINCT source, g FROM (
+          SELECT source,
+            unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+          FROM (SELECT source,
+              regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents))),
+      tt AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS tot FROM inc)
+      $steps,
+      outp AS ($outUnion)
+      SELECT rk, source, gain,
+        CAST(SUM(gain) OVER (ORDER BY rk) AS BIGINT) AS cum_types,
+        CAST(((2 * SUM(gain) OVER (ORDER BY rk) * 10000 + tot)
+          // (2 * tot)) AS DOUBLE) / 1e4 AS coverage
+      FROM outp, tt ORDER BY rk"""
+    },
     // x178: x14's pair/label CTEs + 10 unrolled integer PageRank
     // iterations (every step CTE MATERIALIZED — the x146 lesson).
     "x178_pagerank_canonical" -> {

@@ -3318,6 +3318,35 @@ class EngineSpec extends AnyFunSuite {
     fix.foreach(row => assert(row.getAs[Long]("size") >= 2L))
   }
 
+  test("x179 coverage greedy: a contained source is skipped even when it ranks second individually") {
+    import spark.implicits._
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    // A holds 100 trigrams; B's 90 are a strict subset of A's (prefix);
+    // C holds 30 new ones. Individual ranking A > B > C, but after A
+    // the greedy must take C and NEVER pick B (marginal gain 0)
+    val docs = Seq(
+      (0L, "A", toks("a", 102)),
+      (1L, "B", toks("a", 92)),
+      (2L, "C", toks("c", 32))).toDF("doc_id", "source", "text")
+    val out = TrainingData.coverageSelectOn(spark, docs, 5).collect()
+    assert(out.length == 2, s"only positive-gain picks: ${out.toSeq}")
+    assert(out(0).getAs[String]("source") == "A"
+      && out(0).getAs[Long]("gain") == 100L)
+    assert(out(1).getAs[String]("source") == "C"
+      && out(1).getAs[Long]("gain") == 30L)
+    assert(out(1).getAs[Double]("coverage") == 1.0,
+      s"A ∪ C covers everything: ${out(1)}")
+    // fixture: marginal gains are non-increasing (submodularity) and
+    // coverage is non-decreasing
+    val fix = TrainingData.defs("x179_coverage_select")(spark, sf)
+      .collect()
+    assert(fix.nonEmpty)
+    fix.map(_.getAs[Long]("gain")).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, s"gains must not increase")
+      case _ =>
+    }
+  }
+
   test("x148 margin demotes a crafted hub that raw cosine prefers") {
     import spark.implicits._
     // queries 0,2,4; hub match 101 sits at cos .85 to ALL queries
