@@ -4446,8 +4446,16 @@ object TrainingData {
     * weight table (exposed for the EngineSpec zero-variance pin). */
   private[graft] def gradientNoiseOn(s: SparkSession, tf: DataFrame,
       wdf: DataFrame, n: Long): DataFrame = {
-    val scored = clfScores(tf, wdf)
-    val g = tf.join(scored.select(col("doc_id"), col("pq")), Seq("doc_id"))
+    // dense rows: pq and the per-dim gradient terms are row-local (the
+    // former scored-join re-shuffle by doc_id is gone, guide §2.4);
+    // the post-explode filter reconstructs exactly the sparse row set
+    // (BOW buckets the doc fires — x > 0 — plus the always-present
+    // side features 64-67), so n_dims keeps its meaning: buckets with
+    // at least one firing doc.
+    val g = tf.crossJoin(broadcast(clfWRow(wdf)))
+      .withColumn("pq", pqOf(zqOf(col("xs"), col("ws"))))
+      .select(col("pq"), col("y"), posexplode(col("xs")).as(Seq("bucket", "x")))
+      .filter(col("x") > 0.0 || col("bucket") >= 64)
       .select(col("bucket"),
         round((col("pq") - col("y") * 1000000L).cast("double") * col("x"),
           0).cast("long").as("gq"))
@@ -4798,7 +4806,7 @@ object TrainingData {
     val tfall = clfFeatures(docs).drop("y")
       .withColumn("y", when(col("doc_id") >= split, 1L).otherwise(0L))
     val trainTf = tfall.filter(balde < 90).localCheckpoint()
-    val nTrain = trainTf.select(col("doc_id")).distinct().count()
+    val nTrain = trainTf.count()
     val w = trainQualityClf(trainTf, nTrain)
     val wdf = s.createDataFrame(
         w.toSeq.zipWithIndex.map { case (v, b) => (b.toLong, v) })
@@ -7071,24 +7079,22 @@ object TrainingData {
     * are the trainer's own 1e-6-quantized σ; mean is an exact
     * integer rational; std's one sqrt seam is quantized after
     * evaluation on an exact-integer argument (k·Σp² − (Σp)²). Scale
-    * shape: ONE feature scan joined to the broadcast 20×68 snapshot
-    * relation (a single aggregation keyed by (doc, step) — 20× the
-    * x122 scoring mass, map-side combinable), then doc-sized and
-    * region-sized rollups. */
+    * shape (r11): ONE dense-feature scan × the 1-row broadcast
+    * snapshot array — all 20 logits, σs and their moments fold
+    * row-locally, so the only shuffle is the ≤8-row region rollup. */
   val x157Cartography: Q = (s, d) => {
     val traj = s.read.parquet(ensureClfTrajectory(s, d))
     val (tf, _) = qualityClfTf(s, d)
-    val z = tf.join(broadcast(traj), Seq("bucket"))
-      .groupBy(col("doc_id"), col("y"), col("step"))
-      .agg(sum(round(col("wb") * col("x") * 1e9, 0).cast("long")).as("zq"))
-    val pq = round((lit(1.0) / (lit(1.0)
-        + exp(-(col("zq").cast("double") / 1e9)))) * 1e6, 0).cast("long")
-    val perDoc = z
+    // dense rows × the 1-row snapshot array: all 20 per-step logits,
+    // σs and their moments are row-local — the former 20×|tf|
+    // bucket-join shuffle AND the doc-keyed re-aggregation are gone
+    // (guide §2.4); the only shuffle left is the ≤8-row region rollup.
+    val perDoc = tf.crossJoin(broadcast(trajRow(traj)))
+      .withColumn("ptqs", trajPtqs(col("snaps"), col("xs"), col("y")))
       .select(col("doc_id"), col("y"),
-        when(col("y") === 1L, pq).otherwise(lit(1000000L) - pq).as("ptq"))
-      .groupBy(col("doc_id"), col("y"))
-      .agg(count(lit(1)).as("k"), sum(col("ptq")).as("sp"),
-        sum(col("ptq") * col("ptq")).as("spp"))
+        size(col("ptqs")).cast("long").as("k"),
+        aggregate(col("ptqs"), lit(0L), (a, v) => a + v).as("sp"),
+        aggregate(col("ptqs"), lit(0L), (a, v) => a + v * v).as("spp"))
       .select(col("doc_id"), col("y"),
         intRoundHalfAway(col("sp"), col("k")).as("conf_q"),
         round(sqrt((col("k") * col("spp") - col("sp") * col("sp"))
@@ -7124,26 +7130,27 @@ object TrainingData {
     * step — x142's noise region), unforgettable docs (learned, zero
     * forgets), forgotten-at-least-once mass, mean and max forget
     * counts. All-integer off the trainer's own quantized σ; the
-    * step scan is a 20-row-per-doc window (bounded frame, never
-    * corpus-wide). */
+    * step scan folds over one step-ordered array inside the row
+    * (r11 — bounded, never corpus-wide, no window exchange). */
   val x158ForgettingEvents: Q = (s, d) => {
     val traj = s.read.parquet(ensureClfTrajectory(s, d))
     val (tf, _) = qualityClfTf(s, d)
-    val z = tf.join(broadcast(traj), Seq("bucket"))
-      .groupBy(col("doc_id"), col("y"), col("step"))
-      .agg(sum(round(col("wb") * col("x") * 1e9, 0).cast("long")).as("zq"))
-    val pq = round((lit(1.0) / (lit(1.0)
-        + exp(-(col("zq").cast("double") / 1e9)))) * 1e6, 0).cast("long")
-    val correct = z.select(col("doc_id"), col("y"), col("step"),
-      (when(col("y") === 1L, pq).otherwise(lit(1000000L) - pq)
-        >= 500000L).as("ok"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("step"))
-    val perDoc = correct
-      .withColumn("forgot",
-        when(lag(col("ok"), 1).over(w) && !col("ok"), 1L).otherwise(0L))
-      .groupBy(col("doc_id"), col("y"))
-      .agg(sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
-        sum(col("forgot")).as("forgets"))
+    // row-local trajectory walk (guide §2.4): the per-step oks live in
+    // one step-ordered array, so the correct→incorrect transition scan
+    // needs neither the former 20×|tf| bucket-join shuffle nor the
+    // per-doc window — only the ≤2-row label rollup shuffles.
+    val perDoc = tf.crossJoin(broadcast(trajRow(traj)))
+      .withColumn("oks",
+        transform(trajPtqs(col("snaps"), col("xs"), col("y")),
+          v => v >= 500000L))
+      .select(col("doc_id"), col("y"),
+        aggregate(col("oks"), lit(0L),
+          (a, ok) => a + when(ok, 1L).otherwise(0L)).as("n_ok"),
+        when(size(col("oks")) >= 2,
+          aggregate(sequence(lit(2), size(col("oks"))), lit(0L),
+            (a, t) => a + when(element_at(col("oks"), t - 1)
+              && !element_at(col("oks"), t), 1L).otherwise(0L)))
+          .otherwise(0L).as("forgets"))
     perDoc.groupBy(col("y"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("n_ok") === 0L, 1L).otherwise(0L))
@@ -7177,26 +7184,26 @@ object TrainingData {
     * the (stage, region) cells proportional to token mass by exact
     * largest-remainder (x162's recipe: floor quotas + top remainders,
     * ties by (stage, region); Σ alloc = B EXACTLY, pinned in
-    * EngineSpec). Scale shape: the x157 scoring join + one corpus
-    * token scan, collapsing onto ≤ 5 (stage, region) cells; the
+    * EngineSpec). Scale shape: x157's row-local trajectory scoring
+    * (r11) + one corpus token scan, collapsing onto ≤ 5 (stage,
+    * region) cells; the
     * landing runs on that pinned tiny relation (b·n_tok stays in
     * Int64 up to ~10⁹-token corpora; production id widths promote the
     * quota products to decimal(38,0) — the Opq precedent). */
   val x168CurriculumSchedule: Q = (s, d) => {
     val traj = s.read.parquet(ensureClfTrajectory(s, d))
     val (tf, _) = qualityClfTf(s, d)
-    val z = tf.join(broadcast(traj), Seq("bucket"))
-      .groupBy(col("doc_id"), col("y"), col("step"))
-      .agg(sum(round(col("wb") * col("x") * 1e9, 0).cast("long")).as("zq"))
-    val pq = round((lit(1.0) / (lit(1.0)
-        + exp(-(col("zq").cast("double") / 1e9)))) * 1e6, 0).cast("long")
-    val perDoc = z
+    // row-local x157-shaped scoring (guide §2.4): moments and the
+    // learned-at-least-once count fold over the step-ordered ptq
+    // array inside the row; no bucket-join, no doc-keyed shuffle.
+    val perDoc = tf.crossJoin(broadcast(trajRow(traj)))
+      .withColumn("ptqs", trajPtqs(col("snaps"), col("xs"), col("y")))
       .select(col("doc_id"),
-        when(col("y") === 1L, pq).otherwise(lit(1000000L) - pq).as("ptq"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("k"), sum(col("ptq")).as("sp"),
-        sum(col("ptq") * col("ptq")).as("spp"),
-        sum(when(col("ptq") >= 500000L, 1L).otherwise(0L)).as("n_ok"))
+        size(col("ptqs")).cast("long").as("k"),
+        aggregate(col("ptqs"), lit(0L), (a, v) => a + v).as("sp"),
+        aggregate(col("ptqs"), lit(0L), (a, v) => a + v * v).as("spp"),
+        aggregate(col("ptqs"), lit(0L),
+          (a, v) => a + when(v >= 500000L, 1L).otherwise(0L)).as("n_ok"))
       .select(col("doc_id"),
         intRoundHalfAway(col("sp"), col("k")).as("conf_q"),
         round(sqrt((col("k") * col("spp") - col("sp") * col("sp"))
@@ -7258,25 +7265,26 @@ object TrainingData {
     * integer sum of 1e-6-quantized squares; the Σ(p−y)² mass is
     * re-quantized to 1e-6 before the product so everything stays in
     * BIGINT range (two-stage quantization, replayed identically by
-    * the oracle). One 20-snapshot scoring join (x157's shape) + one
-    * feature-mass aggregate; nothing pairwise. */
+    * the oracle). One dense-feature scan with all 20 snapshot scores
+    * and the feature mass folded row-locally (r11 — x157's shape);
+    * nothing pairwise. */
   val x159TracinSelf: Q = (s, d) => {
     val traj = s.read.parquet(ensureClfTrajectory(s, d))
     val (tf, _) = qualityClfTf(s, d)
-    val z = tf.join(broadcast(traj), Seq("bucket"))
-      .groupBy(col("doc_id"), col("y"), col("step"))
-      .agg(sum(round(col("wb") * col("x") * 1e9, 0).cast("long")).as("zq"))
-    val pq = round((lit(1.0) / (lit(1.0)
-        + exp(-(col("zq").cast("double") / 1e9)))) * 1e6, 0).cast("long")
-    val aMass = z
-      .select(col("doc_id"), col("y"), (pq - col("y") * 1000000L).as("dq"))
-      .groupBy(col("doc_id"), col("y"))
-      .agg(sum(col("dq") * col("dq")).as("a"))
+    // row-local (guide §2.4): per-step dq² mass and the feature-mass
+    // ‖x‖² both fold over arrays inside the row — the former
+    // 20×|tf| bucket-join, the doc-keyed re-aggregation AND the
+    // aMass⋈xsq join are all gone; only TakeOrdered(20) remains.
+    tf.crossJoin(broadcast(trajRow(traj)))
+      .withColumn("dqs", transform(col("snaps"),
+        sn => pqOf(zqOf(col("xs"), sn.getField("ws")))
+          - col("y") * 1000000L))
       .select(col("doc_id"), col("y"),
-        intRoundHalfAway(col("a"), lit(1000000L)).as("a6"))
-    val xsq = tf.groupBy(col("doc_id"))
-      .agg(sum(round(col("x") * col("x") * 1e6, 0).cast("long")).as("b6"))
-    aMass.join(xsq, Seq("doc_id"))
+        intRoundHalfAway(
+          aggregate(col("dqs"), lit(0L), (a, v) => a + v * v),
+          lit(1000000L)).as("a6"),
+        aggregate(col("xs"), lit(0L),
+          (a, x) => a + round(x * x * lit(1e6), 0).cast("long")).as("b6"))
       .select(col("doc_id"), col("y"),
         intRoundHalfAway(lit(16L) * col("a6") * col("b6"), lit(1000000L))
           .as("si_q"))
@@ -7900,44 +7908,109 @@ object TrainingData {
     * the quality gate's own clipped signals (length, punctuation,
     * stopword — buckets 64-66) and a bias (67), labelled by the
     * engine's [[qualityScore]] ≥ 0.5 gate. Returns (tf, nDocs);
-    * docs with no tokens drop (inner semantics). */
+    * docs with no tokens drop (inner semantics). Dense rows: nDocs
+    * is exactly the row count. */
   private[graft] def qualityClfTf(s: SparkSession, d: String): (DataFrame, Long) = {
     val tf = clfFeatures(Tables.documents(s, d)).localCheckpoint()
-    (tf, tf.select(col("doc_id")).distinct().count())
+    (tf, tf.count())
   }
 
-  /** The classifier's sparse feature rows (doc_id, y, bucket, x) over
-    * ANY (doc_id, text) frame — shared by training (x108), the staged
-    * consumers (x118/x122), and the STREAMING admission gate
+  /** The classifier's feature rows over ANY (doc_id, text) frame —
+    * shared by training (x108), the staged consumers (x118/x122), and
+    * the STREAMING admission gate
     * ([[graft.streaming.DocStream.admitQuality]]), so no consumer can
     * drift from the features the registry weights were trained on.
     * Docs with zero tokens produce no rows (they carry no signal and
-    * no gate can score them). */
+    * no gate can score them).
+    *
+    * Representation (optimization r11, guide §2.3/§2.4): ONE DENSE row
+    * per doc — (doc_id, y, xs: array<double>[68]) with xs(b) = 0.0 for
+    * buckets the doc never fires — instead of the former sparse
+    * (doc_id, y, bucket, x) rows. Every downstream logit/gradient is
+    * an integer sum whose absent-bucket terms are round(w·0·1e9) = 0,
+    * so all scores, gradients and trained weights are BIT-IDENTICAL to
+    * the sparse path; what changes is the plan shape: scoring loses
+    * its per-consumer (bucket-join + doc_id re-shuffle) pair and the
+    * 20-step trainer loses 2 full shuffles of the feature table PER
+    * STEP (each step is now one row-local scan onto a 68-key
+    * map-side-combinable aggregate). The build itself is also one
+    * shuffle cheaper (bucket-counts → per-doc map → one doc-keyed
+    * join, vs the former cnts/ntok/bow/side/lab join chain). */
   private[graft] def clfFeatures(docs0: DataFrame): DataFrame = {
     val docs = docs0.select(col("doc_id"), col("text"))
-    val cnts = docs
+    val bowMap = docs
       .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("doc_id"),
         pmod(graft.dedup.NearDup.md5Hash32(col("w")), lit(64L)).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
-    val ntok = cnts.groupBy(col("doc_id")).agg(sum(col("cnt")).as("n_tok"))
-    val bow = cnts.join(ntok, Seq("doc_id"))
-      .select(col("doc_id"), col("bucket"),
-        (col("cnt").cast("double") / col("n_tok").cast("double")).as("x"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("cnt"))))
+          .as("m"),
+        sum(col("cnt")).as("n_tok"))
     val lenScore = least(tokenCount(col("text")).cast("double") / 50.0, lit(1.0))
     val punctOk = lit(1.0) - least(punctRatio(col("text")) * 5.0, lit(1.0))
     val stopOk = least(stopwordRatio(col("text"), stopwords) * 10.0, lit(1.0))
     val lab = docs.select(col("doc_id"),
       (qualityScore(col("text"), stopwords) >= 0.5).cast("long").as("y"),
       array(lenScore, punctOk, stopOk, lit(1.0)).as("fs"))
-    val side = lab.join(ntok.select(col("doc_id")), Seq("doc_id"))
-      .select(col("doc_id"), posexplode(col("fs")).as(Seq("i", "x")))
-      .select(col("doc_id"), (col("i") + 64).cast("long").as("bucket"), col("x"))
-    bow.unionByName(side)
-      .join(lab.select(col("doc_id"), col("y")), Seq("doc_id"))
-      .select(col("doc_id"), col("y"), col("bucket"), col("x"))
+    bowMap.join(lab, Seq("doc_id"))
+      .select(col("doc_id"), col("y"),
+        concat(
+          transform(sequence(lit(0L), lit(63L)), b =>
+            coalesce(element_at(col("m"), b), lit(0L)).cast("double")
+              / col("n_tok").cast("double")),
+          col("fs")).as("xs"))
   }
+
+  /** A weight RELATION (bucket, wb — the registry/store schema)
+    * pivoted to the 1-row broadcastable array form the dense scorer
+    * consumes: ws(b) = wb, in bucket order. */
+  private[graft] def clfWRow(wdf: DataFrame): DataFrame =
+    wdf.groupBy()
+      .agg(transform(
+        array_sort(collect_list(struct(col("bucket"), col("wb")))),
+        e => e.getField("wb")).as("ws"))
+
+  /** The dense-row logit under the trainer's exact quantization
+    * contract: Σ_b round(ws(b)·xs(b)·1e9) as one row-local exact
+    * integer fold — the same integer the former sparse per-bucket sum
+    * produced (absent buckets contribute round(w·0·1e9) = 0). */
+  private[graft] def zqOf(xs: Column, ws: Column): Column =
+    aggregate(
+      zip_with(ws, xs, (w, x) => round(w * x * lit(1e9), 0).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** σ of a 1e9-quantized logit, 1e-6-quantized after evaluation —
+    * the one transcendental seam every scorer shares. */
+  private def pqOf(zq: Column): Column =
+    round((lit(1.0) / (lit(1.0)
+      + exp(-(zq.cast("double") / 1e9)))) * 1e6, 0).cast("long")
+
+  /** The persisted per-step trajectory (step, bucket, wb) pivoted to
+    * ONE broadcastable row — snaps = array of (step, ws) in step
+    * order — so every trajectory consumer (x157/x158/x159/x168)
+    * scores all snapshots row-locally off the dense feature rows. */
+  private[graft] def trajRow(traj: DataFrame): DataFrame =
+    traj.groupBy(col("step"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("bucket"), col("wb")))),
+        e => e.getField("wb")).as("ws"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("step"), col("ws"))))
+        .as("snaps"))
+
+  /** Per-snapshot TRUE-LABEL probabilities (1e-6-quantized, step
+    * order) of one dense feature row as one ARRAY column: the
+    * zip_with/aggregate folds stream both arrays once per step, which
+    * measured ~4× faster than the statically-unrolled twin (whose
+    * per-term array/struct re-extraction allocates wrappers and whose
+    * generated method is too large to stay on the codegen path). */
+  private def trajPtqs(snaps: Column, xs: Column, y: Column): Column =
+    transform(snaps, sn => {
+      val pq = pqOf(zqOf(xs, sn.getField("ws")))
+      when(y === 1L, pq).otherwise(lit(1000000L) - pq)
+    })
 
   /** Registry-weight LOGITS of a feature table under the trainer's
     * exact quantization contract (1e9-quantized): (doc_id, y, zq).
@@ -7946,9 +8019,8 @@ object TrainingData {
     * sigmoid — calibration must share the exact aggregation the
     * uncalibrated score used. */
   private[graft] def clfLogits(tf: DataFrame, wdf: DataFrame): DataFrame =
-    tf.join(broadcast(wdf), Seq("bucket"))
-      .groupBy(col("doc_id"), col("y"))
-      .agg(sum(round(col("wb") * col("x") * 1e9, 0).cast("long")).as("zq"))
+    tf.crossJoin(broadcast(clfWRow(wdf)))
+      .select(col("doc_id"), col("y"), zqOf(col("xs"), col("ws")).as("zq"))
 
   /** Registry-weight scoring of a feature table under the trainer's
     * exact quantization contract (1e9-quantized logits, σ quantized
@@ -7991,33 +8063,32 @@ object TrainingData {
       // weights travel as a broadcast RELATION, not embedded
       // literals: the per-step plans stay structurally identical, so
       // whole-stage codegen compiles once and is cache-hit by every
-      // later step. Each step is ONE job over the checkpointed
-      // sparse table — logit aggregation, join-back, 68-key gradient
-      // aggregation, all map-side combinable on BIGINTs — and only
-      // 68 numbers reach the driver. (A fully fused `iters`-step
-      // lazy plan was tried and rejected: the weight relation is
-      // referenced twice per step, so the logical tree doubles per
-      // iteration — exponential analysis cost. The per-step job
-      // round-trip is the honest floor for a data-dependent
-      // recursion; it is scheduling latency, not data volume, and
-      // disappears into the cluster at real scale.)
-      val wdf = s.createDataFrame(
-          w.toSeq.zipWithIndex.map { case (v, b) => (b.toLong, v) })
-        .toDF("bucket", "wb")
-      val z = tf.join(broadcast(wdf), Seq("bucket"))
-        .groupBy(col("doc_id"))
-        .agg(sum(round(col("wb") * col("x") * 1e9, 0).cast("long")).as("zq"))
-      val p = round((lit(1.0) / (lit(1.0)
-          + exp(-(col("zq").cast("double") / 1e9)))) * 1e6, 0)
-        .cast("long").cast("double") / 1e6
-      val g = tf.join(z, Seq("doc_id"))
-        .select(col("bucket"),
-          round((p - col("y").cast("double")) * col("x") * 1e6, 0)
-            .cast("long").as("gc"))
+      // later step. With the dense feature rows each step is ONE
+      // row-local scan of the checkpointed table — logit, σ, and the
+      // per-dim gradient terms all computed inside the row, then a
+      // single dFeat-key map-side-combinable BIGINT aggregation — and
+      // only dFeat numbers reach the driver. (The former sparse path
+      // paid 2 full shuffles of the feature table per step: a
+      // doc-keyed logit aggregation and a doc-keyed gradient
+      // join-back; guide §2.4. A fully fused `iters`-step lazy plan
+      // stays rejected: the weight relation is referenced once per
+      // step, so the logical tree still deepens per iteration and a
+      // data-dependent recursion needs the per-step job anyway.)
+      val wdf = s.createDataFrame(Seq(Tuple1(w.toSeq))).toDF("ws")
+      // p is materialized ONCE per row (codegen) so the per-element
+      // lambda below stays a shallow attribute read — an inline p
+      // would re-evaluate the σ subtree per array element, interpreted
+      val g = tf.crossJoin(broadcast(wdf))
+        .withColumn("pmy",
+          pqOf(zqOf(col("xs"), col("ws"))).cast("double") / 1e6
+            - col("y").cast("double"))
+        .select(posexplode(transform(col("xs"), x =>
+          round(col("pmy") * x * 1e6, 0).cast("long")))
+          .as(Seq("bucket", "gc")))
         .groupBy(col("bucket")).agg(sum(col("gc")).as("gq"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       w = Array.tabulate(dFeat)(b =>
-        w(b) - eta * ((g.getOrElse(b.toLong, 0L).toDouble / 1e6) / n.toDouble))
+        w(b) - eta * ((g.getOrElse(b, 0L).toDouble / 1e6) / n.toDouble))
       out += w
     }
     out.result()
@@ -8053,10 +8124,12 @@ object TrainingData {
     * are bootstrapped). Full-batch logistic GD, 20 steps, over
     * hashed-BOW + gate-signal features ([[qualityClfTf]]); output is
     * the learned model itself — 68 (bucket, weight) rows. Scale
-    * shape: ONE corpus scan builds the sparse feature table
+    * shape: ONE corpus scan builds the dense feature table
     * (localCheckpointed; at 100 TB features are staged ingest
-    * columns — the x32b contract), then every GD step touches only
-    * that table with two map-side-combinable integer aggregations
+    * columns — the x32b contract), then every GD step is one
+    * row-local scan of that table onto a single 68-key map-side-
+    * combinable integer aggregation (r11 — the former per-step
+    * doc-keyed logit shuffle + gradient join-back are gone)
     * and moves 68 numbers to the driver; cost scales with corpus
     * size × iters, never corpus². EngineSpec pins sign/accuracy on a
     * crafted separable micro-set AND accuracy > majority base rate

@@ -1758,9 +1758,9 @@ class EngineSpec extends AnyFunSuite {
     // crafted micro-set: class 1 fires feature 0, class 0 fires
     // feature 1, bias at 2 — GD must find w0 > 0 > w1 and separate
     val rows =
-      (0 until 5).flatMap(i => Seq((i.toLong, 1L, 0L, 1.0), (i.toLong, 1L, 2L, 1.0))) ++
-      (5 until 10).flatMap(i => Seq((i.toLong, 0L, 1L, 1.0), (i.toLong, 0L, 2L, 1.0)))
-    val tf = rows.toDF("doc_id", "y", "bucket", "x")
+      (0 until 5).map(i => (i.toLong, 1L, Seq(1.0, 0.0, 1.0))) ++
+      (5 until 10).map(i => (i.toLong, 0L, Seq(0.0, 1.0, 1.0)))
+    val tf = rows.toDF("doc_id", "y", "xs")
     val w = TrainingData.trainQualityClf(tf, 10, dFeat = 3)
     assert(w(0) > 0 && w(1) < 0, s"signs: ${w.toSeq}")
     assert(w(0) > w(2) && w(2) > w(1), s"bias between: ${w.toSeq}")
@@ -1770,14 +1770,12 @@ class EngineSpec extends AnyFunSuite {
     val (ctf, n) = TrainingData.qualityClfTf(spark, sf)
     val cw = TrainingData.trainQualityClf(ctf, n)
     val byDoc = ctf.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-      .groupBy(_._1)
-    val acc = byDoc.count { case (_, feats) =>
-      val z = feats.map(f => cw(f._3.toInt) * f._4).sum
-      (z > 0) == (feats.head._2 == 1L)
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+    val acc = byDoc.count { case (_, y, xs) =>
+      val z = xs.zipWithIndex.map { case (x, b) => cw(b) * x }.sum
+      (z > 0) == (y == 1L)
     }
-    val base = math.max(byDoc.count(_._2.head._2 == 1L),
-      byDoc.count(_._2.head._2 == 0L))
+    val base = math.max(byDoc.count(_._2 == 1L), byDoc.count(_._2 == 0L))
     assert(acc > base, s"accuracy $acc must beat base $base of ${byDoc.size}")
   }
 
@@ -2654,22 +2652,20 @@ class EngineSpec extends AnyFunSuite {
         w
       }.toMap
     val (tf, _) = TrainingData.qualityClfTf(spark, sf)
-    val rows = tf.select("doc_id", "y", "bucket", "x").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt,
-        r.getDouble(3)))
-    val byDoc = rows.groupBy(_._1)
-    val si = byDoc.map { case (doc, rs) =>
-      val y = rs.head._2
+    val rows = tf.select("doc_id", "y", "xs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+    val si = rows.map { case (doc, y, xs) =>
       val a = (1L to 20L).map { step =>
         val w = trajW(step)
-        val zq = rs.map(t => LogFit.qScaled(w(t._3) * t._4, 1e9)).sum
+        val zq = xs.zipWithIndex
+          .map { case (x, b) => LogFit.qScaled(w(b) * x, 1e9) }.sum
         val pq = LogFit.qScaled(
           1.0 / (1.0 + math.exp(-(zq.toDouble / 1e9))), 1e6)
         val dq = pq - y * 1000000L
         dq * dq
       }.sum
       val a6 = (2 * a + 1000000L) / 2000000L
-      val b6 = rs.map(t => LogFit.qScaled(t._4 * t._4, 1e6)).sum
+      val b6 = xs.map(x => LogFit.qScaled(x * x, 1e6)).sum
       (doc, y, (2 * (16L * a6 * b6) + 1000000L) / 2000000L)
     }.toSeq
     val want = si.sortBy { case (doc, _, s) => (-s, doc) }.take(20)

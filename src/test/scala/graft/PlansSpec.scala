@@ -100,13 +100,20 @@ class PlansSpec extends AnyFunSuite {
   test("trajectory scoring broadcasts the snapshot relation; KMV windows per source") {
     // x157/x159: the 20x68 weight trajectory must ride a broadcast —
     // a shuffled join would move the corpus-sized feature table for a
-    // 1360-row model relation
+    // model-sized relation. Since the r11 dense-feature optimization
+    // the trajectory is ONE broadcast row of step arrays attached via
+    // BroadcastNestedLoopJoin (a 1-row build side, so "nested loop"
+    // is a single pass), and the per-step scoring is row-local: no
+    // doc-keyed exchange may appear between the feature scan and the
+    // final rollup.
     for (q <- Seq("x157_cartography", "x159_tracin_self")) {
       val plan = graft.queries.TrainingData.defs(q)(spark, sf)
         .queryExecution.executedPlan.toString
-      assert(plan.contains("BroadcastHashJoin"),
-        s"$q must broadcast the trajectory:\n$plan")
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must broadcast the 1-row snapshot relation:\n$plan")
       assert(!plan.contains("CartesianProduct"), q)
+      assert(!plan.contains("hashpartitioning(doc_id"),
+        s"$q scoring must stay row-local (no doc-keyed exchange):\n$plan")
     }
     // x160: the k-smallest scan partitions by source — a global
     // single-partition sort over the vocabulary would serialize at
