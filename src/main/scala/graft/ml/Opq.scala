@@ -46,18 +46,24 @@ object Opq {
     * corpus size. Returns (matrix, per-dim 1e6-scale sums, rows). */
   def covariance(emb: DataFrame): (Array[Array[Double]], Array[Long], Long) = {
     val n = emb.count()
-    val sums = emb
-      .select(posexplode(col("embedding")).as(Seq("i", "xi")))
-      .withColumn("qi", round(col("xi").cast("double") * 1e6, 0).cast("long"))
+    // quantize each coordinate ONCE per vector (r11): the pair pass
+    // below reads integer elements of the prepared q array instead of
+    // re-rounding the inner coordinate per (i, j) cell — same qi/qj
+    // integers (round is deterministic), ~d/2× fewer decimal
+    // roundings per vector, and the sums/pair passes share the one
+    // quantized projection
+    val q = emb.select(
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1e6, 0).cast("long")).as("q"))
+    val sums = q
+      .select(posexplode(col("q")).as(Seq("i", "qi")))
       .groupBy(col("i")).agg(sum(col("qi")).as("s_"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).map(_._2)
     val dims = sums.length
-    val pair = emb
-      .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
-      .withColumn("qi", round(col("xi").cast("double") * 1e6, 0).cast("long"))
-      .select(col("i"), col("qi"), posexplode(col("embedding")).as(Seq("j", "xj")))
+    val pair = q
+      .select(col("q"), posexplode(col("q")).as(Seq("i", "qi")))
+      .select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
       .filter(col("j") >= col("i"))
-      .withColumn("qj", round(col("xj").cast("double") * 1e6, 0).cast("long"))
       .groupBy(col("i"), col("j"))
       .agg(sum((col("qi") * col("qj")).cast("decimal(38,0)")).as("p"))
       .collect()

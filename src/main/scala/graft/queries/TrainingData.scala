@@ -4555,14 +4555,20 @@ object TrainingData {
       .distinct()
       .localCheckpoint()
     val totTypes = inc.select(col("g")).distinct().count()
-    var covered = inc.sparkSession.emptyDataFrame
-    var coveredInit = false
     var cum = 0L
     val picks = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long, Double)]()
     val picked = scala.collection.mutable.Set[String]()
     for (i <- 1 to k) {
-      val cand0 = if (coveredInit)
-        inc.join(covered, Seq("g"), "left_anti") else inc
+      // the covered set is DERIVED from the pinned incidence each
+      // round (grams of the picked sources) instead of being unioned
+      // and re-checkpointed — one job per greedy round instead of two
+      // (r11; the greedy collect per round is the algorithm's honest
+      // data dependence, the covered materialization was not)
+      val cand0 = if (picked.isEmpty) inc
+        else inc.join(
+          inc.filter(col("source").isin(picked.toSeq: _*))
+            .select(col("g")).distinct(),
+          Seq("g"), "left_anti")
       val cand = if (picked.isEmpty) cand0
         else cand0.filter(!col("source").isin(picked.toSeq: _*))
       val top = cand.groupBy(col("source")).agg(count(lit(1)).as("gain"))
@@ -4574,10 +4580,6 @@ object TrainingData {
           graft.ml.LogFit.halfAway(BigInt(cum) * 10000L, BigInt(totTypes))
             .toDouble / 1e4))
         picked += src
-        val add = inc.filter(col("source") === src).select(col("g"))
-        covered = (if (coveredInit) covered.unionByName(add) else add)
-          .distinct().localCheckpoint()
-        coveredInit = true
       }
     }
     s.createDataFrame(picks.toSeq)
@@ -4637,11 +4639,17 @@ object TrainingData {
         .join(r.filter(col("dg") > 0L).select(col("doc_id").as("a"),
           call_function("div", col("r"), col("dg")).as("share")), Seq("a"))
         .groupBy(col("b").as("doc_id")).agg(sum(col("share")).as("sq"))
+      // NO per-iteration checkpoint (r11, guide §2.4/§5): the 10-step
+      // recurrence is data-INdependent (nothing is collected between
+      // steps), each iterate references the previous r exactly once,
+      // and edges/nodes are already pinned — so the lineage grows
+      // linearly (~5 operators/step) and ONE job at the end executes
+      // the whole chain, instead of 10 driver-blocking checkpoint
+      // materializations of a node-sized relation.
       r = nodes.join(sq, Seq("doc_id"), "left")
         .select(col("doc_id"), col("dg"),
           (lit(teleQ) + intRoundHalfAway(
             lit(85L) * coalesce(col("sq"), lit(0L)), lit(100L))).as("r"))
-        .localCheckpoint()
     }
     graft.dedup.NearDup.clusters(corpus, pairs)
       .select(col("doc_id"), col("canonico").as("cluster"))
