@@ -7836,26 +7836,37 @@ object TrainingData {
     * integers. Docs with no tokens or no paired vector drop (inner
     * semantics, documented). */
   val x111AlignmentScore: Q = (s, d) => {
-    val tf = Tables.documents(s, d)
+    // r11 (guide §2.3/§2.4): per-doc bucket counts pivot to ONE dense
+    // 64-long array (the clfFeatures recipe), so the dot product folds
+    // row-locally inside a single doc-keyed join — the former
+    // 64×|corpus| embedding explode and the (doc_id, bucket) join are
+    // gone, and nt2 rides the same aggregation instead of a third
+    // join. Absent buckets contribute round(0·e·1e6) = 0, the exact
+    // integer the sparse join never summed — dotq is bit-identical.
+    val arr = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         explode(wsTokens(lower(col("text")))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("doc_id"), col("source"),
         pmod(graft.dedup.NearDup.md5Hash32(col("w")), lit(64L)).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
-    val nt2 = tf.groupBy(col("doc_id"))
-      .agg(sum(col("cnt") * col("cnt")).as("nt2"))
-    val ee = Tables.embeddings(s, d)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "e")))
-    val dot = tf.join(ee,
-        tf("doc_id") === ee("vec_id") && tf("bucket") === ee("pos").cast("long"))
       .groupBy(col("doc_id"), col("source"))
-      .agg(sum(round(col("cnt").cast("double") * col("e").cast("double") * 1e6, 0)
-        .cast("long")).as("dotq"))
-    val ne2 = Tables.embeddings(s, d).select(col("vec_id").as("doc_id"),
-      aggregate(col("embedding"), lit(0.0),
-        (acc, x) => acc + x.cast("double") * x.cast("double")).as("ne2"))
-    val scored = dot.join(nt2, Seq("doc_id")).join(ne2, Seq("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("cnt"))))
+          .as("m"),
+        sum(col("cnt") * col("cnt")).as("nt2"))
+      .select(col("doc_id"), col("source"), col("nt2"),
+        transform(sequence(lit(0L), lit(63L)),
+          b => coalesce(element_at(col("m"), b), lit(0L))).as("cs"))
+    val scored = arr
+      .join(Tables.embeddings(s, d)
+        .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+      .select(col("source"),
+        aggregate(zip_with(col("cs"), col("embedding"), (c, e) =>
+          round(c.cast("double") * e.cast("double") * 1e6, 0).cast("long")),
+          lit(0L), (acc, v) => acc + v).as("dotq"),
+        col("nt2"),
+        aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double")).as("ne2"))
       .select(col("source"),
         round((col("dotq").cast("double") / 1e6) /
           (sqrt(col("nt2").cast("double")) * sqrt(col("ne2"))), 6).as("cos"))
